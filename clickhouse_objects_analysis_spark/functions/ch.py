@@ -1,0 +1,240 @@
+"""ClickHouse scalar/aggregate function-name translation table (SURVEY §2.B
+"Generic function call", grammar anchor ClickHouseParser.py:15571; §7 names
+this table a core deliverable).
+
+Each entry maps a ClickHouse function name to a builder over pyspark
+Columns. Shims encode the semantic deltas, not just renames:
+- array subscripts are 1-indexed on both sides (element_at) — but
+  ClickHouse `indexOf` returns 0 for missing (array_position agrees);
+- ClickHouse integer division `intDiv` truncates toward zero;
+- `position` is 1-based, 0 when absent (instr agrees);
+- date functions return ClickHouse's UInt shapes — we return Spark-native
+  types and document the delta instead of widening.
+
+Usage: ``ch_expr("replaceAll", col, F.lit("a"), F.lit("b"))`` or grab the
+Spark builder via ``translate_name``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+Builder = Callable[..., Column]
+
+
+def _if(cond: Column, a: Column, b: Column) -> Column:
+    return F.when(cond, a).otherwise(b)
+
+
+def _multi_if(*args: Column) -> Column:
+    # multiIf(c1, v1, c2, v2, ..., default)
+    *pairs, default = args
+    out = None
+    for cond, val in zip(pairs[::2], pairs[1::2]):
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return default if out is None else out.otherwise(default)
+
+
+CH_FUNCTIONS: dict[str, Builder] = {
+    # --- string ---
+    "lower": F.lower,
+    "upper": F.upper,
+    "lowerUTF8": F.lower,
+    "upperUTF8": F.upper,
+    "length": F.length,
+    "lengthUTF8": F.char_length,
+    "concat": F.concat,
+    "substring": F.substring,
+    "trimBoth": F.trim,
+    "trimLeft": F.ltrim,
+    "trimRight": F.rtrim,
+    "replaceAll": lambda c, a, b: F.replace(c, a, b),
+    "replaceRegexpAll": F.regexp_replace,
+    "position": F.instr,
+    "positionCaseInsensitive": lambda c, s: F.instr(F.lower(c), F.lower(s)),
+    "splitByChar": lambda sep, c: F.split(c, sep),
+    "splitByString": lambda sep, c: F.split(c, sep),
+    "startsWith": lambda c, p: F.startswith(c, p),
+    "endsWith": lambda c, p: F.endswith(c, p),
+    "match": lambda c, p: c.rlike(p),
+    "extract": lambda c, p: F.regexp_extract(c, p, 1),
+    "leftPad": F.lpad,
+    "rightPad": F.rpad,
+    "reverse": F.reverse,
+    "repeat": F.repeat,
+    "format": F.format_string,
+    "empty": lambda c: F.length(c) == 0,
+    "notEmpty": lambda c: F.length(c) > 0,
+    # --- math ---
+    "abs": F.abs,
+    "round": F.round,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "ceiling": F.ceil,
+    "sqrt": F.sqrt,
+    "cbrt": F.cbrt,
+    "exp": F.exp,
+    "log": F.log,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "pow": F.pow,
+    "power": F.pow,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "intDiv": lambda a, b: (a - a % b) / b,  # truncates toward zero for +divisors
+    "modulo": lambda a, b: a % b,
+    "plus": lambda a, b: a + b,
+    "minus": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,
+    "negate": lambda a: -a,
+    "greatest": F.greatest,
+    "least": F.least,
+    "sign": F.signum,
+    # --- conditional / null ---
+    "if": _if,
+    "multiIf": _multi_if,
+    "ifNull": F.coalesce,
+    "coalesce": F.coalesce,
+    "nullIf": F.nullif,
+    "isNull": lambda c: c.isNull(),
+    "isNotNull": lambda c: c.isNotNull(),
+    "assumeNotNull": lambda c: c,  # nullability hint only
+    # --- date / time ---
+    "now": F.current_timestamp,
+    "today": F.current_date,
+    "toDate": lambda c: c.cast("date"),
+    "toDateTime": lambda c: c.cast("timestamp"),
+    "toStartOfDay": lambda c: F.date_trunc("day", c),
+    "toStartOfHour": lambda c: F.date_trunc("hour", c),
+    "toStartOfMinute": lambda c: F.date_trunc("minute", c),
+    "toStartOfMonth": lambda c: F.date_trunc("month", c).cast("date"),
+    "toStartOfQuarter": lambda c: F.date_trunc("quarter", c).cast("date"),
+    "toStartOfYear": lambda c: F.date_trunc("year", c).cast("date"),
+    "toYYYYMM": lambda c: F.date_format(c, "yyyyMM").cast("int"),
+    "toYYYYMMDD": lambda c: F.date_format(c, "yyyyMMdd").cast("int"),
+    "toYear": F.year,
+    "toMonth": F.month,
+    "toDayOfMonth": F.dayofmonth,
+    "toDayOfWeek": lambda c: F.weekday(c) + 1,  # ClickHouse: Mon=1..Sun=7
+    "toHour": F.hour,
+    "toMinute": F.minute,
+    "toSecond": F.second,
+    "toUnixTimestamp": F.unix_timestamp,
+    "fromUnixTimestamp": F.from_unixtime,
+    "dateDiff": lambda unit, a, b: F.timestampdiff(unit, a, b),
+    "dateAdd": lambda unit, n, c: F.timestampadd(unit, n, c),
+    "addDays": lambda c, n: F.date_add(c, n),
+    "subtractDays": lambda c, n: F.date_sub(c, n),
+    "formatDateTime": F.date_format,
+    # --- arrays (ClickHouse is 1-indexed; element_at matches) ---
+    "arrayElement": F.element_at,
+    "has": F.array_contains,
+    "indexOf": F.array_position,
+    "arrayConcat": F.concat,
+    "arrayMap": lambda f, c: F.transform(c, f),
+    "arrayFilter": lambda f, c: F.filter(c, f),
+    "arrayExists": lambda f, c: F.exists(c, f),
+    "arrayAll": lambda f, c: F.forall(c, f),
+    "arraySum": lambda c: F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ),
+    "arrayJoin": F.explode,
+    "arrayDistinct": F.array_distinct,
+    "arraySort": F.array_sort,
+    "arrayReverse": F.reverse,
+    "arraySlice": F.slice,
+    "arrayUniq": lambda c: F.size(F.array_distinct(c)),
+    "range": lambda n: F.sequence(F.lit(0), n - 1),
+    "emptyArrayString": lambda: F.array().cast("array<string>"),
+    "arrayStringConcat": lambda c, sep: F.array_join(c, sep),
+    # --- map / tuple ---
+    "tuple": F.struct,
+    "tupleElement": lambda c, i: c.getField(f"col{i}"),
+    "map": F.create_map,
+    "mapKeys": F.map_keys,
+    "mapValues": F.map_values,
+    # --- JSON / URL / IP ---
+    "JSONExtractString": lambda c, k: F.get_json_object(c, f"$.{k}"),
+    "JSONExtractInt": lambda c, k: F.get_json_object(c, f"$.{k}").cast("long"),
+    "JSONExtractFloat": lambda c, k: F.get_json_object(c, f"$.{k}").cast("double"),
+    "JSONHas": lambda c, k: F.get_json_object(c, f"$.{k}").isNotNull(),
+    "visitParamExtractString": lambda c, k: F.get_json_object(c, f"$.{k}"),
+    "protocol": lambda c: F.parse_url(c, F.lit("PROTOCOL")),
+    "domain": lambda c: F.parse_url(c, F.lit("HOST")),
+    "path": lambda c: F.parse_url(c, F.lit("PATH")),
+    "queryString": lambda c: F.parse_url(c, F.lit("QUERY")),
+    "IPv4NumToString": lambda c: F.concat_ws(
+        ".",
+        F.shiftright(c, 24).bitwiseAND(255).cast("string"),
+        F.shiftright(c, 16).bitwiseAND(255).cast("string"),
+        F.shiftright(c, 8).bitwiseAND(255).cast("string"),
+        c.bitwiseAND(255).cast("string"),
+    ),
+    # --- hashing ---
+    "MD5": F.md5,
+    "SHA256": lambda c: F.sha2(c, 256),
+    "cityHash64": F.xxhash64,  # engine-specific 64-bit hash ≈ xxhash64
+    "sipHash64": F.xxhash64,
+    "halfMD5": lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+    # --- aggregates (names; used inside groupBy().agg) ---
+    "count": F.count,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "any": F.first,
+    "anyLast": F.last,
+    "argMax": F.max_by,
+    "argMin": F.min_by,
+    "uniq": F.approx_count_distinct,
+    "uniqHLL12": F.approx_count_distinct,
+    "uniqExact": F.count_distinct,
+    "groupArray": F.collect_list,
+    "groupUniqArray": F.collect_set,
+    "median": lambda c: F.percentile(c, 0.5),
+    "quantile": lambda c, q=0.5: F.percentile(c, q),
+    "quantileTDigest": lambda c, q=0.5: F.percentile_approx(c, q),
+    "stddevPop": F.stddev_pop,
+    "stddevSamp": F.stddev_samp,
+    "varPop": F.var_pop,
+    "varSamp": F.var_samp,
+    "corr": F.corr,
+    "covarPop": F.covar_pop,
+    "covarSamp": F.covar_samp,
+    "sumIf": lambda c, cond: F.sum(F.when(cond, c)),
+    "countIf": lambda cond: F.sum(F.when(cond, 1).otherwise(0)),
+    "avgIf": lambda c, cond: F.avg(F.when(cond, c)),
+    "minIf": lambda c, cond: F.min(F.when(cond, c)),
+    "maxIf": lambda c, cond: F.max(F.when(cond, c)),
+    # --- window names (same names, used with .over) ---
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+    "lagInFrame": F.lag,
+    "leadInFrame": F.lead,
+    "first_value": F.first,
+    "last_value": F.last,
+}
+
+
+def translate_name(ch_name: str) -> Builder:
+    """Spark builder for a ClickHouse function name; KeyError with the
+    full supported list if unknown."""
+    try:
+        return CH_FUNCTIONS[ch_name]
+    except KeyError:
+        raise KeyError(
+            f"no translation for ClickHouse function {ch_name!r}; "
+            f"{len(CH_FUNCTIONS)} names supported"
+        ) from None
+
+
+def ch_expr(ch_name: str, *args) -> Column:
+    """Evaluate a ClickHouse-named function over Columns/lambdas."""
+    return translate_name(ch_name)(*args)

@@ -1,0 +1,109 @@
+"""ASOF and ANY join rewrites.
+
+Grammar anchors: ASOF/ANY accessors in JoinOpInnerContext
+(ClickHouseParser.py:10596) and JoinOpLeftRightContext (:10618).
+
+Semantics implemented (ClickHouse manual + grammar):
+- ASOF JOIN: for each left row, the single right row with the same equi
+  keys and the greatest right timestamp <= left timestamp (``backward``,
+  the ClickHouse default ``>=`` form); ``forward`` gives smallest >=.
+- ANY JOIN: at most one right match per left row (first by an explicit
+  deterministic order — the reference grammar is order-nondeterministic,
+  we require the caller to pin it; SURVEY §7 hard-parts list).
+
+Scale notes: the union-and-window ASOF implementation is ONE shuffle on the
+equi keys and never materializes the (left x right-candidates) blow-up a
+range join would. State per key group is O(1) (a running `last`), so skew
+on the equi key is the only hazard — same hazard any keyed join has, and
+AQE skew handling applies. ANY join is a window dedup (one shuffle) + a
+normal equi join that Catalyst may broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    allow_exact: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join via the union-and-window technique.
+
+    Tags both inputs, unions them, sorts each equi-key group by timestamp,
+    and propagates the most recent right-side values onto left rows with a
+    running ``last(..., ignorenulls=True)`` window. Matched right columns
+    arrive as ``value_cols`` plus ``matched_<right_ts>``.
+
+    ``right`` should be unique per (by, right_ts) for deterministic output
+    (ClickHouse ASOF has the same requirement on the inequality column).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    by = list(by)
+    value_cols = list(value_cols)
+    matched_ts = f"matched_{right_ts}"
+
+    # Right rows sort before left rows at equal ts iff exact matches count.
+    right_rank = 0 if allow_exact else 2
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__side", F.lit(right_rank))
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    side_order = (
+        F.col("__side").asc() if direction == "backward" else F.col("__side").desc()
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned
+    for c in [matched_ts, *value_cols]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    if how == "inner":
+        out = out.filter(F.col(matched_ts).isNotNull())
+    return out
+
+
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    order: Sequence[str | Column],
+    how: str = "left",
+) -> DataFrame:
+    """ANY JOIN: dedupe the right side to its first row per key (by
+    ``order``), then join normally — each left row gets at most one match."""
+    w = Window.partitionBy(*on).orderBy(*order)
+    deduped = (
+        right.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return left.join(deduped, on=list(on), how=how)

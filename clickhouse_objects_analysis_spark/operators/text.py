@@ -1,0 +1,145 @@
+"""Text-analysis primitives for the LLM-data-pipeline surface: portable
+hashing, tokenization, shingling, language-ID, quality scoring, document
+fingerprinting.
+
+Everything is built from JVM-side built-ins (md5 / conv / higher-order
+array functions) — no Python UDFs — so the hot path stays inside
+whole-stage codegen and is bit-reproducible in ANSI SQL engines (the
+DuckDB oracles replicate the same arithmetic).
+
+Portability contract for hashes: ``hash64(s)`` = first 15 hex digits of
+md5(s) parsed base-16 (60 bits, always fits signed int64). Any engine with
+md5 + hex parsing reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: Modulus for rolling hashes — largest prime < 2^30, so `acc * 131 + c`
+#: stays far below 2^63 (ANSI-mode overflow-safe).
+ROLLING_MOD = 1_073_741_789
+ROLLING_BASE = 131
+
+#: Tiny per-language stopword lists for the voting heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic, engine-portable 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization; empty tokens dropped."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish token stream: alnum runs and single punctuation marks, the
+    shape subword tokenizers produce pre-merges."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+
+
+def shingles(words: Column, k: int) -> Column:
+    """Word ``k``-grams (space-joined), distinct. Documents shorter than
+    ``k`` words yield an empty set."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.when(F.size(words) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Karp–Rabin polynomial rolling hash over the character codepoints:
+    ``acc = (acc*131 + codepoint) mod (2^30-ish prime)``. One number per
+    document; stable across engines (same char order, same modulus)."""
+    codepoints = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substr(text, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codepoints,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+
+
+def stopword_ratio(words: Column, stopwords: Sequence[str]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    """Stopword-voting score per language (n-gram-heuristic family)."""
+    return {
+        lang: F.size(
+            F.filter(
+                words,
+                lambda w, _sw=sw: F.array_contains(
+                    F.array(*[F.lit(s) for s in _sw]), w
+                ),
+            )
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def predict_lang(words: Column) -> Column:
+    """argmax over lang_scores with deterministic tie-break: ties resolve
+    in LANG_STOPWORDS insertion order (en first), all-zero → 'und'."""
+    scores = lang_scores(words)
+    langs = list(scores)
+    best_lang, best_score = F.lit(langs[0]), scores[langs[0]]
+    for lang in langs[1:]:
+        s = scores[lang]
+        cond = s > best_score  # strict: earlier languages win ties
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / repetition features used by the
+    quality score. All ratios in [0,1], rounded by the caller."""
+    words = tokenize(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    distinct_ratio = F.size(F.array_distinct(words)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return {
+        "n_words": n_words.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "mean_word_len": (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)),
+        "distinct_ratio": distinct_ratio,
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": stopword_ratio(words, LANG_STOPWORDS["en"]),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs and
+    lexical diversity, penalizes punctuation soup — the standard pre-train
+    filter shape (C4/Gopher-style rules, simplified)."""
+    f = quality_features(text)
+    length_term = F.least(f["n_words"] / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.4) * f["distinct_ratio"]
+        + F.lit(0.2) * (1 - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
+    )

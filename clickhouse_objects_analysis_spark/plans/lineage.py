@@ -1,0 +1,303 @@
+"""View→table lineage extraction and graph construction.
+
+Reference parity (ch_view_dependencies.py):
+- fetch_views/fetch_tables (:293-324)  → catalog DataFrame + filters (A1/A2)
+- parse_view_tables (:233-258)         → Spark's own SQL parser plan walk
+                                         (exact, replaces the ANTLR visitor
+                                         heuristics A5-A9) with a
+                                         conservative regex fallback for
+                                         non-Spark dialects
+- _views_to_json (:346-361)            → view_dependencies(): edges + error
+                                         DataFrames (per-view error channel)
+- graph build/dedup/classify (dependencies_to_mermaid.py:100-149, A11-A14)
+  → DataFrame joins
+- plus transitive closure (the reference stops at depth 1; closure is the
+  natural scale extension, SURVEY §7 M2)
+
+Scale design: parsing is metadata-scale (one DDL string per view). The
+exact path uses the JVM parser on the driver (requires the SparkSession);
+the regex fallback is a pure function shipped via mapInPandas when the
+catalog is huge (`extract_dependencies_distributed`). Graph ops are plain
+DataFrame joins — they scale to millions of edges without GraphFrames.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# --------------------------------------------------------------------------
+# Catalog layer (A1-A3)
+# --------------------------------------------------------------------------
+
+
+def catalog_objects(spark: SparkSession) -> DataFrame:
+    """DataFrame(db_name, obj_name, engine) over every object Spark's
+    catalog knows — the `system.tables` analogue. `engine` is Spark's
+    tableType (MANAGED/EXTERNAL/VIEW/TEMPORARY), which plays the role of
+    ClickHouse's engine column for view-vs-table classification."""
+    rows = [
+        (t.namespace[0] if t.namespace else "", t.name, t.tableType)
+        for db in spark.catalog.listDatabases()
+        for t in spark.catalog.listTables(db.name)
+    ]
+    return spark.createDataFrame(rows, "db_name string, obj_name string, engine string")
+
+
+def fetch_views(catalog: DataFrame, include_system: bool = False) -> DataFrame:
+    """Engine-contains-'View' filter + sort (reference :293-308)."""
+    out = catalog.filter(F.upper("engine").contains("VIEW"))
+    if not include_system:
+        out = out.filter(~F.col("db_name").isin("system", "information_schema"))
+    return out.orderBy("db_name", "obj_name")
+
+
+def fetch_tables(catalog: DataFrame, include_system: bool = False) -> DataFrame:
+    """Complement filter (reference :310-324)."""
+    out = catalog.filter(~F.upper("engine").contains("VIEW"))
+    if not include_system:
+        out = out.filter(~F.col("db_name").isin("system", "information_schema"))
+    return out.orderBy("db_name", "obj_name")
+
+
+# --------------------------------------------------------------------------
+# Identifier helpers (A9)
+# --------------------------------------------------------------------------
+
+_QUOTE_PAIRS = [("`", "`"), ('"', '"'), ("[", "]")]
+
+
+def clean_identifier(ident: str) -> str:
+    """Strip one level of back-tick / double-quote / bracket quoting and
+    collapse doubled escape characters."""
+    s = ident.strip()
+    for lo, hi in _QUOTE_PAIRS:
+        if len(s) >= 2 and s.startswith(lo) and s.endswith(hi):
+            inner = s[1:-1]
+            return inner.replace(lo * 2, lo)
+    return s
+
+
+def qualify(name: str, default_db: str) -> str:
+    """Qualify an unqualified table name with the default database."""
+    return name if "." in name else f"{default_db}.{name}"
+
+
+# --------------------------------------------------------------------------
+# Dependency extraction — exact path: Spark's own parser (§3.2)
+# --------------------------------------------------------------------------
+
+
+def _walk_plan(node, relations: list[list[str]], cte_names: set[str]) -> None:
+    """Recursively collect UnresolvedRelation identifiers from a parsed
+    (unresolved) logical plan, descending into CTE definitions and
+    expression-level subqueries (scalar/IN/EXISTS)."""
+    simple = node.getClass().getSimpleName()
+
+    if simple == "UnresolvedRelation":
+        ident = node.multipartIdentifier()
+        relations.append([ident.apply(i) for i in range(ident.size())])
+    elif simple in ("UnresolvedWith", "With"):
+        ctes = node.cteRelations()
+        for i in range(ctes.size()):
+            pair = ctes.apply(i)
+            cte_names.add(pair._1())
+            _walk_plan(pair._2(), relations, cte_names)
+
+    # Expression-level subqueries (ScalarSubquery / ListQuery / Exists).
+    try:
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            _walk_expression(exprs.apply(i), relations, cte_names)
+    except Exception:
+        pass
+
+    children = node.children()
+    for i in range(children.size()):
+        _walk_plan(children.apply(i), relations, cte_names)
+
+
+def _walk_expression(expr, relations: list[list[str]], cte_names: set[str]) -> None:
+    try:
+        plan = expr.plan()
+        _walk_plan(plan, relations, cte_names)
+    except Exception:
+        pass
+    try:
+        children = expr.children()
+        for i in range(children.size()):
+            _walk_expression(children.apply(i), relations, cte_names)
+    except Exception:
+        pass
+
+
+def parse_table_dependencies(
+    spark: SparkSession, sql_text: str, default_db: str = "default"
+) -> list[str]:
+    """Referenced catalog tables of a SQL statement (CREATE VIEW / SELECT),
+    exact where Spark's parser accepts the dialect, conservative-regex
+    otherwise.
+
+    The parser path upgrades the reference's best-effort tree heuristics
+    (ch_view_dependencies.py:106-123 describes them as such): CTE names
+    never surface as dependencies (A7) and table-valued functions parse as
+    UnresolvedTableValuedFunction, not relations (A8) — both exclusions
+    fall out of the grammar instead of regexes.
+    """
+    relations: list[list[str]] = []
+    cte_names: set[str] = set()
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
+        _walk_plan(plan, relations, cte_names)
+    except Exception:
+        return regex_table_dependencies(sql_text, default_db)
+
+    out = set()
+    for parts in relations:
+        if len(parts) == 1 and parts[0] in cte_names:
+            continue
+        out.add(qualify(".".join(parts), default_db))
+    return sorted(out)
+
+
+# --------------------------------------------------------------------------
+# Dependency extraction — fallback path: conservative regex scan
+# --------------------------------------------------------------------------
+
+_IDENT = r"(?:`[^`]+`|\"[^\"]+\"|[A-Za-z_]\w*)"
+_TABLE_REF_RE = re.compile(
+    rf"\b(?:FROM|JOIN)\s+({_IDENT}(?:\s*\.\s*{_IDENT})?)", re.IGNORECASE
+)
+_CTE_DEF_RE = re.compile(rf"\b({_IDENT})\s+AS\s*\(", re.IGNORECASE)
+
+
+def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list[str]:
+    """Conservative fallback for dialects Spark can't parse (the same
+    stance as the reference's last-resort text scan, re-derived):
+    FROM/JOIN targets only, table functions (identifier followed by '(')
+    and WITH-clause aliases excluded, quoting stripped, names qualified."""
+    ctes = {clean_identifier(m.group(1)) for m in _CTE_DEF_RE.finditer(sql_text)}
+    found: set[str] = set()
+    for m in _TABLE_REF_RE.finditer(sql_text):
+        raw = m.group(1)
+        after = sql_text[m.end() : m.end() + 1]
+        if after == "(":  # table-valued function, not a relation
+            continue
+        parts = [clean_identifier(p) for p in re.split(r"\s*\.\s*", raw)]
+        name = ".".join(parts)
+        if len(parts) == 1 and parts[0] in ctes:
+            continue
+        found.add(qualify(name, default_db))
+    return sorted(found)
+
+
+def extract_dependencies_distributed(views: DataFrame, default_db_col: str = "db_name") -> DataFrame:
+    """Regex-path extraction as a distributed mapInPandas over a
+    (db_name, obj_name, ddl) DataFrame — for catalogs too large to loop on
+    the driver. Returns (view, dep) edge rows."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for db, name, ddl in zip(pdf[default_db_col], pdf["obj_name"], pdf["ddl"]):
+                view = f"{db}.{name}"
+                try:
+                    for dep in regex_table_dependencies(ddl or "", db):
+                        rows.append((view, dep))
+                except Exception:
+                    pass
+            yield pd.DataFrame(rows, columns=["view", "dep"])
+
+    return views.mapInPandas(extract, schema="view string, dep string")
+
+
+# --------------------------------------------------------------------------
+# Per-view extraction with error channel (A4) + graph ops (A11-A14)
+# --------------------------------------------------------------------------
+
+
+def view_dependencies(
+    spark: SparkSession, views: list[tuple[str, str, str]]
+) -> tuple[DataFrame, DataFrame]:
+    """For (db, name, ddl) triples: edges DataFrame(view, dep) + errors
+    DataFrame(view, error). Failures are isolated per view (reference
+    :356-358); extraction keeps going."""
+    edge_rows: list[tuple[str, str]] = []
+    error_rows: list[tuple[str, str]] = []
+    for db, name, ddl in views:
+        view = f"{db}.{name}"
+        try:
+            for dep in parse_table_dependencies(spark, ddl, default_db=db):
+                edge_rows.append((view, dep))
+        except Exception as exc:  # noqa: BLE001 — per-view error channel
+            error_rows.append((view, str(exc)))
+    edges = spark.createDataFrame(
+        edge_rows or [("", "")], "view string, dep string"
+    )
+    if not edge_rows:
+        edges = edges.limit(0)
+    errors = spark.createDataFrame(
+        error_rows or [("", "")], "view string, error string"
+    )
+    if not error_rows:
+        errors = errors.limit(0)
+    return edges, errors
+
+
+def graph_nodes(edges: DataFrame, tables: DataFrame) -> DataFrame:
+    """Node set (src ∪ dst) classified table/view by membership in the
+    `tables` name list (left join + CASE — A13)."""
+    nodes = (
+        edges.select(F.col("dep").alias("name"))
+        .union(edges.select(F.col("view").alias("name")))
+        .distinct()
+    )
+    t = tables.select(F.col("name").alias("t_name")).distinct()
+    return nodes.join(t, nodes.name == t.t_name, "left").select(
+        "name",
+        F.when(F.col("t_name").isNotNull(), F.lit("table"))
+        .otherwise(F.lit("view"))
+        .alias("kind"),
+    )
+
+
+def isolated_nodes(all_nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Nodes touching no edge (anti-join — A14)."""
+    endpoints = (
+        edges.select(F.col("dep").alias("name"))
+        .union(edges.select(F.col("view").alias("name")))
+        .distinct()
+    )
+    return all_nodes.join(endpoints, "name", "left_anti").orderBy("name")
+
+
+def transitive_closure(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """All (ancestor_dep, view) pairs reachable through the dependency
+    graph — iterative self-join to fixpoint (the reference stops at direct
+    deps; SURVEY §7 M2 names closure as the scale-minded extension).
+
+    Each iteration doubles the reachable path length, so max_iterations=20
+    covers dependency chains of length 2^20. Frontier is checkpointed via
+    localCheckpoint every few rounds to keep the plan from growing
+    unboundedly (lineage truncation — the standard iterative-join
+    pattern)."""
+    closure = edges.select("view", "dep").distinct()
+    for i in range(max_iterations):
+        step = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.dep") == F.col("b.view"))
+            .select(F.col("a.view").alias("view"), F.col("b.dep").alias("dep"))
+        )
+        grown = closure.union(step).distinct()
+        if i % 3 == 2:
+            grown = grown.localCheckpoint(eager=True)
+        if grown.count() == closure.count():
+            return grown
+        closure = grown
+    return closure

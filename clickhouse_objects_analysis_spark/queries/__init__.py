@@ -1,0 +1,23 @@
+"""Named, oracle-checked query registry (the driver contract surface).
+
+Every operator from SURVEY.md §2 claimed as implemented has one entry here:
+a PySpark builder in ``QUERIES`` and (where SQL-expressible) a DuckDB oracle
+string in ``ORACLE``. Column names are aliased identically on both sides —
+the driver sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from .registry import ORACLE, QUERIES
+
+# Importing the modules populates the registry.
+from . import core  # noqa: E402,F401
+from . import joins  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import setops  # noqa: E402,F401
+from . import functions_surface  # noqa: E402,F401
+from . import llm  # noqa: E402,F401
+from . import lineage_queries  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,215 @@
+"""Lineage-pipeline query entries — the reference's own dataflow (SURVEY
+§2.A) run over the household fixture schema (FIXTURES.md §1), with
+hand-derived VALUES oracles. These don't read sf_dir (the lineage domain is
+catalog metadata, not TPC-H rows); the fixture is inline so DuckDB sees
+identical input."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.lineage import (
+    fetch_views,
+    graph_nodes,
+    transitive_closure,
+    view_dependencies,
+)
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Fixture: household schema (FIXTURES.md §1). DDLs deliberately stress the
+# extraction heuristics the reference guards against
+# (ch_view_dependencies.py:132-229): a CTE alias, a table-valued function,
+# backtick quoting, unqualified names, a subquery dependency.
+# --------------------------------------------------------------------------
+
+FIXTURE_DDLS: list[tuple[str, str, str]] = [
+    (
+        "test",
+        "v_car_inventory",
+        """CREATE VIEW test.v_car_inventory AS
+           WITH owners AS (
+               SELECT h.id AS hid, hu.id AS owner_id
+               FROM test.household h JOIN test.human hu ON h.head_id = hu.id
+           )
+           SELECT c.id AS car_id, o.hid, o.owner_id
+           FROM test.car c JOIN owners o ON c.household_id = o.hid""",
+    ),
+    (
+        "test",
+        "v_household_flags",
+        """CREATE VIEW test.v_household_flags AS
+           SELECT h.id, count(m.id) AS n_members, count(p.id) AS n_pets,
+                  count(c.id) AS n_cars
+           FROM test.household h
+           LEFT JOIN test.household_member m ON m.household_id = h.id
+           LEFT JOIN `test`.`pet` p ON p.household_id = h.id
+           LEFT JOIN test.car c ON c.household_id = h.id
+           GROUP BY h.id""",
+    ),
+    (
+        "test",
+        "v_household_roster",
+        """CREATE VIEW test.v_household_roster AS
+           SELECT h.id, m.name, p.name AS pet_name, c.plate
+           FROM household h
+           JOIN household_member m ON m.household_id = h.id
+           JOIN pet p ON p.household_id = h.id
+           JOIN car c ON c.household_id = h.id""",
+    ),
+    (
+        "test",
+        "v_city_household_flag_stats",
+        """CREATE VIEW test.v_city_household_flag_stats AS
+           SELECT city, count(*) AS n FROM test.v_household_flags GROUP BY city""",
+    ),
+    (
+        "test",
+        "v_household_health_score",
+        """CREATE VIEW test.v_household_health_score AS
+           SELECT id, n_members + n_pets AS score
+           FROM test.v_household_flags WHERE n_members > 0""",
+    ),
+    (
+        "test",
+        "v_pet_ownership",
+        """CREATE VIEW test.v_pet_ownership AS
+           SELECT p.id, h.id AS human_id, r.id AS seq
+           FROM test.pet p
+           JOIN test.human h ON p.owner_id = h.id
+           CROSS JOIN range(10) r""",
+    ),
+    (
+        "test",
+        "v_human_profile",
+        """CREATE VIEW test.v_human_profile AS
+           SELECT hu.id, hu.name FROM test.human hu
+           WHERE hu.id IN (SELECT owner_id FROM test.v_car_inventory)""",
+    ),
+]
+
+#: Hand-derived expected edges (view, dep) — the oracle ground truth.
+EXPECTED_EDGES: list[tuple[str, str]] = [
+    ("test.v_car_inventory", "test.car"),
+    ("test.v_car_inventory", "test.household"),
+    ("test.v_car_inventory", "test.human"),
+    ("test.v_household_flags", "test.car"),
+    ("test.v_household_flags", "test.household"),
+    ("test.v_household_flags", "test.household_member"),
+    ("test.v_household_flags", "test.pet"),
+    ("test.v_household_roster", "test.car"),
+    ("test.v_household_roster", "test.household"),
+    ("test.v_household_roster", "test.household_member"),
+    ("test.v_household_roster", "test.pet"),
+    ("test.v_city_household_flag_stats", "test.v_household_flags"),
+    ("test.v_household_health_score", "test.v_household_flags"),
+    ("test.v_pet_ownership", "test.human"),
+    ("test.v_pet_ownership", "test.pet"),
+    ("test.v_human_profile", "test.human"),
+    ("test.v_human_profile", "test.v_car_inventory"),
+]
+
+BASE_TABLES = [
+    "test.car",
+    "test.household",
+    "test.household_member",
+    "test.human",
+    "test.pet",
+]
+
+#: Catalog fixture rows (db_name, obj_name, engine) — FIXTURES.md §1.
+CATALOG_ROWS: list[tuple[str, str, str]] = (
+    [("test", t.split(".")[1], "MergeTree") for t in BASE_TABLES]
+    + [("test", v.split(".")[1], "View") for v, _ in
+       {v: None for v, _d in EXPECTED_EDGES}.items()]
+    + [
+        ("test", "mv_household_daily", "MaterializedView"),
+        ("test", "lv_household_live", "LiveView"),
+        ("system", "tables", "SystemTables"),
+        ("system", "query_log", "MergeTree"),
+    ]
+)
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    body = ", ".join(
+        "(" + ", ".join(f"'{v}'" for v in row) + ")" for row in rows
+    )
+    return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+@query(
+    "lineage_edges",
+    oracle=f"""
+    SELECT view, dep FROM {_values_sql(EXPECTED_EDGES, ["view", "dep"])}
+    ORDER BY view, dep
+    """,
+)
+def lineage_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core pipeline (A4-A9): per-view DDL parse →
+    dependency edges, via Spark's own SQL parser plan walk. The oracle is
+    the hand-derived edge list — CTE aliases and table functions must NOT
+    appear, quoting stripped, unqualified names db-qualified."""
+    edges, _errors = view_dependencies(spark, FIXTURE_DDLS)
+    return edges.orderBy("view", "dep")
+
+
+@query(
+    "lineage_catalog_views",
+    oracle=f"""
+    SELECT db_name, obj_name, engine
+    FROM {_values_sql(CATALOG_ROWS, ["db_name", "obj_name", "engine"])}
+    WHERE upper(engine) LIKE '%VIEW%' AND db_name NOT IN ('system', 'information_schema')
+    ORDER BY db_name, obj_name
+    """,
+)
+def lineage_catalog_views_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog scan A1 (fetch_views, reference :293-308): engine-pattern
+    filter + system-db exclusion + sort, as DataFrame ops."""
+    cat = spark.createDataFrame(
+        CATALOG_ROWS, "db_name string, obj_name string, engine string"
+    )
+    return fetch_views(cat)
+
+
+@query(
+    "lineage_nodes_classified",
+    oracle=f"""
+    WITH e AS (SELECT view, dep FROM {_values_sql(EXPECTED_EDGES, ["view", "dep"])}),
+    nodes AS (SELECT dep AS name FROM e UNION SELECT view FROM e),
+    tabs AS (SELECT name FROM {_values_sql([(t,) for t in BASE_TABLES], ["name"])})
+    SELECT n.name,
+           CASE WHEN t.name IS NOT NULL THEN 'table' ELSE 'view' END AS kind
+    FROM nodes n LEFT JOIN tabs t ON n.name = t.name
+    ORDER BY n.name
+    """,
+)
+def lineage_nodes_classified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph build + node classification (A11/A13): nodes = src ∪ dst,
+    kind by membership in the base-table list (left join + CASE)."""
+    edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
+    tabs = spark.createDataFrame([(t,) for t in BASE_TABLES], "name string")
+    return graph_nodes(edges, tabs).orderBy("name")
+
+
+@query(
+    "lineage_transitive_closure",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT view, dep FROM {_values_sql(EXPECTED_EDGES, ["view", "dep"])}
+    ),
+    c AS (
+        SELECT view, dep FROM e
+        UNION
+        SELECT c.view, e.dep FROM c JOIN e ON c.dep = e.view
+    )
+    SELECT view, dep FROM c ORDER BY view, dep
+    """,
+)
+def lineage_transitive_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive lineage closure (SURVEY §7 M2 — the scale extension the
+    reference lacks): iterative self-join to fixpoint vs. DuckDB's
+    WITH RECURSIVE."""
+    edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
+    return transitive_closure(edges).orderBy("view", "dep")

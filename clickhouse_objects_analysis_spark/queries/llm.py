@@ -1,0 +1,375 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY §7 M3; north-star requirement in BASELINE.json).
+
+Oracle portability: all hashing is md5-derived (operators.text.hash64), so
+the DuckDB oracles reproduce the exact same values — the SimHash oracle is
+even generated from the same bit arithmetic. Approximate/ANN variants whose
+candidate sets are algorithm-specific are verified end-to-end instead
+(exact-verified output) or declared rows-only (ann_lsh_topk,
+multimodal_decode_stub)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import attach_binary_payload, decode_features
+from ..operators.similarity import cosine_pairs, cosine_topk, lsh_cosine_topk
+from ..operators.text import (
+    LANG_STOPWORDS,
+    bpe_ish_tokens,
+    predict_lang,
+    quality_features,
+    quality_score,
+    rolling_fingerprint,
+    tokenize,
+)
+from .registry import query, tables
+
+# Shared DuckDB CTE: word-trigram shingle sets per document (mirrors
+# operators.dedup.with_shingles: \s+ tokenization, distinct 3-grams).
+_SHINGLE_CTE = """
+    w AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS ws
+          FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 for i in range(1, len(ws) - 1)]) AS s
+           FROM w WHERE len(ws) >= 3)
+"""
+
+_JACC = (
+    "len(list_intersect(a.s, b.s))::DOUBLE"
+    " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5, lowest id kept.
+    One shuffle on a 32-byte digest regardless of document size."""
+    d = tables(spark, sf_dir)["documents"]
+    return exact_dedup(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({_JACC}, 4) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {_JACC} >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(16 bands of 2) candidates, exact-Jaccard-verified at
+    0.8. The oracle is the exact all-pairs answer: LSH miss probability at
+    s=0.8 is (1-.64)^16 ≈ 1e-7, and verification kills false positives, so
+    the outputs agree. Spark side never goes O(n²)."""
+    d = tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=32, bands=16, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({_JACC}, 4) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {_JACC} >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs via the inverted shingle index
+    (only docs sharing a shingle are paired — never a cross join)."""
+    d = tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN bit{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> length(x) > 0)) AS word
+        FROM documents
+    ),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+          FROM words),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id AS id, {fp} AS simhash FROM votes ORDER BY id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bit-voting over portable word hashes);
+    the oracle replays the identical bit arithmetic in SQL."""
+    d = tables(spark, sf_dir)["documents"]
+    return simhash(d, "doc_id", "text").orderBy("id")
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the LSH-bucketed
+    scale path is ann_lsh_topk). Dot products via zip_with/aggregate —
+    JVM-side, no Python."""
+    e = tables(spark, sf_dir)["embeddings"]
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS corpus_id,
+               list_cosine_similarity(q.vq, e.v) AS cos
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact ANN
+    baseline; query side broadcast, corpus never shuffles."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    res = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    return res.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("ann_lsh_topk")  # candidate set is algorithm-specific → rows-only
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane buckets, 4 tables
+    x 8 planes): the 100 TB path — shuffle on small int bucket keys instead
+    of an n² cross join."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    res = lsh_cosine_topk(
+        e, q, "vec_id", "embedding", k=5, dim=64, n_planes=8, n_tables=4
+    )
+    return res.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> length(x) > 0) AS ws,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               n_chars,
+               (n_chars - (len(ws) - 1)) / greatest(len(ws), 1) AS mean_word_len,
+               len(list_distinct(ws)) / greatest(len(ws), 1)::DOUBLE AS distinct_ratio,
+               punct / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+               len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w)))
+                   / greatest(len(ws), 1)::DOUBLE AS stopword_ratio
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(mean_word_len, 4)   AS mean_word_len,
+           ROUND(distinct_ratio, 4)  AS distinct_ratio,
+           ROUND(punct_ratio, 4)     AS punct_ratio,
+           ROUND(stopword_ratio, 4)  AS stopword_ratio,
+           ROUND(0.4 * least(n_words / 100.0, 1.0)
+                 + 0.4 * distinct_ratio
+                 + 0.2 * (1 - least(punct_ratio * 10, 1.0)), 4) AS quality
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (C4/Gopher-style heuristics, simplified): length,
+    lexical diversity, punctuation, stopword density → one score."""
+    d = tables(spark, sf_dir)["documents"]
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["n_chars"].alias("n_chars"),
+        F.round(f["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(f["distinct_ratio"], 4).alias("distinct_ratio"),
+        F.round(f["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(ws, w -> list_contains({list(sw)!r}, w)))"
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    langs = list(score)
+    case = f"CASE WHEN greatest({', '.join(score[l] for l in langs)}) = 0 THEN 'und' "
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(
+            f"{score[lang]} >= {score[other]}" for other in langs[i + 1 :]
+        )
+        case += f"WHEN {geq} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> length(x) > 0) AS ws
+               FROM documents)
+    SELECT doc_id, {case} AS predicted_lang FROM w ORDER BY doc_id
+    """
+
+
+@query("lang_id", oracle=_lang_id_oracle())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword-voting n-gram heuristic, deterministic
+    tie-break en>de>fr>es, all-zero → 'und')."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id", predict_lang(tokenize(F.col("text"))).alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token stream
+    (alnum runs and single punctuation)."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                           [CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                            for i in range(1, length(text) + 1)]),
+               (acc, c) -> (acc * 131 + c) % 1073741789
+           ) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash fingerprint over characters — identical
+    modular arithmetic on both engines."""
+    d = tables(spark, sf_dir)["documents"]
+    fp = F.when(F.length("text") > 0, rolling_fingerprint(F.col("text"))).otherwise(
+        F.lit(0).cast("long")
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS checksum,
+           'text/plain'               AS mime
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload + typed metadata;
+    metadata-only reads never touch the blob (column pruning)."""
+    d = tables(spark, sf_dir)["documents"]
+    mm = attach_binary_payload(d, "doc_id", "text")
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+@query("multimodal_decode_stub")  # stubbed decoder → rows-only
+def multimodal_decode_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (deterministic
+    fake decoder — the Arrow batching/schema/partitioning is the real
+    deliverable; swap in PIL/ffmpeg in production)."""
+    d = tables(spark, sf_dir)["documents"]
+    mm = attach_binary_payload(d, "doc_id", "text")
+    return decode_features(mm).orderBy("doc_id")

@@ -1,0 +1,41 @@
+"""Query/oracle registry plumbing shared by the queries.* modules."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register the testdata tables once per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    return _TABLE_CACHE[key]
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is the DuckDB-runnable ANSI
+    SQL equivalent (omit only for genuinely non-SQL-expressible operators —
+    the driver then records a weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco

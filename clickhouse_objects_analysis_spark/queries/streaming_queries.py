@@ -1,0 +1,133 @@
+"""Streaming query entries (SURVEY §2 streaming surface). Each runs a real
+Structured Streaming query (availableNow replay of events.parquet) and
+returns the materialized result, which the batch oracles reproduce — so
+even the streaming slice is value-checked, not just rows-counted."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.pipeline import (
+    materialized_view_sink,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from .registry import query, tables
+
+
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS win_start,
+           time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+               + INTERVAL 5 MINUTE AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-VIEW analogue (watchStmt reference ClickHouseParser.py:14249):
+    readStream → watermark → 5-min tumbling count/sum → complete-mode
+    memory sink. Oracle = the equivalent batch windowing."""
+    tables(spark, sf_dir)
+    res = tumbling_counts(spark, sf_dir)
+    return res.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    WITH e AS (
+        SELECT unnest([time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+                           - INTERVAL 5 MINUTE]) AS win_start
+        FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+           COUNT(*) AS n_events
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY win_start
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: width 10 min, slide 5 min — every event
+    belongs to exactly two windows."""
+    tables(spark, sf_dir)
+    res = sliding_counts(spark, sf_dir)
+    return res.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+    ).orderBy("win_start")
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-min inactivity gap) via F.session_window —
+    custom stateful windowing the reference grammar has no syntax for;
+    oracle = the batch gaps-and-islands rewrite."""
+    tables(spark, sf_dir)
+    res = session_counts(spark, sf_dir)
+    return res.select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_mv_to_dest",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(value * 100, 2) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def streaming_mv_to_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED VIEW ... TO dest (destinationClause reference
+    ClickHouseParser.py:5572): append-mode parquet sink; result read back
+    from the destination table — checking the full MV round trip."""
+    tables(spark, sf_dir)
+    return materialized_view_sink(spark, sf_dir).orderBy("event_id")

@@ -1,0 +1,207 @@
+"""Window-function surface (reference grammar: ColumnExprWinFunctionContext
+ClickHouseParser.py:15519, winPartitionBy :11606, winOrderBy :11656, frames
+:11706-11895).
+
+Scale notes: every window here is partitioned by a key (parallel, one
+shuffle); the single global-window query (cumulative_daily_revenue) runs
+over a pre-aggregated input that is small by construction — the pattern to
+copy at 100 TB (aggregate first, window the aggregate)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import query, tables
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rk,
+           dense_rank() OVER w AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank over one named window spec (WINDOW clause
+    reference ClickHouseParser.py:9618; function names via :15571). The
+    shared `Window` object is the DataFrame-API analogue of a named window."""
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           date_diff('day',
+                     lag(o_orderdate) OVER w,
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lagInFrame/leadInFrame (reference ClickHouseParser.py:15571) →
+    F.lag/F.lead."""
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_rows_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames (WinFrameClauseContext reference
+    ClickHouseParser.py:11706-11735; extents :11760-11895)."""
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           CAST(COUNT(*) OVER (
+               ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cnt_similar_size
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (RANGE accessor reference ClickHouseParser.py:11706):
+    peers by value distance, not row position."""
+    p = tables(spark, sf_dir)["part"]
+    w = Window.orderBy("p_size").rangeBetween(-2, 0)
+    return p.select(
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("cnt_similar_size"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "window_first_last_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS priciest_order,
+           ntile(4) OVER w AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value (reference ClickHouseParser.py:15571) + ntile.
+    last_value needs the full-partition frame (default frame stops at
+    CURRENT ROW — classic SQL trap, same in ClickHouse)."""
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "cumulative_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS ship_day,
+               SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT CAST(ship_day AS DATE) AS ship_day,
+           ROUND(rev, 2) AS daily_revenue,
+           ROUND(SUM(rev) OVER (ORDER BY ship_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cumulative_revenue
+    FROM daily
+    ORDER BY ship_day
+    """,
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window: the daily rollup shuffles once; the global
+    cumulative window then runs over ~90 rows. At 100 TB the global window
+    input stays O(days), never O(rows) — this ordering is the point."""
+    li = tables(spark, sf_dir)["lineitem"]
+    daily = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.orderBy("ship_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("ship_day").cast("date").alias("ship_day"),
+        F.round("rev", 2).alias("daily_revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("cumulative_revenue"),
+    ).orderBy("ship_day")

@@ -1,0 +1,90 @@
+"""SparkSession factory and testdata registry.
+
+Scale notes (100 TB design point):
+- AQE is always on: runtime partition coalescing, skew-join splitting and
+  dynamic broadcast decisions are the difference between "works at sf0.1"
+  and "works at 100 TB".
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster it should be ~2-3x total executor cores (AQE coalesces
+  down, it never splits a too-coarse setting except for skew).
+- Session timezone is pinned to UTC so timestamp semantics are stable and
+  oracle-comparable regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "clickhouse-objects-analysis-spark") -> SparkSession:
+    """Build (or fetch) the session with scale-minded defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+        # reader rejects; read as raw int64 nanos and convert in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata parquet in ``sf_dir`` and register each as a
+    temp view, so both the DataFrame API and ``spark.sql`` see them.
+
+    Parquet scans stay lazy; Catalyst pushes filters/column pruning into
+    the scan (verify with ``df.explain``: PushedFilters / ReadSchema).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = normalize_nanos(spark.read.parquet(path))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert nanosAsLong-read TIMESTAMP(NANOS) columns (raw int64 nanos)
+    to microsecond timestamps, truncating like a ns→us CAST would."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            # integer `div` keeps full int64 precision (a double division
+            # would round above 2^53) and truncates like CAST(ns AS us).
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+    return df

@@ -1,0 +1,124 @@
+"""Streaming pipelines over the `events` table, replayed through the
+parquet file source (SURVEY §7 M4).
+
+Execution model: each helper starts a one-shot (`availableNow`) streaming
+query — the batch-replay of the stream — and returns the materialized
+result. In production the same code runs continuously; availableNow is
+the deterministic-test trigger. State (window aggregations, session
+merges) lives in the streaming state store, sized by watermark retention,
+exactly how a 100 TB continuous MV would run.
+
+Sinks: memory sink for windowed aggregates (small, driver-collectable by
+definition: one row per window×key), parquet file sink for the MV-style
+`TO dest` path (append-only insert-trigger semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import normalize_nanos
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet replayed as a stream (schema pinned from the batch
+    read — file streams require an explicit schema)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    return normalize_nanos(spark.readStream.schema(schema).parquet(path))
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type with a 1-hour watermark
+    (late rows beyond it would be dropped in update/append mode)."""
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    _run_to_memory(agg, name)
+    return spark.table(name)
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes — each event lands in two
+    overlapping windows."""
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_memory(agg, name)
+    return spark.table(name)
+
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap
+    (F.session_window): a new session starts when the gap is reached
+    (diff >= gap); window.end = last_event_ts + gap."""
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "10 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_memory(agg, name)
+    return spark.table(name)
+
+
+def materialized_view_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED VIEW ... TO dest (destinationClause reference
+    ClickHouseParser.py:5572): an insert-triggered transform streamed into
+    a destination parquet table. Append output mode = ClickHouse's
+    insert-trigger semantics (each arriving row transformed exactly once,
+    checkpoint-guaranteed)."""
+    run_dir = os.path.join(SCRATCH, f"mv_{uuid.uuid4().hex[:8]}")
+    dest = os.path.join(run_dir, "dest")
+    ckpt = os.path.join(run_dir, "ckpt")
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    stream = read_events_stream(spark, sf_dir)
+    transformed = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 2).alias("cents"),
+    )
+    q = (
+        transformed.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)

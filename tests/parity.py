@@ -1,0 +1,84 @@
+"""DuckDB-oracle parity harness mirroring the driver's t2 check: run the
+Spark query and the oracle SQL on the same parquet tables, compare row
+count, column names, and values (order-insensitive on columns; rows are
+compared in emitted order since every registered query pins a total
+ORDER BY)."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from clickhouse_objects_analysis_spark.session import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con.execute(sql).df()
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    return v
+
+
+def _cells_equal(a, b) -> bool:
+    a, b = _canon_cell(a), _canon_cell(b)
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, bool) or isinstance(b, bool):
+        return bool(a) == bool(b)
+    if isinstance(a, int) and isinstance(b, int):
+        return a == b
+    return str(a) == str(b)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    s_cols = sorted(spark_pdf.columns)
+    o_cols = sorted(oracle_pdf.columns)
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    s = spark_pdf[s_cols].reset_index(drop=True)
+    o = oracle_pdf[o_cols].reset_index(drop=True)
+    for col in s_cols:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(sv, ov))
+            if not _cells_equal(a, b)
+        ]
+        assert not bad, (
+            f"{name}: column {col!r} differs at {len(bad)} rows; "
+            f"first: row {bad[0][0]}: spark={bad[0][1]!r} oracle={bad[0][2]!r}"
+        )
