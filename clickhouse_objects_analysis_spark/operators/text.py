@@ -83,18 +83,15 @@ def stopword_ratio(words: Column, stopwords: Sequence[str]) -> Column:
     return hits / F.greatest(F.size(words), F.lit(1))
 
 
+def _stopword_hits(words: Column, stopwords: Sequence[str]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
 def lang_scores(words: Column) -> dict[str, Column]:
     """Stopword-voting score per language (n-gram-heuristic family)."""
     return {
-        lang: F.size(
-            F.filter(
-                words,
-                lambda w, _sw=sw: F.array_contains(
-                    F.array(*[F.lit(s) for s in _sw]), w
-                ),
-            )
-        )
-        for lang, sw in LANG_STOPWORDS.items()
+        lang: _stopword_hits(words, sw) for lang, sw in LANG_STOPWORDS.items()
     }
 
 

@@ -69,7 +69,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price
+           l_extendedprice * (1 - l_discount) AS net_price
     FROM lineitem
     WHERE l_quantity > 45 AND l_returnflag = 'R'
     ORDER BY l_orderkey, l_linenumber
@@ -84,9 +84,10 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "net_price"
-            ),
+            # per-row arithmetic stays unrounded: IEEE ops on identical
+            # inputs are bit-identical across engines; rounding would
+            # INTRODUCE decimal-vs-binary divergence at .xx5 boundaries
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -59,14 +59,14 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_functions",
     oracle="""
     SELECT o_orderkey,
-           CAST(date_trunc('day',   o_orderdate) AS DATE)      AS order_day,
-           CAST(date_trunc('month', o_orderdate) AS DATE)      AS order_month,
+           strftime(date_trunc('day',   o_orderdate), '%Y-%m-%d') AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
            strftime(o_orderdate, '%Y%m')                       AS order_yyyymm,
            EXTRACT(year FROM o_orderdate)                      AS order_year,
            EXTRACT(month FROM o_orderdate)                     AS order_month_num,
            EXTRACT(isodow FROM o_orderdate)                    AS order_isodow,
            date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE)         AS due_date
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
     FROM orders
     ORDER BY o_orderkey
     LIMIT 1000
@@ -80,8 +80,14 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_orderkey",
-            F.date_trunc("day", "o_orderdate").cast("date").alias("order_day"),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            # date-typed outputs serialize as yyyy-MM-dd strings so the
+            # value hash is representation-independent across engines
+            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_day"
+            ),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
             F.date_format("o_orderdate", "yyyyMM").alias("order_yyyymm"),
             F.year("o_orderdate").cast("long").alias("order_year"),
             F.month("o_orderdate").cast("long").alias("order_month_num"),
@@ -89,9 +95,9 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(
                 F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
             ).cast("long").alias("days_to_2002"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-            .cast("date")
-            .alias("due_date"),
+            F.date_format(
+                F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd"
+            ).alias("due_date"),
         )
         .orderBy("o_orderkey")
         .limit(1000)
@@ -141,7 +147,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE o_orderstatus WHEN 'F' THEN 'fulfilled'
                               WHEN 'O' THEN 'open'
                               ELSE 'other' END         AS status_name,
-           CAST(o_totalprice AS BIGINT)                AS price_int,
+           CAST(floor(o_totalprice) AS BIGINT)         AS price_int,
            CAST(o_orderkey AS VARCHAR)                 AS key_str,
            (o_orderstatus = 'F') AND (o_totalprice > 200000) AS is_big_f
     FROM orders
@@ -163,7 +169,8 @@ def case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderstatus") == "O", "open")
         .otherwise("other")
         .alias("status_name"),
-        F.col("o_totalprice").cast("long").alias("price_int"),
+        # floor, not cast: DuckDB's double→int cast rounds, Spark's truncates
+        F.floor("o_totalprice").alias("price_int"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)).alias(
             "is_big_f"
@@ -345,7 +352,7 @@ def tuple_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       TIMESTAMP '1997-12-31 00:00:00',
                                       INTERVAL 1 DAY)) AS ship_day
     )
-    SELECT CAST(a.ship_day AS DATE) AS ship_day,
+    SELECT strftime(a.ship_day, '%Y-%m-%d') AS ship_day,
            CAST(COALESCE(d.n_ship, 0) AS BIGINT) AS n_ship,
            last_value(d.avg_price IGNORE NULLS)
                OVER (ORDER BY a.ship_day
@@ -383,7 +390,7 @@ def with_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         interpolate_prev=["avg_price"],
     )
     return filled.select(
-        F.col("ship_day").cast("date").alias("ship_day"),
+        F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
         F.col("n_ship").cast("long").alias("n_ship"),
         F.col("avg_price").alias("last_known_price"),
     ).orderBy("ship_day")

@@ -177,7 +177,7 @@ def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
         GROUP BY 1
     )
-    SELECT CAST(ship_day AS DATE) AS ship_day,
+    SELECT strftime(ship_day, '%Y-%m-%d') AS ship_day,
            ROUND(rev, 2) AS daily_revenue,
            ROUND(SUM(rev) OVER (ORDER BY ship_day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
@@ -201,7 +201,7 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("ship_day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
-        F.col("ship_day").cast("date").alias("ship_day"),
+        F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
         F.round("rev", 2).alias("daily_revenue"),
         F.round(F.sum("rev").over(w), 2).alias("cumulative_revenue"),
     ).orderBy("ship_day")

@@ -15,6 +15,7 @@ definition: one row per window×key), parquet file sink for the MV-style
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -31,8 +32,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet replayed as a stream (schema pinned from the batch
     read — file streams require an explicit schema)."""
     path = os.path.join(sf_dir, "events.parquet")
+    # The file stream source wants a directory; expose the single parquet
+    # file through a scratch directory of symlinks (testdata is read-only).
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(SCRATCH, f"events_src_{key}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(path, link)
     schema = spark.read.parquet(path).schema
-    return normalize_nanos(spark.readStream.schema(schema).parquet(path))
+    return normalize_nanos(spark.readStream.schema(schema).parquet(stream_dir))
 
 
 def _run_to_memory(agg: DataFrame, name: str) -> None:
