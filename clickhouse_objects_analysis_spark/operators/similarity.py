@@ -16,12 +16,24 @@ deterministic, no RNG state, reproducible across runs and engines.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
-
-from .text import hash64
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 _HP_SCALE = 1000
+
+
+def _hash64_py(s: str) -> int:
+    """Driver-side twin of operators.text.hash64 (first 15 md5 hex digits,
+    base-16). Hyperplanes are query-time constants — computing them in
+    Python keeps 2k+ md5 expressions out of the Catalyst plan (the
+    expression-tree blowup made the LSH query ~40× slower than it should
+    be; with plain double literals analysis cost is negligible)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def as_double(vec: Column) -> Column:
@@ -29,12 +41,27 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two equal-length numeric arrays (JVM-side)."""
+    """Dot product of two equal-length numeric arrays (JVM-side).
+
+    Note: Spark higher-order functions are CodegenFallback — the lambda is
+    interpreted per element. Fine for O(rows) work (norms, bucket bits);
+    for O(pairs) scoring use dot_pd (Arrow-batched numpy), which is the
+    hot path at scale."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+@F.pandas_udf(DoubleType())
+def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched row-wise dot product: each batch becomes two dense
+    (batch, dim) matrices and one vectorized einsum — the 100 TB path for
+    pairwise scoring (~100× the interpreted zip_with/aggregate fold)."""
+    va = np.stack(a.to_numpy())
+    vb = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", va, vb))
 
 
 def norm(a: Column) -> Column:
@@ -51,14 +78,22 @@ def cosine_pairs(
     """All pairs (id_a < id_b) with cosine >= threshold — exact O(n²)
     baseline; use lsh_cosine_pairs at scale."""
     a = emb.select(
-        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("va"),
+        norm(as_double(F.col(vec_col))).alias("na"),
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("vb"),
+        norm(as_double(F.col(vec_col))).alias("nb"),
     )
+    # Norms are O(rows) (computed once per vector before the join); the
+    # O(pairs) scoring is one Arrow-batched matmul per batch.
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", dot_pd(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
@@ -74,14 +109,19 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (self-matches excluded).
     The queries side is broadcast — corpus never shuffles."""
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("vc")
+        F.col(id_col).alias("corpus_id"),
+        as_double(F.col(vec_col)).alias("vc"),
+        norm(as_double(F.col(vec_col))).alias("nc"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("vq")
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("vq"),
+        norm(as_double(F.col(vec_col))).alias("nq"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vc")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
+    ).withColumn(
+        "cos", dot_pd(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")
@@ -98,25 +138,54 @@ def cosine_topk(
     )
 
 
-def hyperplane(table: int, plane: int, dim: int) -> Column:
+def hyperplane_values(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d ∈ [-500, 500)
     from the portable hash of 't{table}_p{plane}_d{d}'."""
-    return F.array(
-        *[
-            (hash64(F.lit(f"t{table}_p{plane}_d{d}")) % _HP_SCALE - _HP_SCALE // 2)
-            .cast("double")
-            for d in range(dim)
-        ]
-    )
+    return [
+        float(_hash64_py(f"t{table}_p{plane}_d{d}") % _HP_SCALE - _HP_SCALE // 2)
+        for d in range(dim)
+    ]
+
+
+def hyperplane(table: int, plane: int, dim: int) -> Column:
+    """Hyperplane as a literal double array (constants, no per-row work)."""
+    return F.array(*[F.lit(c) for c in hyperplane_values(table, plane, dim)])
 
 
 def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
-    """B-bit bucket id: bit p = sign(vec · hyperplane_p)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bit = F.when(dot(vec, hyperplane(table, p, dim)) >= 0, 1).otherwise(0)
-        bucket = bucket * 2 + bit
-    return bucket
+    """B-bit bucket id: bit p = sign(vec · hyperplane_p). The planes are a
+    literal array-of-arrays; the fold runs entirely JVM-side. (Kept as the
+    expression-level reference; the batch path is lsh_buckets_udf.)"""
+    planes = F.array(*[hyperplane(table, p, dim) for p in range(n_planes)])
+    bits = F.transform(
+        planes, lambda p: F.when(dot(vec, p) >= 0, 1).otherwise(0)
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+
+
+def lsh_buckets_udf(n_tables: int, n_planes: int, dim: int):
+    """Pandas UDF: vec → array of ``n_tables`` bucket ids, all tables in
+    one (batch, dim) × (dim, n_tables·n_planes) matmul per Arrow batch.
+    Same bits as lsh_bucket (bit p of table t = sign(vec · plane_{t,p}),
+    MSB-first fold) without 2k+ literal nodes in the Catalyst plan or
+    per-element interpreted lambdas."""
+    flat = np.array(
+        [
+            hyperplane_values(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    )  # (n_tables*n_planes, dim)
+    weights = 2 ** np.arange(n_planes - 1, -1, -1)  # bit 0 is the MSB
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ flat.T >= 0).astype(np.int64)
+        vals = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(vals))
+
+    return buckets
 
 
 def lsh_cosine_topk(
@@ -136,39 +205,38 @@ def lsh_cosine_topk(
     is (table, bucket) — a shuffle on small ints; per-bucket candidate
     lists replace the n² cross join. Recall rises with n_tables."""
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("vc")
+        F.col(id_col).alias("corpus_id"),
+        as_double(F.col(vec_col)).alias("vc"),
+        norm(as_double(F.col(vec_col))).alias("nc"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("vq")
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("vq"),
+        norm(as_double(F.col(vec_col))).alias("nq"),
     )
 
-    def bucketed(df: DataFrame, vec: str, out: str) -> DataFrame:
-        tables_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(F.col(vec), t, n_planes, dim).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select("*", F.explode(tables_arr).alias(out)).select(
-            *df.columns, f"{out}.t", f"{out}.bucket"
+    buckets = lsh_buckets_udf(n_tables, n_planes, dim)
+
+    def bucketed(df: DataFrame, vec: str) -> DataFrame:
+        return df.select(
+            "*", F.posexplode(buckets(F.col(vec))).alias("t", "bucket")
         )
 
-    cb = bucketed(c, "vc", "cb")
-    qb = bucketed(q, "vq", "qb")
+    cb = bucketed(c, "vc")
+    qb = bucketed(q, "vq")
     candidates = (
-        cb.join(qb, on=["t", "bucket"])
+        cb.join(F.broadcast(qb), on=["t", "bucket"])
         .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", "vq", "vc")
+        .select("query_id", "corpus_id", "vq", "vc", "nq", "nc")
         .dropDuplicates(["query_id", "corpus_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")
     )
     return (
-        candidates.withColumn("cos", cosine(F.col("vq"), F.col("vc")))
+        candidates.withColumn(
+            "cos", dot_pd(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
