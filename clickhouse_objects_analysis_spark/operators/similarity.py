@@ -75,28 +75,46 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold — exact O(n²)
-    baseline; use lsh_cosine_pairs at scale."""
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        as_double(F.col(vec_col)).alias("va"),
-        norm(as_double(F.col(vec_col))).alias("na"),
+    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline.
+
+    Blocked matmul: the corpus is broadcast once as a dense (n, dim)
+    numpy matrix (n·dim·8 bytes — vectors are the *small* side of this
+    problem; 10M×128 floats is 10 GB, blockable far beyond that by
+    chunking the broadcast). Each partition then scores its rows against
+    the whole corpus with one BLAS matmul and emits only the
+    above-threshold pairs. Pair *vectors* never hit the shuffle — the
+    naive join moved O(pairs·dim) data; this moves O(n·dim) + O(result).
+    At 100 TB scale swap the broadcast for a block-nested loop over
+    corpus chunks (same kernel per block) or go through lsh_cosine_topk."""
+    src = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        as_double(F.col(vec_col)).alias("vb"),
-        norm(as_double(F.col(vec_col))).alias("nb"),
-    )
-    # Norms are O(rows) (computed once per vector before the join); the
-    # O(pairs) scoring is one Arrow-batched matmul per batch.
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos", dot_pd(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
-    )
+    rows = src.toPandas()
+    ids = rows["id"].to_numpy()
+    mat = np.stack(rows["v"].to_numpy())
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = src.sparkSession.sparkContext.broadcast((ids, unit))
+
+    def score(batches):
+        all_ids, all_unit = bc.value
+        for pdf in batches:
+            bids = pdf["id"].to_numpy()
+            bmat = np.stack(pdf["v"].to_numpy())
+            bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+            cos = bunit @ all_unit.T  # (batch, n)
+            keep = (cos >= threshold) & (bids[:, None] < all_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[ai],
+                    "id_b": all_ids[bj],
+                    "cos": cos[ai, bj],
+                }
+            )
+
+    out = src.mapInPandas(score, schema="id_a long, id_b long, cos double")
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
 def cosine_topk(

@@ -276,28 +276,35 @@ def isolated_nodes(all_nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def transitive_closure(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """All (ancestor_dep, view) pairs reachable through the dependency
-    graph — iterative self-join to fixpoint (the reference stops at direct
+    graph — semi-naive iteration to fixpoint (the reference stops at direct
     deps; SURVEY §7 M2 names closure as the scale-minded extension).
 
-    Each iteration doubles the reachable path length, so max_iterations=20
-    covers dependency chains of length 2^20. Frontier is checkpointed via
-    localCheckpoint every few rounds to keep the plan from growing
-    unboundedly (lineage truncation — the standard iterative-join
-    pattern)."""
-    closure = edges.select("view", "dep").distinct()
-    for i in range(max_iterations):
+    Semi-naive: each round extends only the *new* pairs (the frontier) by
+    one hop against the base edge relation, then anti-joins out pairs
+    already known — the standard Datalog evaluation strategy. Per round
+    that is one join + one anti-join over the frontier, not a distinct over
+    the whole closure. The base relation is broadcast: lineage graphs are
+    catalog metadata (O(#views) edges), always far under the broadcast
+    threshold; the frontier side is the one that can grow. Frontiers are
+    localCheckpoint'ed each round so the plan stays flat. Rounds needed =
+    graph diameter (bounded by max_iterations)."""
+    base = F.broadcast(edges.select("view", "dep").distinct().localCheckpoint())
+    closure = base
+    frontier = base
+    for _ in range(max_iterations):
         step = (
-            closure.alias("a")
-            .join(closure.alias("b"), F.col("a.dep") == F.col("b.view"))
+            frontier.alias("a")
+            .join(base.alias("b"), F.col("a.dep") == F.col("b.view"))
             .select(F.col("a.view").alias("view"), F.col("b.dep").alias("dep"))
+            .distinct()
         )
-        grown = closure.union(step).distinct()
-        if i % 3 == 2:
-            grown = grown.localCheckpoint(eager=True)
-        if grown.count() == closure.count():
-            return grown
-        closure = grown
+        frontier = step.join(
+            closure, on=["view", "dep"], how="left_anti"
+        ).localCheckpoint()
+        if not frontier.take(1):
+            break
+        closure = closure.union(frontier).localCheckpoint()
     return closure
