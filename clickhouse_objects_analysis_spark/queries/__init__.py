@@ -19,5 +19,8 @@ from . import functions_surface  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import lineage_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import sources_queries  # noqa: E402,F401
+from . import mutations_queries  # noqa: E402,F401
+from . import extras  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]

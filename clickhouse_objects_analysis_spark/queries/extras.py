@@ -1,0 +1,163 @@
+"""Remaining §2.B surface: dictionaries (dictGet), map functions, decimal /
+UInt64 arithmetic, and a join-heavy flagship (TPC-H Q5 shape) exercising
+the broadcast-star plan shape the 100 TB design leans on.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query, tables
+
+
+@query(
+    "dict_get_lookup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    ORDER BY region, nation
+    """,
+)
+def dict_get_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external dictionaries (dictionarySchemaClause, rule list
+    ClickHouseParser.py:1361): ``dictGet('nation_dict', 'n_name', key)``
+    is a broadcast-joined dimension lookup in Spark — the dictionary IS a
+    broadcast hash table, built once per executor, no shuffle of the fact
+    side."""
+    t = tables(spark, sf_dir)
+    c, n, r = t["customer"], t["nation"], t["region"]
+    enriched = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        enriched.groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT p_partkey::BIGINT AS p_partkey,
+           2::BIGINT AS n_keys,
+           p_retailprice AS brand_price,
+           p_size::DOUBLE AS size_val,
+           'brand_price,size' AS keys_sorted
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def map_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type surface (Map(K,V) ColumnTypeExprComplex :14415; map fns via
+    :15571): build map<string,double> per row, then size / element_at /
+    map_keys — the oracle states the expected values directly from the
+    source columns, so a wrong map op diverges."""
+    p = tables(spark, sf_dir)["part"]
+    m = F.create_map(
+        F.lit("brand_price"), F.col("p_retailprice"),
+        F.lit("size"), F.col("p_size").cast("double"),
+    )
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.element_at(m, "brand_price").alias("brand_price"),
+        F.element_at(m, "size").alias("size_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "decimal_uint64_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS exact_sum,
+           SUM(CAST(l_orderkey AS DECIMAL(20,0)) * 4294967296)::DOUBLE AS big_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def decimal_uint64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal(p,s) + UInt64 handling (ColumnTypeExprParam :14374; SURVEY
+    §1.2): exact decimal summation, and >int64-range arithmetic through
+    DecimalType(20,0) — the documented UInt64 widening strategy. Final
+    cast to double only for cross-engine comparison."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("exact_sum"),
+            F.sum(
+                F.col("l_orderkey").cast("decimal(20,0)") * F.lit(4294967296)
+            )
+            .cast("double")
+            .alias("big_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the star-join stress test. Plan shape to want at
+    100 TB: lineitem (the only big fact) joins orders on the shuffle key,
+    every dimension (customer/supplier/nation/region) broadcasts, the
+    region filter prunes before the join, and the agg runs partial+final.
+    AQE picks broadcast automatically at these sizes; the explicit hints
+    pin the plan at any scale factor."""
+    t = tables(spark, sf_dir)
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("c_nationkey") == F.col("s_nationkey"))
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )

@@ -1,0 +1,76 @@
+"""File-format sources and sinks + table functions.
+
+Reference surface (SURVEY §2.B):
+- table functions `numbers()/s3()/url()` (TableExprFunctionContext
+  ClickHouseParser.py:16923, tableFunctionExpr :17060) → `spark.range` and
+  `spark.read.format(...)` connectors;
+- `INTO OUTFILE ... FORMAT ...` (QueryStmtContext :1688) → `df.write
+  .format("csv"/"json"/"parquet")`;
+- MergeTree PARTITION BY (PartitionByClauseContext :5963) → parquet
+  directory partitioning, which Catalyst prunes at read time.
+
+Scale notes: CSV/JSON are *exchange* formats — schema-on-read, no
+statistics, no column pruning; parquet is the storage format (dictionary +
+RLE encodings subsume LowCardinality, min/max row-group stats subsume
+PREWHERE-style skipping). Partitioned layout turns equality predicates on
+the partition column into directory pruning — zero I/O for untouched
+partitions, the same job MergeTree's partition key does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Repo-local scratch root for sinks (testdata itself is read-only).
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+def scratch_path(*parts: str) -> str:
+    path = os.path.join(SCRATCH, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def numbers(spark: SparkSession, n: int, col: str = "number") -> DataFrame:
+    """ClickHouse ``numbers(n)`` table function (reference grammar
+    :17060) — `spark.range` is the exact analogue: a generated, splittable
+    source with no storage behind it."""
+    return spark.range(n).select(F.col("id").alias(col))
+
+
+def write_csv(df: DataFrame, path: str) -> str:
+    """INTO OUTFILE ... FORMAT CSVWithNames."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV source with explicit schema (schema-on-read; never infer in
+    production — inference is a second full scan)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> str:
+    """INTO OUTFILE ... FORMAT JSONEachRow (newline-delimited JSON)."""
+    df.write.mode("overwrite").json(path)
+    return path
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> str:
+    """MergeTree PARTITION BY analogue: hive-style directory partitioning.
+    Reads that filter on the partition column prune directories before any
+    I/O (check .explain for PartitionFilters)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return path
