@@ -109,6 +109,75 @@ def predict_lang(words: Column) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
+def predict_lang_table(
+    df, id_col: str, text_col: str
+):
+    """Table-level language-ID: same votes and tie-break as predict_lang,
+    but computed as explode → conditional sums (whole-stage codegen +
+    map-side combine) instead of per-word interpreted array filters. Docs
+    with no tokens come back 'und' via the left join."""
+    import pyspark.sql.functions as F  # noqa: F811 — keep local symmetry
+
+    words = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    hits = words.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*sw), 1).otherwise(0)).alias(
+                f"__{lang}"
+            )
+            for lang, sw in LANG_STOPWORDS.items()
+        ]
+    )
+    langs = list(LANG_STOPWORDS)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"__{langs[0]}")
+    for lang in langs[1:]:
+        s = F.col(f"__{lang}")
+        cond = s > best_score  # strict: earlier languages win ties
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    predicted = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    scored = hits.select(id_col, predicted.alias("predicted_lang"))
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+        )
+    )
+
+
+def rolling_fingerprints(df, id_col: str, text_col: str):
+    """Arrow-batched twin of rolling_fingerprint: the same
+    ``acc = (acc*131 + codepoint) mod p`` fold, run as a Python loop per
+    document instead of an interpreted expression per character (the
+    expression form pays per-char lambda interpretation — ~3s for 5k
+    docs; this is ~10×). Empty/NULL text → 0, matching the column form's
+    guard."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                acc = 0
+                for ch in t or "":
+                    acc = (acc * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+                out.append(acc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "fingerprint": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(gen, schema=f"{id_col} long, fingerprint long")
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword / repetition features used by the
     quality score. All ratios in [0,1], rounded by the caller."""

@@ -299,12 +299,17 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact F.percentile (interpolated, matches quantile_cont). The approx
     variant (uniq-style) is `approx_quantiles` below (rows-only check)."""
     li = tables(spark, sf_dir)["lineitem"]
+    # One percentile aggregate with an array of quantiles — a single
+    # per-group buffer instead of three independent exact-percentile sorts.
+    q = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-            F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+        .agg(q.alias("__q"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__q")[0], 4).alias("median_price"),
+            F.round(F.col("__q")[1], 4).alias("p90_price"),
+            F.round(F.col("__q")[2], 4).alias("p99_price"),
         )
         .orderBy("l_returnflag")
     )

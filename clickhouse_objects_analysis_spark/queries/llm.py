@@ -25,10 +25,10 @@ from ..operators.similarity import cosine_pairs, cosine_topk, lsh_cosine_topk
 from ..operators.text import (
     LANG_STOPWORDS,
     bpe_ish_tokens,
-    predict_lang,
+    predict_lang_table,
     quality_features,
     quality_score,
-    rolling_fingerprint,
+    rolling_fingerprints,
     tokenize,
 )
 from .registry import query, tables
@@ -289,9 +289,7 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (stopword-voting n-gram heuristic, deterministic
     tie-break en>de>fr>es, all-zero → 'und')."""
     d = tables(spark, sf_dir)["documents"]
-    return d.select(
-        "doc_id", predict_lang(tokenize(F.col("text"))).alias("predicted_lang")
-    ).orderBy("doc_id")
+    return predict_lang_table(d, "doc_id", "text").orderBy("doc_id")
 
 
 @query(
@@ -335,10 +333,7 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp–Rabin rolling-hash fingerprint over characters — identical
     modular arithmetic on both engines."""
     d = tables(spark, sf_dir)["documents"]
-    fp = F.when(F.length("text") > 0, rolling_fingerprint(F.col("text"))).otherwise(
-        F.lit(0).cast("long")
-    )
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return rolling_fingerprints(d, "doc_id", "text").orderBy("doc_id")
 
 
 @query(
