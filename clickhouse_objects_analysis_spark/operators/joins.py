@@ -72,12 +72,13 @@ def asof_join(
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    side_order = (
-        F.col("__side").asc() if direction == "backward" else F.col("__side").desc()
-    )
+    # Side order is ascending in BOTH directions: at equal ts the right row
+    # must precede the left row iff exact matches count, and right_rank
+    # (0 or 2, vs left's 1) already encodes that. (Flipping it for forward
+    # inverted allow_exact at ties — caught by the property suite.)
     w = (
         Window.partitionBy(*by)
-        .orderBy(ts_order, side_order)
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 

@@ -1,0 +1,144 @@
+"""Property-style randomized checks for the custom operators (SURVEY §5
+item 4): asof_join across all (direction, allow_exact, how) combinations
+against a brute-force Python oracle, and with_fill invariants
+(density, value preservation, zero-fill, carry-forward).
+
+Seeded RNG → deterministic; each case round-trips through Spark once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from clickhouse_objects_analysis_spark.operators.fill import with_fill
+from clickhouse_objects_analysis_spark.operators.joins import asof_join
+
+
+def _gen_case(rng: np.random.RandomState):
+    """Random (left, right) event sets over a few keys with colliding
+    timestamps (ts drawn from a small range so exact-match ties happen)."""
+    n_keys = rng.randint(1, 4)
+    left = [
+        (int(k), int(rng.randint(0, 20)), int(i))
+        for i in range(rng.randint(1, 15))
+        for k in [rng.randint(0, n_keys)]
+    ]
+    # unique (key, ts) on the right — the documented ASOF requirement
+    seen = set()
+    right = []
+    for _ in range(rng.randint(1, 15)):
+        k, ts = int(rng.randint(0, n_keys)), int(rng.randint(0, 20))
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, float(rng.randint(0, 100))))
+    return left, right
+
+
+def _brute_asof(left, right, direction, allow_exact):
+    """Per left row: the single right row with the nearest ts on the
+    allowed side, None if no candidate."""
+    out = {}
+    for k, lts, lid in left:
+        if direction == "backward":
+            cands = [
+                (rts, v)
+                for rk, rts, v in right
+                if rk == k and (rts <= lts if allow_exact else rts < lts)
+            ]
+            best = max(cands) if cands else None
+        else:
+            cands = [
+                (rts, v)
+                for rk, rts, v in right
+                if rk == k and (rts >= lts if allow_exact else rts > lts)
+            ]
+            best = min(cands) if cands else None
+        out[lid] = best
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_asof_join_matches_brute_force(spark, direction, allow_exact, how):
+    rng = np.random.RandomState(hash((direction, allow_exact, how)) % 2**31)
+    for _ in range(6):
+        left_rows, right_rows = _gen_case(rng)
+        l = spark.createDataFrame(left_rows, "k int, ts int, lid int")
+        r = spark.createDataFrame(right_rows, "k int, ts int, val double")
+        got = {
+            row["lid"]: (row["matched_rts"], row["val"])
+            for row in asof_join(
+                l,
+                r.withColumnRenamed("ts", "rts"),
+                by=["k"],
+                left_ts="ts",
+                right_ts="rts",
+                value_cols=["val"],
+                direction=direction,
+                allow_exact=allow_exact,
+                how=how,
+            ).collect()
+        }
+        expected = _brute_asof(left_rows, right_rows, direction, allow_exact)
+        for lid, best in expected.items():
+            if best is None:
+                if how == "inner":
+                    assert lid not in got, f"lid {lid} should have no match"
+                else:
+                    assert got[lid] == (None, None)
+            else:
+                assert got.get(lid) == best, (
+                    f"lid {lid}: got {got.get(lid)}, want {best} "
+                    f"({direction}, exact={allow_exact})"
+                )
+
+
+def test_with_fill_invariants(spark):
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        # sparse integer axis with gaps
+        xs = sorted(rng.choice(range(0, 30), size=8, replace=False).tolist())
+        rows = [(int(x), int(rng.randint(1, 100)), float(x) * 1.5) for x in xs]
+        df = spark.createDataFrame(rows, "x int, n int, v double")
+        out = (
+            with_fill(
+                df,
+                order_col="x",
+                step=F.lit(1),
+                fill_zero=["n"],
+                interpolate_prev=["v"],
+            )
+            .orderBy("x")
+            .collect()
+        )
+        # density: every integer between min and max appears exactly once
+        assert [r["x"] for r in out] == list(range(xs[0], xs[-1] + 1))
+        by_x = {r["x"]: r for r in out}
+        carried = None
+        for x in range(xs[0], xs[-1] + 1):
+            r = by_x[x]
+            if x in xs:  # original rows unchanged
+                orig = next(row for row in rows if row[0] == x)
+                assert (r["n"], r["v"]) == (orig[1], orig[2])
+                carried = orig[2]
+            else:  # synthesized rows: zero-filled count, carried value
+                assert r["n"] == 0
+                assert r["v"] == carried
+
+
+def test_with_fill_grouped_axis(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 4, 40), ("b", 2, 20), ("b", 3, 30)],
+        "g string, x int, n int",
+    )
+    out = with_fill(
+        df, order_col="x", step=F.lit(1), by=["g"], fill_zero=["n"]
+    ).collect()
+    got = {(r["g"], r["x"]): r["n"] for r in out}
+    # per-group bounds: a spans 1..4, b spans 2..3 — no cross-group bleed
+    assert set(got) == {("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 2), ("b", 3)}
+    assert got[("a", 2)] == 0 and got[("a", 3)] == 0
+    assert got[("b", 2)] == 20 and got[("b", 3)] == 30
