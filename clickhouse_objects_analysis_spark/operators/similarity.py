@@ -126,20 +126,48 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self-matches excluded).
     The queries side is broadcast — corpus never shuffles."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        as_double(F.col(vec_col)).alias("vc"),
-        norm(as_double(F.col(vec_col))).alias("nc"),
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("vq"),
-        norm(as_double(F.col(vec_col))).alias("nq"),
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
-    ).withColumn(
-        "cos", dot_pd(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).toPandas()
+    q_ids = q_rows["id"].to_numpy()
+    q_mat = np.stack(q_rows["v"].to_numpy())
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = src.sparkSession.sparkContext.broadcast((q_ids, q_unit))
+
+    def score(batches):
+        ids, unit = bc.value
+        keep = 2 * k  # local candidates per query (buffer for boundary ties)
+        for pdf in batches:
+            cids = pdf["id"].to_numpy()
+            cmat = np.stack(pdf["v"].to_numpy())
+            cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            cos = cunit @ unit.T  # (batch, n_queries)
+            cos[cids[:, None] == ids[None, :]] = -np.inf  # self-matches out
+            # Map-side top-k: only each batch's best `keep` candidates per
+            # query reach the shuffle (partial top-k, like partial agg).
+            kth = min(keep, len(cids)) - 1
+            top = np.argpartition(-cos, kth, axis=0)[: kth + 1]  # (keep, nq)
+            qi = np.broadcast_to(np.arange(len(ids)), top.shape)
+            sel = cos[top, qi] > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi[sel]],
+                    "corpus_id": cids[top[sel]],
+                    "cos": cos[top, qi][sel],
+                }
+            )
+
+    # Queries broadcast as a dense matrix; the corpus streams through one
+    # matmul per Arrow batch and only skinny (qid, cid, cos) rows reach the
+    # per-query top-k window — the corpus vectors never leave their
+    # partition.
+    scored = src.mapInPandas(
+        score, schema="query_id long, corpus_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")

@@ -5,6 +5,8 @@ the broadcast-star plan shape the 100 TB design leans on.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -107,6 +109,61 @@ def decimal_uint64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("big_sum"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the ClickHouse LOCAL/co-located-shard
+    join (JoinExprOpContext :10332) and the standard 100 TB answer to the
+    fact⋈fact shuffle: both tables written bucketed+sorted by the join key
+    (`bucketBy(8, orderkey).sortBy(orderkey)`), so the sort-merge join
+    reads bucket i against bucket i with NO Exchange and no sort in the
+    plan (tests assert this). At scale the bucketed write is paid once at
+    ingest and every subsequent key join is shuffle-free."""
+    t = tables(spark, sf_dir)
+    key = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ln, on = f"lineitem_b_{key}", f"orders_b_{key}"
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name, df, col in (
+        (ln, t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey"),
+        (on, t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a previous *session's* managed dir survives its in-memory catalog
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, col)
+            .sortBy(col)
+            .saveAsTable(name)
+        )
+    l = spark.table(ln)
+    o = spark.table(on)
+    joined = l.hint("merge").join(o, l["l_orderkey"] == o["o_orderkey"])
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

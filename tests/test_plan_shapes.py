@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions — the scale claims in SCALE.md made
+checkable: pushdown reaches the scan, dimensions broadcast, bucketed joins
+don't exchange. Plus the catalog-maintenance statement surface
+(SHOW/DESCRIBE/EXPLAIN/USE — SURVEY §2.B "catalog maintenance" row).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from clickhouse_objects_analysis_spark.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned: the scan must not read join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_sink_prunes_directories(spark, sf_dir):
+    plan = plan_of(QUERIES["sink_partitioned_parquet"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    df = QUERIES["bucketed_colocated_join"](spark, sf_dir)
+    # Look only at the join subtree: the final orderBy legitimately
+    # exchanges for the range partitioner, and the agg for its keys.
+    plan = plan_of(df, "simple")
+    join_region = plan.split("SortMergeJoin")
+    assert len(join_region) >= 2, f"expected a SortMergeJoin:\n{plan}"
+    below_join = join_region[-1]
+    assert "Exchange" not in below_join, (
+        f"bucketed join inputs must not shuffle:\n{below_join}"
+    )
+
+
+class TestCatalogStatements:
+    """SHOW/DESCRIBE/EXPLAIN/USE + CREATE/DROP VIEW (SURVEY §2.B rows
+    'DROP/TRUNCATE/.../DESCRIBE/SHOW/USE' and 'EXPLAIN')."""
+
+    def test_show_tables_sees_registered_views(self, spark, sf_dir):
+        QUERIES["scan_filter_project"](spark, sf_dir)  # registers views
+        names = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+        assert {"lineitem", "orders", "customer"} <= names
+
+    def test_describe_reports_schema(self, spark, sf_dir):
+        QUERIES["scan_filter_project"](spark, sf_dir)
+        rows = {r.col_name: r.data_type for r in spark.sql("DESCRIBE lineitem").collect()}
+        assert rows["l_orderkey"] == "bigint"
+        assert rows["l_returnflag"] == "string"
+
+    def test_explain_statement_runs(self, spark, sf_dir):
+        QUERIES["scan_filter_project"](spark, sf_dir)
+        out = spark.sql(
+            "EXPLAIN EXTENDED SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1"
+        ).first()[0]
+        assert "Parsed Logical Plan" in out and "Physical Plan" in out
+
+    def test_create_use_drop_database_and_view(self, spark, sf_dir):
+        QUERIES["scan_filter_project"](spark, sf_dir)
+        spark.sql("CREATE DATABASE IF NOT EXISTS scratch_db")
+        spark.sql("USE scratch_db")
+        try:
+            spark.sql(
+                "CREATE OR REPLACE TEMP VIEW urgent AS "
+                "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'"
+            )
+            n = spark.sql("SELECT count(*) AS n FROM urgent").first()["n"]
+            assert n > 0
+            spark.sql("DROP VIEW urgent")
+        finally:
+            spark.sql("USE default")
+            spark.sql("DROP DATABASE IF EXISTS scratch_db")
