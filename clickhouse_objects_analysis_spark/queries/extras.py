@@ -10,6 +10,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.ch import ch_expr
 from .registry import query, tables
 
 
@@ -110,6 +111,63 @@ def decimal_uint64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "ch_function_translation",
+    oracle="""
+    SELECT l_orderkey::BIGINT AS okey,
+           l_linenumber::BIGINT AS ln,
+           CAST(strftime(l_shipdate, '%Y%m') AS BIGINT) AS yyyymm,
+           CAST(isodow(l_shipdate) AS BIGINT) AS dow,
+           (l_orderkey // 100)::BIGINT AS bucket,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS band,
+           lower(l_returnflag) || '_' || upper(l_linestatus) AS tag,
+           6.0 AS arr_sum,
+           ((l_orderkey >> 24) & 255) || '.' || ((l_orderkey >> 16) & 255)
+               || '.' || ((l_orderkey >> 8) & 255) || '.' || (l_orderkey & 255)
+               AS ip,
+           CAST(('0x' || substr(md5(l_returnflag), 1, 15)) AS BIGINT) AS h
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    ORDER BY okey, ln
+    """,
+)
+def ch_function_translation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse→Spark function-name translation table exercised
+    end-to-end (functions/ch.py; grammar treats every function as a plain
+    identifier, ClickHouseParser.py:15571): date shims (toYYYYMM,
+    toDayOfWeek Mon=1), truncating intDiv, multiIf, string ops, 1-indexed
+    array ops over range(), IPv4NumToString bit arithmetic, halfMD5 —
+    every expression below is built via ch_expr(name, ...)."""
+    # Deterministic 2% slice: this query demonstrates translation-table
+    # semantics; the filter keeps the oracle compare and the global sort
+    # from dominating its cost at larger SFs.
+    li = tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") % 50 == 0)
+    q = F.col("l_quantity")
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        ch_expr("toYYYYMM", F.col("l_shipdate")).cast("long").alias("yyyymm"),
+        ch_expr("toDayOfWeek", F.col("l_shipdate")).cast("long").alias("dow"),
+        ch_expr("intDiv", F.col("l_orderkey"), F.lit(100))
+        .cast("long")
+        .alias("bucket"),
+        ch_expr(
+            "multiIf", q < 10, F.lit("low"), q < 30, F.lit("mid"), F.lit("high")
+        ).alias("band"),
+        ch_expr(
+            "concat",
+            ch_expr("lower", F.col("l_returnflag")),
+            F.lit("_"),
+            ch_expr("upper", F.col("l_linestatus")),
+        ).alias("tag"),
+        ch_expr("arraySum", ch_expr("range", F.lit(4))).alias("arr_sum"),
+        ch_expr("IPv4NumToString", F.col("l_orderkey")).alias("ip"),
+        ch_expr("halfMD5", F.col("l_returnflag")).alias("h"),
+    ).orderBy("okey", "ln")
 
 
 @query(
