@@ -226,6 +226,50 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join",
+    oracle="""
+    WITH dim(flag, flag_name) AS (
+        VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned')
+    )
+    SELECT d.flag_name,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY 1
+    ORDER BY flag_name
+    """,
+)
+def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a maximally skewed key (l_returnflag has 3 values —
+    an unsalted shuffle join runs in 3 tasks no matter the cluster size).
+    operators.skew fans each hot key over 16 salts; the merge hint keeps
+    the dim from broadcasting so the technique is actually exercised.
+    Result provably identical to the plain join (the oracle is one)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "l_returnflag string, flag_name string",
+    )
+    from ..operators.skew import salted_join
+
+    joined = salted_join(
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+        dim.hint("merge"),
+        on=["l_returnflag"],
+        fact_unique_cols=["l_orderkey", "l_linenumber"],
+        n_salts=16,
+    )
+    return (
+        joined.groupBy("flag_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("flag_name")
+    )
+
+
+@query(
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,

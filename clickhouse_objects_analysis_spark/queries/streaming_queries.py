@@ -12,6 +12,7 @@ from ..streaming.pipeline import (
     materialized_view_sink,
     session_counts,
     sliding_counts,
+    stateful_user_peaks,
     tumbling_counts,
 )
 from .registry import query, tables
@@ -113,6 +114,30 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.end").alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_stateful_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(MAX(value), 2) AS peak_value,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, peak value, last ts) maintained in the streaming state
+    store across microbatches. The batch oracle is the same aggregate —
+    if state merged or carried wrong across batches, the values diverge."""
+    tables(spark, sf_dir)
+    res = stateful_user_peaks(spark, sf_dir)
+    return res.select(
+        "user_id", "n_events", "peak_value", F.col("last_ts")
+    ).orderBy("user_id")
 
 
 @query(

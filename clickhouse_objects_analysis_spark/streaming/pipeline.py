@@ -103,6 +103,70 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the Spark
+    primitive SURVEY §0 names for operators the built-ins can't express):
+    per-user running state across microbatches — event count, max single
+    event value, and last-seen timestamp — emitted once per key when the
+    replay finishes (GroupStateTimeout unused here; a continuous run would
+    emit on update). State lives in the streaming state store, keyed by
+    user, surviving between microbatches exactly as a 100 TB continuous
+    job's would."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+
+    def track(key, pdfs, state: GroupState):
+        n, peak, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            peak = max(peak, float(pdf["value"].max()))
+            batch_last = pdf["ts"].max()
+            last = batch_last if last is None else max(last, batch_last)
+        state.update((n, peak, last))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "peak_value": [round(peak, 2)],
+                "last_ts": [last],
+            }
+        )
+
+    out = (
+        stream.select("user_id", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, peak_value double, last_ts timestamp",
+            stateStructType="n long, peak double, last timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one-shot replay → last emitted row per user is the final state
+    t = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def materialized_view_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZED VIEW ... TO dest (destinationClause reference
     ClickHouseParser.py:5572): an insert-triggered transform streamed into
