@@ -97,3 +97,68 @@ def decode_features(
     return multimodal.select("doc_id", "payload").mapInPandas(
         extract, schema=FEATURE_SCHEMA
     )
+
+
+def resize_images(
+    multimodal: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Stub image resize with real plumbing: binary in → binary out through
+    Arrow batches, output payload bounded by the target pixel count. The
+    'decoder' is the same deterministic byte arithmetic as _fake_decode;
+    swap PIL's `Image.resize` into the inner loop in production — the
+    schema, batching, and partition behavior don't change."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cap = target_w * target_h
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n, ow, oh, _ = _fake_decode(int(doc_id), b)
+                rows.append(
+                    (int(doc_id), ow, oh, target_w, target_h, b[:cap])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "orig_w", "orig_h", "w", "h", "payload"],
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        resize,
+        schema="doc_id long, orig_w long, orig_h long, w long, h long, payload binary",
+    )
+
+
+FRAME_BYTES = 256
+
+
+def sample_frames(multimodal: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame-sampling plumbing: one input row → N output rows (the
+    UDTF shape, SURVEY §2.B UDF/UDTF row). The payload is treated as a
+    stream of fixed-size frames; every ``every_n``-th frame is emitted
+    with its index and byte length. In production the inner loop is
+    ffmpeg/pyav keyframe extraction; the Spark side — mapInPandas
+    exploding rows, frame-level schema, per-split parallelism — is
+    exactly this."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(payload))
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(min(FRAME_BYTES, n - i * FRAME_BYTES))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_nbytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        sample, schema="doc_id long, frame_idx long, frame_nbytes long"
+    )

@@ -226,6 +226,37 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "select_except_settings",
+    oracle="""
+    SELECT o_orderkey::BIGINT AS o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_totalprice > 400000
+    ORDER BY o_orderkey
+    """,
+)
+def select_except_settings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT COLUMNS(...) EXCEPT (columnExceptExpr, rule list
+    ClickHouseParser.py:1361) → df.drop; plus per-query SETTINGS
+    (settingsClause :10271) → functions.settings.query_settings, executed
+    here with a scoped shuffle-partition override (the ClickHouse
+    max_threads analogue)."""
+    from ..functions.settings import query_settings
+
+    o = tables(spark, sf_dir)["orders"]
+    projected = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .drop("o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn("o_orderkey", F.col("o_orderkey").cast("long"))
+        .orderBy("o_orderkey")
+    )
+    with query_settings(spark, {"spark.sql.shuffle.partitions": "8"}):
+        rows = projected.collect()
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_orderpriority string"
+    ).orderBy("o_orderkey")
+
+
+@query(
     "skew_salted_join",
     oracle="""
     WITH dim(flag, flag_name) AS (

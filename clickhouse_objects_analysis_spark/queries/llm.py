@@ -20,7 +20,13 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from ..operators.multimodal import attach_binary_payload, decode_features
+from ..operators.multimodal import (
+    FRAME_BYTES,
+    attach_binary_payload,
+    decode_features,
+    resize_images,
+    sample_frames,
+)
 from ..operators.similarity import cosine_pairs, cosine_topk, lsh_cosine_topk
 from ..operators.text import (
     LANG_STOPWORDS,
@@ -358,6 +364,58 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.checksum").alias("checksum"),
         F.col("meta.mime").alias("mime"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           (16 + n % 64)::BIGINT          AS orig_w,
+           (16 + (n // 64) % 64)::BIGINT  AS orig_h,
+           32::BIGINT AS w, 24::BIGINT AS h,
+           least(n, 32 * 24)::BIGINT      AS out_bytes
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize through real binary-in/binary-out Arrow plumbing; the
+    oracle replays the deterministic dimension arithmetic and the
+    target-bounded payload size."""
+    d = tables(spark, sf_dir)["documents"]
+    mm = attach_binary_payload(d, "doc_id", "text")
+    out = resize_images(mm, target_w=32, target_h=24)
+    return out.select(
+        "doc_id", "orig_w", "orig_h", "w", "h",
+        F.length("payload").cast("long").alias("out_bytes"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+        SELECT doc_id, n,
+               unnest(range(0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT), 2))
+                   AS frame_idx
+        FROM b WHERE n > 0
+    )
+    SELECT doc_id, frame_idx,
+           least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES})::BIGINT
+               AS frame_nbytes
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a 1→N mapInPandas (UDTF shape): every 2nd
+    fixed-size frame of each payload emitted with index + byte length;
+    the oracle recomputes the frame grid arithmetically."""
+    d = tables(spark, sf_dir)["documents"]
+    mm = attach_binary_payload(d, "doc_id", "text")
+    return sample_frames(mm, every_n=2).orderBy("doc_id", "frame_idx")
 
 
 @query("multimodal_decode_stub")  # stubbed decoder → rows-only
