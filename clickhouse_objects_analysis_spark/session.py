@@ -63,6 +63,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Parquet scans stay lazy; Catalyst pushes filters/column pruning into
     the scan (verify with ``df.explain``: PushedFilters / ReadSchema).
     """
+    # The caller's session may not come from get_spark (the driver builds
+    # its own); events.parquet is TIMESTAMP(NANOS), which Spark's reader
+    # rejects without this runtime conf.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() below carries session-TZ semantics; oracle
+        # comparisons assume UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — the get_spark path already set it
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

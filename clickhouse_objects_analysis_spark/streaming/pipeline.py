@@ -44,15 +44,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nanos(spark.readStream.schema(schema).parquet(stream_dir))
 
 
+#: State-store partition count for the replay pipelines. The number of
+#: streaming state partitions is pinned at first checkpoint creation from
+#: spark.sql.shuffle.partitions — size it to throughput (tens of MB of
+#: events here), not the batch default; on a production cluster this is
+#: the knob you set per stream.
+STATE_PARTITIONS = "8"
+
+
 def _run_to_memory(agg: DataFrame, name: str) -> None:
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..functions.settings import query_settings
+
+    with query_settings(
+        agg.sparkSession, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,14 +160,19 @@ def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..functions.settings import query_settings
+
+    with query_settings(
+        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # one-shot replay → last emitted row per user is the final state
     t = spark.table(name)
     from pyspark.sql import Window
