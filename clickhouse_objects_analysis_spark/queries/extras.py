@@ -226,6 +226,43 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT l1.l_partkey::BIGINT AS l_partkey,
+           l1.l_orderkey::BIGINT AS l_orderkey,
+           l1.l_extendedprice AS min_price
+    FROM lineitem l1
+    WHERE l1.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+    )
+    AND l1.l_partkey < 200
+    ORDER BY l_partkey, l_orderkey
+    """,
+)
+def correlated_scalar_subquery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (ColumnExprSubqueryContext :14920),
+    TPC-H Q2/Q17 shape: rows priced at their group minimum. Written as
+    SQL so Catalyst's subquery decorrelation runs — it plans as an
+    aggregate + join, not a per-row subquery (no O(n²))."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(l1.l_partkey AS BIGINT) AS l_partkey,
+               CAST(l1.l_orderkey AS BIGINT) AS l_orderkey,
+               l1.l_extendedprice AS min_price
+        FROM lineitem l1
+        WHERE l1.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        AND l1.l_partkey < 200
+        ORDER BY l_partkey, l_orderkey
+        """
+    )
+
+
+@query(
     "select_except_settings",
     oracle="""
     SELECT o_orderkey::BIGINT AS o_orderkey, o_orderstatus, o_orderpriority

@@ -15,13 +15,22 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_LAST_SF: dict[int, str] = {}
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load + register the testdata tables once per (session, sf_dir)."""
+    """Load + register the testdata tables once per (session, sf_dir).
+
+    The DataFrame handles are cacheable per (session, sf), but the temp
+    VIEWS are one global namespace per session — switching sf_dir must
+    re-register them or spark.sql-based queries silently read the previous
+    scale factor's data (found by a two-sf interleave probe)."""
     key = (id(spark), sf_dir)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    elif _LAST_SF.get(id(spark)) != sf_dir:
+        load_tables(spark, sf_dir)  # re-point the temp views
+    _LAST_SF[id(spark)] = sf_dir
     return _TABLE_CACHE[key]
 
 

@@ -75,6 +75,26 @@ class TestCatalogStatements:
         ).first()[0]
         assert "Parsed Logical Plan" in out and "Physical Plan" in out
 
+    def test_truncate_and_alter_add_column(self, spark, sf_dir):
+        QUERIES["scan_filter_project"](spark, sf_dir)
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        spark.sql("DROP TABLE IF EXISTS t_catalog_ops")
+        shutil.rmtree(f"{warehouse}/t_catalog_ops", ignore_errors=True)
+        spark.sql(
+            "CREATE TABLE t_catalog_ops USING parquet AS "
+            "SELECT n_nationkey, n_name FROM nation"
+        )
+        assert spark.table("t_catalog_ops").count() == 25
+        spark.sql("ALTER TABLE t_catalog_ops ADD COLUMNS (note string)")
+        assert "note" in spark.table("t_catalog_ops").columns
+        spark.sql("TRUNCATE TABLE t_catalog_ops")
+        assert spark.table("t_catalog_ops").count() == 0
+        spark.sql("DROP TABLE t_catalog_ops")
+
     def test_create_use_drop_database_and_view(self, spark, sf_dir):
         QUERIES["scan_filter_project"](spark, sf_dir)
         spark.sql("CREATE DATABASE IF NOT EXISTS scratch_db")
