@@ -31,6 +31,11 @@ from .text import hash64, shingles, tokenize
 
 SIMHASH_BITS = 32
 
+#: Doc-count ceiling for the broadcast-dict Jaccard verification strategy;
+#: above this the shingle dictionary outgrows a cheap broadcast
+#: (~2 KB/doc) and verification switches to the join-attach path.
+_DICT_VERIFY_MAX_DOCS = 20_000
+
 #: ASCII \s to match Java regex \s (Spark) and RE2 \s (DuckDB) — Python's
 #: default \s is unicode-wide, the other two engines' is not.
 _WS_RE = re.compile(r"\s+", re.ASCII)
@@ -199,36 +204,71 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
-    The doc→shingle-set dictionary is broadcast once (it is the *small*,
-    deduplicated side — attaching arrays per pair would ship each doc's
-    shingles once per candidate, an O(pairs·|s|) Arrow stream that
-    measured 4× slower). Each executor then scores bare id pairs against
-    pre-built frozensets: one intersection per pair, built-once sets.
-    The expression-level jaccard() would evaluate array_intersect twice
-    per row (CodegenFallback, no subexpression elimination). If the doc
-    universe outgrows a broadcast, flip back to two joins — the pair
-    stream itself never needs to change."""
-    rows = sets.collect()
-    bc = sets.sparkSession.sparkContext.broadcast(
-        {r["id"]: frozenset(r["shingles"]) for r in rows}
+    Two physical strategies, same semantics (the expression-level
+    jaccard() is avoided in both — array_intersect is CodegenFallback and
+    the formula evaluates it twice):
+
+    - **dict** (doc universe ≤ _DICT_VERIFY_MAX_DOCS): broadcast the
+      doc→frozenset lookup once, stream bare id pairs. Cheapest when the
+      candidate stream dwarfs the doc set — pair arrays never move.
+    - **join** (beyond that): attach the shingle arrays to the candidate
+      rows with two equi joins and score per pair in Arrow batches. Moves
+      O(candidates·|s|) instead of broadcasting O(docs·|s|) to every
+      worker — with prefix+length filtering the candidate stream is near
+      output size, so this is the 100 TB path. (An 8× corpus replication
+      measured the dict broadcast at ~80 MB turning verification into the
+      bottleneck — hence the switch.)"""
+    n_docs = sets.count()
+    if n_docs <= _DICT_VERIFY_MAX_DOCS:
+        rows = sets.collect()
+        bc = sets.sparkSession.sparkContext.broadcast(
+            {r["id"]: frozenset(r["shingles"]) for r in rows}
+        )
+
+        def score(batches):
+            lut = bc.value
+            for pdf in batches:
+                out_a, out_b, out_j = [], [], []
+                for ia, ib in zip(pdf["id_a"], pdf["id_b"]):
+                    x, y = lut[ia], lut[ib]
+                    inter = len(x & y)
+                    j = inter / (len(x) + len(y) - inter)
+                    if j >= threshold:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_j.append(j)
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "jacc": out_j}
+                )
+
+        out = pairs.select("id_a", "id_b").mapInPandas(
+            score, schema="id_a long, id_b long, jacc double"
+        )
+        return out.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+
+    a_sets = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b_sets = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    attached = pairs.select("id_a", "id_b").join(a_sets, "id_a").join(
+        b_sets, "id_b"
     )
 
-    def score(batches):
-        lut = bc.value
+    def score_pairs(batches):
         for pdf in batches:
             out_a, out_b, out_j = [], [], []
-            for ia, ib in zip(pdf["id_a"], pdf["id_b"]):
-                x, y = lut[ia], lut[ib]
-                inter = len(x & y)
-                j = inter / (len(x) + len(y) - inter)
+            for ia, ib, xs, ys in zip(
+                pdf["id_a"], pdf["id_b"], pdf["sh_a"], pdf["sh_b"]
+            ):
+                x = set(xs)
+                inter = len(x.intersection(ys))
+                j = inter / (len(x) + len(ys) - inter)
                 if j >= threshold:
                     out_a.append(ia)
                     out_b.append(ib)
                     out_j.append(j)
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jacc": out_j})
 
-    out = pairs.select("id_a", "id_b").mapInPandas(
-        score, schema="id_a long, id_b long, jacc double"
+    out = attached.mapInPandas(
+        score_pairs, schema="id_a long, id_b long, jacc double"
     )
     return out.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
 
@@ -240,49 +280,46 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard pairs via a prefix-filtered inverted index.
+    """Exact n-gram-Jaccard pairs via inverted-index co-occurrence
+    counting.
 
-    Plain inverted-index joins explode on common shingles (every pair of
-    docs sharing "of the and" becomes a candidate — near-n² on natural
-    text). Prefix filtering (Bayardo/Chaudhuri AllPairs) fixes that
-    *without losing exactness*: order each doc's shingles by ascending
-    global document frequency and index only the first
-    |s| − ⌈t·|s|⌉ + 1 of them. If J(a,b) ≥ t, the two prefixes provably
-    share a shingle, so candidate generation only pays for *rare*
-    shingles; every candidate is then exact-verified. One extra
-    aggregation (the global df counts) buys a candidate set near the true
-    output size."""
+    |a ∩ b| for every co-occurring pair falls out of one self-join on the
+    inverted index followed by a count aggregate — the pair-instance
+    stream is narrow (two ids), map-side combined, fully whole-stage
+    codegen, and the shingle strings themselves never enter a shuffle or
+    a Python worker. Jaccard then needs only the per-doc set sizes
+    (|a∪b| = |a|+|b|−|a∩b|), attached via two broadcast-sized joins.
+    Pairs sharing no shingle have J = 0 < threshold, so skipping them is
+    exact.
+
+    Scale note: cost is Σ_shingle C(df, 2). On natural text that sum is
+    tame once shingles are k ≥ 3 words (measured: max df 25, 1.3M
+    instances for 5k docs; linear under corpus replication). On corpora
+    with mega-df stop-shingles, cap df (approximation) or switch to
+    minhash_lsh_pairs — at that scale exact all-pairs Jaccard itself is
+    the wrong ask."""
     sets = shingle_sets(df, id_col, text_col, k)
-    inv = sets.select(
-        "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
-    )
-    sh_df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rk_w = Window.partitionBy("id").orderBy("df", "shingle")
-    prefix = (
-        inv.join(sh_df, "shingle")
-        .withColumn("rk", F.row_number().over(rk_w))
-        .filter(
-            F.col("rk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
-        .select("id", "sz", "shingle")
-    )
-    # Length filter rides along for free: J(a,b) ≥ t forces
-    # t·|b| ≤ |a| (and symmetrically), so wildly different sizes never
-    # become candidates.
-    pairs = (
-        prefix.alias("a")
+    sizes = sets.select("id", F.size("shingles").alias("sz"))
+    inv = sets.select("id", F.explode("shingles").alias("sh"))
+    inter = (
+        inv.alias("a")
         .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.sz") >= threshold * F.col("b.sz"))
-            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+            inv.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _verify_jaccard(pairs, sets, threshold)
+    a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
+    b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
+    jacc = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(a_sz), "id_a")
+        .join(F.broadcast(b_sz), "id_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
