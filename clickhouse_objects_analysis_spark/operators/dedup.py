@@ -25,7 +25,7 @@ import re
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 from .text import hash64, shingles, tokenize
 

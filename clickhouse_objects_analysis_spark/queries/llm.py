@@ -202,13 +202,18 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")  # candidate set is algorithm-specific → rows-only
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random-hyperplane buckets, 4 tables
-    x 8 planes): the 100 TB path — shuffle on small int bucket keys instead
-    of an n² cross join."""
+    """LSH-bucketed approximate top-k (random-hyperplane buckets): the
+    100 TB path — shuffle on small int bucket keys instead of an n² cross
+    join. Parameters follow a measured sweep on this corpus (near-random
+    vectors, top-5 cos ≈ 0.3, the hardest regime for LSH): vs the exact
+    top-5, (planes=8, tables=4) → recall 0.06 @ 13% of corpus scored;
+    (6,8) → 0.26 @ 13%; (5,12) → 0.60 @ 33%; (4,16) → 0.96 @ 64% (barely
+    sublinear). (5,12) is the honest middle; corpora with real near-dup
+    structure (cos ≥ 0.8) sit far up the S-curve and need fewer tables."""
     e = tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
     res = lsh_cosine_topk(
-        e, q, "vec_id", "embedding", k=5, dim=64, n_planes=8, n_tables=4
+        e, q, "vec_id", "embedding", k=5, dim=64, n_planes=5, n_tables=12
     )
     return res.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
