@@ -22,5 +22,6 @@ from . import streaming_queries  # noqa: E402,F401
 from . import sources_queries  # noqa: E402,F401
 from . import mutations_queries  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
+from . import types_surface  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]

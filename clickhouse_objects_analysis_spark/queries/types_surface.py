@@ -1,0 +1,269 @@
+"""Type-surface + remaining-DDL queries: Enum dictionaries, Nested
+(parallel arrays of struct), approximate-most-frequent (topK), COLLATE
+ordering, table projections (materialized partial aggregates), and the
+URL function family.
+
+Grammar anchors (reference `/root/reference/generated_ch_parser/`):
+Enum `ClickHouseParser.py:14447` (EnumValue `:19084`); Nested `:14339`;
+`topK`/URL functions parse as plain identifiers via the generic call rule
+`:15571`; COLLATE accessor in `OrderExprContext:11204`; projections
+`ProjectionSelectStmtContext:8691`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import scratch_path
+from .registry import query, tables
+
+
+def _sf_key(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "default"
+
+
+_PRIORITY_ENUM = [
+    ("1-URGENT", 1),
+    ("2-HIGH", 2),
+    ("3-MEDIUM", 3),
+    ("4-NOT SPECIFIED", 4),
+    ("5-LOW", 5),
+]
+
+
+@query(
+    "enum_decode",
+    oracle="""
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+             WHEN '5-LOW' THEN 5 END AS code,
+           o_orderpriority AS label,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY code
+    """,
+)
+def enum_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum8('1-URGENT'=1, ...) (ClickHouseParser.py:14447): stored as a
+    small integer code plus an in-catalog dictionary. Spark model: a
+    broadcast-joined two-column mapping table — codes travel in the data,
+    labels resolve at query time without shuffling the fact side (same
+    plan shape as dictGet). At 100 TB the enum column is a 1-byte parquet
+    dictionary-encoded column; the mapping stays O(cardinality)."""
+    o = tables(spark, sf_dir)["orders"]
+    mapping = spark.createDataFrame(_PRIORITY_ENUM, "label string, code int")
+    return (
+        o.join(
+            F.broadcast(mapping),
+            o["o_orderpriority"] == mapping["label"],
+        )
+        .groupBy("code", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("code")
+    )
+
+
+@query(
+    "nested_type_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, ln, qty
+    """,
+)
+def nested_type_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested(ln UInt64, qty Float64) (ClickHouseParser.py:14339) is
+    parallel same-length arrays per row. Spark model: pack into
+    array<struct> (`collect_list(struct(...))`), re-project to parallel
+    arrays with `transform`, and ARRAY JOIN back row-aligned via
+    `arrays_zip` + `explode` — the round trip must reproduce the flat
+    relation exactly. All array ops are JVM higher-order functions; no
+    Python in the loop."""
+    li = tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") < 100)
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    parallel = nested.select(
+        "l_orderkey",
+        F.transform("lines", lambda s: s["l_linenumber"]).alias("ln_arr"),
+        F.transform("lines", lambda s: s["l_quantity"]).alias("qty_arr"),
+    )
+    unnested = parallel.select(
+        "l_orderkey", F.explode(F.arrays_zip("ln_arr", "qty_arr")).alias("z")
+    )
+    return unnested.select(
+        "l_orderkey",
+        F.col("z.ln_arr").alias("ln"),
+        F.col("z.qty_arr").alias("qty"),
+    ).orderBy("l_orderkey", "ln", "qty")
+
+
+@query(
+    "topk_frequent",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS value,
+           cnt, rank
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rank
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rank <= 3
+    ORDER BY status, rank
+    """,
+)
+def topk_frequent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `topK(3)(x)` — most-frequent values per group (function
+    rule ClickHouseParser.py:15571). Spark plan: two-level — a hash
+    aggregate with map-side combine reduces the input to one row per
+    (group, value) BEFORE the shuffle, then a per-group window ranks the
+    already-tiny counts. The window's partition key is the group, whose
+    cardinality is small post-agg — no skew risk. (ClickHouse's sketch is
+    approximate; counts here are exact, which the oracle can check.)"""
+    from pyspark.sql import Window
+
+    o = tables(spark, sf_dir)["orders"]
+    counts = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("status").orderBy(
+        F.col("cnt").desc(), F.col("value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("status", "rank")
+    )
+
+
+@query(
+    "collate_order",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    ORDER BY lower(p_name), p_partkey
+    LIMIT 20
+    """,
+)
+def collate_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... COLLATE (OrderExprContext ClickHouseParser.py:11204):
+    locale-aware ordering. Portable Spark model: normalize-then-sort —
+    sort on a derived `lower()` key (Spark 4 `collate()` exists but a
+    derived key is engine-portable and oracle-checkable). The sort key is
+    computed in codegen; TakeOrderedAndProject keeps the limit on the map
+    side so only 20 rows per partition reach the driver-side merge."""
+    p = tables(spark, sf_dir)["part"]
+    return (
+        p.select("p_partkey", "p_name")
+        .orderBy(F.lower(F.col("p_name")), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "projection_aggregate",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY flag, status
+    """,
+)
+def projection_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table projections (ProjectionSelectStmtContext
+    ClickHouseParser.py:8691): a materialized partial aggregate kept
+    alongside the base table, merged at query time (the -State/-Merge
+    shape). Model: a second write path stores partial sums keyed by
+    (group keys, ship-month); the query reads the projection and runs the
+    MERGE step (re-aggregate the partials), never touching base rows. At
+    100 TB the projection is ~months×groups rows — the query cost is
+    independent of base-table size, which is the whole point."""
+    li = tables(spark, sf_dir)["lineitem"]
+    proj = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+    ).agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum("l_extendedprice").alias("p_price"),
+        F.count(F.lit(1)).alias("p_rows"),
+    )
+    path = scratch_path("projections", _sf_key(sf_dir), "li_monthly")
+    proj.write.mode("overwrite").parquet(path)
+    merged = spark.read.parquet(path)
+    return (
+        merged.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(
+            F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+            F.round(F.sum("p_price"), 2).alias("sum_price"),
+            F.sum("p_rows").alias("n_rows"),
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@query(
+    "url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || doc_id || '?page=' || (doc_id % 7) AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '://([^/]+)', 1) AS domain,
+           regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query_string
+    FROM u
+    ORDER BY doc_id
+    """,
+)
+def url_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL function family — protocol/domain/path/queryString
+    (plain identifiers via ClickHouseParser.py:15571). Spark maps them all
+    onto `parse_url(url, part)`, a built-in JVM expression (no UDF). URLs
+    are synthesized deterministically from `documents` columns so the
+    oracle can rebuild them."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?page="),
+        F.col("doc_id") % 7,
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query_string"),
+    ).orderBy("doc_id")

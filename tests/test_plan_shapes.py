@@ -110,3 +110,28 @@ class TestCatalogStatements:
         finally:
             spark.sql("USE default")
             spark.sql("DROP DATABASE IF EXISTS scratch_db")
+
+
+class TestTypeSurfacePlans:
+    """Plan shapes for the type-surface queries (queries/types_surface.py):
+    the enum dictionary must broadcast, topK must map-side combine, and
+    COLLATE's sort+limit must stay a TakeOrderedAndProject."""
+
+    def test_enum_dictionary_broadcasts(self, spark, sf_dir):
+        plan = plan_of(QUERIES["enum_decode"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_frequent_partial_aggregates_before_exchange(self, spark, sf_dir):
+        plan = plan_of(QUERIES["topk_frequent"](spark, sf_dir))
+        # one row per (status, value) leaves the map side, not one per order
+        assert "partial_count" in plan
+
+    def test_collate_order_is_take_ordered(self, spark, sf_dir):
+        plan = plan_of(QUERIES["collate_order"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_nested_roundtrip_stays_jvm_side(self, spark, sf_dir):
+        plan = plan_of(QUERIES["nested_type_roundtrip"](spark, sf_dir))
+        # higher-order fns + arrays_zip must not fall back to Python
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
