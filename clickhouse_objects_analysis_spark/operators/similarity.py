@@ -292,3 +292,134 @@ def lsh_cosine_topk(
             F.col("rn").alias("rank"),
         )
     )
+
+
+def train_centroids(sample_unit: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Spherical k-means on a driver-sized sample (the FAISS-IVF coarse
+    quantizer shape: the quantizer trains on a bounded sample regardless
+    of corpus size). Deterministic: init = evenly spaced rows of the
+    id-sorted sample; Lloyd iterations are pure numpy. Empty clusters
+    keep their previous centroid. Returns unit-norm (n_centroids, dim)."""
+    n = min(n_centroids, len(sample_unit))
+    init_idx = np.linspace(0, len(sample_unit) - 1, n).astype(int)
+    cent = sample_unit[init_idx].copy()
+    for _ in range(iters):
+        assign = (sample_unit @ cent.T).argmax(axis=1)
+        acc = np.zeros_like(cent)
+        np.add.at(acc, assign, sample_unit)
+        counts = np.bincount(assign, minlength=n)
+        nonempty = counts > 0
+        cent[nonempty] = acc[nonempty]
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Pandas UDF: vec → nearest-centroid id, one (batch, dim) × (dim, C)
+    matmul per Arrow batch. The centroid matrix rides inside the UDF
+    closure → serialized once per executor, like a broadcast."""
+
+    @F.pandas_udf(LongType())
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series((unit @ centroids.T).argmax(axis=1).astype(np.int64))
+
+    return assign
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    max_train: int = 4096,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to LSH (lsh_cosine_topk), same shape as FAISS IVF-Flat:
+
+    1. TRAIN: a deterministic pseudo-random sample (ORDER BY xxhash64(id)
+       LIMIT max_train — a scalable TakeOrdered, no full collect) trains a
+       spherical-k-means coarse quantizer on the driver.
+    2. ASSIGN: every corpus vector goes to its nearest centroid via one
+       matmul per Arrow batch — a map-only pass; at 100 TB this is the
+       materialized index table, partitioned by centroid_id.
+    3. PROBE: each query scores all C centroids (driver-side, C is tiny)
+       and takes the best n_probe → candidate lists are the union of
+       n_probe inverted lists ≈ n_probe/C of the corpus.
+    4. SCORE: candidates join on the short int centroid key (queries
+       broadcast), exact cosine via Arrow-batched dot, per-query top-k
+       window. Unlike LSH multi-probe, each corpus vector lives in exactly
+       one list → no dropDuplicates pass.
+    """
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("corpus_id"),
+        as_double(F.col(vec_col)).alias("vc"),
+    )
+    train_pdf = (
+        src.orderBy(F.xxhash64(F.col("corpus_id")))
+        .limit(max_train)
+        .toPandas()
+        .sort_values("corpus_id")
+    )
+    train_mat = np.stack(train_pdf["vc"].to_numpy())
+    train_unit = train_mat / np.maximum(
+        np.linalg.norm(train_mat, axis=1, keepdims=True), 1e-12
+    )
+    cent = train_centroids(train_unit, n_centroids, kmeans_iters)
+
+    assigned = src.select(
+        "corpus_id",
+        "vc",
+        norm(F.col("vc")).alias("nc"),
+        ivf_assign_udf(cent)(F.col("vc")).alias("cid"),
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("vq"),
+    ).toPandas()
+    q_mat = np.stack(q_rows["vq"].to_numpy())
+    q_unit = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+    probe = np.argsort(-(q_unit @ cent.T), axis=1)[:, :n_probe]
+    probe_pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(q_rows["query_id"].to_numpy(), n_probe),
+            "cid": probe.ravel().astype(np.int64),
+            "vq": [v for v in q_rows["vq"] for _ in range(n_probe)],
+        }
+    )
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_pdf).withColumn(
+        "nq", norm(F.col("vq"))
+    )
+
+    candidates = (
+        assigned.join(F.broadcast(probe_df), on="cid")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", "vq", "vc", "nq", "nc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return (
+        candidates.withColumn(
+            "cos", dot_pd(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

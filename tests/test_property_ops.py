@@ -142,3 +142,41 @@ def test_with_fill_grouped_axis(spark):
     assert set(got) == {("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 2), ("b", 3)}
     assert got[("a", 2)] == 0 and got[("a", 3)] == 0
     assert got[("b", 2)] == 20 and got[("b", 3)] == 30
+
+
+def test_ivf_topk_invariants(spark, sf_dir):
+    """IVF results must be well-formed (dense ranks, descending cosine, no
+    self matches) and agree with the exact top-k wherever both report the
+    same pair — IVF never invents a score, it only prunes candidates."""
+    from clickhouse_objects_analysis_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    from clickhouse_objects_analysis_spark.queries.registry import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    ivf = ivf_cosine_topk(
+        e, q, "vec_id", "embedding", k=5, n_centroids=32, n_probe=8
+    ).collect()
+    exact = {
+        (r.query_id, r.corpus_id): r.cos
+        for r in cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        assert r.query_id != r.corpus_id
+        by_q.setdefault(r.query_id, []).append(r)
+    hits = total = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cos for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rows:
+            total += 1
+            key = (r.query_id, r.corpus_id)
+            if key in exact:
+                hits += 1
+                assert abs(exact[key] - r.cos) < 1e-6
+    assert hits / total >= 0.3, f"IVF recall collapsed: {hits}/{total}"
