@@ -187,29 +187,47 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact⋈fact shuffle: both tables written bucketed+sorted by the join key
     (`bucketBy(8, orderkey).sortBy(orderkey)`), so the sort-merge join
     reads bucket i against bucket i with NO Exchange and no sort in the
-    plan (tests assert this). At scale the bucketed write is paid once at
-    ingest and every subsequent key join is shuffle-free."""
+    plan (tests assert this). The bucketed write is paid ONCE at ingest —
+    modeled literally: tables are external (data under .scratch), and a
+    later session re-attaches the existing bucketed files via CREATE
+    TABLE ... CLUSTERED BY ... LOCATION instead of rewriting them."""
+    from ..sources.io import scratch_path
+
     t = tables(spark, sf_dir)
     key = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    ln, on = f"lineitem_b_{key}", f"orders_b_{key}"
-    import shutil
-
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for name, df, col in (
-        (ln, t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey"),
-        (on, t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        # a previous *session's* managed dir survives its in-memory catalog
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    specs = (
         (
-            df.write.mode("overwrite")
-            .bucketBy(8, col)
-            .sortBy(col)
-            .saveAsTable(name)
-        )
+            f"lineitem_b_{key}",
+            t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+            "l_orderkey",
+            "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        ),
+        (
+            f"orders_b_{key}",
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            "o_orderkey",
+            "o_orderkey BIGINT, o_orderpriority STRING",
+        ),
+    )
+    for name, df, col, ddl_cols in specs:
+        path = scratch_path("buckets", key, name)
+        if spark.catalog.tableExists(name):
+            continue
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl_cols}) USING parquet "
+                f"CLUSTERED BY ({col}) SORTED BY ({col}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            (
+                df.write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(8, col)
+                .sortBy(col)
+                .saveAsTable(name)
+            )
+    ln, on = specs[0][0], specs[1][0]
     l = spark.table(ln)
     o = spark.table(on)
     joined = l.hint("merge").join(o, l["l_orderkey"] == o["o_orderkey"])
