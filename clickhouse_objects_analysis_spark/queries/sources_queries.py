@@ -155,3 +155,40 @@ def insert_select_ctas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("ctas_orders").orderBy("o_orderkey")
+
+
+@query(
+    "table_function_file",
+    oracle="""
+    SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+           s_nationkey::BIGINT AS s_nationkey
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def table_function_file_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table functions file()/url()/s3() (tableFunctionExpr
+    ClickHouseParser.py:17060) via the sources.io.table_function
+    dispatcher: write supplier as TSVWithNames, read it back through
+    ``file(path, 'TSVWithNames')`` — the identical code path serves
+    s3()/url(), only the URI scheme differs (s3:// → s3a://)."""
+    from ..sources.io import table_function
+
+    s = tables(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    path = scratch_path("sinks", _sf_key(sf_dir), "supplier_tsv")
+    (
+        s.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .csv(path)
+    )
+    back = table_function(
+        spark,
+        "file",
+        path,
+        "TSVWithNames",
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint",
+    )
+    return back.orderBy("s_suppkey")

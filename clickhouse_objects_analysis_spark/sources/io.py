@@ -74,3 +74,59 @@ def write_partitioned_parquet(
     I/O (check .explain for PartitionFilters)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return path
+
+
+#: ClickHouse FORMAT names (DataClauseFormat ClickHouseParser.py:7823) →
+#: (spark format, reader options).
+_CH_FORMATS = {
+    "parquet": ("parquet", {}),
+    "native": ("parquet", {}),  # closest columnar-binary equivalent
+    "csv": ("csv", {"header": "false"}),
+    "csvwithnames": ("csv", {"header": "true"}),
+    "tabseparated": ("csv", {"header": "false", "sep": "\t"}),
+    "tsv": ("csv", {"header": "false", "sep": "\t"}),
+    "tsvwithnames": ("csv", {"header": "true", "sep": "\t"}),
+    "jsoneachrow": ("json", {}),
+}
+
+
+def table_function(
+    spark: SparkSession,
+    name: str,
+    *args,
+    schema: str | None = None,
+) -> DataFrame:
+    """ClickHouse table-function dispatch (TableExprFunctionContext
+    ClickHouseParser.py:16923, tableFunctionExpr :17060):
+
+    - ``numbers(n)`` → `spark.range(n)` (generated, splittable);
+    - ``file(path, format)`` / ``url(addr, format)`` / ``s3(uri, format)``
+      → `spark.read.format(...).load(...)` — one code path, only the URI
+      scheme differs. `s3://` is rewritten to the Hadoop `s3a://`
+      connector scheme; http(s)/cloud URIs need the matching Hadoop
+      filesystem on the cluster classpath (offline here, so tests drive
+      the dispatcher through local file paths — same code path).
+
+    Format names are ClickHouse FORMAT identifiers (CSVWithNames,
+    JSONEachRow, TabSeparated, Parquet, ...). Pass ``schema`` for text
+    formats — schema-on-read inference is a second full scan and is never
+    the production path.
+    """
+    fname = name.lower()
+    if fname == "numbers":
+        return numbers(spark, int(args[0]))
+    if fname in ("file", "url", "s3"):
+        path = str(args[0])
+        fmt = str(args[1]).lower() if len(args) > 1 else "parquet"
+        if fmt not in _CH_FORMATS:
+            raise ValueError(f"unsupported FORMAT {args[1]!r}")
+        spark_fmt, opts = _CH_FORMATS[fmt]
+        if fname == "s3":
+            path = path.replace("s3://", "s3a://", 1)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.format(spark_fmt).load(path)
+    raise ValueError(f"unknown table function {name!r}")

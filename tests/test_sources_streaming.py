@@ -1,0 +1,127 @@
+"""Table-function dispatch, watermark late-data policy, and the
+KILL/SYSTEM statement mappings (SURVEY §2.B rows 'Table functions',
+'KILL / SYSTEM', and the streaming-surface watermark semantics)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from clickhouse_objects_analysis_spark.sources.io import table_function
+
+
+def test_table_function_numbers(spark):
+    rows = table_function(spark, "numbers", 5).collect()
+    assert [r.number for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_table_function_s3_rewrites_scheme(spark):
+    # No s3a filesystem on the offline classpath — the failure itself
+    # proves the s3:// → s3a:// connector rewrite took effect.
+    with pytest.raises(Exception, match="s3a"):
+        table_function(spark, "s3", "s3://bucket/key", "Parquet").collect()
+
+
+def test_table_function_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unsupported FORMAT"):
+        table_function(spark, "file", "/tmp/x", "Protobuf")
+
+
+def test_table_function_rejects_unknown_function(spark):
+    with pytest.raises(ValueError, match="unknown table function"):
+        table_function(spark, "remoteSecure", "host")
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy, at the exact guarantee boundary (established
+    empirically): a late row arriving while its window is STILL IN STATE
+    is merged — even if it is behind the watermark — because eviction
+    runs at end-of-batch; a late row arriving AFTER its window was
+    finalized+emitted is dropped (counted in numRowsDroppedByWatermark)
+    and the window is never re-emitted. This is the semantics a LIVE-view
+    replacement inherits, so it's pinned by test."""
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def put(name, ts_list):
+        # microsecond units — pandas' default nanos read back as raw INT64
+        pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list), "v": [1] * len(ts_list)}
+        ).to_parquet(src / name, coerce_timestamps="us")
+        time.sleep(1.05)  # file source orders batches by modification time
+
+    put("a.parquet", ["2026-01-01 10:00:00", "2026-01-01 10:00:30"])
+    put("b.parquet", ["2026-01-01 10:00:35"])  # advances the watermark
+    put("c.parquet", ["2026-01-01 10:00:05"])  # late: window already closed
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+    res = {
+        r.w.start.isoformat(): r.s for r in spark.table("late_test").collect()
+    }
+    # the 10:00:00 window finalized with exactly the on-time row; the late
+    # event neither updated it nor produced a duplicate emission
+    assert res == {"2026-01-01T10:00:00": 1}, res
+
+
+class TestKillSystem:
+    def test_kill_query_cancels_job_group(self, spark):
+        """KILL QUERY (KillStmtContext ClickHouseParser.py:8274) →
+        cancelJobGroup: a runaway job dies, the session survives."""
+        errs: list[Exception] = []
+
+        def runaway():
+            try:
+                spark.sparkContext.setJobGroup(
+                    "kill_me", "runaway", interruptOnCancel=True
+                )
+                spark.range(10**12).selectExpr("sum(id * id)").collect()
+            except Exception as e:  # cancellation surfaces as a Py4J error
+                errs.append(e)
+
+        t = threading.Thread(target=runaway)
+        t.start()
+        time.sleep(2)
+        spark.sparkContext.cancelJobGroup("kill_me")
+        t.join(300)
+        assert not t.is_alive() and errs, "job group was not cancelled"
+        # the session is still usable afterwards
+        assert spark.range(3).count() == 3
+
+    def test_system_drop_cache(self, spark):
+        """SYSTEM DROP ... CACHE (SystemStmtContext :13902) →
+        catalog.clearCache()."""
+        df = spark.range(100)
+        df.createOrReplaceTempView("cache_probe")
+        spark.catalog.cacheTable("cache_probe")
+        assert spark.catalog.isCached("cache_probe")
+        spark.catalog.clearCache()
+        assert not spark.catalog.isCached("cache_probe")
+        spark.catalog.dropTempView("cache_probe")
