@@ -108,3 +108,70 @@ def any_join(
         .drop("__rn")
     )
     return left.join(deduped, on=list(on), how=how)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Binned range join: match each point row to every interval row with
+    ``lo <= point < hi`` — WITHOUT a broadcast-nested-loop join.
+
+    The grammar reaches interval predicates only through theta ON
+    conditions (joinConstraintClause ClickHouseParser.py:10970); with no
+    equi key Spark executes those as BNLJ — O(|L|·|R|) compares and a
+    broadcast of one whole side, which dies at scale. The standard fix
+    (e.g. Databricks' bin-based range join): quantize the range dimension
+    into width-``bin_width`` bins, explode each interval into the bins it
+    overlaps, map each point to its single bin, equi-join on the bin id,
+    then re-check the exact predicate. Each (point, interval) pair meets
+    in exactly one bin — the point's — so no dedup pass is needed.
+
+    Cost: shuffle ~|L| + |R|·(avg interval span / bin_width) narrow rows
+    on an 8-byte key; AQE skew-splitting applies because it is a plain
+    shuffle join. Pick bin_width ≈ median interval span so intervals
+    explode to O(1) bins each.
+
+    ``point_col``/``lo_col``/``hi_col`` must be numeric (cast timestamps
+    to epoch seconds first). ``how`` supports "inner" and "left"
+    ("left" keeps unmatched points with nulls, via the bin-key outer join
+    + predicate-aware null preservation).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    # floor-division binning (cast truncates toward zero — wrong for
+    # negative values)
+    p_bin = F.floor(F.col(point_col) / bin_width).cast("long").alias("__bin")
+    i_bins = F.explode(
+        F.sequence(
+            F.floor(F.col(lo_col) / bin_width).cast("long"),
+            F.floor(F.col(hi_col) / bin_width).cast("long"),
+        )
+    ).alias("__bin")
+    matched = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) < F.col(hi_col)
+    )
+    right = intervals.select("*", i_bins)
+    if how == "inner":
+        left = points.select("*", p_bin)
+        return (
+            left.join(right, on="__bin", how="inner")
+            .filter(matched)
+            .drop("__bin")
+        )
+    # left join: row identity via a synthetic id (point values may repeat)
+    left = points.select(
+        "*", p_bin, F.monotonically_increasing_id().alias("__rid")
+    )
+    hit = left.join(right, on="__bin", how="inner").filter(matched)
+    missed = left.join(
+        hit.select("__rid").distinct(), on="__rid", how="left_anti"
+    )
+    for c in intervals.columns:
+        missed = missed.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return hit.unionByName(missed).drop("__bin", "__rid")

@@ -317,3 +317,56 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_id", "user_id", "last_click_id", "last_click_value"
     ).orderBy("event_id")
+
+
+@query(
+    "range_bin_join",
+    oracle="""
+    WITH iv AS (
+      SELECT d, CAST(epoch(d) AS BIGINT) AS lo,
+             CAST(epoch(d + INTERVAL 1 DAY) AS BIGINT) AS hi
+      FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+    )
+    SELECT strftime(iv.d, '%Y-%m-%d') AS day, e.event_type,
+           COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total
+    FROM events e
+    JOIN iv ON CAST(epoch(e.ts) AS BIGINT) >= iv.lo
+           AND CAST(epoch(e.ts) AS BIGINT) <  iv.hi
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def range_bin_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range predicate without an equi key (theta ON constraint,
+    joinConstraintClause ClickHouseParser.py:10970): events matched into
+    day intervals via operators.joins.range_join — bins quantize the time
+    axis so the plan is a plain shuffle equi-join on the bin id + exact
+    re-check, NOT the BroadcastNestedLoopJoin Spark would otherwise pick
+    for a pure inequality condition (plan-asserted in tests). 6-hour bins
+    → each day-interval explodes into ≤5 bins."""
+    from ..operators.joins import range_join
+
+    e = tables(spark, sf_dir)["events"].select(
+        "event_type", "value", F.unix_timestamp("ts").alias("ep")
+    )
+    iv = (
+        tables(spark, sf_dir)["events"]
+        .select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .select(
+            "d",
+            F.unix_timestamp("d").alias("lo"),
+            F.unix_timestamp(F.col("d") + F.expr("INTERVAL 1 DAY")).alias("hi"),
+        )
+    )
+    joined = range_join(e, iv, "ep", "lo", "hi", bin_width=6 * 3600)
+    return (
+        joined.groupBy(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("day", "event_type")
+    )

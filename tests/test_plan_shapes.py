@@ -135,3 +135,8 @@ class TestTypeSurfacePlans:
         plan = plan_of(QUERIES["nested_type_roundtrip"](spark, sf_dir))
         # higher-order fns + arrays_zip must not fall back to Python
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_bin_join_avoids_nested_loop(spark, sf_dir):
+    plan = plan_of(QUERIES["range_bin_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -180,3 +180,50 @@ def test_ivf_topk_invariants(spark, sf_dir):
                 hits += 1
                 assert abs(exact[key] - r.cos) < 1e-6
     assert hits / total >= 0.3, f"IVF recall collapsed: {hits}/{total}"
+
+
+class TestRangeJoin:
+    """operators.joins.range_join — semantics vs a brute-force crossJoin
+    oracle, including duplicate point values, unmatched points, negative
+    values, and bin-boundary points."""
+
+    def _frames(self, spark):
+        pts = spark.createDataFrame(
+            [(1, -7), (2, 0), (3, 5), (4, 5), (5, 12), (6, 99)],
+            "pid int, x int",
+        )
+        iv = spark.createDataFrame(
+            [(10, -10, 0), (20, 0, 10), (30, 4, 6), (40, 50, 60)],
+            "iid int, lo int, hi int",
+        )
+        return pts, iv
+
+    def _oracle(self, pts, iv, how):
+        import itertools
+
+        p_rows, i_rows = pts.collect(), iv.collect()
+        out = []
+        for p in p_rows:
+            hits = [i for i in i_rows if i.lo <= p.x < i.hi]
+            for i in hits:
+                out.append((p.pid, p.x, i.iid, i.lo, i.hi))
+            if not hits and how == "left":
+                out.append((p.pid, p.x, None, None, None))
+        return sorted(out, key=lambda r: (r[0], r[2] is None, r[2] or 0))
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    @pytest.mark.parametrize("bin_width", [1, 3, 7, 100])
+    def test_matches_brute_force(self, spark, how, bin_width):
+        from clickhouse_objects_analysis_spark.operators.joins import range_join
+
+        pts, iv = self._frames(spark)
+        got = sorted(
+            (
+                (r.pid, r.x, r.iid, r.lo, r.hi)
+                for r in range_join(
+                    pts, iv, "x", "lo", "hi", bin_width, how=how
+                ).collect()
+            ),
+            key=lambda r: (r[0], r[2] is None, r[2] or 0),
+        )
+        assert got == self._oracle(pts, iv, how)
