@@ -406,3 +406,60 @@ def q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY 1, 2, 3, 4
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers (HAVING subquery + 3-way
+    join; IN-subquery surface per ColumnExprSubqueryContext
+    ClickHouseParser.py:14920). Scale plan: the HAVING aggregate reduces
+    lineitem to one row per qualifying order BEFORE any join (map-side
+    combined); the qualifying-order set is tiny (top ~0.3% of orders) so
+    it broadcasts as a semi-join filter into BOTH fact scans — lineitem
+    and orders are each filtered before the customer join, and the only
+    big shuffle left is the final per-order aggregation."""
+    t = tables(spark, sf_dir)
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 300)
+        .select("l_orderkey")
+    )
+    li_f = li.join(F.broadcast(big), on="l_orderkey", how="left_semi")
+    o_f = o.join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+        on="o_orderkey",
+        how="left_semi",
+    )
+    return (
+        li_f.join(o_f, li_f["l_orderkey"] == o_f["o_orderkey"])
+        .join(c, o_f["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -140,3 +140,10 @@ class TestTypeSurfacePlans:
 def test_range_bin_join_avoids_nested_loop(spark, sf_dir):
     plan = plan_of(QUERIES["range_bin_join"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_join_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["q18_large_volume_customer"](spark, sf_dir))
+    # the qualifying-order set must reach both fact scans as a broadcast
+    # semi filter, not a shuffled join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
