@@ -11,10 +11,11 @@ multimodal_decode_stub)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import (
     SIMHASH_BITS,
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -455,3 +456,54 @@ def multimodal_decode_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     mm = attach_binary_payload(d, "doc_id", "text")
     return decode_features(mm).orderBy("doc_id")
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACC} >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, t) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    ),
+    comp AS (SELECT s AS doc_id, MIN(t) AS canonical FROM reach GROUP BY s)
+    SELECT c.doc_id, c.canonical,
+           COUNT(*) OVER (PARTITION BY c.canonical) AS cluster_size,
+           (c.doc_id = c.canonical) AS keep
+    FROM comp c
+    ORDER BY canonical, doc_id
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step after pair generation in a real
+    dedup pipeline: group verified MinHash-LSH pairs (jaccard >= 0.8)
+    into connected components, label each cluster by its minimum doc_id
+    (the canonical copy to keep), and report cluster sizes. The oracle
+    recomputes components via a recursive reachability CTE over the exact
+    all-pairs graph. Spark side: operators.dedup.connected_components —
+    min-label propagation, one shuffle per round, O(diameter) rounds."""
+    d = tables(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=32, bands=16, threshold=0.8
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("canonical")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("canonical"))
+        .orderBy("canonical", "doc_id")
+    )
