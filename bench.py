@@ -41,6 +41,22 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Arrow/Python-worker warmup (not timed): the first pandas_udf in the
+    # run otherwise gets charged several seconds of worker spin-up that
+    # belongs to the session, not the query.
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.operators.similarity import dot_pd
+
+    (
+        spark.range(10_000)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(F.array(F.lit(1.0), F.lit(2.0)).alias("a"))
+        .select(dot_pd("a", "a").alias("d"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
