@@ -139,6 +139,14 @@ def _values_sql(rows: list[tuple], cols: list[str]) -> str:
     return f"(VALUES {body}) AS t({', '.join(cols)})"
 
 
+def _values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """The same inline-VALUES fragment the oracles use, as a Spark
+    DataFrame — a JVM LocalRelation. `createDataFrame` on these tiny
+    fixtures cost ~0.3-1 s per cold call in Python→JVM serialization +
+    parallelize jobs (measured on enum_decode); VALUES is free."""
+    return spark.sql(f"SELECT * FROM {_values_sql(rows, cols)}")
+
+
 @query(
     "lineage_edges",
     oracle=f"""
@@ -167,9 +175,7 @@ def lineage_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineage_catalog_views_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog scan A1 (fetch_views, reference :293-308): engine-pattern
     filter + system-db exclusion + sort, as DataFrame ops."""
-    cat = spark.createDataFrame(
-        CATALOG_ROWS, "db_name string, obj_name string, engine string"
-    )
+    cat = _values_df(spark, CATALOG_ROWS, ["db_name", "obj_name", "engine"])
     return fetch_views(cat)
 
 
@@ -188,8 +194,8 @@ def lineage_catalog_views_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineage_nodes_classified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph build + node classification (A11/A13): nodes = src ∪ dst,
     kind by membership in the base-table list (left join + CASE)."""
-    edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
-    tabs = spark.createDataFrame([(t,) for t in BASE_TABLES], "name string")
+    edges = _values_df(spark, EXPECTED_EDGES, ["view", "dep"])
+    tabs = _values_df(spark, [(t,) for t in BASE_TABLES], ["name"])
     return graph_nodes(edges, tabs).orderBy("name")
 
 
@@ -211,5 +217,9 @@ def lineage_transitive_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive lineage closure (SURVEY §7 M2 — the scale extension the
     reference lacks): iterative self-join to fixpoint vs. DuckDB's
     WITH RECURSIVE."""
+    # NOT _values_df here: the closure self-joins `edges` against itself
+    # repeatedly, and a spark.sql VALUES relation reuses one set of
+    # attribute ids across both sides — union+localCheckpoint then dies
+    # with "key not found: view#N". createDataFrame mints fresh ids.
     edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
     return transitive_closure(edges).orderBy("view", "dep")
