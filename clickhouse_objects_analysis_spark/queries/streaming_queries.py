@@ -156,3 +156,72 @@ def streaming_mv_to_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the destination table — checking the full MV round trip."""
     tables(spark, sf_dir)
     return materialized_view_sink(spark, sf_dir).orderBy("event_id")
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, event_type,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT date_trunc('day', b) AS b, event_type,
+             SUM(n) AS n, SUM(sv) AS sv
+      FROM h GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT date_trunc('month', b) AS b, event_type,
+             SUM(n) AS n, SUM(sv) AS sv
+      FROM d GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT 'hour'  AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, n, ROUND(sv, 2) AS total FROM h
+      UNION ALL
+      SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
+             ROUND(sv, 2) FROM d
+      UNION ALL
+      SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
+             ROUND(sv, 2) FROM m
+    )
+    ORDER BY level, bucket, event_type
+    """,
+)
+def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup (TimescaleDB continuous
+    aggregates; the AggregatingMergeTree -State/-Merge shape from the
+    engine clause surface, EngineExprContext ClickHouseParser.py:6180):
+    hourly partial aggregates are computed ONCE from raw events; daily
+    re-aggregates the hourly partials and monthly the daily — each level
+    reads its parent, never the raw table. At 100 TB the hourly table is
+    ~events/3600 rows and everything above it is metadata-sized; the raw
+    scan happens exactly once, which is the entire point of the pattern.
+    Counts and sums are mergeable partials; avg = sv/n at read time."""
+    e = tables(spark, sf_dir)["events"]
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            F.round("sv", 2).alias("total"),
+        )
+
+    return (
+        lvl(hourly, "hour")
+        .unionByName(lvl(daily, "day"))
+        .unionByName(lvl(monthly, "month"))
+        .orderBy("level", "bucket", "event_type")
+    )
