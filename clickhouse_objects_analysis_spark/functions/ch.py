@@ -25,6 +25,13 @@ from pyspark.sql import Column
 Builder = Callable[..., Column]
 
 
+def _regex_quote(sep) -> str:
+    """Java Pattern.quote: wrap in \\Q..\\E, splicing any embedded \\E."""
+    if isinstance(sep, Column):
+        raise TypeError("splitByChar/splitByString separator must be a literal")
+    return "\\Q" + str(sep).replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _if(cond: Column, a: Column, b: Column) -> Column:
     return F.when(cond, a).otherwise(b)
 
@@ -55,8 +62,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "replaceRegexpAll": F.regexp_replace,
     "position": F.instr,
     "positionCaseInsensitive": lambda c, s: F.instr(F.lower(c), F.lower(s)),
-    "splitByChar": lambda sep, c: F.split(c, sep),
-    "splitByString": lambda sep, c: F.split(c, sep),
+    # F.split's pattern is a Java regex — quote the separator (\Q..\E) so
+    # splitByChar('.', s) / '|' split on the literal, not on every char.
+    "splitByChar": lambda sep, c: F.split(c, _regex_quote(sep)),
+    "splitByString": lambda sep, c: F.split(c, _regex_quote(sep)),
     "startsWith": lambda c, p: F.startswith(c, p),
     "endsWith": lambda c, p: F.endswith(c, p),
     "match": lambda c, p: c.rlike(p),
@@ -86,7 +95,9 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "sin": F.sin,
     "cos": F.cos,
     "tan": F.tan,
-    "intDiv": lambda a, b: (a - a % b) / b,  # truncates toward zero for +divisors
+    # (a - a%b)/b truncates toward zero (Spark % follows the dividend's
+    # sign); cast keeps the CH integral return type instead of DOUBLE.
+    "intDiv": lambda a, b: ((a - a % b) / b).cast("long"),
     "modulo": lambda a, b: a % b,
     "plus": lambda a, b: a + b,
     "minus": lambda a, b: a - b,

@@ -4,9 +4,11 @@ Grammar anchors: WITH FILL accessors in OrderExprContext
 (ClickHouseParser.py:11204-area), interpolateClause (:10080).
 
 Strategy (SURVEY §4.2): generate the dense axis with ``sequence()`` +
-``explode`` (inside the plan — no driver collect), left-join the sparse
-data onto it, then carry values forward with a ``last(..., ignorenulls)``
-window for INTERPOLATE.
+``explode`` (inside the plan — no driver collect), anti-join it against the
+existing keys, union the missing grid rows with the ORIGINAL rows (so
+off-grid and out-of-range input rows survive — ClickHouse WITH FILL never
+drops data rows, it only inserts), then carry values forward with a
+``last(..., ignorenulls)`` window for INTERPOLATE.
 
 Scale notes: the axis is generated from a 1-row (or per-group) aggregate,
 so its size is O(range/step), independent of input rows; the join onto the
@@ -51,7 +53,14 @@ def with_fill(
     axis = bounds.select(
         *by, F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(order_col)
     )
-    filled = axis.join(df, on=[*by, order_col], how="left")
+    # Fill rows = grid points with no data row; original rows (including
+    # off-grid / out-of-range ones) pass through the union untouched.
+    fill_rows = axis.join(
+        df.select(*by, order_col).dropDuplicates([*by, order_col]),
+        on=[*by, order_col],
+        how="left_anti",
+    )
+    filled = df.unionByName(fill_rows, allowMissingColumns=True)
     for c in fill_zero:
         filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     if interpolate_prev:

@@ -73,47 +73,75 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_block_bytes: int = 256 << 20,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline.
+    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline,
+    block-nested loop.
 
-    Blocked matmul: the corpus is broadcast once as a dense (n, dim)
-    numpy matrix (n·dim·8 bytes — vectors are the *small* side of this
-    problem; 10M×128 floats is 10 GB, blockable far beyond that by
-    chunking the broadcast). Each partition then scores its rows against
-    the whole corpus with one BLAS matmul and emits only the
-    above-threshold pairs. Pair *vectors* never hit the shuffle — the
-    naive join moved O(pairs·dim) data; this moves O(n·dim) + O(result).
-    At 100 TB scale swap the broadcast for a block-nested loop over
-    corpus chunks (same kernel per block) or go through lsh_cosine_topk."""
+    The corpus is hash-split into ``nb = ceil(n·dim·8 / max_block_bytes)``
+    blocks; each loop iteration collects ONE block (bounded by
+    max_block_bytes — the driver never holds the whole corpus), broadcasts
+    it, and streams the full corpus against it with one BLAS matmul per
+    Arrow batch. A pair (a,b), a<b, is emitted exactly once: in the
+    iteration whose block contains b (the broadcast side). Total work is
+    the same O(n²·dim) flops as a single broadcast; the corpus is re-read
+    nb times — the classic BNL trade that removes the driver/executor
+    memory ceiling. Pair *vectors* never hit the shuffle: the naive join
+    moves O(pairs·dim), this moves O(nb·n·dim) scan + O(result).
+    At real scale prefer lsh_cosine_topk / ivf_cosine_topk; this is the
+    labeled exact oracle."""
     src = emb.select(
         F.col(id_col).cast("long").alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     )
-    rows = src.toPandas()
-    ids = rows["id"].to_numpy()
-    mat = np.stack(rows["v"].to_numpy())
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = src.sparkSession.sparkContext.broadcast((ids, unit))
+    n = src.count()
+    if n == 0:
+        return src.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = len(src.select("v").head()[0])
+    nb = max(1, -(-(n * dim * 8) // max_block_bytes))
+    sc = src.sparkSession.sparkContext
 
-    def score(batches):
-        all_ids, all_unit = bc.value
-        for pdf in batches:
-            bids = pdf["id"].to_numpy()
-            bmat = np.stack(pdf["v"].to_numpy())
-            bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
-            cos = bunit @ all_unit.T  # (batch, n)
-            keep = (cos >= threshold) & (bids[:, None] < all_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[ai],
-                    "id_b": all_ids[bj],
-                    "cos": cos[ai, bj],
-                }
-            )
+    def scorer(bc):
+        def score(batches):
+            blk_ids, blk_unit = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bids = pdf["id"].to_numpy()
+                bmat = np.stack(pdf["v"].to_numpy())
+                bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+                cos = bunit @ blk_unit.T  # (batch, block)
+                keep = (cos >= threshold) & (bids[:, None] < blk_ids[None, :])
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": pd.Series(bids[ai], dtype="int64"),
+                        "id_b": pd.Series(blk_ids[bj], dtype="int64"),
+                        "cos": pd.Series(cos[ai, bj], dtype="float64"),
+                    }
+                )
 
-    out = src.mapInPandas(score, schema="id_a long, id_b long, cos double")
+        return score
+
+    out = None
+    for j in range(nb):
+        rows = src.filter(F.pmod(F.xxhash64("id"), F.lit(nb)) == j).toPandas()
+        if len(rows) == 0:
+            continue
+        ids = rows["id"].to_numpy()
+        mat = np.stack(rows["v"].to_numpy())
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bc = sc.broadcast((ids, unit))
+        part = src.mapInPandas(
+            scorer(bc), schema="id_a long, id_b long, cos double"
+        )
+        out = part if out is None else out.unionAll(part)
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 

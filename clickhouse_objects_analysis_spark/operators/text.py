@@ -178,6 +178,48 @@ def rolling_fingerprints(df, id_col: str, text_col: str):
     ).mapInPandas(gen, schema=f"{id_col} long, fingerprint long")
 
 
+def quality_features_table(df, id_col: str, text_col: str):
+    """Table-level quality features: same arithmetic as quality_features,
+    but the per-token work runs as explode → conditional aggregates
+    (whole-stage codegen + map-side combine) instead of interpreted
+    higher-order array lambdas — HOFs are CodegenFallback and made
+    text_quality the slowest bench query in round 1 (14.3 s at sf0.1).
+    Scalar features (char count, punctuation count) stay per-row built-ins;
+    only token stats take the explode+agg path. Docs with zero tokens get
+    n_words=0 via the left join, matching the column form's guards."""
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).alias("__punct"),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(text), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    sw = LANG_STOPWORDS["en"]
+    agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("w").alias("__nd"),
+        F.sum(F.when(F.col("w").isin(*sw), 1).otherwise(0)).alias("__sw"),
+    )
+    j = (
+        base.join(agg, id_col, "left")
+        .na.fill(0, ["__n", "__nd", "__sw"])
+    )
+    n = F.greatest(F.col("__n"), F.lit(1))
+    return j.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        ((F.col("n_chars") - (F.col("__n") - 1)) / n).alias("mean_word_len"),
+        (F.col("__nd") / n).alias("distinct_ratio"),
+        (F.col("__punct") / F.greatest(F.col("n_chars"), F.lit(1))).alias(
+            "punct_ratio"
+        ),
+        (F.col("__sw") / n).alias("stopword_ratio"),
+    )
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword / repetition features used by the
     quality score. All ratios in [0,1], rounded by the caller."""

@@ -52,7 +52,9 @@ def fetch_views(catalog: DataFrame, include_system: bool = False) -> DataFrame:
     """Engine-contains-'View' filter + sort (reference :293-308)."""
     out = catalog.filter(F.upper("engine").contains("VIEW"))
     if not include_system:
-        out = out.filter(~F.col("db_name").isin("system", "information_schema"))
+        # lower() so INFORMATION_SCHEMA (case-preserving catalogs) is
+        # excluded too — matches the reference's case coverage.
+        out = out.filter(~F.lower("db_name").isin("system", "information_schema"))
     return out.orderBy("db_name", "obj_name")
 
 
@@ -60,7 +62,7 @@ def fetch_tables(catalog: DataFrame, include_system: bool = False) -> DataFrame:
     """Complement filter (reference :310-324)."""
     out = catalog.filter(~F.upper("engine").contains("VIEW"))
     if not include_system:
-        out = out.filter(~F.col("db_name").isin("system", "information_schema"))
+        out = out.filter(~F.lower("db_name").isin("system", "information_schema"))
     return out.orderBy("db_name", "obj_name")
 
 

@@ -292,23 +292,19 @@ def correlated_scalar_subquery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def select_except_settings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT COLUMNS(...) EXCEPT (columnExceptExpr, rule list
     ClickHouseParser.py:1361) → df.drop; plus per-query SETTINGS
-    (settingsClause :10271) → functions.settings.query_settings, executed
-    here with a scoped shuffle-partition override (the ClickHouse
-    max_threads analogue)."""
-    from ..functions.settings import query_settings
-
+    (settingsClause :10271). The DF is returned LAZY: per-query session
+    confs in Spark must scope the *terminal action*, so the SETTINGS
+    analogue lives in functions.settings.query_settings (tested in
+    TestKillSystem) and is applied by whoever runs the action — round 1
+    collected mid-query here to force the conf to cover execution, which
+    was the repo's only driver-collect in a batch query path."""
     o = tables(spark, sf_dir)["orders"]
-    projected = (
+    return (
         o.filter(F.col("o_totalprice") > 400000)
         .drop("o_custkey", "o_totalprice", "o_orderdate")
         .withColumn("o_orderkey", F.col("o_orderkey").cast("long"))
         .orderBy("o_orderkey")
     )
-    with query_settings(spark, {"spark.sql.shuffle.partitions": "8"}):
-        rows = projected.collect()
-    return spark.createDataFrame(
-        rows, "o_orderkey long, o_orderstatus string, o_orderpriority string"
-    ).orderBy("o_orderkey")
 
 
 @query(

@@ -38,8 +38,7 @@ from ..operators.text import (
     LANG_STOPWORDS,
     bpe_ish_tokens,
     predict_lang_table,
-    quality_features,
-    quality_score,
+    quality_features_table,
     rolling_fingerprints,
     tokenize,
 )
@@ -58,10 +57,21 @@ _SHINGLE_CTE = """
            FROM w WHERE len(ws) >= 3)
 """
 
-_JACC = (
-    "len(list_intersect(a.s, b.s))::DOUBLE"
-    " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-)
+# Candidate pairs via the inverted shingle index (docs sharing >= 1
+# shingle), intersection evaluated ONCE per pair — the all-pairs triple
+# list_intersect form cost ~6 s (ngram) / ~17 s (clusters) per oracle run
+# at sf0.01, which alone could blow the driver's correctness budget.
+_SCORED_CTE = """
+    ix AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM ix a JOIN ix b ON a.g = b.g AND a.doc_id < b.doc_id),
+    scored AS (SELECT c.id_a, c.id_b,
+                      len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+                      len(a.s) AS la, len(b.s) AS lb
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b)
+"""
 
 
 @query(
@@ -85,10 +95,11 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH {_SHINGLE_CTE}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({_JACC}, 4) AS jacc
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE {_JACC} >= 0.8
+    WITH {_SHINGLE_CTE},
+    {_SCORED_CTE}
+    SELECT id_a, id_b, ROUND(inter / (la + lb - inter), 4) AS jacc
+    FROM scored
+    WHERE inter / (la + lb - inter) >= 0.8
     ORDER BY id_a, id_b
     """,
 )
@@ -106,10 +117,11 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_SHINGLE_CTE}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({_JACC}, 4) AS jacc
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE {_JACC} >= 0.5
+    WITH {_SHINGLE_CTE},
+    {_SCORED_CTE}
+    SELECT id_a, id_b, ROUND(inter / (la + lb - inter), 4) AS jacc
+    FROM scored
+    WHERE inter / (la + lb - inter) >= 0.5
     ORDER BY id_a, id_b
     """,
 )
@@ -283,18 +295,25 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (C4/Gopher-style heuristics, simplified): length,
-    lexical diversity, punctuation, stopword density → one score."""
+    lexical diversity, punctuation, stopword density → one score. Token
+    stats run explode+agg (codegen), not interpreted HOF lambdas — the
+    round-1 HOF form was the slowest query in the bench at 14.3 s."""
     d = tables(spark, sf_dir)["documents"]
-    f = quality_features(F.col("text"))
-    return d.select(
+    f = quality_features_table(d, "doc_id", "text")
+    quality = (
+        F.lit(0.4) * F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * F.col("distinct_ratio")
+        + F.lit(0.2) * (1 - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
+    )
+    return f.select(
         "doc_id",
-        f["n_words"].alias("n_words"),
-        f["n_chars"].alias("n_chars"),
-        F.round(f["mean_word_len"], 4).alias("mean_word_len"),
-        F.round(f["distinct_ratio"], 4).alias("distinct_ratio"),
-        F.round(f["punct_ratio"], 4).alias("punct_ratio"),
-        F.round(f["stopword_ratio"], 4).alias("stopword_ratio"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        "n_words",
+        "n_chars",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("distinct_ratio", 4).alias("distinct_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -462,10 +481,10 @@ def multimodal_decode_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
+    {_SCORED_CTE},
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE {_JACC} >= 0.8
+      SELECT id_a, id_b FROM scored
+      WHERE inter / (la + lb - inter) >= 0.8
     ),
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs

@@ -171,16 +171,17 @@ def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT date_trunc('day', l_shipdate) AS ship_day,
-               SUM(l_extendedprice * (1 - l_discount)) AS rev
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                   AS rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
         GROUP BY 1
     )
     SELECT strftime(ship_day, '%Y-%m-%d') AS ship_day,
-           ROUND(rev, 2) AS daily_revenue,
-           ROUND(SUM(rev) OVER (ORDER BY ship_day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           CAST(ROUND(rev, 2) AS DOUBLE) AS daily_revenue,
+           CAST(ROUND(SUM(rev) OVER (ORDER BY ship_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
                AS cumulative_revenue
     FROM daily
     ORDER BY ship_day
@@ -189,7 +190,12 @@ def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-then-window: the daily rollup shuffles once; the global
     cumulative window then runs over ~90 rows. At 100 TB the global window
-    input stays O(days), never O(rows) — this ordering is the point."""
+    input stays O(days), never O(rows) — this ordering is the point.
+
+    Per-row revenue is cast to DECIMAL(38,6) before any summation so both
+    engines accumulate *identical* quantities exactly — a running double sum
+    rounds differently at half-cent boundaries depending on partial-agg
+    order (this was round 1's only driver hash mismatch)."""
     li = tables(spark, sf_dir)["lineitem"]
     daily = (
         li.filter(
@@ -197,11 +203,17 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
         )
         .groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("rev")
+        )
     )
     w = Window.orderBy("ship_day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
-        F.round("rev", 2).alias("daily_revenue"),
-        F.round(F.sum("rev").over(w), 2).alias("cumulative_revenue"),
+        F.round("rev", 2).cast("double").alias("daily_revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("cumulative_revenue"),
     ).orderBy("ship_day")

@@ -131,7 +131,9 @@ def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
 
     def track(key, pdfs, state: GroupState):
-        n, peak, last = state.get if state.exists else (0, 0.0, None)
+        # peak starts at -inf, not 0.0 — an all-negative value domain must
+        # still report its true MAX(value), matching the batch oracle.
+        n, peak, last = state.get if state.exists else (0, float("-inf"), None)
         for pdf in pdfs:
             n += len(pdf)
             peak = max(peak, float(pdf["value"].max()))

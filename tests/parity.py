@@ -46,12 +46,23 @@ def _canon_cell(v):
     return v
 
 
+# The driver's correctness gate hashes exact values — a float that differs
+# in the last bit is a red row there even though isclose(1e-9) passes here.
+# Float comparison is bit-exact BY DEFAULT so local green predicts driver
+# green (round 1: cumulative_daily_revenue passed locally at 1e-9 but
+# failed the driver hash at a half-cent ROUND boundary). PARITY_EXACT=0
+# relaxes to isclose(1e-9) while iterating on a float-heavy rewrite.
+STRICT = os.environ.get("PARITY_EXACT", "1") == "1"
+
+
 def _cells_equal(a, b) -> bool:
     a, b = _canon_cell(a), _canon_cell(b)
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         try:
+            if STRICT:
+                return float(a) == float(b)
             return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
         except (TypeError, ValueError):
             return False
