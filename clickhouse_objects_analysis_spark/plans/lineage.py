@@ -49,8 +49,12 @@ def catalog_objects(spark: SparkSession) -> DataFrame:
 
 
 def fetch_views(catalog: DataFrame, include_system: bool = False) -> DataFrame:
-    """Engine-contains-'View' filter + sort (reference :293-308)."""
-    out = catalog.filter(F.upper("engine").contains("VIEW"))
+    """Engine-contains-'View' filter + sort (reference :293-308). Spark's
+    catalog reports temp views as tableType TEMPORARY — the only TEMPORARY
+    objects Spark has are views, so they count as views here."""
+    out = catalog.filter(
+        F.upper("engine").contains("VIEW") | (F.upper("engine") == "TEMPORARY")
+    )
     if not include_system:
         # lower() so INFORMATION_SCHEMA (case-preserving catalogs) is
         # excluded too — matches the reference's case coverage.
@@ -60,7 +64,9 @@ def fetch_views(catalog: DataFrame, include_system: bool = False) -> DataFrame:
 
 def fetch_tables(catalog: DataFrame, include_system: bool = False) -> DataFrame:
     """Complement filter (reference :310-324)."""
-    out = catalog.filter(~F.upper("engine").contains("VIEW"))
+    out = catalog.filter(
+        ~(F.upper("engine").contains("VIEW") | (F.upper("engine") == "TEMPORARY"))
+    )
     if not include_system:
         out = out.filter(~F.lower("db_name").isin("system", "information_schema"))
     return out.orderBy("db_name", "obj_name")
@@ -170,18 +176,24 @@ def parse_table_dependencies(
 # Dependency extraction — fallback path: conservative regex scan
 # --------------------------------------------------------------------------
 
-_IDENT = r"(?:`[^`]+`|\"[^\"]+\"|[A-Za-z_]\w*)"
+# Quoted identifiers may embed their quote char doubled (`odd``name`).
+_IDENT = r"(?:`(?:[^`]|``)+`|\"(?:[^\"]|\"\")+\"|[A-Za-z_]\w*)"
 _TABLE_REF_RE = re.compile(
     rf"\b(?:FROM|JOIN)\s+({_IDENT}(?:\s*\.\s*{_IDENT})?)", re.IGNORECASE
 )
 _CTE_DEF_RE = re.compile(rf"\b({_IDENT})\s+AS\s*\(", re.IGNORECASE)
+#: `ARRAY JOIN arr` / `LEFT ARRAY JOIN arr` explode an array column — the
+#: identifier after that JOIN is a column, never a relation.
+_ARRAY_JOIN_BEFORE_RE = re.compile(r"ARRAY\s+$", re.IGNORECASE)
 
 
 def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list[str]:
     """Conservative fallback for dialects Spark can't parse (the same
-    stance as the reference's last-resort text scan, re-derived):
-    FROM/JOIN targets only, table functions (identifier followed by '(')
-    and WITH-clause aliases excluded, quoting stripped, names qualified."""
+    stance as the reference's last-resort text scan, re-derived, with the
+    reference's guards: ch_view_dependencies.py:132-229): FROM/JOIN targets
+    only, table functions (identifier followed by '(') excluded, ARRAY JOIN
+    operands excluded, WITH-clause aliases excluded, quoting stripped
+    (doubled quote chars collapsed), names qualified."""
     ctes = {clean_identifier(m.group(1)) for m in _CTE_DEF_RE.finditer(sql_text)}
     found: set[str] = set()
     for m in _TABLE_REF_RE.finditer(sql_text):
@@ -189,6 +201,8 @@ def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list
         after = sql_text[m.end() : m.end() + 1]
         if after == "(":  # table-valued function, not a relation
             continue
+        if _ARRAY_JOIN_BEFORE_RE.search(sql_text[: m.start()]):
+            continue  # ARRAY JOIN explodes a column, not a relation
         parts = [clean_identifier(p) for p in re.split(r"\s*\.\s*", raw)]
         name = ".".join(parts)
         if len(parts) == 1 and parts[0] in ctes:

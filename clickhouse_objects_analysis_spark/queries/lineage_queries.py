@@ -223,3 +223,159 @@ def lineage_transitive_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with "key not found: view#N". createDataFrame mints fresh ids.
     edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
     return transitive_closure(edges).orderBy("view", "dep")
+
+
+# --------------------------------------------------------------------------
+# ClickHouse-dialect DDL corpus — genuinely Spark-unparseable statements
+# (ENGINE/POPULATE clauses, PREWHERE, SAMPLE, ANY/ASOF/GLOBAL JOIN,
+# SETTINGS, WITH TOTALS, parameterized views, ATTACH) that exercise the
+# conservative regex fallback (plans/lineage.py), mirroring the reference's
+# heuristic guards (ch_view_dependencies.py:132-229). Expected deps are
+# hand-derived. Entries whose construct Spark *can* parse (s3(), ARRAY
+# JOIN, escaped backticks) carry a SETTINGS tail so they still route to
+# the regex path — both paths must agree on them.
+# --------------------------------------------------------------------------
+
+CH_DIALECT_DDLS: list[tuple[str, str, str, list[str]]] = [
+    (
+        "test",
+        "mv_daily_engine",
+        """CREATE MATERIALIZED VIEW test.mv_daily_engine
+           ENGINE = SummingMergeTree() PARTITION BY toYYYYMM(day)
+           ORDER BY (day) POPULATE AS
+           SELECT toDate(ts) AS day, count() AS n
+           FROM test.events_raw GROUP BY day""",
+        ["test.events_raw"],
+    ),
+    (
+        "test",
+        "v_prewhere",
+        """CREATE VIEW test.v_prewhere AS
+           SELECT id FROM test.events PREWHERE sign > 0 WHERE id > 10""",
+        ["test.events"],
+    ),
+    (
+        "test",
+        "v_sample",
+        "CREATE VIEW test.v_sample AS SELECT id FROM test.hits SAMPLE 0.1",
+        ["test.hits"],
+    ),
+    (
+        "test",
+        "v_any_join",
+        """CREATE VIEW test.v_any_join AS
+           SELECT a.id FROM test.t1 a ANY LEFT JOIN test.t2 b ON a.id = b.id""",
+        ["test.t1", "test.t2"],
+    ),
+    (
+        "test",
+        "v_asof",
+        """CREATE VIEW test.v_asof AS
+           SELECT a.id FROM test.trades a
+           ASOF JOIN test.quotes b ON a.sym = b.sym AND a.ts >= b.ts""",
+        ["test.quotes", "test.trades"],
+    ),
+    (
+        "test",
+        "v_settings",
+        """CREATE VIEW test.v_settings AS
+           SELECT id FROM test.big SETTINGS max_threads = 4""",
+        ["test.big"],
+    ),
+    (
+        "test",
+        "v_totals",
+        """CREATE VIEW test.v_totals AS
+           SELECT k, count() FROM test.facts GROUP BY k WITH TOTALS""",
+        ["test.facts"],
+    ),
+    (
+        "test",
+        "v_global",
+        """CREATE VIEW test.v_global AS
+           SELECT a.id FROM test.local_t a
+           GLOBAL JOIN test.dist_t b ON a.id = b.id""",
+        ["test.dist_t", "test.local_t"],
+    ),
+    (
+        "test",
+        "v_param",
+        """CREATE VIEW test.v_param AS
+           SELECT id FROM test.events WHERE kind = {kind:String}""",
+        ["test.events"],
+    ),
+    (
+        "test",
+        "t_attach",
+        "ATTACH TABLE test.t_detached",
+        [],
+    ),
+    (
+        "test",
+        "v_s3_join",
+        """CREATE VIEW test.v_s3_join AS
+           SELECT a.id, b.name
+           FROM s3('https://bucket.example/data/*.parquet', 'Parquet') a
+           JOIN test.dim_names b ON a.id = b.id
+           SETTINGS max_threads = 2""",
+        ["test.dim_names"],
+    ),
+    (
+        "test",
+        "v_backtick",
+        """CREATE VIEW test.v_backtick AS
+           SELECT id FROM test.`odd``name` SETTINGS max_threads = 2""",
+        ["test.odd`name"],
+    ),
+    (
+        "test",
+        "v_array_join",
+        """CREATE VIEW test.v_array_join AS
+           SELECT id, x FROM test.nested_arr ARRAY JOIN arr AS x
+           SETTINGS max_threads = 2""",
+        ["test.nested_arr"],
+    ),
+    (
+        "test",
+        "v_cte_unqualified",
+        """CREATE VIEW test.v_cte_unqualified AS
+           WITH c AS (SELECT id FROM raw_events)
+           SELECT c.id FROM c JOIN lookup l ON c.id = l.id
+           SETTINGS max_threads = 2""",
+        ["test.lookup", "test.raw_events"],
+    ),
+    (
+        "test",
+        "v_numbers_join",
+        """CREATE VIEW test.v_numbers_join AS
+           SELECT n.number FROM numbers(100) n
+           JOIN test.seq s ON n.number = s.id
+           SETTINGS max_threads = 2""",
+        ["test.seq"],
+    ),
+]
+
+CH_DIALECT_EDGES: list[tuple[str, str]] = sorted(
+    (f"{db}.{name}", dep)
+    for db, name, _ddl, deps in CH_DIALECT_DDLS
+    for dep in deps
+)
+
+
+@query(
+    "lineage_edges_ch_dialect",
+    oracle=f"""
+    SELECT view, dep FROM {_values_sql(CH_DIALECT_EDGES, ["view", "dep"])}
+    ORDER BY view, dep
+    """,
+)
+def lineage_edges_ch_dialect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH-dialect DDLs through the full per-view pipeline: Spark's parser
+    rejects these (ENGINE/POPULATE/PREWHERE/SETTINGS/...), so extraction
+    runs the conservative regex fallback; the oracle is the hand-derived
+    edge list. Table functions, ARRAY JOIN operands and CTE aliases must
+    not surface; quoted names are unquoted; bare names get db-qualified."""
+    edges, _errors = view_dependencies(
+        spark, [(db, n, ddl) for db, n, ddl, _deps in CH_DIALECT_DDLS]
+    )
+    return edges.orderBy("view", "dep")
