@@ -279,6 +279,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via inverted-index co-occurrence
     counting.
@@ -295,12 +296,28 @@ def ngram_jaccard_pairs(
     Scale note: cost is Σ_shingle C(df, 2). On natural text that sum is
     tame once shingles are k ≥ 3 words (measured: max df 25, 1.3M
     instances for 5k docs; linear under corpus replication). On corpora
-    with mega-df stop-shingles, cap df (approximation) or switch to
-    minhash_lsh_pairs — at that scale exact all-pairs Jaccard itself is
-    the wrong ask."""
+    with mega-df stop-shingles, set ``max_df``: shingles appearing in more
+    than ``max_df`` documents are dropped from the inverted index BEFORE
+    the pair join, bounding every posting list — and thereby the whole
+    pair stream — at C(max_df, 2). This is a documented approximation:
+    intersections no longer count stop-shingles (denominators stay the
+    full set sizes), so reported Jaccard is a lower bound; boilerplate a
+    real pipeline caps away is exactly what shouldn't vote for "near-dup"
+    anyway. Past that, switch to minhash_lsh_pairs — at that scale exact
+    all-pairs Jaccard itself is the wrong ask."""
     sets = shingle_sets(df, id_col, text_col, k)
     sizes = sets.select("id", F.size("shingles").alias("sz"))
     inv = sets.select("id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        # The stop list (only mega-df shingles) is tiny — broadcast the
+        # anti-join; posting lists shrink before any pair is formed.
+        stop = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
     inter = (
         inv.alias("a")
         .join(
@@ -366,8 +383,9 @@ def connected_components(
     practice. Each round is ONE shuffle (join on node id + groupBy-min,
     both map-side combined); `localCheckpoint` keeps the plan flat across
     rounds like the lineage closure does. For adversarially long chain
-    graphs at 100 TB, the asymptotic upgrade is the large-star/small-star
-    algorithm (O(log n) rounds) — same DataFrame building blocks.
+    graphs at 100 TB, the asymptotic upgrade is
+    ``connected_components_star`` (large-star/small-star, O(log n)
+    rounds) — same DataFrame building blocks.
 
     Returns (node, component) for every node appearing in ``edges``.
     """
@@ -410,3 +428,92 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, vs the O(diameter)
+    rounds of min-label propagation (``connected_components``): a chain
+    of length n converges in ~log n alternations instead of n rounds.
+
+    Per alternation (two shuffles, both groupBy-min map-side combined):
+    - **large-star**: around each center u, every LARGER neighbor v > u
+      re-points to m(u) = min(N(u) ∪ {u}) — long chains fold in half.
+    - **small-star**: edges are now (child > parent); around each child u,
+      all its parents collapse onto the minimum one — stars flatten.
+
+    Convergence = edge multiset stable (probed with one count+hash agg per
+    alternation, no driver-side edge materialization). At the fixpoint the
+    edge set is a forest of depth-1 stars rooted at each component's
+    minimum id. Returns (node, component) for every node in ``edges`` —
+    identical output contract to ``connected_components``.
+    """
+    # Symmetric neighbor list: every edge seen from both endpoints.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+
+    def probe(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).first()
+        return (row[0], row[1])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Large-star is defined on the UNDIRECTED graph: re-symmetrize the
+        # (child > parent)-directed edges so every center sees its full
+        # neighborhood (without this, round 2's `v > u` filter would drop
+        # every edge and the loop would "converge" on an empty forest).
+        es = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = es.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            es.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Input edges satisfy u > v (large-star output): group each child's
+        # parents, collapse all of them (and the child) onto the minimum.
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = e.join(m, "u")
+        repointed = with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        kept = with_m.select("u", F.col("m").alias("v"))
+        return (
+            repointed.union(kept)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    e = sym
+    prev = None
+    for _ in range(max_iter):
+        e = large_star(e).localCheckpoint()
+        e = small_star(e).localCheckpoint()
+        cur = probe(e)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint edges are (node -> component-min) stars; roots map to
+    # themselves, and isolated-by-dedup nodes (filtered self loops) too.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return labels.union(roots)

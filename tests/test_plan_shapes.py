@@ -95,6 +95,49 @@ class TestCatalogStatements:
         assert spark.table("t_catalog_ops").count() == 0
         spark.sql("DROP TABLE t_catalog_ops")
 
+    def test_rename_table(self, spark, sf_dir):
+        """RENAME TABLE (grammar list ClickHouseParser.py:1361) → ALTER
+        TABLE ... RENAME TO; the data follows the new name."""
+        QUERIES["scan_filter_project"](spark, sf_dir)
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in ("t_rename_src", "t_rename_dst"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        spark.sql(
+            "CREATE TABLE t_rename_src USING parquet AS "
+            "SELECT r_regionkey, r_name FROM region"
+        )
+        spark.sql("ALTER TABLE t_rename_src RENAME TO t_rename_dst")
+        names = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+        assert "t_rename_dst" in names and "t_rename_src" not in names
+        assert spark.table("t_rename_dst").count() == 5
+        spark.sql("DROP TABLE t_rename_dst")
+
+    def test_detach_attach_external_table(self, spark, sf_dir, tmp_path):
+        """DETACH/ATTACH → drop + re-register an EXTERNAL table over the
+        same files: DROP on an external table keeps the data (the CH
+        DETACH contract), CREATE ... USING parquet LOCATION re-attaches."""
+        QUERIES["scan_filter_project"](spark, sf_dir)
+        loc = str(tmp_path / "t_attach_data")
+        spark.sql("DROP TABLE IF EXISTS t_attach_demo")
+        spark.sql(
+            "CREATE TABLE t_attach_demo USING parquet "
+            f"LOCATION '{loc}' AS SELECT n_nationkey, n_name FROM nation"
+        )
+        assert spark.table("t_attach_demo").count() == 25
+        spark.sql("DROP TABLE t_attach_demo")  # DETACH: files survive
+        names = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+        assert "t_attach_demo" not in names
+        spark.sql(
+            f"CREATE TABLE t_attach_demo USING parquet LOCATION '{loc}'"
+        )  # ATTACH: schema inferred from the surviving files
+        assert spark.table("t_attach_demo").count() == 25
+        spark.sql("DROP TABLE t_attach_demo")
+
     def test_create_use_drop_database_and_view(self, spark, sf_dir):
         QUERIES["scan_filter_project"](spark, sf_dir)
         spark.sql("CREATE DATABASE IF NOT EXISTS scratch_db")

@@ -1,0 +1,64 @@
+"""large-star/small-star connected components vs min-label propagation:
+identical labels on arbitrary graphs, and the O(log n)-round guarantee on
+the adversarial chain shape where min-label needs O(n) rounds."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_objects_analysis_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _labels(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_star_matches_minlabel_on_random_graphs(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert _labels(connected_components_star(df)) == _labels(
+        connected_components(df)
+    )
+
+
+def test_chain_converges_in_log_rounds(spark):
+    """A 256-node chain: min-label propagation moves the label one hop per
+    round (needs ~n rounds); the star alternation folds the chain roughly
+    in half each time, so 12 alternations must suffice for n=256."""
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _labels(connected_components_star(df, max_iter=12))
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_minlabel_chain_needs_linear_rounds(spark):
+    """Sanity of the comparison: the same 12-round budget leaves min-label
+    propagation unconverged on the chain — the asymptotic gap is real."""
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _labels(connected_components(df, max_iter=12))
+    assert got != {(i, 0) for i in range(n)}
