@@ -100,47 +100,43 @@ def qualify(name: str, default_db: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def _walk_plan(node, relations: list[list[str]], cte_names: set[str]) -> None:
-    """Recursively collect UnresolvedRelation identifiers from a parsed
-    (unresolved) logical plan, descending into CTE definitions and
-    expression-level subqueries (scalar/IN/EXISTS)."""
-    simple = node.getClass().getSimpleName()
-
-    if simple == "UnresolvedRelation":
-        ident = node.multipartIdentifier()
-        relations.append([ident.apply(i) for i in range(ident.size())])
-    elif simple in ("UnresolvedWith", "With"):
-        ctes = node.cteRelations()
-        for i in range(ctes.size()):
-            pair = ctes.apply(i)
-            cte_names.add(pair._1())
-            _walk_plan(pair._2(), relations, cte_names)
-
-    # Expression-level subqueries (ScalarSubquery / ListQuery / Exists).
-    try:
-        exprs = node.expressions()
-        for i in range(exprs.size()):
-            _walk_expression(exprs.apply(i), relations, cte_names)
-    except Exception:
-        pass
-
-    children = node.children()
-    for i in range(children.size()):
-        _walk_plan(children.apply(i), relations, cte_names)
+def _split_multipart(ident: str) -> list[str]:
+    """Parse the `[db, table]` mkString form plan JSON uses for
+    multipartIdentifier. (An identifier containing a literal ', ' would
+    mis-split — acceptable for a lineage tool; the reference's regex
+    heuristics have the same blind spot.)"""
+    inner = ident.strip()
+    if inner.startswith("[") and inner.endswith("]"):
+        inner = inner[1:-1]
+    return [p for p in inner.split(", ") if p]
 
 
-def _walk_expression(expr, relations: list[list[str]], cte_names: set[str]) -> None:
-    try:
-        plan = expr.plan()
-        _walk_plan(plan, relations, cte_names)
-    except Exception:
-        pass
-    try:
-        children = expr.children()
-        for i in range(children.size()):
-            _walk_expression(children.apply(i), relations, cte_names)
-    except Exception:
-        pass
+def _scan_plan_json(obj, relations: list[list[str]], cte_names: set[str]) -> None:
+    """Recursively collect UnresolvedRelation identifiers and CTE names
+    from a logical plan's JSON rendering. One `plan.toJSON()` call
+    serializes the ENTIRE tree (CTE bodies, expression-level subqueries
+    included), so extraction is a pure-Python scan — the previous
+    node-by-node Py4J traversal paid hundreds of JVM round trips per DDL
+    (~1 s each; this is ~10 ms)."""
+    if isinstance(obj, dict):
+        cls = obj.get("class", "")
+        if isinstance(cls, str) and cls.endswith(".UnresolvedRelation"):
+            ident = obj.get("multipartIdentifier", "")
+            if isinstance(ident, str) and ident:
+                relations.append(_split_multipart(ident))
+        if isinstance(cls, str) and cls.rsplit(".", 1)[-1] in (
+            "UnresolvedWith",
+            "With",
+        ):
+            for cte in obj.get("cteRelations") or []:
+                name = cte.get("_1") if isinstance(cte, dict) else None
+                if isinstance(name, str):
+                    cte_names.add(name)
+        for v in obj.values():
+            _scan_plan_json(v, relations, cte_names)
+    elif isinstance(obj, list):
+        for v in obj:
+            _scan_plan_json(v, relations, cte_names)
 
 
 def parse_table_dependencies(
@@ -156,11 +152,13 @@ def parse_table_dependencies(
     UnresolvedTableValuedFunction, not relations (A8) — both exclusions
     fall out of the grammar instead of regexes.
     """
+    import json as _json
+
     relations: list[list[str]] = []
     cte_names: set[str] = set()
     try:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
-        _walk_plan(plan, relations, cte_names)
+        _scan_plan_json(_json.loads(plan.toJSON()), relations, cte_names)
     except Exception:
         return regex_table_dependencies(sql_text, default_db)
 

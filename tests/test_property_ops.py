@@ -144,6 +144,28 @@ def test_with_fill_grouped_axis(spark):
     assert got[("b", 2)] == 20 and got[("b", 3)] == 30
 
 
+def test_with_fill_preserves_off_grid_rows(spark):
+    """ClickHouse WITH FILL never drops data rows — it only inserts fill
+    rows on the grid. With step=2 from 1 to 7 the grid is {1,3,5,7}; the
+    off-grid originals (2, 4) and the out-of-range one (11) must survive
+    alongside the generated axis."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (4, 40), (11, 110)], "x int, n int"
+    )
+    out = with_fill(
+        df,
+        order_col="x",
+        step=F.lit(2),
+        from_=F.lit(1),
+        to=F.lit(7),
+        fill_zero=["n"],
+    ).collect()
+    got = {r["x"]: r["n"] for r in out}
+    assert set(got) == {1, 2, 3, 4, 5, 7, 11}
+    assert got[2] == 20 and got[4] == 40 and got[11] == 110
+    assert got[3] == 0 and got[5] == 0 and got[7] == 0
+
+
 def test_ivf_topk_invariants(spark, sf_dir):
     """IVF results must be well-formed (dense ranks, descending cosine, no
     self matches) and agree with the exact top-k wherever both report the
