@@ -459,3 +459,25 @@ def q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query("tablesample_fraction")
+def tablesample_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random TABLESAMPLE (SAMPLE ratio without OFFSET — the probabilistic
+    variant next to deterministic_sample's hash-mod): ``df.sample`` plants
+    a per-partition Bernoulli filter directly above the scan, so sampling
+    is pushdown-adjacent (no shuffle, no state). Seeded for run-to-run
+    reproducibility at fixed partitioning, but the row set is partition-
+    layout-dependent — hence rows-only (no cross-engine oracle), like
+    every sketch. Output aggregates the sample so the driver row-count
+    check is stable-ish in expectation."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -370,3 +370,31 @@ def range_bin_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name,
+           CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+           s.s_name
+    FROM supplier s RIGHT OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY n_name, s_suppkey NULLS FIRST, s_name
+    """,
+)
+def join_right_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (joinOpTypeOuter, ClickHouseParser.py rule area
+    :1361 joins): every nation survives even with no supplier. Catalyst
+    plans this as a broadcast right-outer with the small side broadcast —
+    the fact side never shuffles."""
+    t = tables(spark, sf_dir)
+    s, n = t["supplier"], t["nation"]
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"], "right_outer")
+        .select(
+            "n_name",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+        )
+        .orderBy("n_name", F.asc_nulls_first("s_suppkey"), "s_name")
+    )

@@ -245,3 +245,48 @@ def curriculum_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication — the ingest-side twin of the batch dedup
+    operators: dropDuplicatesWithinWatermark on (user_id, event_type)
+    keeps one row per key while the watermark bounds state retention
+    (state for keys older than the watermark is evicted — without the
+    bound, dedup state grows forever on an infinite stream). Replayed via
+    availableNow; the 1-day watermark exceeds the fixture's time span so
+    no key is evicted mid-replay and the batch DISTINCT oracle matches
+    exactly. Output projects the key columns only: which *row* survives
+    per key is arrival-order-dependent, the key set is not."""
+    import uuid as _uuid
+
+    from ..functions.settings import query_settings
+    from ..streaming.pipeline import STATE_PARTITIONS, read_events_stream
+
+    name = f"dedup_{_uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with query_settings(
+        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+    ):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
