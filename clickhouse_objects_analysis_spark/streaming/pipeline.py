@@ -31,6 +31,15 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__)
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet replayed as a stream (schema pinned from the batch
     read — file streams require an explicit schema)."""
+    # Same guard as session.load_tables: the caller's session may be a
+    # bare one (the driver builds its own) — events.parquet is
+    # TIMESTAMP(NANOS) and window boundaries assume UTC. Don't rely on a
+    # prior tables() call having set these.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — get_spark already set them
     path = os.path.join(sf_dir, "events.parquet")
     # The file stream source wants a directory; expose the single parquet
     # file through a scratch directory of symlinks (testdata is read-only).

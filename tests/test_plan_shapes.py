@@ -190,3 +190,33 @@ def test_q18_semi_join_broadcasts(spark, sf_dir):
     # the qualifying-order set must reach both fact scans as a broadcast
     # semi filter, not a shuffled join
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestRound2Plans:
+    """Plan shapes for the round-2 operators (queries/llm_extras.py)."""
+
+    def test_tfidf_broadcasts_vocab_and_count(self, spark, sf_dir):
+        """The df table and scalar doc count must broadcast — only the
+        per-occurrence (doc, term) aggregate may shuffle the big side."""
+        plan = plan_of(QUERIES["tfidf_top_terms"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row count attach
+
+    def test_stratified_sample_is_scan_plus_filter(self, spark, sf_dir):
+        """Hash-based sampling must plan as scan + filter: no shuffle
+        before the terminal sort, no Python workers."""
+        plan = plan_of(
+            QUERIES["stratified_sample_source"](spark, sf_dir), "simple"
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_vocab_terms_shuffle_is_per_term(self, spark, sf_dir):
+        """The explode feeds a hash aggregate with map-side combine: the
+        exchange must be on the term key (partial_count before it)."""
+        plan = plan_of(QUERIES["vocab_top_terms"](spark, sf_dir), "simple")
+        assert "partial_count" in plan or "partial" in plan.lower()
+
+    def test_right_outer_broadcasts_small_side(self, spark, sf_dir):
+        plan = plan_of(QUERIES["join_right_outer"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
