@@ -290,3 +290,133 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).orderBy("user_id", "event_type")
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> length(x) > 0)) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM toks
+    ),
+    binned AS (
+        SELECT source, CAST(floor(start_tok / 512) AS BIGINT) AS bin_id,
+               n_tokens
+        FROM placed
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM binned
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step that turns documents
+    into fixed-size training windows (512 tokens here): docs are laid out
+    in doc_id order within their source shard, each doc's bin is
+    floor(running_start / 512). Packing WITHIN the source shard (window
+    PARTITION BY source) is the scale-correct form: shards pack in
+    parallel, no global single-partition window — the 100 TB layout keys
+    the same window by input shard. Output is per-bin occupancy (doc
+    count, token total), the stats a packing job reports."""
+    d = tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0
+            )
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.select(
+            "source",
+            F.floor(F.col("start_tok") / 512).cast("long").alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(v,
+                x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT)))) AS BIGINT)
+               AS l1_quantized,
+           CAST(len(list_filter(v,
+                x -> CAST(floor(x / scale + 0.5) AS BIGINT) = 0)) AS BIGINT)
+               AS n_zeros
+    FROM scaled
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/ANN-index
+    compression step (scale = max|x| / 127, q = round-half-up(x/scale)):
+    reported as per-vector audit stats (scale, L1 mass of the quantized
+    ints, zero count). Rounding is written as floor(x/scale + 0.5) so both
+    engines use the identical rule (numpy/SQL ROUND differ on half-even
+    vs half-up). Per-element work is a higher-order fold over each
+    vector — O(rows) expression work; the Arrow-batched matmul path
+    (similarity.dot_pd) remains the form for O(pairs) hot loops."""
+    e = tables(spark, sf_dir)["embeddings"]
+    from ..operators.similarity import as_double
+
+    v = as_double(F.col("embedding"))
+    # Internal name __scale: the output select aliases a ROUNDED copy as
+    # "scale", and Spark's lateral column alias resolution would bind a
+    # bare col("scale") inside the quantization lambdas to that rounded
+    # alias — quantizing with 6-dp-truncated scale flips boundary elements
+    # (caught by the exact-hash oracle: L1 2540 vs 2539).
+    scaled = e.select(
+        "vec_id",
+        v.alias("v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("__scale"),
+    )
+    q = lambda x: F.floor(x / F.col("__scale") + F.lit(0.5)).cast("long")  # noqa: E731
+    return scaled.select(
+        "vec_id",
+        F.round("__scale", 6).alias("scale"),
+        F.aggregate(
+            F.col("v"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(q(x)),
+        ).alias("l1_quantized"),
+        F.size(F.filter(F.col("v"), lambda x: q(x) == 0)).alias("n_zeros"),
+    ).orderBy("vec_id")
