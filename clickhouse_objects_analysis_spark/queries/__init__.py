@@ -31,5 +31,6 @@ from . import joins  # noqa: E402,F401
 from . import setops  # noqa: E402,F401
 from . import functions_surface  # noqa: E402,F401
 from . import llm_extras  # noqa: E402,F401
+from . import llm_wave3  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]

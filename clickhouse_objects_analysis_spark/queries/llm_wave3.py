@@ -1,0 +1,412 @@
+"""Third wave of LLM-training-pipeline operators: benchmark
+decontamination, within-document repetition filtering (Gopher-style),
+normalization-robust exact dedup, reproducible train/val/test splits,
+mixture rebalancing to a uniform source mix, and per-label embedding
+centroids.
+
+These extend the reference's analytic surface the way a pretraining data
+pipeline needs (north-star requirement in BASELINE.json); each is a
+``queries()`` entry with a DuckDB oracle on the synthetic ``documents`` /
+``embeddings`` tables.
+
+Float-parity discipline (same contract as llm_extras): every ratio is a
+single double division of integer aggregates (IEEE-deterministic across
+engines), every rounded value is ROUND(x, 6) of such a quantity, and
+rounding of raw floats uses the explicit floor(x*s + 0.5) rule so both
+engines apply the identical half-up convention. Flags are emitted as INT
+0/1, not BOOLEAN, so value hashing never depends on engine bool
+representation.
+
+Scale notes per query are in the docstrings; the common theme: one
+map-side-combined aggregate per stage, broadcast for vocabulary-sized
+sides, and Arrow-batched per-document loops (never per-row Python) where
+expression-tree n-gram work would fall out of codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import shingle_sets
+from ..operators.text import hash64
+from .llm import _SHINGLE_CTE
+from .registry import query, tables
+
+#: DuckDB twin of operators.text.hash64 over an expression.
+_HASH64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+# Deterministic eval-set membership for decontamination: every 17th doc
+# plays the role of the held-out benchmark.
+_EVAL_MOD = 17
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, g FROM ex WHERE doc_id % {_EVAL_MOD} <> 0),
+    st AS (SELECT tr.doc_id,
+                  COUNT(*) AS n_shingles,
+                  COUNT(ev.g) AS n_shared
+           FROM tr LEFT JOIN ev ON tr.g = ev.g
+           GROUP BY tr.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio,
+           CAST(CASE WHEN CAST(n_shared AS DOUBLE) / n_shingles >= 0.5
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM st ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap check every serious
+    pretraining pipeline runs before training (flag training documents
+    sharing word-trigrams with a held-out eval set). Eval membership is
+    ``doc_id % 17 == 0``; a train doc is contaminated when >= 50% of its
+    distinct trigrams appear anywhere in the eval set.
+
+    Scale shape: the eval shingle vocabulary is benchmark-sized (eval sets
+    are thousands of docs, not billions), so it broadcasts; the train side
+    streams through a map-side LEFT join against that broadcast set and one
+    combined groupBy(doc_id). No shuffle of document text — only the
+    (doc_id, gram-hit) stream. At 100 TB the broadcast set is the only
+    state each executor holds."""
+    d = tables(spark, sf_dir)["documents"]
+    ex = shingle_sets(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.explode("shingles").alias("g")
+    )
+    ev = (
+        ex.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = ex.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    st = (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+        )
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return st.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(ratio, 6).alias("overlap_ratio"),
+        F.when(ratio >= 0.5, 1).otherwise(0).cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "repetition_ngram_filter",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                  for i in range(1, len(ws) - 1)] AS gs
+          FROM w WHERE len(ws) >= 3),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM g),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY doc_id, g),
+    st AS (SELECT doc_id,
+                  CAST(SUM(c) AS BIGINT) AS total_ngrams,
+                  CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+                  CAST(MAX(c) AS BIGINT) AS top_ngram_count
+           FROM cnt GROUP BY doc_id)
+    SELECT doc_id, total_ngrams, distinct_ngrams, top_ngram_count,
+           ROUND(CAST(total_ngrams - distinct_ngrams AS DOUBLE)
+                 / total_ngrams, 6) AS dup_frac,
+           ROUND(CAST(top_ngram_count AS DOUBLE) / total_ngrams, 6)
+               AS top_frac,
+           CAST(CASE WHEN CAST(total_ngrams - distinct_ngrams AS DOUBLE)
+                          / total_ngrams > 0.1
+                THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM st ORDER BY doc_id
+    """,
+)
+def repetition_ngram_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter — the Gopher-rules check that
+    drops boilerplate/spam documents whose n-grams repeat (duplicate
+    trigram fraction and top-trigram mass per doc; flagged when >10% of
+    trigram occurrences are repeats).
+
+    Scale shape: per-document work is Arrow-batched (one Counter pass per
+    doc inside mapInPandas — the n-gram slice/concat expression form is
+    CodegenFallback and measured ~40x slower on the shingle front in
+    round 1, SCALE.md). Emits one 4-int row per document, so nothing
+    document-sized ever shuffles; the derived ratios are plain codegen
+    projections. Embarrassingly parallel at any scale."""
+    import re
+
+    ws_re = re.compile(r"\s+")
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            rows = {"doc_id": [], "total_ngrams": [], "distinct_ngrams": [], "top_ngram_count": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                ws = [w for w in ws_re.split((t or "").strip()) if w]
+                if len(ws) < 3:
+                    continue
+                c = Counter(
+                    " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+                )
+                rows["doc_id"].append(i)
+                rows["total_ngrams"].append(sum(c.values()))
+                rows["distinct_ngrams"].append(len(c))
+                rows["top_ngram_count"].append(max(c.values()))
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    st = d.mapInPandas(
+        gen,
+        schema="doc_id long, total_ngrams long, distinct_ngrams long, "
+        "top_ngram_count long",
+    )
+    dup_frac = (
+        (F.col("total_ngrams") - F.col("distinct_ngrams")).cast("double")
+        / F.col("total_ngrams")
+    )
+    return st.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        "top_ngram_count",
+        F.round(dup_frac, 6).alias("dup_frac"),
+        F.round(
+            F.col("top_ngram_count").cast("double") / F.col("total_ngrams"), 6
+        ).alias("top_frac"),
+        F.when(dup_frac > 0.1, 1).otherwise(0).cast("int").alias("flagged"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "normalize_text_dedup",
+    oracle=f"""
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))
+                          AS norm
+               FROM documents),
+    h AS (SELECT doc_id, {_HASH64.format(expr='norm')} AS norm_hash FROM n),
+    g AS (SELECT norm_hash,
+                 MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS group_size
+          FROM h GROUP BY norm_hash)
+    SELECT h.doc_id, h.norm_hash, g.canonical_id,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           CAST(CASE WHEN h.doc_id <> g.canonical_id THEN 1 ELSE 0 END
+                AS INT) AS is_dup
+    FROM h JOIN g USING (norm_hash)
+    ORDER BY doc_id
+    """,
+)
+def normalize_text_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup — lowercase, strip non-alphanumeric,
+    collapse whitespace, then hash-group (the standard pre-pass that
+    catches near-identical documents differing only in case/punctuation,
+    run before the more expensive MinHash stage).
+
+    Scale shape: normalization and hashing are codegen string expressions;
+    the only shuffle is one groupBy on the 8-byte norm_hash (never on
+    bodies) plus a hash-partitioned self-join on the same key — both
+    stages reuse the same partitioning. Identical to dedup_exact's scale
+    contract (dedup.py) with a normalization front."""
+    d = tables(spark, sf_dir)["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    h = d.select("doc_id", hash64(norm).alias("norm_hash"))
+    g = h.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        h.join(g, "norm_hash")
+        .select(
+            "doc_id",
+            "norm_hash",
+            "canonical_id",
+            "group_size",
+            F.when(F.col("doc_id") != F.col("canonical_id"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    WITH s AS (SELECT source, n_chars,
+                      {_HASH64.format(expr="CAST(doc_id AS VARCHAR) || ':split'")}
+                          % 100 AS bucket
+               FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1, 2 ORDER BY source, split
+    """,
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split — assignment is a pure
+    function of doc_id (portable salted hash mod 100), so re-runs, engine
+    swaps, and retried tasks all agree; reported as per-source split
+    audit counts.
+
+    Scale shape: the split column is a map-side codegen expression (no
+    shuffle to assign); the audit aggregate is one map-side-combined
+    groupBy over ~sources x 3 groups. Writing the actual split would add
+    a partitionBy('split') sink with zero extra shuffle."""
+    d = tables(spark, sf_dir)["documents"]
+    bucket = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "mixture_rebalance_uniform",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_total
+               FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_total) AS min_n FROM c),
+    r AS (SELECT c.source, c.n_total,
+                 CAST(m.min_n AS DOUBLE) / c.n_total AS rate
+          FROM c CROSS JOIN m),
+    k AS (SELECT d.source, COUNT(*) AS n_kept
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE {_HASH64.format(expr="CAST(doc_id AS VARCHAR) || ':mix'")}
+                % 1000000 < r.rate * 1000000
+          GROUP BY d.source)
+    SELECT r.source AS source, CAST(r.n_total AS BIGINT) AS n_total,
+           ROUND(r.rate, 6) AS rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k ON r.source = k.source
+    ORDER BY r.source
+    """,
+)
+def mixture_rebalance_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing — hash-downsample every source to the smallest
+    source's size so the training mix is uniform across domains (the
+    data-mixing step of corpus assembly, with data-dependent rates rather
+    than the fixed per-stratum rates of stratified_sample_source).
+
+    Scale shape: pass 1 is a map-side-combined per-source count (tiny
+    result, broadcast back); pass 2 filters with a pure hash predicate
+    against the broadcast rate table — keep/drop is decided map-side, no
+    shuffle of document rows at all. The decision is a pure function of
+    (doc_id, source), so stragglers/retries keep identical samples."""
+    d = tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    m = c.agg(F.min("n_total").alias("min_n"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_total",
+        (F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
+    )
+    h = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        1000000,
+    )
+    k = (
+        d.join(F.broadcast(r), "source")
+        .filter(h < F.col("rate") * 1000000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(k, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, i AS pos,
+                  CAST(floor(v[i + 1] * 1e6 + 0.5) AS BIGINT) AS qi
+           FROM e, unnest(range(0, len(v))) AS t(i))
+    SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
+           ROUND(CAST(SUM(qi) AS DOUBLE) / COUNT(*) / 1e6, 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def embedding_label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype computation
+    behind IVF coarse quantizers, cluster-balance audits, and
+    nearest-centroid labeling. Element-wise mean over a 64-dim vector
+    column, grouped by label.
+
+    Exactness: each float element is first quantized to micro-units with
+    the explicit half-up rule (floor(x*1e6 + 0.5)), the per-(label, pos)
+    sum is exact integer arithmetic — immune to partial-aggregation
+    order, which is what broke naive float SUMs in round 1 — and one
+    final double division + ROUND gives identical centroids on both
+    engines.
+
+    Scale shape: posexplode fans each vector into (label, pos, int) rows
+    that partial-aggregate map-side, so the shuffle carries at most
+    labels x dims combined rows per task regardless of corpus size."""
+    e = tables(spark, sf_dir)["embeddings"]
+    from ..operators.similarity import as_double
+
+    ex = e.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long").alias("qi"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("qi").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("sq").cast("double") / F.col("n") / 1e6, 6).alias(
+                "centroid"
+            ),
+            "n",
+        )
+        .orderBy("label", "pos")
+    )
