@@ -315,10 +315,12 @@ def transitive_closure(
             .select(F.col("a.view").alias("view"), F.col("b.dep").alias("dep"))
             .distinct()
         )
+        # Lazy checkpoint: the take(1) probe materializes it — one job per
+        # round instead of two.
         frontier = step.join(
             closure, on=["view", "dep"], how="left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if not frontier.take(1):
             break
-        closure = closure.union(frontier).localCheckpoint()
+        closure = closure.union(frontier).localCheckpoint(eager=False)
     return closure
