@@ -359,6 +359,133 @@ def mixture_rebalance_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "char_entropy_quality",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+    cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ch GROUP BY doc_id, c),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_chars_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                   list_sort(list(n)) AS ns
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_chars_total, n_distinct_chars,
+           ROUND(ln(n_chars_total)
+                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(ns, x -> x * ln(x))),
+                       (a, b) -> a + b) / n_chars_total, 6) AS entropy,
+           CAST(CASE WHEN ln(n_chars_total)
+                          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(ns, x -> x * ln(x))),
+                                (a, b) -> a + b) / n_chars_total < 2.0
+                THEN 1 ELSE 0 END AS INT) AS low_entropy
+    FROM agg ORDER BY doc_id
+    """,
+)
+def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal — the cheap "is this natural text
+    or keyboard mash / base64 / repeated filler" filter (low entropy =
+    repetitive junk, flagged below 2.0 nats).
+
+    Float-exactness: H = ln(N) - (1/N) * sum(c_i * ln(c_i)) is computed by
+    an EXPLICIT left fold over the numerically sorted count list on both
+    engines (F.aggregate here, list_reduce in DuckDB), so the double
+    additions happen in the identical order and the rounded values match
+    bit-for-bit — a free-order SUM() over the per-char terms would differ
+    in the last ulp between engines.
+
+    Scale shape: one explode + map-side-combined (doc, char) count, one
+    per-doc collect of a ~charset-sized list (bounded: distinct chars per
+    doc, not doc length), then codegen-side fold. No Python, no UDF."""
+    d = tables(spark, sf_dir)["documents"]
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars_total"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sort_array(F.collect_list("n")).alias("ns"),
+    )
+    ent = F.log(F.col("n_chars_total")) - F.aggregate(
+        F.col("ns"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * F.log(x.cast("double")),
+    ) / F.col("n_chars_total")
+    return agg.select(
+        "doc_id",
+        "n_chars_total",
+        "n_distinct_chars",
+        F.round(ent, 6).alias("entropy"),
+        F.when(ent < 2.0, 1).otherwise(0).cast("int").alias("low_entropy"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "source_quality_report",
+    oracle=f"""
+    WITH h AS (SELECT source, n_chars,
+                      {_HASH64.format(expr='text')} AS th
+               FROM documents),
+    dup AS (SELECT th, COUNT(*) AS c FROM h GROUP BY th),
+    flags AS (SELECT h.source, h.n_chars,
+                     CASE WHEN dup.c > 1 THEN 1 ELSE 0 END AS is_dup,
+                     CASE WHEN h.n_chars < 100 THEN 1 ELSE 0 END AS is_short
+              FROM h JOIN dup ON h.th = dup.th)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+           CAST(SUM(is_short) AS BIGINT) AS n_short,
+           ROUND(CAST(SUM(is_short) AS DOUBLE) / COUNT(*), 6) AS short_rate
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the dashboard query a data-curation
+    team runs after ingest: volume, exact-duplicate rate (corpus-wide
+    hash groups attributed back to each source), and short-document rate.
+
+    Scale shape: duplicate detection shuffles only 8-byte text hashes
+    (dedup_exact's contract); the dup-count table joins back on the same
+    hash partitioning; the final per-source rollup is map-side combined
+    over ~#sources groups. All ratios are single double divisions of
+    exact integer aggregates."""
+    d = tables(spark, sf_dir)["documents"]
+    h = d.select("source", "n_chars", hash64(F.col("text")).alias("th"))
+    dup = h.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    flags = h.join(dup, "th").select(
+        "source",
+        "n_chars",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("is_short"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_chars"),
+            F.sum("is_dup").alias("n_dup"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.sum("is_short").alias("n_short"),
+            F.round(
+                F.sum("is_short").cast("double") / F.count(F.lit(1)), 6
+            ).alias("short_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "embedding_label_centroids",
     oracle="""
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
