@@ -220,3 +220,63 @@ class TestRound2Plans:
     def test_right_outer_broadcasts_small_side(self, spark, sf_dir):
         plan = plan_of(QUERIES["join_right_outer"](spark, sf_dir))
         assert "BroadcastHashJoin" in plan
+
+
+class TestWave3Plans:
+    """Plan shapes for the wave-3 operators (queries/llm_wave3.py)."""
+
+    def test_decontaminate_broadcasts_eval_set(self, spark, sf_dir):
+        """The eval shingle set is the only broadcast state; the train
+        side must reach it through a broadcast join (never a sort-merge
+        over document shingles)."""
+        plan = plan_of(QUERIES["decontaminate_ngram_overlap"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_repetition_filter_is_map_only_before_sort(self, spark, sf_dir):
+        """Per-doc Counter emits 4-int rows inside the map stage: no
+        hash-partition exchange may appear (only the terminal range
+        exchange for the ORDER BY)."""
+        plan = plan_of(QUERIES["repetition_ngram_filter"](spark, sf_dir), "simple")
+        assert "Exchange hashpartitioning" not in plan
+        assert "MapInPandas" in plan
+
+    def test_normalize_dedup_shuffles_hashes_only(self, spark, sf_dir):
+        """The groupBy and join key is the 8-byte norm_hash; document text
+        must not appear past the scan (pruned before the exchange)."""
+        plan = plan_of(QUERIES["normalize_text_dedup"](spark, sf_dir))
+        scan_schema = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "text" in scan_schema  # scan reads it...
+        assert "lang" not in scan_schema  # ...but only the needed columns
+
+    def test_split_assignment_is_map_side(self, spark, sf_dir):
+        """Split assignment must be a codegen expression: no Python
+        workers, no shuffle before the per-source aggregate."""
+        plan = plan_of(QUERIES["train_val_test_split"](spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # the groupBy only
+
+    def test_mixture_rebalance_broadcasts_rates(self, spark, sf_dir):
+        """The per-source rate table is vocabulary-sized: the keep/drop
+        pass must consume it via broadcast join."""
+        plan = plan_of(QUERIES["mixture_rebalance_uniform"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_centroids_partial_aggregate_before_exchange(self, spark, sf_dir):
+        """The (label, pos) integer sums must combine map-side so the
+        shuffle carries at most labels x dims rows per task."""
+        plan = plan_of(QUERIES["embedding_label_centroids"](spark, sf_dir), "simple")
+        assert "partial" in plan.lower()
+
+    def test_entropy_stays_jvm_side(self, spark, sf_dir):
+        """The sorted-fold entropy is all codegen expressions — no Python
+        workers anywhere in the plan."""
+        plan = plan_of(QUERIES["char_entropy_quality"](spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_quality_report_joins_on_hash(self, spark, sf_dir):
+        """Dup attribution joins on the 8-byte text hash; at this SF the
+        dup-count side broadcasts (AQE may pick either side), and no
+        nested-loop join may appear."""
+        plan = plan_of(QUERIES["source_quality_report"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
