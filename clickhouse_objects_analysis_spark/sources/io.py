@@ -71,8 +71,21 @@ def write_partitioned_parquet(
 ) -> str:
     """MergeTree PARTITION BY analogue: hive-style directory partitioning.
     Reads that filter on the partition column prune directories before any
-    I/O (check .explain for PartitionFilters)."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    I/O (check .explain for PartitionFilters).
+
+    The repartition on the partition columns is the small-files guard:
+    without it every input task writes one file into EVERY partition
+    directory (tasks x partitions files — the classic partitionBy
+    blow-up); with it each directory gets one file per shuffle partition
+    holding that key. AQE coalesces the shuffle when partitions are
+    small; genuinely hot partition keys can add a salt column to split
+    output files."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
     return path
 
 
