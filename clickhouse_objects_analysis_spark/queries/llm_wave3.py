@@ -486,6 +486,156 @@ def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_pipeline_report",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    n AS (SELECT doc_id, source,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+          FROM documents),
+    hh AS (SELECT doc_id, source,
+                  {_HASH64.format(expr='norm')} AS nh
+           FROM n),
+    canon AS (SELECT nh, MIN(doc_id) AS canonical FROM hh GROUP BY nh),
+    dedup AS (SELECT hh.doc_id, hh.source,
+                     CASE WHEN hh.doc_id = canon.canonical THEN 1 ELSE 0 END
+                         AS is_canonical
+              FROM hh JOIN canon ON hh.nh = canon.nh),
+    wg AS (SELECT doc_id,
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   for i in range(1, len(ws) - 1)] AS gs
+           FROM w WHERE len(ws) >= 3),
+    gx AS (SELECT doc_id, unnest(gs) AS g FROM wg),
+    gcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM gx GROUP BY doc_id, g),
+    rep AS (SELECT doc_id,
+                   CASE WHEN CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) > 0.1
+                        THEN 0 ELSE 1 END AS rep_pass
+            FROM gcnt GROUP BY doc_id),
+    sx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    ev AS (SELECT DISTINCT g FROM sx WHERE doc_id % {_EVAL_MOD} = 0),
+    dec AS (SELECT sx.doc_id,
+                   CASE WHEN CAST(COUNT(ev.g) AS DOUBLE) / COUNT(*) >= 0.5
+                        THEN 0 ELSE 1 END AS decon_pass
+            FROM sx LEFT JOIN ev ON sx.g = ev.g
+            WHERE sx.doc_id % {_EVAL_MOD} <> 0
+            GROUP BY sx.doc_id),
+    flags AS (
+        SELECT d.doc_id, d.source, d.is_canonical,
+               COALESCE(rep.rep_pass, 1) AS rep_pass,
+               CASE WHEN d.doc_id % {_EVAL_MOD} = 0 THEN 0
+                    ELSE COALESCE(dec.decon_pass, 1) END AS decon_pass
+        FROM dedup d
+        LEFT JOIN rep ON d.doc_id = rep.doc_id
+        LEFT JOIN dec ON d.doc_id = dec.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(is_canonical) AS BIGINT) AS n_after_dedup,
+           CAST(SUM(is_canonical * rep_pass) AS BIGINT) AS n_after_repetition,
+           CAST(SUM(is_canonical * rep_pass * decon_pass) AS BIGINT)
+               AS n_final,
+           ROUND(CAST(SUM(is_canonical * rep_pass * decon_pass) AS DOUBLE)
+                 / COUNT(*), 6) AS retention
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def curation_pipeline_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel — the three cleaning stages composed the
+    way a real pretraining pipeline runs them, reported as per-source
+    survivor counts at each stage: raw → normalized-exact-dedup
+    (canonical docs only) → repetition filter (dup-trigram fraction
+    <= 0.1; under-3-word docs pass vacuously) → benchmark decontamination
+    (eval docs and >= 50%-overlap train docs dropped).
+
+    One DAG, evaluated as per-doc flag columns left-joined on doc_id and
+    conditional integer sums per source — Catalyst sees the whole funnel
+    and shares the documents scan across stages. Every stage keeps its
+    standalone query's scale contract (hash-only dedup shuffle, Arrow
+    Counter repetition, broadcast eval set); the composition adds only
+    doc_id-keyed flag joins — skinny int rows, never text."""
+    d = tables(spark, sf_dir)["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    hh = d.select("doc_id", "source", hash64(norm).alias("nh"))
+    canon = hh.groupBy("nh").agg(F.min("doc_id").alias("canonical"))
+    dedup = hh.join(canon, "nh").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") == F.col("canonical"), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+    )
+
+    rep = (
+        repetition_ngram_filter_q(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.when(F.col("dup_frac") > 0.1, 0).otherwise(1).alias("rep_pass"),
+        )
+    )
+
+    sx = shingle_sets(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.explode("shingles").alias("g")
+    )
+    ev = (
+        sx.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    dec = (
+        sx.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("n_hit").cast("double") / F.col("n_sh") >= 0.5, 0
+            )
+            .otherwise(1)
+            .alias("decon_pass"),
+        )
+    )
+
+    flags = (
+        dedup.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "source",
+            "is_canonical",
+            F.coalesce("rep_pass", F.lit(1)).alias("rep_pass"),
+            F.when(F.col("doc_id") % _EVAL_MOD == 0, 0)
+            .otherwise(F.coalesce("decon_pass", F.lit(1)))
+            .alias("decon_pass"),
+        )
+    )
+    surv = F.col("is_canonical") * F.col("rep_pass") * F.col("decon_pass")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("is_canonical").alias("n_after_dedup"),
+            F.sum(F.col("is_canonical") * F.col("rep_pass")).alias(
+                "n_after_repetition"
+            ),
+            F.sum(surv).alias("n_final"),
+            F.round(
+                F.sum(surv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "embedding_label_centroids",
     oracle="""
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
