@@ -32,6 +32,7 @@ from . import setops  # noqa: E402,F401
 from . import functions_surface  # noqa: E402,F401
 from . import llm_extras  # noqa: E402,F401
 from . import llm_wave3  # noqa: E402,F401
+from . import ch_aggregates  # noqa: E402,F401
 
 # Post-import re-rank (registration order above is coarse; the driver's
 # round-1 CORRECTNESS file covered exactly the FIRST 50 registry entries,

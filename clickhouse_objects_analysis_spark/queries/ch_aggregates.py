@@ -1,0 +1,228 @@
+"""ClickHouse's behavioral-analytics aggregate family, re-expressed
+Spark-first: windowFunnel, retention, sumMap (grammar:
+generated_ch_parser list of combinator/aggregate names; these three are
+the canonical ClickHouse-specific aggregates users migrate with).
+
+Semantics documented per query; each has a DuckDB oracle that recomputes
+the same definition relationally (EXISTS joins / conditional flags), so
+the hard value-hash gate applies.
+
+Float discipline: event values are summed as DECIMAL(18,2) (exact, order-
+independent), never as doubles; funnel/retention outputs are pure integer
+counts; all timestamps compare as integer microseconds (unix_micros /
+epoch_us) so both engines evaluate identical arithmetic."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query, tables
+
+#: Funnel steps and window (3 days, in microseconds).
+_STEPS = ("view", "click", "purchase")
+_FUNNEL_W_US = 3 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "window_funnel",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (SELECT DISTINCT v.user_id
+           FROM e v JOIN e c ON v.user_id = c.user_id
+           WHERE v.event_type = 'view' AND c.event_type = 'click'
+             AND c.t > v.t AND c.t - v.t <= {_FUNNEL_W_US}),
+    l3 AS (SELECT DISTINCT v.user_id
+           FROM e v
+           JOIN e c ON v.user_id = c.user_id
+           JOIN e p ON v.user_id = p.user_id
+           WHERE v.event_type = 'view' AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND c.t > v.t AND p.t > c.t
+             AND p.t - v.t <= {_FUNNEL_W_US}),
+    lv AS (SELECT u.user_id,
+                  CASE WHEN l3.user_id IS NOT NULL THEN 3
+                       WHEN l2.user_id IS NOT NULL THEN 2
+                       WHEN l1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS funnel_level
+           FROM (SELECT DISTINCT user_id FROM e) u
+           LEFT JOIN l1 ON u.user_id = l1.user_id
+           LEFT JOIN l2 ON u.user_id = l2.user_id
+           LEFT JOIN l3 ON u.user_id = l3.user_id)
+    SELECT CAST(funnel_level AS INT) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY funnel_level ORDER BY funnel_level
+    """,
+)
+def window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window)(ts, cond1, cond2, cond3)``:
+    per-user max funnel depth — the largest k such that events of types
+    view → click → purchase occur at strictly increasing timestamps with
+    the whole chain inside a 3-day window of its first event; reported as
+    users per reached level.
+
+    Spark side is the SCALABLE form: one shuffle on user_id, then a
+    linear per-user DP scan inside applyInPandas (exactly the per-group
+    in-memory pass ClickHouse's aggregate runs) — for each level keep the
+    max chain-start time over chains reaching it, which dominates any
+    other chain for both the window bound and the ordering bound, so the
+    greedy state is exact. The EXISTS-join oracle is the relational
+    restatement of the same definition (fine at oracle scale, quadratic
+    per user — which is why the engine side uses the scan instead)."""
+    e = tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    )
+    step_of = {s: i for i, s in enumerate(_STEPS)}
+
+    def funnel(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["user_id"].iloc[0]
+        ev = pdf[pdf["event_type"].isin(step_of)].sort_values("t")
+        # best[j] = max start time over chains reaching level j+1, using
+        # only events at strictly earlier timestamps (snapshot per ts
+        # group handles ties).
+        best = [None] * len(_STEPS)
+        for _, grp in ev.groupby("t", sort=True):
+            snap = list(best)
+            t = int(grp["t"].iloc[0])
+            for typ in grp["event_type"]:
+                j = step_of[typ]
+                if j == 0:
+                    best[0] = t if best[0] is None else max(best[0], t)
+                elif snap[j - 1] is not None and t - snap[j - 1] <= _FUNNEL_W_US:
+                    cand = snap[j - 1]
+                    if best[j] is None or cand > best[j]:
+                        best[j] = cand
+        level = max((j + 1 for j in range(len(_STEPS)) if best[j] is not None), default=0)
+        return pd.DataFrame({"user_id": [uid], "funnel_level": [level]})
+
+    lv = e.groupBy("user_id").applyInPandas(
+        funnel, schema="user_id long, funnel_level int"
+    )
+    return (
+        lv.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_level")
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      MAX(CASE WHEN event_type = 'signup'
+                               AND ts < TIMESTAMP '2024-01-08'
+                          THEN 1 ELSE 0 END) AS c1,
+                      MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                               AND ts < TIMESTAMP '2024-01-15'
+                          THEN 1 ELSE 0 END) AS c2,
+                      MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                               AND ts < TIMESTAMP '2024-01-22'
+                          THEN 1 ELSE 0 END) AS c3
+               FROM events GROUP BY user_id)
+    SELECT CAST(SUM(c1) AS BIGINT) AS cohort,
+           CAST(SUM(c1 * c2) AS BIGINT) AS retained_w2,
+           CAST(SUM(c1 * c3) AS BIGINT) AS retained_w3,
+           ROUND(CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1), 6) AS rate_w2,
+           ROUND(CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1), 6) AS rate_w3
+    FROM f
+    """,
+)
+def retention_cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, ...)``: per-user condition
+    flags where every later flag is AND-ed with the first (cohort
+    membership), summed into cohort retention — here: signed up in week 1,
+    still active in week 2 / week 3.
+
+    Scale shape: ONE map-side-combined groupBy(user_id) producing three
+    0/1 flags (MAX of conditions — no event rows survive the partial
+    aggregate), then a scalar rollup. This is the textbook two-level
+    aggregation ClickHouse's retention runs; integer flags make the
+    driver hash exact."""
+    ev = tables(spark, sf_dir)["events"]
+    c1 = F.max(
+        F.when(
+            (F.col("event_type") == "signup")
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp")),
+            1,
+        ).otherwise(0)
+    ).alias("c1")
+    c2 = F.max(
+        F.when(
+            (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp")),
+            1,
+        ).otherwise(0)
+    ).alias("c2")
+    c3 = F.max(
+        F.when(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-22").cast("timestamp")),
+            1,
+        ).otherwise(0)
+    ).alias("c3")
+    f = ev.groupBy("user_id").agg(c1, c2, c3)
+    return f.agg(
+        F.sum("c1").alias("cohort"),
+        F.sum(F.col("c1") * F.col("c2")).alias("retained_w2"),
+        F.sum(F.col("c1") * F.col("c3")).alias("retained_w3"),
+        F.round(
+            F.sum(F.col("c1") * F.col("c2")).cast("double") / F.sum("c1"), 6
+        ).alias("rate_w2"),
+        F.round(
+            F.sum(F.col("c1") * F.col("c3")).cast("double") / F.sum("c1"), 6
+        ).alias("rate_w3"),
+    )
+
+
+@query(
+    "sum_map_by_user",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      SUM(CAST(value AS DECIMAL(18,2))) AS total
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(total AS VARCHAR), ','
+                      ORDER BY event_type) AS type_totals
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sum_map_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap(map(event_type, value))``: merge maps by
+    summing values per key — per user, the value total for every event
+    type it emitted, rendered as the canonical sorted ``key:total`` string
+    (a map type hashes differently across engines; the canonical string
+    is representation-portable and keeps the merged-map semantics
+    visible).
+
+    Scale shape: the (user, type) partial sums combine map-side (keys per
+    user are bounded by the type vocabulary, exactly sumMap's state), one
+    shuffle on user_id for the final merge. DECIMAL(18,2) accumulation is
+    exact and order-independent — a double SUM here would be partial-agg-
+    order dependent and fail the hash gate."""
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_type", "total"))
+                    ),
+                    lambda st: F.concat_ws(
+                        ":",
+                        st["event_type"],
+                        st["total"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("type_totals")
+        )
+        .orderBy("user_id")
+    )
