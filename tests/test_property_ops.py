@@ -249,3 +249,76 @@ class TestRangeJoin:
             key=lambda r: (r[0], r[2] is None, r[2] or 0),
         )
         assert got == self._oracle(pts, iv, how)
+
+
+class TestWindowFunnelDP:
+    """The funnel DP keeps, per level, the MAX chain-start time over
+    chains reaching that level at strictly earlier timestamps. Verify the
+    whole state argument against brute-force chain enumeration on random
+    event streams (ties included — ts drawn from a tiny range)."""
+
+    STEPS = ("view", "click", "purchase")
+
+    @staticmethod
+    def _brute_level(events, window):
+        """Max k such that a strictly-increasing-ts chain of the step
+        prefix fits in `window` of its first event."""
+        from itertools import product
+
+        steps = TestWindowFunnelDP.STEPS
+        by_step = [
+            sorted(t for t, s in events if s == step) for step in steps
+        ]
+        best = 0
+        for k in range(len(steps), 0, -1):
+            for chain in product(*by_step[:k]):
+                if all(b > a for a, b in zip(chain, chain[1:])) and (
+                    chain[-1] - chain[0] <= window
+                ):
+                    best = k
+                    break
+            if best:
+                break
+        return best
+
+    @staticmethod
+    def _dp_level(events, window):
+        """Mirror of the applyInPandas DP in queries/ch_aggregates.py."""
+        import pandas as pd
+
+        step_of = {s: i for i, s in enumerate(TestWindowFunnelDP.STEPS)}
+        pdf = pd.DataFrame(events, columns=["t", "event_type"]).sort_values(
+            "t"
+        )
+        best = [None] * len(step_of)
+        for _, grp in pdf.groupby("t", sort=True):
+            snap = list(best)
+            t = int(grp["t"].iloc[0])
+            for typ in grp["event_type"]:
+                if typ not in step_of:  # same filter as the real query
+                    continue
+                j = step_of[typ]
+                if j == 0:
+                    best[0] = t if best[0] is None else max(best[0], t)
+                elif snap[j - 1] is not None and t - snap[j - 1] <= window:
+                    cand = snap[j - 1]
+                    if best[j] is None or cand > best[j]:
+                        best[j] = cand
+        return max(
+            (j + 1 for j in range(len(step_of)) if best[j] is not None),
+            default=0,
+        )
+
+    def test_dp_matches_brute_force(self):
+        rng = np.random.RandomState(7)
+        types = list(self.STEPS) + ["other"]
+        for case in range(300):
+            n = rng.randint(0, 12)
+            events = [
+                (int(rng.randint(0, 15)), types[rng.randint(0, len(types))])
+                for _ in range(n)
+            ]
+            window = int(rng.randint(1, 10))
+            got = self._dp_level(events, window)
+            want = self._brute_level(events, window)
+            assert got == want, (case, events, window, got, want)
