@@ -24,6 +24,21 @@ from pyspark.sql import Column
 
 Builder = Callable[..., Column]
 
+#: Mappings whose OUTPUT VALUES are not bit-compatible with ClickHouse —
+#: same contract (deterministic 64-bit hash / cardinality sketch /
+#: quantile sketch), different algorithm, so persisted values won't match
+#: a ClickHouse instance byte-for-byte. Callers migrating stored hashes
+#: must re-hash; sketches must not be merged across engines.
+NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
+    {
+        "cityHash64",  # → xxhash64 (different 64-bit hash family)
+        "sipHash64",  # → xxhash64
+        "uniq",  # → Spark HLL++ (different sketch + bias tables)
+        "uniqHLL12",  # → Spark HLL++
+        "quantileTDigest",  # → Spark percentile_approx (KLL-style sketch)
+    }
+)
+
 
 def _regex_quote(sep) -> str:
     """Java Pattern.quote: wrap in \\Q..\\E, splicing any embedded \\E."""
@@ -236,7 +251,8 @@ CH_FUNCTIONS: dict[str, Builder] = {
 
 def translate_name(ch_name: str) -> Builder:
     """Spark builder for a ClickHouse function name; KeyError with the
-    full supported list if unknown."""
+    full supported list if unknown. Names in ``NON_BIT_COMPATIBLE`` keep
+    the contract but not the byte-level output — see that set's docs."""
     try:
         return CH_FUNCTIONS[ch_name]
     except KeyError:
