@@ -486,6 +486,66 @@ def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "passage_chunking",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n, unnest(range(0, len(ws), 24)) AS s
+           FROM w WHERE len(ws) > 0)
+    SELECT doc_id,
+           CAST(s / 24 AS BIGINT) AS chunk_idx,
+           CAST(least(s + 32, n) - s AS BIGINT) AS n_tokens_chunk,
+           array_to_string(ws[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+    FROM st ORDER BY doc_id, chunk_idx
+    """,
+)
+def passage_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking — split each document into overlapping token
+    windows (size 32, stride 24, 8-token overlap): the RAG-indexing /
+    context-window prep step between cleaning and embedding. Chunk
+    boundaries are pure functions of the token array, so chunk ids are
+    stable across runs and engines.
+
+    Scale shape: tokenize once, generate window starts with `sequence`
+    and explode — all codegen array expressions, map-only until the
+    terminal sort; output rows carry ~window-sized text instead of whole
+    documents, which is what makes the downstream embed/dedup stages
+    shuffle bounded units. A doc never needs to see another doc:
+    embarrassingly parallel at any corpus size."""
+    from ..operators.text import tokenize
+
+    d = tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", tokenize(F.col("text")).alias("ws")
+    ).withColumn("n", F.size("ws"))
+    st = toks.filter(F.col("n") > 0).select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))
+        ).alias("s"),
+    )
+    return st.select(
+        "doc_id",
+        (F.col("s") / 24).cast("long").alias("chunk_idx"),
+        (
+            F.least(F.col("s") + 32, F.col("n")) - F.col("s")
+        ).cast("long").alias("n_tokens_chunk"),
+        F.array_join(
+            F.slice(
+                F.col("ws"),
+                F.col("s") + 1,
+                F.least(F.lit(32), F.col("n") - F.col("s")),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
     "curation_pipeline_report",
     oracle=f"""
     WITH {_SHINGLE_CTE},
