@@ -14,7 +14,6 @@ epoch_us) so both engines evaluate identical arithmetic."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,47 +62,70 @@ def window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole chain inside a 3-day window of its first event; reported as
     users per reached level.
 
-    Spark side is the SCALABLE form: one shuffle on user_id, then a
-    linear per-user DP scan inside applyInPandas (exactly the per-group
-    in-memory pass ClickHouse's aggregate runs) — for each level keep the
-    max chain-start time over chains reaching it, which dominates any
-    other chain for both the window bound and the ordering bound, so the
-    greedy state is exact. The EXISTS-join oracle is the relational
-    restatement of the same definition (fine at oracle scale, quadratic
-    per user — which is why the engine side uses the scan instead)."""
-    e = tables(spark, sf_dir)["events"].select(
+    Spark side is the DP expressed RELATIONALLY (all JVM window
+    functions, no Python): for each level keep the max chain-start time
+    over chains reaching it — which dominates every other chain for both
+    the window bound and the ordering bound — as a running max over a
+    STRICT range frame (rangeBetween(-inf, -1) on integer microseconds,
+    so same-timestamp events never chain):
+
+      last_view  = max(t where view)      over (< t)   -- best level-1 start
+      start2     = last_view  if click and t-last_view <= W
+      best2      = max(start2)            over (< t)   -- best level-2 start
+      level 3    = purchase and t-best2 <= W
+
+    The intermediate-step window check is redundant-but-harmless (any
+    chain whose LAST event violates it violates it at the end too), so
+    checking at each extension equals ClickHouse's check-at-end. One
+    shuffle on user_id, one sort, two Window nodes over the same spec,
+    then a map-side-combined two-level aggregate. The EXISTS-join oracle
+    restates the definition relationally (quadratic per user — fine at
+    oracle scale; tests/test_property_ops.py pins the DP against brute
+    force on 300 random streams)."""
+    ev = tables(spark, sf_dir)["events"].select(
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("t"),
     )
-    step_of = {s: i for i, s in enumerate(_STEPS)}
+    # Only funnel-relevant events enter the window shuffle; the full user
+    # universe comes back via the skinny distinct-users left join below
+    # (users with no step events report level 0, matching the oracle).
+    e = ev.filter(F.col("event_type").isin(*_STEPS))
 
-    def funnel(pdf: pd.DataFrame) -> pd.DataFrame:
-        uid = pdf["user_id"].iloc[0]
-        ev = pdf[pdf["event_type"].isin(step_of)].sort_values("t")
-        # best[j] = max start time over chains reaching level j+1, using
-        # only events at strictly earlier timestamps (snapshot per ts
-        # group handles ties).
-        best = [None] * len(_STEPS)
-        for _, grp in ev.groupby("t", sort=True):
-            snap = list(best)
-            t = int(grp["t"].iloc[0])
-            for typ in grp["event_type"]:
-                j = step_of[typ]
-                if j == 0:
-                    best[0] = t if best[0] is None else max(best[0], t)
-                elif snap[j - 1] is not None and t - snap[j - 1] <= _FUNNEL_W_US:
-                    cand = snap[j - 1]
-                    if best[j] is None or cand > best[j]:
-                        best[j] = cand
-        level = max((j + 1 for j in range(len(_STEPS)) if best[j] is not None), default=0)
-        return pd.DataFrame({"user_id": [uid], "funnel_level": [level]})
+    from pyspark.sql import Window
 
-    lv = e.groupBy("user_id").applyInPandas(
-        funnel, schema="user_id long, funnel_level int"
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    typ, t = F.col("event_type"), F.col("t")
+    with_lv = e.withColumn(
+        "last_view", F.max(F.when(typ == _STEPS[0], t)).over(w_prior)
+    ).withColumn(
+        "start2",
+        F.when(
+            (typ == _STEPS[1]) & (t - F.col("last_view") <= _FUNNEL_W_US),
+            F.col("last_view"),
+        ),
+    )
+    scored = with_lv.withColumn("best2", F.max("start2").over(w_prior))
+    lv = scored.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (typ == _STEPS[2]) & (t - F.col("best2") <= _FUNNEL_W_US), 3
+            )
+            .when(F.col("start2").isNotNull(), 2)
+            .when(typ == _STEPS[0], 1)
+            .otherwise(0)
+        ).alias("funnel_level")
+    )
+    all_users = ev.select("user_id").distinct()
+    levels = all_users.join(lv, "user_id", "left").select(
+        F.coalesce("funnel_level", F.lit(0)).cast("int").alias("funnel_level")
     )
     return (
-        lv.groupBy("funnel_level")
+        levels.groupBy("funnel_level")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("funnel_level")
     )
