@@ -132,6 +132,68 @@ def window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_match",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    m AS (SELECT DISTINCT s.user_id
+          FROM e s JOIN e p ON s.user_id = p.user_id
+          WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+            AND p.t > s.t),
+    u AS (SELECT DISTINCT user_id FROM e)
+    SELECT CAST(COUNT(m.user_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(COUNT(m.user_id) AS DOUBLE) / COUNT(*), 6) AS rate
+    FROM u LEFT JOIN m ON u.user_id = m.user_id
+    """,
+)
+def sequence_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')(ts, cond1, cond2)``: does
+    a signup event precede a purchase event (any gap) per user — the
+    unwindowed ordering predicate behind activation analysis.
+
+    Same machinery as window_funnel: a running max of cond1 timestamps
+    over a STRICT range frame decides cond2 rows in one window pass (no
+    self-join on the engine side — the EXISTS join is the oracle's
+    restatement). One shuffle on user_id, integer-exact output."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    e = ev.filter(F.col("event_type").isin("signup", "purchase"))
+
+    from pyspark.sql import Window
+
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    typ = F.col("event_type")
+    scored = e.withColumn(
+        "last_signup", F.max(F.when(typ == "signup", F.col("t"))).over(w_prior)
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (typ == "purchase") & F.col("last_signup").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("matched")
+    )
+    levels = (
+        ev.select("user_id")
+        .distinct()
+        .join(per_user, "user_id", "left")
+        .select(F.coalesce("matched", F.lit(0)).alias("matched"))
+    )
+    return levels.agg(
+        F.sum("matched").alias("n_matched"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum("matched").cast("double") / F.count(F.lit(1)), 6
+        ).alias("rate"),
+    )
+
+
+@query(
     "retention_cohort",
     oracle="""
     WITH f AS (SELECT user_id,

@@ -46,7 +46,11 @@ def get_spark(app_name: str = "clickhouse-objects-analysis-spark") -> SparkSessi
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: local[32] runs all 32 task threads in the driver JVM; at 8g
+        # long sessions (the 129-query bench) spent multi-second stretches
+        # in GC that landed on whichever query was running — iterative
+        # multi-job queries (connected components) suffered 2-3x.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The events table stores TIMESTAMP(NANOS) parquet, which Spark's
         # reader rejects; read as raw int64 nanos and convert in load_tables.

@@ -280,3 +280,33 @@ class TestWave3Plans:
         nested-loop join may appear."""
         plan = plan_of(QUERIES["source_quality_report"](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBehavioralAggregates:
+    """Plan shapes for the ClickHouse behavioral-aggregate family
+    (queries/ch_aggregates.py)."""
+
+    def test_funnel_is_one_sort_two_windows_no_python(self, spark, sf_dir):
+        """The funnel DP must plan as Window nodes over one user_id sort —
+        no Python workers, no self-joins of the event table."""
+        plan = plan_of(QUERIES["window_funnel"](spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        assert plan.count("Window") >= 2
+
+    def test_sequence_match_no_self_join(self, spark, sf_dir):
+        """The engine side must use the running-max window, not the
+        oracle's EXISTS self-join."""
+        plan = plan_of(QUERIES["sequence_match"](spark, sf_dir), "simple")
+        assert "Window" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_retention_partial_aggregates(self, spark, sf_dir):
+        """Two-level conditional-flag aggregation: flags combine map-side
+        before the user_id exchange."""
+        plan = plan_of(QUERIES["retention_cohort"](spark, sf_dir), "simple")
+        assert "partial" in plan.lower()
+
+    def test_sum_map_partial_aggregates(self, spark, sf_dir):
+        plan = plan_of(QUERIES["sum_map_by_user"](spark, sf_dir), "simple")
+        assert "partial" in plan.lower()
