@@ -163,7 +163,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    sets = shingle_sets(df, id_col, text_col, k)
+    # Checkpoint the shingle front once: the signature path, the verify
+    # count() and the verify collect()/join all consume `sets` — without
+    # this the Arrow shingle pass recomputes 3-4x per call (measured ~40%
+    # of the whole pipeline at sf0.1). Lazy: the first consumer's action
+    # materializes it.
+    sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sig = minhash_signatures(sets, num_hashes)
 
     # Band keys: one native multi-arg xxhash64 over each band's r signature
