@@ -76,9 +76,12 @@ def decontaminate_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame
     (doc_id, gram-hit) stream. At 100 TB the broadcast set is the only
     state each executor holds."""
     d = tables(spark, sf_dir)["documents"]
+    # Checkpoint: both the eval-set branch and the train branch consume
+    # the exploded shingle stream — without it the Arrow shingle pass
+    # runs twice.
     ex = shingle_sets(d, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.explode("shingles").alias("g")
-    )
+    ).localCheckpoint(eager=False)
     ev = (
         ex.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("g")
@@ -640,7 +643,7 @@ def curation_pipeline_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sx = shingle_sets(d, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.explode("shingles").alias("g")
-    )
+    ).localCheckpoint(eager=False)
     ev = (
         sx.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("g")
