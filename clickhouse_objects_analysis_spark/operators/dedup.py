@@ -310,7 +310,10 @@ def ngram_jaccard_pairs(
     real pipeline caps away is exactly what shouldn't vote for "near-dup"
     anyway. Past that, switch to minhash_lsh_pairs — at that scale exact
     all-pairs Jaccard itself is the wrong ask."""
-    sets = shingle_sets(df, id_col, text_col, k)
+    # Checkpoint the shingle front: `sizes` (consumed twice by the
+    # attach joins) and the inverted index both read it — without this
+    # the Arrow shingle pass recomputes up to 3x.
+    sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sets.select("id", F.size("shingles").alias("sz"))
     inv = sets.select("id", F.explode("shingles").alias("sh"))
     if max_df is not None:
