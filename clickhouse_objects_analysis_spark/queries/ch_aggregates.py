@@ -263,6 +263,77 @@ def retention_cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "batch_sessionization",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    l AS (SELECT user_id, t,
+                 lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t
+          FROM e),
+    s AS (SELECT user_id, t,
+                 SUM(CASE WHEN prev_t IS NULL
+                          OR t - prev_t > 1800000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM l),
+    per_sess AS (SELECT user_id, session_id,
+                        COUNT(*) AS n_events,
+                        MAX(t) - MIN(t) AS dur_us
+                 FROM s GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+               AS mean_session_sec
+    FROM per_sess
+    """,
+)
+def batch_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the lag + running-sum session assigner (a
+    new session starts after a 30-minute silence), the batch twin of the
+    streaming `session_window` query. ClickHouse users build this from
+    neighbor()/arraySplit; the relational form is two window passes over
+    ONE user_id sort plus a map-side-combined rollup.
+
+    All session arithmetic is integer microseconds; the single double
+    division at the end keeps the hash gate exact."""
+    e = tables(spark, sf_dir)["events"].select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("user_id").orderBy("t")
+    s = (
+        e.withColumn("prev_t", F.lag("t").over(w_ord))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_t").isNull()
+                | (F.col("t") - F.col("prev_t") > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("dur_us"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_session_sec"),
+    )
+
+
+@query(
     "sum_map_by_user",
     oracle="""
     WITH s AS (SELECT user_id, event_type,

@@ -26,7 +26,7 @@ expression-tree n-gram work would fall out of codegen.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import shingle_sets
 from ..operators.text import hash64
@@ -693,6 +693,75 @@ def curation_pipeline_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(surv).cast("double") / F.count(F.lit(1)), 6
             ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source,
+                      {_HASH64.format(expr='text')} AS th
+               FROM documents),
+    base AS (SELECT DISTINCT th FROM h WHERE doc_id < 250),
+    batch AS (SELECT doc_id, source, th FROM h WHERE doc_id >= 250),
+    firsts AS (SELECT doc_id, source, th,
+                      row_number() OVER (PARTITION BY th
+                                         ORDER BY doc_id) AS rn
+               FROM batch),
+    flagged AS (SELECT f.doc_id, f.source,
+                       CASE WHEN b.th IS NOT NULL THEN 0
+                            WHEN f.rn > 1 THEN 0 ELSE 1 END AS is_new
+                FROM firsts f LEFT JOIN base b ON f.th = b.th)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(is_new) AS BIGINT) AS n_new_unique
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def incremental_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the ingest-time shape: an arriving batch
+    (doc_id >= 250) is deduplicated against a PERSISTED hash index of the
+    existing corpus (doc_id < 250) plus itself (first occurrence per hash
+    wins), without ever rescanning old document text.
+
+    This is the operation that makes dedup sustainable at 100 TB: the
+    corpus is represented by its 8-byte hash index (persisted parquet,
+    appended per ingest), so per-batch cost is O(batch) + a join against
+    the index — not O(corpus). The index build here is idempotent
+    (overwrite into scratch); a real deployment appends the batch's new
+    hashes as the next ingest's index."""
+    from ..sources.io import scratch_path
+
+    d = tables(spark, sf_dir)["documents"]
+    h = d.select("doc_id", "source", hash64(F.col("text")).alias("th"))
+    sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = scratch_path("dedup_index", sf_key, "hashes")
+    # Index build (normally a prior ingest's output): distinct hashes of
+    # the existing corpus, hash-only parquet.
+    h.filter(F.col("doc_id") < 250).select("th").distinct().write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    base = spark.read.parquet(idx_path)
+
+    batch = h.filter(F.col("doc_id") >= 250)
+    w = Window.partitionBy("th").orderBy("doc_id")
+    firsts = batch.withColumn("rn", F.row_number().over(w))
+    flagged = firsts.join(
+        base.withColumn("__seen", F.lit(1)), "th", "left"
+    ).select(
+        "source",
+        F.when(F.col("__seen").isNotNull(), 0)
+        .when(F.col("rn") > 1, 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum("is_new").alias("n_new_unique"),
         )
         .orderBy("source")
     )
