@@ -32,6 +32,7 @@ from . import setops  # noqa: E402,F401
 from . import functions_surface  # noqa: E402,F401
 from . import llm_extras  # noqa: E402,F401
 from . import llm_wave3  # noqa: E402,F401
+from . import llm_wave4  # noqa: E402,F401
 from . import ch_aggregates  # noqa: E402,F401
 
 # Post-import re-rank (registration order above is coarse; the driver's
@@ -48,7 +49,10 @@ from . import ch_aggregates  # noqa: E402,F401
 #      they sit, so inside a capped window they'd waste hard-check slots.
 # Tiers 0-2 total 49 entries, so every driver-hash slot in a 50-entry
 # window lands on a query whose value hash actually gets compared.
-_LLM_MODS = {f"{__name__}.{m}" for m in ("llm", "llm_extras", "llm_wave3")}
+_LLM_MODS = {
+    f"{__name__}.{m}"
+    for m in ("llm", "llm_extras", "llm_wave3", "llm_wave4")
+}
 _MID_MODS = {
     f"{__name__}.{m}"
     for m in (
