@@ -8,7 +8,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.ch import ch_expr
 from .registry import query, tables
@@ -480,4 +480,125 @@ def tablesample_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(1 AS INT) AS has_big_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 250000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    ORDER BY c_custkey
+    """,
+)
+def exists_subquery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS predicates (grammar
+    ColumnExprSubqueryContext + NOT, ClickHouseParser.py:14920) via
+    ``spark.sql`` so Catalyst's subquery decorrelation is exercised
+    end-to-end: both predicates rewrite to left-semi / left-anti hash
+    joins on o_custkey — no per-row subquery execution, and at scale the
+    filtered orders side is small enough that AQE broadcasts it."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, CAST(1 AS INT) AS has_big_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                AS BIGINT) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — long-to-wide event counts per user. ``groupBy().pivot()``
+    with an EXPLICIT value list compiles to ONE pass of conditional
+    aggregates (pivot_first), exactly the CASE-WHEN form of the oracle;
+    omitting the list would cost an extra distinct-values job. One
+    map-side-combined shuffle on user_id; width is bounded by the value
+    list, so the plan is scale-independent of event volume."""
+    ev = tables(spark, sf_dir)["events"]
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    ).orderBy("user_id")
+
+
+@query(
+    "running_difference",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER w AS prev_value,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           COALESCE(value - prev_value, 0.0) AS value_delta,
+           CAST(COALESCE(epoch_us(ts) - epoch_us(prev_ts), 0)
+                AS BIGINT) AS micros_since_prev
+    FROM o WHERE user_id < 10 ORDER BY user_id, ts, event_id
+    """,
+)
+def running_difference_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``runningDifference`` — per-user delta of value and of
+    timestamp vs the previous event, as a lag window (the relational
+    form of CH's block-order-dependent original; PARTITION BY makes the
+    semantics deterministic, which CH itself recommends via
+    neighbor()/window functions now). Float-parity: value - prev_value
+    subtracts the identical doubles on both engines; time delta is
+    integer microseconds. One shuffle on user_id, sort within."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    tdelta = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).cast("long")
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.coalesce(delta, F.lit(0.0)).alias("value_delta"),
+            F.coalesce(tdelta, F.lit(0)).alias("micros_since_prev"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
     )
