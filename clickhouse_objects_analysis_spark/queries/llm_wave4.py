@@ -201,7 +201,14 @@ def unigram_logprob_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, not a driver scalar."""
     d = tables(spark, sf_dir)["documents"]
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    f = w.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    # Shared front (SCALE.md rule): the unigram table feeds BOTH the
+    # broadcast join and the corpus-total — checkpoint it once or the
+    # corpus-wide word count runs twice.
+    f = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .localCheckpoint(eager=False)
+    )
     t = f.agg(F.sum("wc").alias("total"))
     p = (
         w.join(F.broadcast(f), "w")

@@ -310,3 +310,41 @@ class TestBehavioralAggregates:
     def test_sum_map_partial_aggregates(self, spark, sf_dir):
         plan = plan_of(QUERIES["sum_map_by_user"](spark, sf_dir), "simple")
         assert "partial" in plan.lower()
+
+
+class TestWave4Plans:
+    """Scale shapes for the wave-4 LLM ops + relational surface adds."""
+
+    def test_exists_decorrelates_to_semi_anti_joins(self, spark, sf_dir):
+        plan = plan_of(QUERIES["exists_subquery"](spark, sf_dir), "simple")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_pivot_is_single_pass_conditional_agg(self, spark, sf_dir):
+        plan = plan_of(QUERIES["pivot_event_types"](spark, sf_dir), "simple")
+        assert "pivotfirst" in plan
+        # explicit value list → no extra distinct-values job, no join
+        assert "Join" not in plan
+
+    def test_gopher_rules_single_doc_shuffle_no_python(self, spark, sf_dir):
+        plan = plan_of(QUERIES["gopher_quality_rules"](spark, sf_dir), "simple")
+        assert "HashAggregate" in plan
+        assert "Python" not in plan and "mapInPandas" not in plan
+
+    def test_unigram_broadcasts_vocab(self, spark, sf_dir):
+        plan = plan_of(
+            QUERIES["unigram_logprob_quality"](spark, sf_dir), "simple"
+        )
+        assert "BroadcastHashJoin" in plan  # vocab-sized unigram table
+        assert "SortMergeJoin" not in plan
+
+    def test_knn_votes_stay_integer_and_broadcast_labels(self, spark, sf_dir):
+        plan = plan_of(QUERIES["knn_classify"](spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan  # labels side
+        assert "SortMergeJoin" not in plan
+
+    def test_running_difference_single_user_sort(self, spark, sf_dir):
+        plan = plan_of(QUERIES["running_difference"](spark, sf_dir), "simple")
+        assert plan.count("Window") == 1
+        assert "Python" not in plan
