@@ -84,17 +84,62 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_set_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-            }
-        )
-    )
+    sf = sf_of(SF_DIR)
+
+    # Full per-query timings: side file + an EARLY stdout line. The
+    # driver keeps only the last 2000 chars of stdout and json-parses the
+    # final line — a ~150-entry queries dict blows that budget (rounds 1-2
+    # recorded "parsed": null because the one fat line was truncated
+    # mid-dict). So the detail goes first, and the FINAL line is a compact
+    # headline subset guaranteed to fit the tail.
+    full = {
+        "metric": "total_query_set_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    print(json.dumps(full, separators=(",", ":")))
+
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q18_large_volume_customer",
+        "asof_join", "range_bin_join", "skew_salted_join",
+        "bucketed_colocated_join", "join_full_outer",
+        "grouping_sets", "quantiles", "with_totals",
+        "window_ranking", "window_funnel", "cumulative_daily_revenue",
+        "hypertable_rollup", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_clusters", "ngram_jaccard_pairs",
+        "semantic_dedup", "incremental_dedup_batch",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "knn_classify", "embedding_neardup_pairs",
+        "text_quality", "lang_id", "token_count", "doc_fingerprint",
+        "gopher_quality_rules", "tfidf_top_terms",
+        "decontaminate_ngram_overlap", "passage_chunking",
+        "multimodal_frame_sample", "streaming_tumbling_window",
+        "streaming_stateful_state", "streaming_dedup",
+        "lineage_edges", "lineage_transitive_closure",
+        "mutation_delete_where", "sink_partitioned_parquet",
+    ]
+    compact = {
+        "metric": "total_query_set_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {n: timings[n] for n in headline if n in timings},
+        "sf": sf,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

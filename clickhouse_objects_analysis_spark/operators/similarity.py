@@ -175,6 +175,11 @@ def cosine_topk(
             cmat = np.stack(pdf["v"].to_numpy())
             cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
             cos = cunit @ unit.T  # (batch, n_queries)
+            # Quantize to a 1e-9 grid (half-up) BEFORE any ranking: the
+            # oracle engine sums the dot product in a different order, and
+            # a ~1-ulp disagreement at the rank-k boundary would flip the
+            # neighbor set. Both sides rank the same quantized value.
+            cos = np.floor(cos * 1e9 + 0.5) / 1e9
             cos[cids[:, None] == ids[None, :]] = -np.inf  # self-matches out
             # Map-side top-k: only each batch's best `keep` candidates per
             # query reach the shuffle (partial top-k, like partial agg).

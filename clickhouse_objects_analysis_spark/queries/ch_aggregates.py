@@ -338,7 +338,8 @@ def batch_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (SELECT user_id, event_type,
                       SUM(CAST(value AS DECIMAL(18,2))) AS total
-               FROM events GROUP BY user_id, event_type)
+               FROM events WHERE value IS NOT NULL
+               GROUP BY user_id, event_type)
     SELECT user_id,
            string_agg(event_type || ':' || CAST(total AS VARCHAR), ','
                       ORDER BY event_type) AS type_totals
@@ -357,10 +358,17 @@ def sum_map_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     user are bounded by the type vocabulary, exactly sumMap's state), one
     shuffle on user_id for the final merge. DECIMAL(18,2) accumulation is
     exact and order-independent — a double SUM here would be partial-agg-
-    order dependent and fail the hash gate."""
+    order dependent and fail the hash gate.
+
+    NULL values are filtered BEFORE grouping on both sides: an all-NULL
+    (user, type) group would otherwise render as ``type:`` via concat_ws
+    (which skips NULLs) but vanish entirely from DuckDB's string_agg
+    (``x || NULL`` is NULL) — a latent hash divergence."""
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy("user_id", "event_type").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    s = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
     )
     return (
         s.groupBy("user_id")

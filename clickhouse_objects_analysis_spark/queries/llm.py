@@ -193,7 +193,8 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.query_id, e.vec_id AS corpus_id,
-               list_cosine_similarity(q.vq, e.v) AS cos
+               FLOOR(list_cosine_similarity(q.vq, e.v) * 1e9 + 0.5) / 1e9
+                   AS cos
         FROM q JOIN e ON e.vec_id <> q.query_id
     ),
     ranked AS (

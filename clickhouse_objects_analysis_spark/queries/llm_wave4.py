@@ -246,7 +246,8 @@ def unigram_logprob_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id, v, label FROM e WHERE vec_id >= 20),
     scored AS (
         SELECT q.query_id, c.vec_id AS corpus_id, c.label,
-               list_cosine_similarity(q.vq, c.v) AS cos
+               FLOOR(list_cosine_similarity(q.vq, c.v) * 1e9 + 0.5) / 1e9
+                   AS cos
         FROM q JOIN c ON TRUE
     ),
     ranked AS (

@@ -163,7 +163,8 @@ def streaming_mv_to_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT date_trunc('hour', ts) AS b, event_type,
-             COUNT(*) AS n, SUM(value) AS sv
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sv
       FROM events GROUP BY 1, 2
     ),
     d AS (
@@ -178,13 +179,13 @@ def streaming_mv_to_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
       SELECT 'hour'  AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
-             event_type, n, ROUND(sv, 2) AS total FROM h
+             event_type, n, CAST(ROUND(sv, 2) AS DOUBLE) AS total FROM h
       UNION ALL
       SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
-             ROUND(sv, 2) FROM d
+             CAST(ROUND(sv, 2) AS DOUBLE) FROM d
       UNION ALL
       SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
-             ROUND(sv, 2) FROM m
+             CAST(ROUND(sv, 2) AS DOUBLE) FROM m
     )
     ORDER BY level, bucket, event_type
     """,
@@ -198,11 +199,19 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads its parent, never the raw table. At 100 TB the hourly table is
     ~events/3600 rows and everything above it is metadata-sized; the raw
     scan happens exactly once, which is the entire point of the pattern.
-    Counts and sums are mergeable partials; avg = sv/n at read time."""
+    Counts and sums are mergeable partials; avg = sv/n at read time.
+
+    Per-row value is cast to DECIMAL(38,6) before the hourly sum so every
+    level accumulates identical exact quantities in both engines — a double
+    sum rounds differently at half-cent boundaries depending on partial-agg
+    order (this was round 2's only driver hash mismatch)."""
     e = tables(spark, sf_dir)["events"]
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("b"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+    )
     daily = hourly.groupBy(
         F.date_trunc("day", "b").alias("b"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
@@ -216,7 +225,7 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
             "event_type",
             "n",
-            F.round("sv", 2).alias("total"),
+            F.round("sv", 2).cast("double").alias("total"),
         )
 
     return (

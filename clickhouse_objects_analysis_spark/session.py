@@ -89,16 +89,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanosAsLong-read TIMESTAMP(NANOS) columns (raw int64 nanos)
-    to microsecond timestamps, truncating like a ns→us CAST would."""
+    """Normalize the ``ts`` column to a session-TZ TIMESTAMP regardless of
+    how the parquet stored it:
+
+    - TIMESTAMP(NANOS) read via nanosAsLong → int64 nanos → truncate to µs
+      (integer ``div`` keeps full int64 precision; a double division would
+      round above 2^53).
+    - naive ``timestamp[us]`` (no TZ, the current testdata shape) → Spark
+      reads TIMESTAMP_NTZ, which functions like ``unix_micros`` reject —
+      cast to TIMESTAMP; with the session pinned UTC the instant is
+      unchanged and matches DuckDB's naive reading."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            # integer `div` keeps full int64 precision (a double division
-            # would round above 2^53) and truncates like CAST(ns AS us).
-            df = df.withColumn(
-                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
-            )
+        if field.name == "ts":
+            if isinstance(field.dataType, LongType):
+                df = df.withColumn(
+                    field.name,
+                    F.expr(f"timestamp_micros({field.name} div 1000)"),
+                )
+            elif isinstance(field.dataType, TimestampNTZType):
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
+                )
     return df

@@ -283,7 +283,8 @@ class TestWindowFunnelDP:
 
     @staticmethod
     def _dp_level(events, window):
-        """Mirror of the applyInPandas DP in queries/ch_aggregates.py."""
+        """Reference model of the funnel DP whose relational form (strict-
+        range-frame running-max windows) ships in queries/ch_aggregates.py."""
         import pandas as pd
 
         step_of = {s: i for i, s in enumerate(TestWindowFunnelDP.STEPS)}
