@@ -25,7 +25,9 @@ from . import llm  # noqa: E402,F401
 from . import llm_extras  # noqa: E402,F401
 from . import llm_wave3  # noqa: E402,F401
 from . import llm_wave4  # noqa: E402,F401
+from . import llm_wave5  # noqa: E402,F401
 from . import ch_aggregates  # noqa: E402,F401
+from . import tpch_extra  # noqa: E402,F401
 from . import lineage_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import sources_queries  # noqa: E402,F401

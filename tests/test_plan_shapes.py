@@ -348,3 +348,62 @@ class TestWave4Plans:
         plan = plan_of(QUERIES["running_difference"](spark, sf_dir), "simple")
         assert plan.count("Window") == 1
         assert "Python" not in plan
+
+
+class TestWave5Plans:
+    """Scale shapes for the round-3 TPC-H adds + curation wave 5."""
+
+    def test_q6_all_filters_reach_the_scan(self, spark, sf_dir):
+        plan = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+        pushed = plan.split("PushedFilters")[1].splitlines()[0]
+        assert "l_shipdate" in pushed
+        assert "l_discount" in pushed
+        assert "l_quantity" in pushed
+        assert "Join" not in plan  # scan→agg, nothing else
+
+    def test_q10_broadcasts_nation_only_fact_join_shuffles(self, spark, sf_dir):
+        plan = plan_of(QUERIES["q10_returned_items"](spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan
+        # returnflag filter must reach the lineitem scan
+        full = plan_of(QUERIES["q10_returned_items"](spark, sf_dir))
+        assert "EqualTo(l_returnflag,R)" in full
+
+    def test_q14_q19_broadcast_part(self, spark, sf_dir):
+        for name in ("q14_promo_effect", "q19_discounted_revenue"):
+            plan = plan_of(QUERIES[name](spark, sf_dir), "simple")
+            assert "BroadcastHashJoin" in plan, name
+            assert "SortMergeJoin" not in plan, name
+            # disjunctive predicate must NOT degrade the equi join
+            assert "BroadcastNestedLoop" not in plan, name
+
+    def test_q17_decorrelated_aggregate_joined_back(self, spark, sf_dir):
+        plan = plan_of(QUERIES["q17_small_quantity_revenue"](spark, sf_dir), "simple")
+        # one per-part aggregate (partial+final), no per-row subquery re-exec
+        assert "HashAggregate" in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_q22_threshold_is_broadcast_not_recomputed(self, spark, sf_dir):
+        plan = plan_of(QUERIES["q22_global_sales_opportunity"](spark, sf_dir), "simple")
+        assert "LeftAnti" in plan  # never-ordered customers
+        assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+
+    def test_pii_scrub_is_map_only_no_python(self, spark, sf_dir):
+        plan = plan_of(QUERIES["pii_scrub"](spark, sf_dir), "simple")
+        # regexp redaction is a pure map stage: the only Exchange is the
+        # final global sort's range partitioner
+        assert "Python" not in plan
+        body = plan.split("Sort")[-1]
+        assert "Exchange" not in body or "rangepartitioning" in body
+
+    def test_source_cap_caps_map_side_before_shuffle(self, spark, sf_dir):
+        plan = plan_of(QUERIES["source_cap"](spark, sf_dir), "simple")
+        # Spark's WindowGroupLimit drops rows beyond the cap BEFORE the
+        # shuffle (Partial) and again after (Final) — at 100 TB only ≤15
+        # rows per source ever leave the map stage.
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "Python" not in plan
+
+    def test_winsorize_quantiles_broadcast_back(self, spark, sf_dir):
+        plan = plan_of(QUERIES["winsorize_doclen"](spark, sf_dir), "simple")
+        assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+        assert "Python" not in plan
