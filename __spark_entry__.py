@@ -68,13 +68,27 @@ _PRIOR_GREEN = frozenset((
 #   sum_map_by_user    — NULL-value pre-filter (never checked anyway)
 _RECHECK = ("hypertable_rollup", "ann_cosine_topk", "knn_classify")
 
+# Modules whose queries are brand-new in round 3 — new code outranks older
+# never-checked entries for the hard-check slots.
+_NEW_MODS = (
+    ".queries.tpch_extra",
+    ".queries.llm_wave5",
+)
+
 
 def _rank(name: str) -> int:
     if name in _RECHECK:
         return 0
     if name not in ORACLE:
-        return 3
-    return 2 if name in _PRIOR_GREEN else 1
+        return 4
+    mod = QUERIES[name].__module__
+    if mod.endswith(_NEW_MODS) or name in (
+        "streaming_stream_static_join",
+        "group_array_moving_sum",
+        "histogram_fixed_bins",
+    ):
+        return 1
+    return 3 if name in _PRIOR_GREEN else 2
 
 
 def _ordered() -> list[str]:

@@ -389,3 +389,102 @@ def sum_map_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "group_array_moving_sum",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS mv
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY event_id)
+               AS moving_sums
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def group_array_moving_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum(3)(value)``: per group, the array
+    of 3-element moving sums in event order. Relational form: one
+    rows-frame window (2 PRECEDING..CURRENT) over the (user, time) sort,
+    then the per-user array rendered as the canonical comma string (array
+    hashing differs across engines; the string is representation-portable).
+    DECIMAL(18,2) keeps every window sum exact; (ts, event_id) ordering is
+    tie-proof.
+
+    Scale shape: one shuffle on user_id; the window and the collect reuse
+    the same sort — no second exchange."""
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    m = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("mv"),
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "mv"))),
+                    lambda st: st["mv"].cast("string"),
+                ),
+                ",",
+            ).alias("moving_sums")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "histogram_fixed_bins",
+    oracle="""
+    WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+               FROM lineitem),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) / (b.hi - b.lo)
+                                * 10) AS BIGINT), 9) AS bin
+        FROM lineitem, b
+    )
+    SELECT bin, COUNT(*) AS n
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def histogram_fixed_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``histogram(10)(x)`` rendered as the deterministic
+    fixed-width variant (CH's adaptive bin centers are
+    streaming-order-dependent and so not even reproducible between two CH
+    runs; fixed-width over the exact [min, max] IS deterministic, which is
+    what a hash-checked histogram needs). Bin arithmetic runs in double on
+    identical operands — IEEE-deterministic; counts are integers.
+
+    Scale shape: min/max is one tiny all-reduce broadcast back; binning is
+    a map; the count shuffles 10 rows."""
+    li = tables(spark, sf_dir)["lineitem"]
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")

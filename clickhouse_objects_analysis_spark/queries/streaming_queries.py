@@ -13,6 +13,7 @@ from ..streaming.pipeline import (
     session_counts,
     sliding_counts,
     stateful_user_peaks,
+    stream_static_enrichment,
     tumbling_counts,
 )
 from .registry import query, tables
@@ -234,3 +235,35 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lvl(monthly, "month"))
         .orderBy("level", "bucket", "event_type")
     )
+
+
+@query(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, CAST(e.ts AS TIMESTAMP)) AS win_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY win_start, c_mktsegment
+    """,
+)
+def streaming_stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the JOIN-inside-a-materialized-view shape;
+    createStmt subquery clause reference ClickHouseParser.py:5617): the
+    purchase stream enriched against the broadcast customer dimension,
+    then a 1-day tumbling rollup per market segment. The dimension is
+    re-read per micro-batch — slowly-changing dims are picked up without
+    restarting the stream. Decimal accumulation keeps the replayed
+    stream's partial-agg order irrelevant to the hash gate."""
+    tables(spark, sf_dir)
+    res = stream_static_enrichment(spark, sf_dir)
+    return res.select(
+        F.col("win.start").alias("win_start"),
+        "c_mktsegment",
+        "n_purchases",
+        F.round("__sv", 2).cast("double").alias("total_value"),
+    ).orderBy("win_start", "c_mktsegment")

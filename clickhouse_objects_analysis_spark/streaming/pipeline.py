@@ -224,3 +224,30 @@ def materialized_view_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dest)
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (the dimension is read fresh per micro-batch, so a
+    slowly-changing dim is picked up between batches — Spark's native
+    semantics for this join). The static side is broadcast: no state
+    store, no stream-side shuffle for the join itself; only the windowed
+    aggregate keeps state. This is the MV-over-join shape ClickHouse
+    users build with a JOIN inside a materialized view's SELECT."""
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    agg = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__sv"),
+        )
+    )
+    _run_to_memory(agg, name)
+    return spark.table(name)

@@ -407,3 +407,15 @@ class TestWave5Plans:
         plan = plan_of(QUERIES["winsorize_doclen"](spark, sf_dir), "simple")
         assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
         assert "Python" not in plan
+
+    def test_moving_sum_window_and_collect_share_one_sort(self, spark, sf_dir):
+        plan = plan_of(QUERIES["group_array_moving_sum"](spark, sf_dir), "simple")
+        # one shuffle on user_id serves both the frame window and the
+        # per-user collect — no second hashpartitioning exchange
+        assert plan.count("hashpartitioning(user_id") == 1, plan
+        assert "Python" not in plan
+
+    def test_histogram_bounds_broadcast_back(self, spark, sf_dir):
+        plan = plan_of(QUERIES["histogram_fixed_bins"](spark, sf_dir), "simple")
+        assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
