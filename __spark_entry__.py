@@ -84,8 +84,11 @@ def _rank(name: str) -> int:
     mod = QUERIES[name].__module__
     if mod.endswith(_NEW_MODS) or name in (
         "streaming_stream_static_join",
+        "streaming_stream_stream_join",
         "group_array_moving_sum",
         "histogram_fixed_bins",
+        "named_window_clause",
+        "q12_priority_shipping",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

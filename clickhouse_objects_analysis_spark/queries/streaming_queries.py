@@ -14,6 +14,7 @@ from ..streaming.pipeline import (
     sliding_counts,
     stateful_user_peaks,
     stream_static_enrichment,
+    stream_stream_click_purchase,
     tumbling_counts,
 )
 from .registry import query, tables
@@ -180,13 +181,14 @@ def streaming_mv_to_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
       SELECT 'hour'  AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
-             event_type, n, CAST(ROUND(sv, 2) AS DOUBLE) AS total FROM h
+             event_type, CAST(n AS BIGINT) AS n,
+             CAST(ROUND(sv, 2) AS DOUBLE) AS total FROM h
       UNION ALL
-      SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
-             CAST(ROUND(sv, 2) AS DOUBLE) FROM d
+      SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+             CAST(n AS BIGINT), CAST(ROUND(sv, 2) AS DOUBLE) FROM d
       UNION ALL
-      SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n,
-             CAST(ROUND(sv, 2) AS DOUBLE) FROM m
+      SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+             CAST(n AS BIGINT), CAST(ROUND(sv, 2) AS DOUBLE) FROM m
     )
     ORDER BY level, bucket, event_type
     """,
@@ -267,3 +269,30 @@ def streaming_stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFram
         "n_purchases",
         F.round("__sv", 2).cast("double").alias("total_value"),
     ).orderBy("win_start", "c_mktsegment")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+               - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks × next-hour purchases per
+    user), watermarked on both sides so join state is evictable — the
+    hardest streaming primitive in SURVEY §2's streaming superset. The
+    batch oracle replays the identical interval join; integer-microsecond
+    gaps keep the hash gate exact."""
+    tables(spark, sf_dir)
+    res = stream_stream_click_purchase(spark, sf_dir)
+    return res.orderBy("click_id", "purchase_id")

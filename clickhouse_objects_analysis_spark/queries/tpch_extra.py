@@ -131,10 +131,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -366,4 +366,52 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * 0.1 * l.l_quantity
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY n.n_name, o_year
+    ORDER BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and ship year (the
+    testdata has no partsupp, so supply cost is proxied as 10% of
+    p_retailprice — the join topology, which is what Q9 exercises, is
+    unchanged). Three dimension joins, all broadcast (part-after-filter,
+    supplier, nation) — the fact table never shuffles before the final
+    per-(nation, year) aggregate, which map-side combines to ~25×7 rows
+    per task. Per-row profit arithmetic is IEEE-identical; accumulation
+    is decimal."""
+    t = tables(spark, sf_dir)
+    li, p, s, n = t["lineitem"], t["part"], t["supplier"], t["nation"]
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
     )

@@ -217,3 +217,36 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).cast("double").alias("daily_revenue"),
         F.round(F.sum("rev").over(w), 2).cast("double").alias("cumulative_revenue"),
     ).orderBy("ship_day")
+
+
+@query(
+    "named_window_clause",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 2)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, rn
+    """,
+)
+def named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (windowClause reference ClickHouseParser.py
+    :9618 via SelectStmtContext :8960): one spec shared by multiple
+    window functions — issued through spark.sql so the actual WINDOW
+    syntax surface is exercised, not just the Window-object API. Both
+    functions share one sort; decimal accumulation keeps the running sum
+    hash-exact."""
+    tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 2)
+                    AS DOUBLE) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, rn
+    """)

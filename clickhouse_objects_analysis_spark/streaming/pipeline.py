@@ -251,3 +251,59 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, name)
     return spark.table(name)
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to the
+    same user's purchases landing within the following hour. Both sides
+    carry watermarks and the join condition bounds event time in BOTH
+    directions, so Spark can size the join state and evict rows as the
+    watermark advances — the unbounded-state hazard of stream-stream
+    joins is engineered away. Append mode (the only mode stream-stream
+    joins support)."""
+    run_dir = os.path.join(SCRATCH, f"ss_{uuid.uuid4().hex[:8]}")
+    dest = os.path.join(run_dir, "dest")
+    ckpt = os.path.join(run_dir, "ckpt")
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)

@@ -62,6 +62,13 @@ def _cells_equal(a, b) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         try:
             if STRICT:
+                # Type KIND must match too: DuckDB's SUM(BIGINT) comes back
+                # HUGEINT → pandas float (123.0) while Spark emits int 123.
+                # Equal values, different hash reprs — exactly what the
+                # driver's value hash flags (round 2: hypertable_rollup).
+                # Fix the oracle with CAST(... AS BIGINT), don't coerce here.
+                if isinstance(a, float) != isinstance(b, float):
+                    return False
                 return float(a) == float(b)
             return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
         except (TypeError, ValueError):
