@@ -297,13 +297,22 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", dest)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The join's state-store partition count is pinned from
+    # shuffle.partitions at checkpoint creation — size it to stream
+    # throughput like every other pipeline here (32 state dirs cost ~2x
+    # the replay wall-clock at this volume).
+    from ..functions.settings import query_settings
+
+    with query_settings(
+        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+    ):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dest)
