@@ -89,6 +89,9 @@ def _rank(name: str) -> int:
         "histogram_fixed_bins",
         "named_window_clause",
         "q12_priority_shipping",
+        "array_cumsum_difference",
+        "conditional_distinct",
+        "topk_weighted",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

@@ -488,3 +488,81 @@ def histogram_fixed_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+@query(
+    "conditional_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                    THEN o_custkey END) AS BIGINT)
+               AS urgent_customers,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS all_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def conditional_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqExactIf(o_custkey, cond)`` — the -If combinator
+    fused onto an exact distinct count (combinator convention via the
+    generic function rule, ClickHouseParser.py:15571). Spark plans both
+    distinct aggregates through expand + two-phase hash aggregate —
+    map-side partial distinct before any shuffle; integer-exact output."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+            ).alias("urgent_customers"),
+            F.count_distinct("o_custkey").alias("all_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "topk_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               SUM(CAST(value AS DECIMAL(18,2))) AS weight
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    r AS (SELECT event_type, weight,
+                 row_number() OVER (ORDER BY weight DESC, event_type) AS rnk
+          FROM w)
+    SELECT CAST(rnk AS INT) AS rnk, event_type,
+           CAST(ROUND(weight, 2) AS DOUBLE) AS weight
+    FROM r WHERE rnk <= 3 ORDER BY rnk
+    """,
+)
+def topk_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(3)(event_type, value)``: heaviest keys
+    by summed weight, not occurrence count. Exact decimal weights so the
+    rank boundary can't drift; the aggregate map-side combines to one row
+    per key before the single-partition top-3 (a vocabulary-sized sort at
+    any corpus scale)."""
+    ev = tables(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
+    from pyspark.sql import Window
+
+    w = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("weight")
+    )
+    r = w.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("weight").desc(), "event_type")
+        ),
+    )
+    return (
+        r.filter(F.col("rnk") <= 3)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "event_type",
+            F.round("weight", 2).cast("double").alias("weight"),
+        )
+        .orderBy("rnk")
+    )

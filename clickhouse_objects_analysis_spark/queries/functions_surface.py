@@ -394,3 +394,83 @@ def with_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ship").cast("long").alias("n_ship"),
         F.col("avg_price").alias("last_known_price"),
     ).orderBy("ship_day")
+
+
+@query(
+    "array_cumsum_difference",
+    oracle="""
+    WITH q AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w_cum AS BIGINT)
+                   AS cum,
+               CAST(COALESCE(CAST(l_quantity AS BIGINT)
+                             - lag(CAST(l_quantity AS BIGINT)) OVER w_ord,
+                             0) AS BIGINT) AS diff
+        FROM lineitem WHERE l_orderkey < 1000
+        WINDOW w_cum AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_ord AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey)
+    )
+    SELECT l_orderkey,
+           string_agg(CAST(cum AS VARCHAR), ','
+                      ORDER BY l_linenumber, l_partkey, l_suppkey)
+               AS cum_qty,
+           string_agg(CAST(diff AS VARCHAR), ','
+                      ORDER BY l_linenumber, l_partkey, l_suppkey)
+               AS qty_diff
+    FROM q GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def array_cumsum_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayCumSum`` / ``arrayDifference`` (array-in,
+    array-out higher-order functions; grammar ColumnExprFunction
+    reference ClickHouseParser.py:15571). The Spark-first form computes
+    the per-element values as WINDOW functions over the exploded rows —
+    whole-stage-codegen, one sort per group — and only then packs the
+    arrays, instead of per-array O(n²) lambda folds (HOFs are
+    CodegenFallback: interpreted per element). l_quantity is integral →
+    BIGINT arithmetic, hash-exact; arrays render as canonical comma
+    strings (portable across engines' array hashing)."""
+    from pyspark.sql import Window
+
+    li = tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") < 1000)
+    # l_linenumber alone is NOT unique per order in the synthetic data —
+    # (linenumber, partkey, suppkey) is; an ambiguous window order would
+    # let the two engines pick different-but-valid lag sequences.
+    order_cols = ["l_linenumber", "l_partkey", "l_suppkey"]
+    w_cum = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lag = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    qty = F.col("l_quantity").cast("long")
+    q = li.select(
+        "l_orderkey",
+        *order_cols,
+        F.sum(qty).over(w_cum).alias("cum"),
+        F.coalesce(qty - F.lag(qty).over(w_lag), F.lit(0)).alias("diff"),
+    )
+
+    def packed(col: str):
+        return F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(*order_cols, col))
+                ),
+                lambda st: st[col].cast("string"),
+            ),
+            ",",
+        )
+
+    return (
+        q.groupBy("l_orderkey")
+        .agg(
+            packed("cum").alias("cum_qty"),
+            packed("diff").alias("qty_diff"),
+        )
+        .orderBy("l_orderkey")
+    )
