@@ -161,3 +161,60 @@ def winsorize_doclen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "decontaminate_exact_substring",
+    oracle="""
+    WITH evals AS (
+        SELECT doc_id AS eval_id,
+               substr(text, 21, 12) AS passage
+        FROM documents
+        WHERE doc_id % 97 = 0 AND length(text) >= 40
+    ),
+    hits AS (
+        SELECT d.doc_id, e.eval_id
+        FROM documents d JOIN evals e
+          ON d.doc_id <> e.eval_id
+         AND position(e.passage IN d.text) > 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontaminate_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the GPT-3/PaLM-style verbatim
+    check, complementing the n-gram-overlap variant in llm_extras): flag
+    training documents containing any eval passage verbatim. The eval
+    side is a bounded benchmark set → broadcast; the train corpus streams
+    through a BroadcastNestedLoop contains-join, which IS the
+    scale-correct shape here: no join key exists, the broadcast side is
+    ~kB-sized, and the 100 TB side is never shuffled. For eval sets too
+    big to nested-loop, the n-gram variant (hash-join on shingles) is the
+    documented escalation path."""
+    d = tables(spark, sf_dir)["documents"]
+    evals = d.filter(
+        (F.col("doc_id") % 97 == 0) & (F.length("text") >= 40)
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        # 12-char passages: the synthetic word-salad corpus has no long
+        # verbatim repeats, so a realistic 50-gram passage would make this
+        # check vacuously empty — short passages exercise the operator;
+        # the passage length is a parameter in a real pipeline.
+        F.substring("text", 21, 12).alias("passage"),
+    )
+    hits = d.join(
+        F.broadcast(evals),
+        (F.col("doc_id") != F.col("eval_id"))
+        & (F.col("text").contains(F.col("passage"))),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .orderBy("doc_id")
+    )
