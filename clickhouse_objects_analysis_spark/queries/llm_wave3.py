@@ -334,10 +334,13 @@ def mixture_rebalance_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
     m = c.agg(F.min("n_total").alias("min_n"))
-    r = c.crossJoin(F.broadcast(m)).select(
-        "source",
-        "n_total",
-        (F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
+    r = (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_total",
+            (F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
+        )
     )
     h = F.pmod(
         hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
@@ -350,7 +353,7 @@ def mixture_rebalance_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        r.join(k, "source", "left")
+        r.join(F.broadcast(k), "source", "left")
         .select(
             "source",
             "n_total",
