@@ -92,6 +92,7 @@ def _rank(name: str) -> int:
         "array_cumsum_difference",
         "conditional_distinct",
         "topk_weighted",
+        "mixture_temperature_sample",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

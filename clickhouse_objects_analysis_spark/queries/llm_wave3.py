@@ -822,3 +822,67 @@ def embedding_label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_total
+               FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_total) AS min_n FROM c),
+    r AS (SELECT c.source, c.n_total,
+                 SQRT(CAST(m.min_n AS DOUBLE) / c.n_total) AS rate
+          FROM c CROSS JOIN m),
+    k AS (SELECT d.source, COUNT(*) AS n_kept
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE {_HASH64.format(expr="CAST(doc_id AS VARCHAR) || ':temp'")}
+                % 1000000 < CAST(FLOOR(r.rate * 1000000 + 0.5) AS BIGINT)
+          GROUP BY d.source)
+    SELECT r.source AS source, CAST(r.n_total AS BIGINT) AS n_total,
+           ROUND(r.rate, 6) AS rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k ON r.source = k.source
+    ORDER BY r.source
+    """,
+)
+def mixture_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α=0.5): per-source keep rate
+    (min_n/n_s)^α interpolates between uniform rebalancing (α=1) and
+    leaving the natural mix (α=0) — the standard multilingual/multi-domain
+    smoothing step. α is fixed at 0.5 so the rate is a SQRT, which IEEE
+    requires to be correctly rounded (generic pow is not — a 1-ulp
+    divergence at a keep boundary would flip a document between engines);
+    the rate is then quantized to the 1e-6 hash grid half-up on both
+    sides, so the keep decision compares integers.
+
+    Same scale shape as mixture_rebalance_uniform: one counting pass
+    broadcast back, one map-side hash-predicate pass, no document
+    shuffle."""
+    d = tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    m = c.agg(F.min("n_total").alias("min_n"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_total",
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
+    )
+    h = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+        1000000,
+    )
+    k = (
+        d.join(F.broadcast(r), "source")
+        .filter(h < F.floor(F.col("rate") * 1000000 + 0.5).cast("long"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(F.broadcast(k), "source", "left")
+        .select(
+            "source",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

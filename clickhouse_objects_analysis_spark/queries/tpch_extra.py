@@ -415,3 +415,178 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
         .orderBy("nation", "o_year")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6)) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+        JOIN region r    ON r.r_regionkey = nc.n_regionkey
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+        JOIN part p      ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+          AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(ROUND(
+               CAST(SUM(CASE WHEN supp_nation = 'Nation01' THEN volume
+                             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region's part-type
+    volume per year — the deepest star shape in the suite (two
+    independent nation lookups on customer and supplier sides, a region
+    roll-in, and a part filter). Every dimension broadcasts; the only
+    shuffles are the lineitem-orders key join and the final per-year
+    aggregate. Share = ratio of two exact decimal sums, divided once in
+    double."""
+    t = tables(spark, sf_dir)
+    li, o, c, s, n, p, r = (
+        t["lineitem"], t["orders"], t["customer"], t["supplier"],
+        t["nation"], t["part"], t["region"],
+    )
+    region_name = r.agg(F.min("r_name")).first()[0]
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == region_name)),
+            F.col("nc_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(_DEC)
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(_DEC)
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "Nation01", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed how many orders (including
+    zero) — LEFT OUTER join preserved through a two-level aggregate. The
+    outer join shuffles on custkey; the second aggregate is
+    vocabulary-sized (distinct order counts) and map-side combines.
+    COUNT(o_orderkey) counts non-NULL only, so no-order customers land in
+    the 0 bucket on both engines."""
+    t = tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    co = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(38,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the quarter's max revenue — the
+    view-plus-scalar-subquery shape. The per-supplier revenue aggregate
+    is computed once and self-compared against its broadcast max (exact
+    decimal, so ties are engine-identical); supplier is broadcast for
+    the name lookup."""
+    t = tables(spark, sf_dir)
+    li, s = t["lineitem"], t["supplier"]
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
