@@ -93,6 +93,10 @@ def _rank(name: str) -> int:
         "conditional_distinct",
         "topk_weighted",
         "mixture_temperature_sample",
+        "final_replacing_read",
+        "with_fill_numeric",
+        "weighted_median",
+        "linear_regression_agg",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

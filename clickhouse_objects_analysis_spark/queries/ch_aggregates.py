@@ -566,3 +566,140 @@ def topk_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cumw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+        FROM w
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median
+    FROM c WHERE 2 * cumw >= total
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5)(price, qty)``: the
+    weighted median — smallest value whose cumulative weight reaches half
+    the total. The threshold compares ``2*cumw >= total`` in BIGINT (the
+    weights are integral), so no double division can drift the boundary;
+    ties in the sort key can't change the answer because the selected
+    value is the MIN price in the crossing block.
+
+    Scale shape: one shuffle on the group key, one sort serving both the
+    running and total windows, then a min-aggregate. (Like all exact
+    quantiles, per-group data must co-locate; the approx twin for
+    100 TB is approx_quantiles.)"""
+    li = tables(spark, sf_dir)["lineitem"]
+    from pyspark.sql import Window
+
+    wt = F.col("l_quantity").cast("long")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wt).over(w_cum).alias("cumw"),
+        F.sum(wt).over(w_all).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "linear_regression_agg",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sx,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+               SUM(CAST(l_extendedprice * l_extendedprice
+                        AS DECIMAL(38,6))) AS syy,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(ROUND(
+             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+           AS DOUBLE) AS slope,
+           CAST(ROUND(
+             (CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                                     - sx * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+             / n, 6) AS DOUBLE) AS intercept,
+           CAST(ROUND(
+             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS DOUBLE) AS corr_xy
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def linear_regression_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` + ``corr(x, y)`` per
+    group, from exact accumulated moments: integer sums for x (quantity
+    is integral), DECIMAL(38,6) sums for y, xy, y² — so every moment is
+    order-independent — then slope/intercept/corr evaluated ONCE per
+    group in double with the IDENTICAL expression tree on both engines
+    (ops on identical operands are IEEE-deterministic; SQRT is correctly
+    rounded). The built-in F.corr/F.regr_* aggregates stream doubles and
+    would be partial-order-dependent — unusable under a hash gate.
+
+    Scale shape: one map-side-combined aggregate; five moments per group
+    is the whole shuffle payload."""
+    li = tables(spark, sf_dir)["lineitem"]
+    qd = F.col("l_quantity").cast("long")
+    price = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).alias("sx"),
+        F.sum(qd * qd).alias("sxx"),
+        F.sum(price.cast("decimal(38,6)")).alias("sy"),
+        F.sum((price * price).cast("decimal(38,6)")).alias("syy"),
+        F.sum((F.col("l_quantity") * price).cast("decimal(38,6)")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx")
+    sxd = F.col("sx").cast("double")
+    sxx = F.col("sxx")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (n * sxyd - sx * syd) / (n * F.col("sxx").cast("double") - sxd * sx)
+    intercept = (syd - slope * sx) / n
+    corr = (n * sxyd - sx * syd) / F.sqrt(
+        (n * F.col("sxx").cast("double") - sxd * sx) * (n * syyd - syd * syd)
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round(intercept, 6).cast("double").alias("intercept"),
+        F.round(corr, 6).cast("double").alias("corr_xy"),
+    ).orderBy("l_returnflag")

@@ -474,3 +474,46 @@ def array_cumsum_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "with_fill_numeric",
+    oracle="""
+    WITH sizes AS (
+        SELECT p_size, COUNT(*) AS n_parts
+        FROM part WHERE p_retailprice > 1800 GROUP BY p_size
+    ),
+    axis AS (SELECT unnest(generate_series(1, 50, 1)) AS p_size)
+    SELECT CAST(a.p_size AS INT) AS p_size,
+           CAST(COALESCE(s.n_parts, 0) AS BIGINT) AS n_parts
+    FROM axis a LEFT JOIN sizes s ON a.p_size = s.p_size
+    ORDER BY p_size
+    """,
+)
+def with_fill_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric ORDER BY ... WITH FILL FROM 1 TO 51 STEP 1 (the integer-
+    axis variant of with_fill_days; OrderExprContext WITH FILL accessors
+    reference ClickHouseParser.py:11204). The sparse per-size histogram
+    of expensive parts densifies onto the full 1..50 size axis with
+    zero-filled gaps — same operators.fill.with_fill machinery, numeric
+    step instead of an INTERVAL."""
+    from ..operators.fill import with_fill
+
+    p = tables(spark, sf_dir)["part"]
+    sizes = (
+        p.filter(F.col("p_retailprice") > 1800)
+        .groupBy("p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    filled = with_fill(
+        sizes,
+        "p_size",
+        step=F.lit(1),
+        from_=F.lit(1),
+        to=F.lit(50),
+        fill_zero=["n_parts"],
+    )
+    return filled.select(
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+    ).orderBy("p_size")

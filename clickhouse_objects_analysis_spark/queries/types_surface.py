@@ -274,3 +274,70 @@ def url_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query_string"),
     ).orderBy("doc_id")
+
+
+@query(
+    "final_replacing_read",
+    oracle="""
+    WITH versioned AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS ver
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, 2 AS ver
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY ver DESC) AS rn
+        FROM versioned
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS total
+    FROM final WHERE rn = 1
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def final_replacing_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree ``SELECT ... FINAL`` (FINAL accessor in the
+    grammar's tableExpr area; engine clause EngineExprContext reference
+    ClickHouseParser.py:6180): collapse multiple versions of a row to the
+    latest at READ time. The version stream here is synthesized
+    deterministically (every 10th order gets a v2 with changed status and
+    price) so the collapse is observable without writing scratch state.
+
+    Spark-first form: the latest-version-wins rule is ONE row_number
+    window over (key ORDER BY ver DESC) — and Spark's WindowGroupLimit
+    drops superseded versions map-side before the shuffle, which is
+    exactly the merge-on-read behavior FINAL promises (cost O(versions),
+    not O(history), per key)."""
+    o = tables(spark, sf_dir)["orders"]
+    v1 = o.select("o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("ver"))
+    v2 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("ver"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ver").desc())
+    final = (
+        v1.unionByName(v2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
