@@ -97,6 +97,9 @@ def _rank(name: str) -> int:
         "with_fill_numeric",
         "weighted_median",
         "linear_regression_agg",
+        "delta_sum_agg",
+        "min_max_map_by_user",
+        "bounding_ratio_agg",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

@@ -703,3 +703,173 @@ def linear_regression_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).cast("double").alias("intercept"),
         F.round(corr, 6).cast("double").alias("corr_xy"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "delta_sum_agg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               lag(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS pv
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           CAST(ROUND(SUM(CASE WHEN pv IS NOT NULL AND v > pv THEN v - pv
+                               ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE) AS delta_sum
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def delta_sum_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum(value)``: the sum of positive increments in
+    the time-ordered series — counter-style metrics (monotonic totals
+    with resets) reduce to this. One lag window over the (user, time)
+    sort, decimal differences, map-side-combined final sum; (ts,
+    event_id) ordering is tie-proof."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_type") == "view")
+    v = F.col("value").cast("decimal(18,2)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", v.alias("v"), F.lag(v).over(w).alias("pv"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pv").isNotNull() & (F.col("v") > F.col("pv")),
+                        F.col("v") - F.col("pv"),
+                    ).otherwise(zero)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("delta_sum")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "min_max_map_by_user",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      MIN(CAST(value AS DECIMAL(18,2))) AS mn,
+                      MAX(CAST(value AS DECIMAL(18,2))) AS mx
+               FROM events WHERE value IS NOT NULL
+               GROUP BY user_id, event_type)
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(mn AS VARCHAR), ','
+                      ORDER BY event_type) AS min_map,
+           string_agg(event_type || ':' || CAST(mx AS VARCHAR), ','
+                      ORDER BY event_type) AS max_map
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def min_max_map_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap``: per-key extrema merged across
+    rows — the same mergeable-map state as sumMap with min/max combine.
+    Canonical sorted key:value strings keep the map representation
+    portable across engines' map hashing."""
+    ev = tables(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
+    v = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.min(v).alias("mn"), F.max(v).alias("mx")
+    )
+
+    def render(col: str):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("event_type", col))),
+                lambda st: F.concat_ws(
+                    ":", st["event_type"], st[col].cast("string")
+                ),
+            ),
+            ",",
+        )
+
+    return (
+        s.groupBy("user_id")
+        .agg(
+            render("mn").alias("min_map"),
+            render("mx").alias("max_map"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "bounding_ratio_agg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rf,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT user_id,
+               MAX(CASE WHEN rf = 1 THEN value END) AS first_v,
+               MAX(CASE WHEN rl = 1 THEN value END) AS last_v,
+               MIN(t) AS t0, MAX(t) AS t1
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(ROUND((last_v - first_v) / (CAST(t1 - t0 AS DOUBLE) / 1e6),
+                      6) AS DOUBLE) AS bounding_ratio
+    FROM g WHERE t1 > t0 ORDER BY user_id
+    """,
+)
+def bounding_ratio_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio(ts, value)``: slope between the
+    first and last point of each user's series — (last−first value) /
+    (last−first second). The endpoint values come from max_by/min_by on
+    a composite integer key (µs*1e6 + event_id) so timestamp ties
+    resolve identically on both engines; the one division runs in
+    double on identical operands."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    # endpoint selection via tie-broken row_number windows: a composite
+    # integer key (us*K + event_id) overflows int64 under ANSI mode, and
+    # DuckDB would widen to HUGEINT — diverging, not just erroring
+    w_f = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    e = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_l).alias("rl"),
+    )
+    g = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("first_v"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("last_v"),
+        F.min("t").alias("t0"),
+        F.max("t").alias("t1"),
+    )
+    return (
+        g.filter(F.col("t1") > F.col("t0"))
+        .select(
+            "user_id",
+            F.round(
+                (F.col("last_v") - F.col("first_v"))
+                / ((F.col("t1") - F.col("t0")).cast("double") / 1e6),
+                6,
+            )
+            .cast("double")
+            .alias("bounding_ratio"),
+        )
+        .orderBy("user_id")
+    )
