@@ -100,6 +100,9 @@ def _rank(name: str) -> int:
         "delta_sum_agg",
         "min_max_map_by_user",
         "bounding_ratio_agg",
+        "sequence_count_agg",
+        "skew_kurt_agg",
+        "multi_search_any",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

@@ -873,3 +873,154 @@ def bounding_ratio_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "sequence_count_agg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               ts, event_id
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    pre AS (
+        SELECT user_id, is_p,
+               SUM(is_p - is_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS excess
+        FROM e
+    )
+    SELECT user_id,
+           CAST(SUM(is_p) - GREATEST(MAX(excess), 0) AS BIGINT)
+               AS n_matches
+    FROM pre GROUP BY user_id
+    HAVING SUM(is_p) > 0 AND SUM(1 - is_p) > 0
+    ORDER BY user_id
+    """,
+)
+def sequence_count_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')(ts, signup, purchase)``:
+    the number of DISJOINT signup→purchase pairs per user (greedy
+    non-overlapping matching). The greedy scan is a running state, but
+    it has a closed window form: matched = total_purchases −
+    max(0, max_prefix(cum_purchases − cum_signups)) — the bracket-
+    matching identity (a purchase is unmatched iff it extends the
+    maximal prefix excess of purchases over signups). One running-sum
+    window over the (user, time) sort, integer-exact, no Python and no
+    per-row state machine."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    is_s = F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = ev.select(
+        "user_id",
+        is_p.alias("is_p"),
+        is_s.alias("is_s"),
+        F.sum(is_p - is_s).over(w).alias("excess"),
+    )
+    g = pre.groupBy("user_id").agg(
+        F.sum("is_p").alias("np"),
+        F.sum("is_s").alias("ns"),
+        F.max("excess").alias("mx"),
+    )
+    return (
+        g.filter((F.col("np") > 0) & (F.col("ns") > 0))
+        .select(
+            "user_id",
+            (F.col("np") - F.greatest(F.col("mx"), F.lit(0)))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "skew_kurt_agg",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS s1,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS s2,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS s3,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(ROUND(
+             (CAST(s3 AS DOUBLE)/n
+              - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                 *(CAST(s1 AS DOUBLE)/n))
+             / POWER(CAST(s2 AS DOUBLE)/n
+                     - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5),
+           6) AS DOUBLE) AS skew_pop,
+           CAST(ROUND(
+             (CAST(s4 AS DOUBLE)/n
+              - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+              + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                 *(CAST(s2 AS DOUBLE)/n)
+              - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                 *(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / ((CAST(s2 AS DOUBLE)/n
+                 - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                * (CAST(s2 AS DOUBLE)/n
+                   - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))),
+           6) AS DOUBLE) AS kurt_pop
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def skew_kurt_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` from exact integer power sums
+    (l_quantity is integral, so s1..s4 are exact BIGINTs in any
+    accumulation order — q^4 ≤ 6.25e6 keeps even sf-100 sums inside
+    int64), evaluated once per group in double with the identical
+    central-moment expression tree on both engines. POWER(x, 1.5) =
+    x*sqrt(x) is avoided as a rewrite precisely because both engines
+    must run the SAME operator — they do (pow with literal 1.5).
+
+    Same scale shape as linear_regression_agg: one map-side-combined
+    aggregate, four moments per group."""
+    li = tables(spark, sf_dir)["lineitem"]
+    q = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3 * mean * (F.col("s2").cast("double") / n)
+        + 2 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4 * mean * (F.col("s3").cast("double") / n)
+        + 6 * mean * mean * (F.col("s2").cast("double") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).cast("double").alias("skew_pop"),
+        F.round(m4 / (m2 * m2), 6).cast("double").alias("kurt_pop"),
+    ).orderBy("l_returnflag")

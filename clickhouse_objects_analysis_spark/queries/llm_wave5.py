@@ -218,3 +218,37 @@ def decontaminate_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multi_search_any",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN position('spark' IN text) > 0
+                      OR position('vector' IN text) > 0
+                      OR position('stream' IN text) > 0
+                THEN 1 ELSE 0 END AS INT) AS has_any,
+           CAST((CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('vector' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('stream' IN text) > 0 THEN 1 ELSE 0 END)
+                AS INT) AS n_terms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multi_search_any_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``multiSearchAny(text, ['spark','vector','stream'])``
+    plus the per-term hit count (multiMatchAny family; generic function
+    rule ClickHouseParser.py:15571). Plain substring containment — no
+    regex engine — in whole-stage codegen; the term list is a literal
+    (broadcast-free). The keyword-filter primitive of corpus triage."""
+    d = tables(spark, sf_dir)["documents"]
+    terms = ["spark", "vector", "stream"]
+    flags = [
+        F.when(F.col("text").contains(t), 1).otherwise(0) for t in terms
+    ]
+    n_terms = flags[0] + flags[1] + flags[2]
+    return d.select(
+        "doc_id",
+        F.when(n_terms > 0, 1).otherwise(0).cast("int").alias("has_any"),
+        n_terms.cast("int").alias("n_terms"),
+    ).orderBy("doc_id")

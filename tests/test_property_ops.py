@@ -323,3 +323,45 @@ class TestWindowFunnelDP:
             got = self._dp_level(events, window)
             want = self._brute_level(events, window)
             assert got == want, (case, events, window, got, want)
+
+
+class TestSequenceCountIdentity:
+    """The closed form in sequence_count_agg — matched = P −
+    max(0, max_prefix(cumP − cumS)) — against the greedy scan it
+    replaces, on exhaustive-ish random streams."""
+
+    @staticmethod
+    def _greedy(seq):
+        avail = matched = 0
+        for ev in seq:
+            if ev == "s":
+                avail += 1
+            elif avail > 0:
+                avail -= 1
+                matched += 1
+        return matched
+
+    @staticmethod
+    def _closed_form(seq):
+        cum = mx = p = 0
+        for ev in seq:
+            cum += 1 if ev == "p" else -1
+            p += ev == "p"
+            mx = max(mx, cum)
+        return p - max(mx, 0)
+
+    def test_identity_on_random_streams(self):
+        import random
+
+        rng = random.Random(42)
+        for trial in range(2000):
+            n = rng.randrange(0, 12)
+            seq = [rng.choice("sp") for _ in range(n)]
+            assert self._greedy(seq) == self._closed_form(seq), seq
+
+    def test_identity_exhaustive_short(self):
+        from itertools import product
+
+        for n in range(0, 10):
+            for seq in product("sp", repeat=n):
+                assert self._greedy(seq) == self._closed_form(seq), seq
