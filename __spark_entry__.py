@@ -103,6 +103,8 @@ def _rank(name: str) -> int:
         "sequence_count_agg",
         "skew_kurt_agg",
         "multi_search_any",
+        "group_bit_agg",
+        "interval_length_sum",
     ):
         return 1
     return 3 if name in _PRIOR_GREEN else 2

@@ -1024,3 +1024,114 @@ def skew_kurt_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).cast("double").alias("skew_pop"),
         F.round(m4 / (m2 * m2), 6).cast("double").alias("kurt_pop"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "group_bit_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(CAST(o_custkey AS BIGINT)) AS BIGINT) AS band,
+           CAST(bit_or(CAST(o_custkey AS BIGINT)) AS BIGINT) AS bor,
+           CAST(bit_xor(CAST(o_custkey AS BIGINT)) AS BIGINT) AS bxor
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def group_bit_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd/Or/Xor``: bitwise-fold aggregates
+    (bitmask accumulation). Bitwise ops are associative+commutative, so
+    any partial-agg order gives identical results — the rare float-free
+    aggregate family that's hash-gate-safe with zero discipline."""
+    o = tables(spark, sf_dir)["orders"]
+    k = F.col("o_custkey").cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(k).alias("band"),
+            F.bit_or(k).alias("bor"),
+            F.bit_xor(k).alias("bxor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "interval_length_sum",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS lo,
+               epoch_us(ts) + CAST(3600e6 AS BIGINT) AS hi
+        FROM events WHERE event_type = 'view'
+    ),
+    flagged AS (
+        SELECT user_id, lo, hi,
+               CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                        PARTITION BY user_id ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, lo, hi,
+               SUM(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY lo, hi
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(SUM(len) / 1000000) AS BIGINT) AS covered_sec
+    FROM (SELECT user_id, island, MAX(hi) - MIN(lo) AS len
+          FROM islands GROUP BY user_id, island)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_length_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum(start, end)``: total length covered
+    by a set of possibly-overlapping intervals (each view event opens a
+    1-hour attention window; overlaps must not double-count). Classic
+    gaps-and-islands: an interval starts a new island iff its start
+    exceeds the running max end of everything before it; island id is
+    the running sum of those flags; covered = Σ per-island (max end −
+    min start). Two windows over ONE (user, lo) sort plus two
+    aggregates, all integer microseconds — no sweep-line state machine,
+    no Python."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_type") == "view")
+    lo = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        lo.alias("lo"),
+        (lo + F.lit(3600_000_000).cast("long")).alias("hi"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("lo")
+            > F.coalesce(
+                F.max("hi").over(w_prev),
+                F.lit(-9223372036854775808).cast("long"),
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    per_island = flagged.groupBy("user_id", "island").agg(
+        (F.max("hi") - F.min("lo")).alias("len")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.floor(F.sum("len") / 1000000).cast("long").alias("covered_sec")
+        )
+        .orderBy("user_id")
+    )
