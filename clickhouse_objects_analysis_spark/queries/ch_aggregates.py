@@ -823,7 +823,7 @@ def min_max_map_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(ROUND((last_v - first_v) / (CAST(t1 - t0 AS DOUBLE) / 1e6),
-                      6) AS DOUBLE) AS bounding_ratio
+                      6) + 0.0 AS DOUBLE) AS bounding_ratio
     FROM g WHERE t1 > t0 ORDER BY user_id
     """,
 )
@@ -863,11 +863,14 @@ def bounding_ratio_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter(F.col("t1") > F.col("t0"))
         .select(
             "user_id",
-            F.round(
+            # + 0.0 normalizes IEEE negative zero: round(-1e-9, 6) is
+            # -0.0 on one engine and 0.0 on the other — equal under ==,
+            # different under a value hash
+            (F.round(
                 (F.col("last_v") - F.col("first_v"))
                 / ((F.col("t1") - F.col("t0")).cast("double") / 1e6),
                 6,
-            )
+            ) + F.lit(0.0))
             .cast("double")
             .alias("bounding_ratio"),
         )

@@ -69,6 +69,11 @@ def _cells_equal(a, b) -> bool:
                 # Fix the oracle with CAST(... AS BIGINT), don't coerce here.
                 if isinstance(a, float) != isinstance(b, float):
                     return False
+                # IEEE -0.0 == 0.0 but hashes differently — sign matters
+                if float(a) == 0.0 and float(b) == 0.0:
+                    return math.copysign(1.0, float(a)) == math.copysign(
+                        1.0, float(b)
+                    )
                 return float(a) == float(b)
             return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
         except (TypeError, ValueError):
