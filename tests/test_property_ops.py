@@ -365,3 +365,64 @@ class TestSequenceCountIdentity:
         for n in range(0, 10):
             for seq in product("sp", repeat=n):
                 assert self._greedy(seq) == self._closed_form(seq), seq
+
+
+class TestIntervalMergeIdentity:
+    """interval_length_sum's gaps-and-islands covered-length against a
+    brute-force sweep over the merged interval set."""
+
+    @staticmethod
+    def _brute_simple(intervals):
+        pts = set()
+        for lo, hi in intervals:
+            pts.update(range(lo, hi))
+        return len(pts)
+
+    @staticmethod
+    def _islands(intervals):
+        """Mirror of the window formulation in interval_length_sum."""
+        ivs = sorted(intervals)
+        total = 0
+        cur_lo = cur_hi = None
+        for lo, hi in ivs:
+            if cur_hi is None or lo > cur_hi:
+                if cur_hi is not None:
+                    total += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        if cur_hi is not None:
+            total += cur_hi - cur_lo
+        return total
+
+    def test_identity_on_random_interval_sets(self):
+        import random
+
+        rng = random.Random(7)
+        for _ in range(500):
+            n = rng.randrange(0, 10)
+            ivs = []
+            for _ in range(n):
+                lo = rng.randrange(0, 40)
+                ivs.append((lo, lo + rng.randrange(1, 12)))
+            assert self._islands(ivs) == self._brute_simple(ivs), ivs
+
+
+class TestWeightedMedianModel:
+    def test_matches_numpy_model(self, spark, sf_dir):
+        import pandas as pd
+
+        from clickhouse_objects_analysis_spark.queries import QUERIES
+
+        got = (
+            QUERIES["weighted_median"](spark, sf_dir)
+            .toPandas()
+            .set_index("l_returnflag")["weighted_median"]
+        )
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        for rf, grp in li.groupby("l_returnflag"):
+            g = grp.sort_values("l_extendedprice")
+            cumw = g["l_quantity"].cumsum()
+            total = g["l_quantity"].sum()
+            model = g.loc[2 * cumw >= total, "l_extendedprice"].iloc[0]
+            assert got.loc[rf] == model, rf
