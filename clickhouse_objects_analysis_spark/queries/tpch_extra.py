@@ -590,3 +590,79 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS INT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'Nation01' AND nc.n_name = 'Nation02')
+        OR (ns.n_name = 'Nation02' AND nc.n_name = 'Nation01'))
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations in both directions —
+    the symmetric-disjunction join predicate over customer- and
+    supplier-side nation lookups. With q7 the suite covers every TPC-H
+    query expressible on this schema (q2/q4/q11/q16/q20/q21 need
+    partsupp or commit/receipt dates, which the testdata omits). Both
+    nation dimensions and supplier broadcast; the nation-pair filter
+    applies after the (already nation-restricted) broadcast joins, so
+    only matching-nation rows survive to the fact-fact shuffle."""
+    t = tables(spark, sf_dir)
+    li, s, o, c, n = (
+        t["lineitem"], t["supplier"], t["orders"], t["customer"], t["nation"]
+    )
+    pair = ("Nation01", "Nation02")
+    ns = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        _DEC
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
