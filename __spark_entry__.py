@@ -4,14 +4,16 @@ Delegates to clickhouse_objects_analysis_spark.queries — the named,
 oracle-checked registry covering SURVEY.md §2 (relational core, custom
 operators, lineage pipeline, LLM-data ops, streaming slice).
 
-The driver's CORRECTNESS pass hash-checks the FIRST 50 entries of
-``queries()`` only (observed rounds 1-2), so the ordering returned here is
-a grader-facing concern and lives in this shim, NOT in the library
-registry (which stays in natural module order for users): queries changed
-this round come first, then oracled queries that have never earned a green
-driver row, then previously-green oracled queries, then rows-only entries
-(which get only the weaker no-oracle check wherever they sit, so inside a
-capped window they'd waste hard-check slots).
+Ordering: the round-3 ADVICE (high) flagged the previous rank machinery
+(a hard-coded prior-green list permanently buried below the driver's
+50-entry window) as harness gaming; it is gone. What remains is the
+single explicit rotation the round-3 VERDICT directed ("Next round: do
+this" #2): the 27 oracled queries that have never had a driver-side
+correctness row — plus queries whose implementation changed this round,
+which must re-earn their row — come first, then the registry in its
+natural module order. The rotation list is deleted next round, leaving
+plain natural order; full-registry verification is
+tools/local_parity.py, which checks every entry every round.
 """
 
 from __future__ import annotations
@@ -22,98 +24,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_objects_analysis_spark.queries import ORACLE, QUERIES
 
-# Queries with a green (rows+schema+hash) row in CORRECTNESS_r01/r02.
-_PRIOR_GREEN = frozenset((
-    "ann_cosine_topk", "any_join", "arg_max_min", "array_functions",
-    "array_join_explode", "asof_join", "case_cast",
-    "char_entropy_quality", "conditional_agg", "count_distinct",
-    "cte_and_subquery", "cumulative_daily_revenue",
-    "curation_pipeline_report", "curriculum_quality_buckets",
-    "date_functions", "decontaminate_ngram_overlap", "dedup_clusters",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "deterministic_sample", "doc_fingerprint",
-    "embedding_label_centroids", "embedding_neardup_pairs",
-    "embedding_quantize_int8", "except_q", "gopher_quality_rules",
-    "group_array", "group_by_all", "group_by_cube", "group_by_having",
-    "group_by_rollup", "grouping_sets", "in_subquery",
-    "incremental_dedup_batch", "intersect_q", "join_anti", "join_cross",
-    "join_full_outer", "join_left_outer", "join_semi", "join_theta",
-    "join_using", "json_functions", "knn_classify", "lang_id",
-    "limit_by", "limit_with_ties", "lineage_catalog_views",
-    "lineage_edges", "lineage_edges_ch_dialect",
-    "lineage_nodes_classified", "lineage_transitive_closure",
-    "math_functions", "mixture_rebalance_uniform",
-    "multimodal_frame_sample", "multimodal_metadata",
-    "multimodal_resize", "ngram_jaccard_pairs", "normalize_text_dedup",
-    "order_by_nulls_limit_offset", "passage_chunking",
-    "q1_pricing_summary", "q3_shipping_priority", "quantiles",
-    "range_bin_join", "repetition_ngram_filter", "scan_filter_project",
-    "semantic_dedup", "sequence_packing", "source_numbers",
-    "source_quality_report", "stratified_sample_source",
-    "streaming_dedup", "streaming_mv_to_dest",
-    "streaming_session_window", "streaming_sliding_window",
-    "streaming_stateful_state", "streaming_tumbling_window",
-    "string_functions", "text_quality", "tfidf_top_terms",
-    "token_count", "token_length_histogram", "top_k",
-    "train_val_test_split", "unigram_logprob_quality", "union_all",
-    "union_distinct", "vocab_top_terms", "window_first_last_ntile",
-    "window_lag_lead", "window_range_frame", "window_ranking",
-    "window_rows_frame", "with_totals",
-))
+#: Round-4 rotation (VERDICT.md round 3, "What's missing" #1 / "Next
+#: round" #2): oracled queries with no green row in any committed
+#: CORRECTNESS_r*.json, in registry order — recomputed, not curated.
+_NEVER_DRIVER_CHECKED = (
+    "source_json_roundtrip", "sink_partitioned_parquet",
+    "insert_select_ctas", "table_function_file", "mutation_delete_where",
+    "mutation_update", "optimize_deduplicate", "ttl_expiry",
+    "enum_decode", "nested_type_roundtrip", "topk_frequent",
+    "collate_order", "projection_aggregate", "url_functions",
+    "dict_get_lookup", "map_functions", "decimal_uint64_arithmetic",
+    "ch_function_translation", "bucketed_colocated_join",
+    "correlated_scalar_subquery", "select_except_settings",
+    "skew_salted_join", "q5_local_supplier_volume",
+    "q18_large_volume_customer", "exists_subquery", "pivot_event_types",
+    "running_difference",
+)
 
-# Changed this round (round 3) — their prior green row no longer certifies
-# the current code, so they must re-earn one inside the window:
-#   hypertable_rollup  — decimal-sum fix for round 2's red hash row
-#   ann_cosine_topk / knn_classify — 1e-9 cosine quantization before rank
-#   sum_map_by_user    — NULL-value pre-filter (never checked anyway)
-_RECHECK = ("hypertable_rollup", "ann_cosine_topk", "knn_classify")
-
-# Modules whose queries are brand-new in round 3 — new code outranks older
-# never-checked entries for the hard-check slots.
-_NEW_MODS = (
-    ".queries.tpch_extra",
-    ".queries.llm_wave5",
+#: Implementation changed in round 4 — prior green rows no longer
+#: certify the current code, so these re-enter the window first.
+_CHANGED_THIS_ROUND = (
+    "linear_regression_agg",   # decimal(38,6) moments -> int64 hi/lo splits
 )
 
 
-def _rank(name: str) -> int:
-    if name in _RECHECK:
-        return 0
-    if name not in ORACLE:
-        return 4
-    mod = QUERIES[name].__module__
-    if mod.endswith(_NEW_MODS) or name in (
-        "streaming_stream_static_join",
-        "streaming_stream_stream_join",
-        "group_array_moving_sum",
-        "histogram_fixed_bins",
-        "named_window_clause",
-        "q12_priority_shipping",
-        "array_cumsum_difference",
-        "conditional_distinct",
-        "topk_weighted",
-        "mixture_temperature_sample",
-        "final_replacing_read",
-        "with_fill_numeric",
-        "weighted_median",
-        "linear_regression_agg",
-        "delta_sum_agg",
-        "min_max_map_by_user",
-        "bounding_ratio_agg",
-        "sequence_count_agg",
-        "skew_kurt_agg",
-        "multi_search_any",
-        "group_bit_agg",
-        "interval_length_sum",
-    ):
-        return 1
-    return 3 if name in _PRIOR_GREEN else 2
-
-
 def _ordered() -> list[str]:
-    names = list(QUERIES)
-    pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (_rank(n), pos[n]))
+    head = [n for n in _CHANGED_THIS_ROUND + _NEVER_DRIVER_CHECKED
+            if n in QUERIES]
+    seen = set(head)
+    return head + [n for n in QUERIES if n not in seen]
 
 
 def entry(spark: SparkSession) -> DataFrame:

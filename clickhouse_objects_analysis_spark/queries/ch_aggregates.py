@@ -455,8 +455,10 @@ def group_array_moving_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
                FROM lineitem),
     binned AS (
-        SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) / (b.hi - b.lo)
-                                * 10) AS BIGINT), 9) AS bin
+        SELECT CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(CAST(FLOOR((l_extendedprice - b.lo)
+                                          / (b.hi - b.lo) * 10) AS BIGINT),
+                               9) END AS bin
         FROM lineitem, b
     )
     SELECT bin, COUNT(*) AS n
@@ -469,7 +471,10 @@ def histogram_fixed_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-order-dependent and so not even reproducible between two CH
     runs; fixed-width over the exact [min, max] IS deterministic, which is
     what a hash-checked histogram needs). Bin arithmetic runs in double on
-    identical operands — IEEE-deterministic; counts are integers.
+    identical operands — IEEE-deterministic; counts are integers. A
+    degenerate all-equal column (hi = lo) maps every row to bin 0 on both
+    engines — without the guard Spark's floor(0/0=NaN) yields NULL while
+    DuckDB's CAST(NaN AS BIGINT) errors.
 
     Scale shape: min/max is one tiny all-reduce broadcast back; binning is
     a map; the count shuffles 10 rows."""
@@ -478,14 +483,18 @@ def histogram_fixed_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
     binned = li.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor(
-                (F.col("l_extendedprice") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * 10
-            ).cast("long"),
-            F.lit(9).cast("long"),
-        ).alias("bin")
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
 
@@ -630,73 +639,98 @@ def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "linear_regression_agg",
     oracle="""
-    WITH m AS (
+    WITH b AS (
         SELECT l_returnflag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(l_quantity AS BIGINT)) AS sx,
-               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-                   AS sxx,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
-               SUM(CAST(l_extendedprice * l_extendedprice
-                        AS DECIMAL(38,6))) AS syy,
-               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                   AS sxy
-        FROM lineitem GROUP BY l_returnflag
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM b GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            CAST(ROUND(
-             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6)
            AS DOUBLE) AS slope,
            CAST(ROUND(
-             (CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
-                                     - sx * CAST(sy AS DOUBLE))
-               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+             (sy / 100.0
+              - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * sx)
              / n, 6) AS DOUBLE) AS intercept,
            CAST(ROUND(
-             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                    * (n * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
            AS DOUBLE) AS corr_xy
     FROM m ORDER BY l_returnflag
     """,
 )
 def linear_regression_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``simpleLinearRegression(x, y)`` + ``corr(x, y)`` per
-    group, from exact accumulated moments: integer sums for x (quantity
-    is integral), DECIMAL(38,6) sums for y, xy, y² — so every moment is
-    order-independent — then slope/intercept/corr evaluated ONCE per
-    group in double with the IDENTICAL expression tree on both engines
-    (ops on identical operands are IEEE-deterministic; SQRT is correctly
-    rounded). The built-in F.corr/F.regr_* aggregates stream doubles and
-    would be partial-order-dependent — unusable under a hash gate.
+    group, from exact integer moments: x = quantity (integral), y = price
+    in integer cents (prices carry exactly 2 decimal digits), so every
+    moment sum is an exact order-independent integer, then slope /
+    intercept / corr are evaluated ONCE per group in double with the
+    IDENTICAL expression tree on both engines. The built-in
+    F.corr/F.regr_* aggregates stream doubles and would be
+    partial-order-dependent — unusable under a hash gate.
 
-    Scale shape: one map-side-combined aggregate; five moments per group
-    is the whole shuffle payload."""
+    All hot-path arithmetic is int64 (whole-stage codegen; the round-3
+    version summed DECIMAL(38,6) products — a per-row interpreted
+    BigDecimal path that cost 7.3 s at sf0.1 for a 3-row answer). Sums
+    that could exceed int64 at large scale (sy, sxy, y²) accumulate as
+    hi/lo integer splits — quotient and remainder by a fixed divisor sum
+    separately, each staying far inside int64 up to ~1e11 rows per group
+    (≈ 100 TB of lineitem) — and are reconstructed exactly in
+    decimal(38,0) on the handful of group rows. DuckDB sums BIGINT into
+    HUGEINT natively, so the oracle needs no split; both engines cast the
+    same exact integer to double, which IEEE-rounds identically.
+
+    Scale shape: one map-side-combined aggregate; nine int64 moments per
+    group is the whole shuffle payload."""
     li = tables(spark, sf_dir)["lineitem"]
-    qd = F.col("l_quantity").cast("long")
-    price = F.col("l_extendedprice")
-    m = li.groupBy("l_returnflag").agg(
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    # Split divisors sized so hi and lo sums balance: per-row bounds are
+    # y ≤ 1.1e7 cents, x*y ≤ 5.5e8, y*y ≤ 1.2e14.
+    m = b.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(qd).alias("sx"),
-        F.sum(qd * qd).alias("sxx"),
-        F.sum(price.cast("decimal(38,6)")).alias("sy"),
-        F.sum((price * price).cast("decimal(38,6)")).alias("syy"),
-        F.sum((F.col("l_quantity") * price).cast("decimal(38,6)")).alias("sxy"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.expr("y DIV 10000")).alias("sy_hi"),
+        F.sum(F.expr("y % 10000")).alias("sy_lo"),
+        F.sum(F.expr("x * y DIV 100000")).alias("sxy_hi"),
+        F.sum(F.expr("x * y % 100000")).alias("sxy_lo"),
+        F.sum(F.expr("y * y DIV 10000000")).alias("syy_hi"),
+        F.sum(F.expr("y * y % 10000000")).alias("syy_lo"),
     )
-    n = F.col("n")
-    sx = F.col("sx")
+
+    def _join(hi: str, lo: str, div: int):  # exact reconstruct, per group
+        return (
+            F.col(hi).cast("decimal(38,0)") * F.lit(div) + F.col(lo)
+        ).cast("double")
+
+    nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
-    sxx = F.col("sxx")
-    syd = F.col("sy").cast("double")
-    syyd = F.col("syy").cast("double")
-    sxyd = F.col("sxy").cast("double")
-    slope = (n * sxyd - sx * syd) / (n * F.col("sxx").cast("double") - sxd * sx)
-    intercept = (syd - slope * sx) / n
-    corr = (n * sxyd - sx * syd) / F.sqrt(
-        (n * F.col("sxx").cast("double") - sxd * sx) * (n * syyd - syd * syd)
-    )
+    sxxd = F.col("sxx").cast("double")
+    syd = _join("sy_hi", "sy_lo", 10000)
+    sxyd = _join("sxy_hi", "sxy_lo", 100000)
+    syyd = _join("syy_hi", "syy_lo", 10000000)
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    slope = num / denx / F.lit(100.0)
+    intercept = (syd / F.lit(100.0) - num / denx / F.lit(100.0) * sxd) / nd
+    corr = num / F.sqrt(denx * deny)
     return m.select(
         "l_returnflag",
         F.round(slope, 6).cast("double").alias("slope"),
@@ -830,10 +864,12 @@ def min_max_map_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bounding_ratio_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``boundingRatio(ts, value)``: slope between the
     first and last point of each user's series — (last−first value) /
-    (last−first second). The endpoint values come from max_by/min_by on
-    a composite integer key (µs*1e6 + event_id) so timestamp ties
-    resolve identically on both engines; the one division runs in
-    double on identical operands."""
+    (last−first second). Endpoint values are selected by tie-broken
+    row_number windows over (ts, event_id) — ascending for the first
+    point, descending for the last — so timestamp ties resolve
+    identically on both engines (a composite integer key µs*K+event_id
+    was rejected: it overflows int64 under ANSI mode, see inline
+    comment); the one division runs in double on identical operands."""
     from pyspark.sql import Window
 
     ev = tables(spark, sf_dir)["events"].filter(

@@ -457,7 +457,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"], t["orders"], t["customer"], t["supplier"],
         t["nation"], t["part"], t["region"],
     )
-    region_name = r.agg(F.min("r_name")).first()[0]
+    # the MIN(r_name) scalar stays in the plan as a broadcast join (like
+    # q15/q22's thresholds) — no Spark job at DataFrame-build time
+    r_sel = r.join(
+        F.broadcast(r.agg(F.min("r_name").alias("min_r_name"))),
+        F.col("r_name") == F.col("min_r_name"),
+    ).select("r_regionkey")
     nc = n.select(
         F.col("n_nationkey").alias("nc_key"),
         F.col("n_regionkey").alias("nc_region"),
@@ -471,10 +476,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
-        .join(
-            F.broadcast(r.filter(F.col("r_name") == region_name)),
-            F.col("nc_region") == F.col("r_regionkey"),
-        )
+        .join(F.broadcast(r_sel), F.col("nc_region") == F.col("r_regionkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .select(
