@@ -45,6 +45,11 @@ _NEVER_DRIVER_CHECKED = (
 #: certify the current code, so these re-enter the window first.
 _CHANGED_THIS_ROUND = (
     "linear_regression_agg",   # decimal(38,6) moments -> int64 hi/lo splits
+    "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
+    "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
+    "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)
+    "ann_lsh_topk",            # rows-only -> recall gate vs exact (oracled)
+    "ann_ivf_topk",            # rows-only -> recall gate vs exact (oracled)
 )
 
 

@@ -315,30 +315,79 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles")  # approx sketch ≠ bit-exact across engines → rows-only
+@query(
+    "approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_in_bound,
+           TRUE AS p99_in_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quantileTDigest-style approximate percentiles → percentile_approx
-    (sketch-based; at 100 TB this is the one to use — single-pass, mergeable,
-    bounded memory per group)."""
+    (sketch-based; at 100 TB this is the one to use — single-pass,
+    mergeable, bounded memory per group).
+
+    The sketch value itself is engine-specific, but its ERROR BOUND is a
+    deterministic claim: percentile_approx(accuracy=10000) guarantees
+    rank error ≤ 1e-4·N, so the estimate must lie between the exact
+    interpolated percentiles at q ∓ 0.02 (a 200× margin). The query
+    emits that bound check as booleans next to the exact group count —
+    fully oracle-checkable while still exercising the sketch path."""
     li = tables(spark, sf_dir)["lineitem"]
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
-            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
-        )
-        .orderBy("l_returnflag")
+    qe = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.48), F.lit(0.52), F.lit(0.97)),
     )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("a99"),
+        qe.alias("qe"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        ((F.col("a50") >= F.col("qe")[0]) & (F.col("a50") <= F.col("qe")[1]))
+        .alias("p50_in_bound"),
+        ((F.col("a99") >= F.col("qe")[2]) & (F.col("a99") <= F.col("mx")))
+        .alias("p99_in_bound"),
+    ).orderBy("l_returnflag")
 
 
-@query("approx_count_distinct")  # HLL sketch ≠ bit-exact across engines → rows-only
+@query(
+    "approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS uniq_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse uniq/uniqHLL12 (reference ClickHouseParser.py:15571) →
     approx_count_distinct (HyperLogLog++). The exact variant is
-    `count_distinct` below."""
+    `count_distinct` below.
+
+    The HLL estimate is engine-specific, but its relative-error bound is
+    deterministic: at rsd=0.01 the estimate must sit within 5% of the
+    exact count (5× the configured rsd). The query emits the exact count
+    plus that bound check, making the sketch driver-checkable."""
     li = tables(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("uniq_orders"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("uniq_orders").cast("long").alias("uniq_orders"),
+        (
+            F.abs(F.col("approx") - F.col("uniq_orders"))
+            <= 0.05 * F.col("uniq_orders")
+        ).alias("within_bound"),
     ).orderBy("l_returnflag")
 
 

@@ -461,26 +461,43 @@ def q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tablesample_fraction")
+@query(
+    "tablesample_fraction",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS within_5sigma
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def tablesample_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random TABLESAMPLE (SAMPLE ratio without OFFSET — the probabilistic
     variant next to deterministic_sample's hash-mod): ``df.sample`` plants
     a per-partition Bernoulli filter directly above the scan, so sampling
-    is pushdown-adjacent (no shuffle, no state). Seeded for run-to-run
-    reproducibility at fixed partitioning, but the row set is partition-
-    layout-dependent — hence rows-only (no cross-engine oracle), like
-    every sketch. Output aggregates the sample so the driver row-count
-    check is stable-ish in expectation."""
+    is pushdown-adjacent (no shuffle, no state). The sampled row SET is
+    partition-layout-dependent, so no oracle can reproduce it — but the
+    binomial concentration claim is deterministic: per group, the sampled
+    count must land within 5σ of n·p (σ = √(n·p·(1−p)); for the smallest
+    test group that is still a ±4% corridor, crossed with probability
+    < 1e-6). The query emits the exact per-group total plus that bound
+    check, making the sampler driver-checkable."""
     li = tables(spark, sf_dir)["lineitem"]
-    return (
-        li.sample(fraction=0.1, seed=42)
+    p = 0.1
+    samp = (
+        li.sample(fraction=p, seed=42)
         .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        )
-        .orderBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
     )
+    tot = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    j = tot.join(samp, "l_returnflag", "left").na.fill({"n_samp": 0})
+    mean = F.col("n_total") * F.lit(p)
+    sigma = F.sqrt(F.col("n_total") * F.lit(p * (1 - p)))
+    return j.select(
+        "l_returnflag",
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.abs(F.col("n_samp") - mean) <= F.lit(5.0) * sigma)
+        .alias("within_5sigma"),
+    ).orderBy("l_returnflag")
 
 
 @query(

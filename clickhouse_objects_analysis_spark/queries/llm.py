@@ -219,7 +219,44 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # candidate set is algorithm-specific → rows-only
+_ANN_GATE_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS mean_recall_ok,
+           TRUE AS every_query_hit
+    FROM embeddings WHERE vec_id < 10
+    """
+
+
+def _ann_recall_gate(exact: DataFrame, approx: DataFrame,
+                     mean_threshold: float) -> DataFrame:
+    """Recall of an approximate top-k against the exact top-k, emitted as
+    a deterministic gate row: the candidate SET is algorithm-specific
+    (not SQL-expressible), but with seeded hyperplanes / seeded k-means
+    the achieved recall is a fixed number, so `recall ≥ threshold` is an
+    oracle-checkable claim. Thresholds sit well under the measured floor
+    at sf0.001/0.01/0.1 so the gate tests the algorithm, not noise."""
+    ex = exact.select("query_id", "corpus_id")
+    hits = ex.join(approx.select("query_id", "corpus_id"),
+                   ["query_id", "corpus_id"], "left_semi")
+    per_q = (
+        ex.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .na.fill({"n_hit": 0})
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.sum("n_hit") / F.sum("n_exact") >= F.lit(mean_threshold))
+        .alias("mean_recall_ok"),
+        (F.min("n_hit") >= 1).alias("every_query_hit"),
+    )
+
+
+@query("ann_lsh_topk", oracle=_ANN_GATE_ORACLE)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane buckets): the
     100 TB path — shuffle on small int bucket keys instead of an n² cross
@@ -228,18 +265,21 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5, (planes=8, tables=4) → recall 0.06 @ 13% of corpus scored;
     (6,8) → 0.26 @ 13%; (5,12) → 0.60 @ 33%; (4,16) → 0.96 @ 64% (barely
     sublinear). (5,12) is the honest middle; corpora with real near-dup
-    structure (cos ≥ 0.8) sit far up the S-curve and need fewer tables."""
+    structure (cos ≥ 0.8) sit far up the S-curve and need fewer tables.
+
+    Output is the recall gate vs the exact top-5 (measured mean recall
+    0.58–0.82 across sf0.001/0.01/0.1, min 2-of-5 per query; gate at
+    mean ≥ 0.5, every query ≥ 1) — see _ann_recall_gate."""
     e = tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    res = lsh_cosine_topk(
+    approx = lsh_cosine_topk(
         e, q, "vec_id", "embedding", k=5, dim=64, n_planes=5, n_tables=12
     )
-    return res.withColumn("rank", F.col("rank").cast("long")).orderBy(
-        "query_id", "rank"
-    )
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    return _ann_recall_gate(exact, approx, mean_threshold=0.5)
 
 
-@query("ann_ivf_topk")  # candidate set is algorithm-specific → rows-only
+@query("ann_ivf_topk", oracle=_ANN_GATE_ORACLE)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-k (operators.similarity.ivf_cosine_topk):
     spherical-k-means coarse quantizer on a bounded sample, map-only
@@ -249,13 +289,17 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (32, 8) → 0.74 @ 25%; (64, 8) → 0.46–0.62 @ 12%. Strictly dominates
     the LSH variant here (LSH needed 33% scanned for recall 0.60) because
     learned centroids adapt to the data while hyperplanes are oblivious.
-    """
+
+    Output is the recall gate vs the exact top-5 (measured mean recall
+    0.72–0.74 across sf0.001/0.01/0.1, min 2-of-5 per query; gate at
+    mean ≥ 0.6, every query ≥ 1) — see _ann_recall_gate."""
     e = tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    res = ivf_cosine_topk(
+    approx = ivf_cosine_topk(
         e, q, "vec_id", "embedding", k=5, n_centroids=32, n_probe=8
     )
-    return res.orderBy("query_id", "rank")
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    return _ann_recall_gate(exact, approx, mean_threshold=0.6)
 
 
 @query(
