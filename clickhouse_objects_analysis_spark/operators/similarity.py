@@ -82,66 +82,94 @@ def cosine_pairs(
     """All pairs (id_a < id_b) with cosine >= threshold — exact baseline,
     block-nested loop.
 
-    The corpus is hash-split into ``nb = ceil(n·dim·8 / max_block_bytes)``
-    blocks; each loop iteration collects ONE block (bounded by
-    max_block_bytes — the driver never holds the whole corpus), broadcasts
-    it, and streams the full corpus against it with one BLAS matmul per
-    Arrow batch. A pair (a,b), a<b, is emitted exactly once: in the
-    iteration whose block contains b (the broadcast side). Total work is
-    the same O(n²·dim) flops as a single broadcast; the corpus is re-read
-    nb times — the classic BNL trade that removes the driver/executor
-    memory ceiling. Pair *vectors* never hit the shuffle: the naive join
-    moves O(pairs·dim), this moves O(nb·n·dim) scan + O(result).
+    The corpus is hash-split into ``nb`` blocks, each bounded by
+    ``max_block_bytes``; every unordered block pair (p ≤ q) becomes one
+    cogroup, whose worker gets the two blocks as dense matrices and runs
+    ONE BLAS matmul — entirely executor-side (the round-3 version
+    round-tripped each block through the driver as toPandas()+broadcast;
+    now the driver never touches a corpus row). A pair (a,b) is emitted
+    exactly once: cross-block pairs live in exactly one (p,q) group, and
+    the diagonal groups keep only the id-ordered triangle. Shuffle volume
+    is O(n·nb·dim) replicated rows + O(result) — the naive pair join
+    would move O(n²·dim). ``nb`` also floors at the square root of the
+    cluster parallelism so the nb(nb+1)/2 groups keep every core busy
+    even when the corpus fits one block.
     At real scale prefer lsh_cosine_topk / ivf_cosine_topk; this is the
     labeled exact oracle."""
+    spark = emb.sparkSession
     src = emb.select(
         F.col(id_col).cast("long").alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     )
     n = src.count()
     if n == 0:
-        return src.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos double"
-        )
+        return spark.createDataFrame([], "id_a long, id_b long, cos double")
     dim = len(src.select("v").head()[0])
-    nb = max(1, -(-(n * dim * 8) // max_block_bytes))
-    sc = src.sparkSession.sparkContext
-
-    def scorer(bc):
-        def score(batches):
-            blk_ids, blk_unit = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                bids = pdf["id"].to_numpy()
-                bmat = np.stack(pdf["v"].to_numpy())
-                bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
-                cos = bunit @ blk_unit.T  # (batch, block)
-                keep = (cos >= threshold) & (bids[:, None] < blk_ids[None, :])
-                ai, bj = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "id_a": pd.Series(bids[ai], dtype="int64"),
-                        "id_b": pd.Series(blk_ids[bj], dtype="int64"),
-                        "cos": pd.Series(cos[ai, bj], dtype="float64"),
-                    }
-                )
-
-        return score
-
-    out = None
-    for j in range(nb):
-        rows = src.filter(F.pmod(F.xxhash64("id"), F.lit(nb)) == j).toPandas()
-        if len(rows) == 0:
-            continue
-        ids = rows["id"].to_numpy()
-        mat = np.stack(rows["v"].to_numpy())
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        bc = sc.broadcast((ids, unit))
-        part = src.mapInPandas(
-            scorer(bc), schema="id_a long, id_b long, cos double"
+    nb_mem = -(-(n * dim * 8) // max_block_bytes)
+    par = spark.sparkContext.defaultParallelism
+    nb_par = int(np.ceil((np.sqrt(8 * par + 1) - 1) / 2))  # nb(nb+1)/2 >= par
+    nb = int(max(1, nb_mem, nb_par))
+    a = src.withColumn(
+        "g", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
+    )
+    pairs = spark.createDataFrame(
+        [(p, q) for p in range(nb) for q in range(p, nb)], "p int, q int"
+    )
+    # two independent lineages of the same corpus (qualified aliases keep
+    # the cogroup self-join unambiguous)
+    left = (
+        a.alias("L")
+        .join(F.broadcast(pairs.alias("PL")), F.col("L.g") == F.col("PL.p"))
+        .select(
+            F.col("PL.p").alias("p"), F.col("PL.q").alias("q"),
+            F.col("L.id").alias("id"), F.col("L.v").alias("v"),
         )
-        out = part if out is None else out.unionAll(part)
+    )
+    right = (
+        a.alias("R")
+        .join(F.broadcast(pairs.alias("PR")), F.col("R.g") == F.col("PR.q"))
+        .select(
+            F.col("PR.p").alias("p"), F.col("PR.q").alias("q"),
+            F.col("R.id").alias("id"), F.col("R.v").alias("v"),
+        )
+    )
+
+    def score(key, lpdf, rpdf):
+        p, q = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        lids = lpdf["id"].to_numpy()
+        lmat = np.stack(lpdf["v"].to_numpy())
+        lunit = lmat / np.linalg.norm(lmat, axis=1, keepdims=True)
+        rids = rpdf["id"].to_numpy()
+        rmat = np.stack(rpdf["v"].to_numpy())
+        runit = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+        cos = lunit @ runit.T  # (|p|, |q|)
+        keep = cos >= threshold
+        if p == q:  # diagonal group sees both orders — keep one triangle
+            keep &= lids[:, None] < rids[None, :]
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(
+                    np.minimum(lids[ai], rids[bj]), dtype="int64"
+                ),
+                "id_b": pd.Series(
+                    np.maximum(lids[ai], rids[bj]), dtype="int64"
+                ),
+                "cos": pd.Series(cos[ai, bj], dtype="float64"),
+            }
+        )
+
+    out = (
+        left.groupBy("p", "q")
+        .cogroup(right.groupBy("p", "q"))
+        .applyInPandas(score, schema="id_a long, id_b long, cos double")
+    )
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
