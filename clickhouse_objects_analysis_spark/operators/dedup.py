@@ -533,3 +533,50 @@ def connected_components_star(
         labels.select("node"), "node", "left_anti"
     ).withColumn("component", F.col("node"))
     return labels.union(roots)
+
+
+def pick_cc_algorithm(n_edges: int, n_nodes_max: int,
+                      density_threshold: float = 2.0) -> str:
+    """Choose the CC algorithm from a cheap density probe.
+
+    Min-label propagation costs O(diameter) rounds — unbeatable on the
+    shallow, dense clusters real dedup graphs produce (dup groups are
+    near-cliques: edges >> nodes), but an adversarial chain degrades it
+    to O(n) rounds. Large/small-star is O(log n) on ANY shape but pays
+    two shuffles per alternation. The probe: a graph averaging >=
+    ``density_threshold`` edges per node is clique-like (a k-clique has
+    (k-1)/2 edges per node, a chain ~1), so dense -> 'minlabel',
+    sparse -> 'star'. Sparse-but-shallow graphs (perfect stars,
+    triangles) also route to 'star', which converges in O(1)
+    alternations there — the mis-route costs a constant factor, never
+    an asymptotic one."""
+    if n_edges >= density_threshold * max(n_nodes_max, 1):
+        return "minlabel"
+    return "star"
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    density_threshold: float = 2.0,
+) -> DataFrame:
+    """Connected components with algorithm auto-selection: one cheap
+    aggregate (edge count + approx endpoint cardinalities — a single
+    map-side-combined pass, no shuffle of the edge list) routes to
+    min-label propagation on dense clique-like graphs and to
+    large/small-star on sparse ones, so adversarial chains can't trigger
+    O(n) rounds (see ``pick_cc_algorithm``). Output contract matches
+    both underlying implementations: (node, component) for every node in
+    ``edges``."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    row = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.approx_count_distinct("a").alias("na"),
+        F.approx_count_distinct("b").alias("nb"),
+    ).first()
+    algo = pick_cc_algorithm(row[0], max(row[1], row[2]), density_threshold)
+    if algo == "minlabel":
+        return connected_components(edges, src, dst, max_iter)
+    return connected_components_star(edges, src, dst, max_iter)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import (
     SIMHASH_BITS,
-    connected_components,
+    connected_components_auto,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -554,13 +554,15 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     into connected components, label each cluster by its minimum doc_id
     (the canonical copy to keep), and report cluster sizes. The oracle
     recomputes components via a recursive reachability CTE over the exact
-    all-pairs graph. Spark side: operators.dedup.connected_components —
-    min-label propagation, one shuffle per round, O(diameter) rounds."""
+    all-pairs graph. Spark side: operators.dedup.connected_components_auto
+    — a one-aggregate density probe routes dense clique-like graphs to
+    min-label propagation (O(diameter) rounds) and sparse chain-like ones
+    to large/small-star (O(log n) rounds on any shape)."""
     d = tables(spark, sf_dir)["documents"]
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", k=3, num_hashes=32, bands=16, threshold=0.8
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components_auto(pairs, "id_a", "id_b")
     w = Window.partitionBy("canonical")
     return (
         comp.select(

@@ -62,3 +62,60 @@ def test_minlabel_chain_needs_linear_rounds(spark):
     )
     got = _labels(connected_components(df, max_iter=12))
     assert got != {(i, 0) for i in range(n)}
+
+
+def test_auto_routes_chain_to_star(spark, monkeypatch):
+    """The density probe must send a 256-node chain (1 edge per node) to
+    the star algorithm — the adversarial shape where min-label needs
+    O(n) rounds — and still produce the right components."""
+    from clickhouse_objects_analysis_spark.operators import dedup as d
+
+    calls = []
+    real = d.connected_components_star
+    monkeypatch.setattr(
+        d, "connected_components_star",
+        lambda *a, **k: calls.append("star") or real(*a, **k),
+    )
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _labels(d.connected_components_auto(df))
+    assert calls == ["star"]
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_auto_routes_dense_cliques_to_minlabel(spark, monkeypatch):
+    """Clique-like dup clusters (edges >> nodes) take the O(diameter)
+    min-label path."""
+    from clickhouse_objects_analysis_spark.operators import dedup as d
+
+    calls = []
+    real = d.connected_components
+    monkeypatch.setattr(
+        d, "connected_components",
+        lambda *a, **k: calls.append("minlabel") or real(*a, **k),
+    )
+    # two 8-cliques: 2*28 edges over 16 nodes -> 3.5 edges/node
+    edges = [
+        (base + i, base + j)
+        for base in (0, 100)
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _labels(d.connected_components_auto(df))
+    assert calls == ["minlabel"]
+    assert got == {(i, 0) for i in range(8)} | {
+        (100 + i, 100) for i in range(8)
+    }
+
+
+def test_pick_cc_algorithm_probe():
+    from clickhouse_objects_analysis_spark.operators.dedup import (
+        pick_cc_algorithm,
+    )
+
+    assert pick_cc_algorithm(255, 256) == "star"          # chain
+    assert pick_cc_algorithm(56, 16) == "minlabel"        # cliques
+    assert pick_cc_algorithm(0, 0) == "star"              # empty-safe
