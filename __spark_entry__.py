@@ -50,6 +50,11 @@ _CHANGED_THIS_ROUND = (
     "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)
     "ann_lsh_topk",            # rows-only -> recall gate vs exact (oracled)
     "ann_ivf_topk",            # rows-only -> recall gate vs exact (oracled)
+    "dedup_clusters",          # CC algorithm now picked by density probe
+    "embedding_neardup_pairs", # cosine_pairs blocks now executor-side
+    "semantic_dedup",          # (same cosine_pairs change)
+    "watch_events_heartbeat",  # new: WATCH ... EVENTS
+    "watch_limit_bounded",     # new: WATCH ... LIMIT n
 )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.pipeline import (
     materialized_view_sink,
+    watch_heartbeats,
     session_counts,
     sliding_counts,
     stateful_user_peaks,
@@ -296,3 +297,54 @@ def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFram
     tables(spark, sf_dir)
     res = stream_stream_click_purchase(spark, sf_dir)
     return res.orderBy("click_id", "purchase_id")
+
+
+@query(
+    "watch_events_heartbeat",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(event_id % 4 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_new_rows
+        FROM events GROUP BY 1
+    )
+    SELECT version, n_new_rows,
+           CAST(SUM(n_new_rows) OVER (ORDER BY version) AS BIGINT)
+               AS n_total
+    FROM b ORDER BY version
+    """,
+)
+def watch_events_heartbeat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATCH lv EVENTS (watchStmt EVENTS accessor, reference
+    ClickHouseParser.py:14249-14321): subscribe to a live view's update
+    heartbeats — version counter + row deltas, not contents. Four
+    deterministic source slices replay as four micro-batch updates; the
+    oracle recomputes each slice's size and the running total."""
+    tables(spark, sf_dir)
+    return watch_heartbeats(spark, sf_dir).orderBy("version")
+
+
+@query(
+    "watch_limit_bounded",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(event_id % 4 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_new_rows
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT version, n_new_rows,
+               CAST(SUM(n_new_rows) OVER (ORDER BY version) AS BIGINT)
+                   AS n_total
+        FROM b
+    )
+    SELECT version, n_new_rows, n_total
+    FROM t WHERE version < 2 ORDER BY version
+    """,
+)
+def watch_limit_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATCH lv LIMIT 2 (watchStmt LIMIT accessor): the bounded
+    subscription — detach after the first two updates. The streaming
+    query is stopped by a monitor once two heartbeats are recorded;
+    the oracle is the heartbeat stream truncated at version 2."""
+    tables(spark, sf_dir)
+    return watch_heartbeats(spark, sf_dir, limit=2).orderBy("version")

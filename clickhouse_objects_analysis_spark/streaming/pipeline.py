@@ -316,3 +316,97 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(dest)
+
+
+def _watch_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
+    """Materialize the events table as ``n_slices`` single-file parquet
+    slices (slice i = rows with event_id % n_slices == i) with strictly
+    increasing mtimes, so the file stream source replays them as
+    n_slices deterministic updates — the stand-in for a live table
+    receiving successive inserts. Cached per (sf_dir, n_slices)."""
+    import glob as _glob
+
+    from ..session import load_tables
+
+    key = hashlib.md5(f"{sf_dir}:{n_slices}".encode()).hexdigest()[:8]
+    src_dir = os.path.join(SCRATCH, f"watch_src_{key}")
+    ready = os.path.join(src_dir, "_READY")
+    if os.path.exists(ready):
+        return src_dir
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    ev = load_tables(spark, sf_dir)["events"]
+    base = 1_600_000_000  # fixed epoch: mtime order == slice order
+    for i in range(n_slices):
+        tmp = os.path.join(SCRATCH, f"watch_tmp_{key}_{i}")
+        (
+            ev.filter(F.col("event_id") % n_slices == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"slice-{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + i, base + i))
+    open(ready, "w").close()
+    return src_dir
+
+
+def watch_heartbeats(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int | None = None,
+    n_slices: int = 4,
+) -> DataFrame:
+    """WATCH ... EVENTS / WATCH ... LIMIT n (watchStmt EVENTS/LIMIT
+    accessors, reference ClickHouseParser.py:14249-14321): subscribe to a
+    live view's UPDATES rather than its contents — one heartbeat row per
+    refresh carrying the version counter, with LIMIT n detaching the
+    subscription after n updates.
+
+    Spark rendering: the sliced events source replays as one micro-batch
+    per slice (maxFilesPerTrigger=1 under availableNow); foreachBatch is
+    the subscription callback, recording (version, n_new_rows, n_total)
+    per update. With ``limit``, a driver-side monitor stops the streaming
+    query once the first ``limit`` heartbeats are recorded — the bounded
+    subscription, not a post-hoc head() (recording also guards on the
+    limit so a batch racing the stop() never changes the result)."""
+    import time as _time
+
+    src_dir = _watch_slices(spark, sf_dir, n_slices)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(SCRATCH, f"watch_ckpt_{uuid.uuid4().hex[:8]}")
+    beats: list[tuple[int, int]] = []
+
+    def on_update(bdf: DataFrame, bid: int) -> None:
+        if limit is None or len(beats) < limit:
+            beats.append((int(bid), bdf.count()))
+
+    q = (
+        stream.writeStream.foreachBatch(on_update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if limit is not None:
+        while q.isActive:
+            if len(beats) >= limit:
+                q.stop()
+                break
+            _time.sleep(0.05)
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rows, total = [], 0
+    for version, n_new in beats[: limit if limit is not None else len(beats)]:
+        total += n_new
+        rows.append((version, n_new, total))
+    return spark.createDataFrame(
+        rows, "version long, n_new_rows long, n_total long"
+    )

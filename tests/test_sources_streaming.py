@@ -125,3 +125,28 @@ class TestKillSystem:
         spark.catalog.clearCache()
         assert not spark.catalog.isCached("cache_probe")
         spark.catalog.dropTempView("cache_probe")
+
+
+class TestWatchHeartbeats:
+    def test_watch_events_versions_and_totals(self, spark, sf_dir):
+        from clickhouse_objects_analysis_spark.streaming.pipeline import (
+            watch_heartbeats,
+        )
+
+        got = watch_heartbeats(spark, sf_dir).orderBy("version").collect()
+        assert [r["version"] for r in got] == [0, 1, 2, 3]
+        # running total is cumulative and ends at the full table size
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got[-1]["n_total"] == n_events
+        assert all(
+            got[i]["n_total"] == got[i - 1]["n_total"] + got[i]["n_new_rows"]
+            for i in range(1, 4)
+        )
+
+    def test_watch_limit_detaches_after_n(self, spark, sf_dir):
+        from clickhouse_objects_analysis_spark.streaming.pipeline import (
+            watch_heartbeats,
+        )
+
+        got = watch_heartbeats(spark, sf_dir, limit=2).orderBy("version").collect()
+        assert [r["version"] for r in got] == [0, 1]
