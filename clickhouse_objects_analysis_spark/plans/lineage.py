@@ -176,36 +176,87 @@ def parse_table_dependencies(
 
 # Quoted identifiers may embed their quote char doubled (`odd``name`).
 _IDENT = r"(?:`(?:[^`]|``)+`|\"(?:[^\"]|\"\")+\"|[A-Za-z_]\w*)"
+_QUALIFIED = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
 _TABLE_REF_RE = re.compile(
-    rf"\b(?:FROM|JOIN)\s+({_IDENT}(?:\s*\.\s*{_IDENT})?)", re.IGNORECASE
+    rf"\b(FROM|JOIN)\s+({_QUALIFIED})", re.IGNORECASE
+)
+#: Comma-separated FROM lists (`FROM a, b` — the implicit cross join CH
+#: accepts): continuation targets after a FROM match, optionally skipping
+#: one `[AS] alias` token.
+_COMMA_CONT_RE = re.compile(
+    rf"(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*,\s*({_QUALIFIED})", re.IGNORECASE
 )
 _CTE_DEF_RE = re.compile(rf"\b({_IDENT})\s+AS\s*\(", re.IGNORECASE)
 #: `ARRAY JOIN arr` / `LEFT ARRAY JOIN arr` explode an array column — the
 #: identifier after that JOIN is a column, never a relation.
 _ARRAY_JOIN_BEFORE_RE = re.compile(r"ARRAY\s+$", re.IGNORECASE)
+#: `WATCH db.lv [EVENTS] [LIMIT n]` subscribes to a live view — the
+#: watched view is a read dependency (watchStmt, ClickHouseParser.py:14249).
+_WATCH_RE = re.compile(rf"\bWATCH\s+({_QUALIFIED})", re.IGNORECASE)
+#: `CREATE TABLE x AS y` (schema clone, optionally + ENGINE = Distributed)
+#: depends on the cloned table; `AS SELECT` / `AS (` are CTAS, not clones.
+_CREATE_CLONE_RE = re.compile(
+    rf"\bCREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s+AS\s+"
+    rf"(?!SELECT\b|WITH\b)({_QUALIFIED})",
+    re.IGNORECASE,
+)
+#: Dictionary DDL names its source table inside SOURCE(CLICKHOUSE(...))
+#: as TABLE '<t>' [DB '<db>'] string literals (dictionarySource rules).
+_DICT_SOURCE_RE = re.compile(
+    r"\bSOURCE\s*\(\s*CLICKHOUSE\s*\(([^()]*)\)", re.IGNORECASE
+)
+_DICT_TABLE_RE = re.compile(r"\bTABLE\s+'([^']+)'", re.IGNORECASE)
+_DICT_DB_RE = re.compile(r"\bDB\s+'([^']+)'", re.IGNORECASE)
 
 
 def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list[str]:
     """Conservative fallback for dialects Spark can't parse (the same
     stance as the reference's last-resort text scan, re-derived, with the
-    reference's guards: ch_view_dependencies.py:132-229): FROM/JOIN targets
-    only, table functions (identifier followed by '(') excluded, ARRAY JOIN
-    operands excluded, WITH-clause aliases excluded, quoting stripped
-    (doubled quote chars collapsed), names qualified."""
+    reference's guards: ch_view_dependencies.py:132-229): FROM/JOIN
+    targets — including comma-separated FROM lists — plus WATCH subjects,
+    CREATE TABLE ... AS clones, and dictionary CLICKHOUSE(TABLE/DB)
+    sources; table functions (identifier followed by '(') excluded, ARRAY
+    JOIN operands excluded, WITH-clause aliases excluded, quoting stripped
+    (doubled quote chars collapsed), names qualified. INSERT targets are
+    deliberately NOT dependencies (write edge, not read edge)."""
     ctes = {clean_identifier(m.group(1)) for m in _CTE_DEF_RE.finditer(sql_text)}
+
     found: set[str] = set()
-    for m in _TABLE_REF_RE.finditer(sql_text):
-        raw = m.group(1)
-        after = sql_text[m.end() : m.end() + 1]
-        if after == "(":  # table-valued function, not a relation
-            continue
-        if _ARRAY_JOIN_BEFORE_RE.search(sql_text[: m.start()]):
-            continue  # ARRAY JOIN explodes a column, not a relation
+
+    def add(raw: str, end: int) -> bool:
+        """Record one captured reference; False if it was a function call
+        (caller stops any comma chain there)."""
+        if sql_text[end : end + 1] == "(":
+            return False  # table-valued function, not a relation
         parts = [clean_identifier(p) for p in re.split(r"\s*\.\s*", raw)]
         name = ".".join(parts)
-        if len(parts) == 1 and parts[0] in ctes:
+        if not (len(parts) == 1 and parts[0] in ctes):
+            found.add(qualify(name, default_db))
+        return True
+
+    for m in _TABLE_REF_RE.finditer(sql_text):
+        if _ARRAY_JOIN_BEFORE_RE.search(sql_text[: m.start()]):
+            continue  # ARRAY JOIN explodes a column, not a relation
+        if not add(m.group(2), m.end()):
             continue
-        found.add(qualify(name, default_db))
+        if m.group(1).upper() == "FROM":  # follow `FROM a, b, c` lists
+            pos = m.end()
+            while True:
+                cm = _COMMA_CONT_RE.match(sql_text, pos)
+                if cm is None or not add(cm.group(1), cm.end()):
+                    break
+                pos = cm.end()
+    for m in _WATCH_RE.finditer(sql_text):
+        add(m.group(1), m.end())
+    for m in _CREATE_CLONE_RE.finditer(sql_text):
+        add(m.group(1), m.end())
+    for m in _DICT_SOURCE_RE.finditer(sql_text):
+        inner = m.group(1)
+        t = _DICT_TABLE_RE.search(inner)
+        if t:
+            db = _DICT_DB_RE.search(inner)
+            name = f"{db.group(1)}.{t.group(1)}" if db else t.group(1)
+            found.add(qualify(name, default_db))
     return sorted(found)
 
 

@@ -353,6 +353,224 @@ CH_DIALECT_DDLS: list[tuple[str, str, str, list[str]]] = [
            SETTINGS max_threads = 2""",
         ["test.seq"],
     ),
+    # ---- round-4 depth extension (VERDICT r3 item 4): nested FROM
+    # subqueries, dictionary DDL, WATCH, INSERT...SELECT, multi-statement
+    # scripts, mutations, clones, comma joins, window/live views ----
+    (
+        "test",
+        "v_nested_from",
+        """CREATE VIEW test.v_nested_from AS
+           SELECT x.id FROM (SELECT a.id FROM test.inner_a a
+                             JOIN test.inner_b b ON a.id = b.id) x
+           SETTINGS max_threads = 2""",
+        ["test.inner_a", "test.inner_b"],
+    ),
+    (
+        "test",
+        "v_nested_two_deep",
+        """CREATE VIEW test.v_nested_two_deep AS
+           SELECT y.id FROM (SELECT z.id FROM (SELECT id FROM test.deep_c) z
+                             JOIN test.mid_d d ON z.id = d.id) y
+           SETTINGS max_threads = 2""",
+        ["test.deep_c", "test.mid_d"],
+    ),
+    (
+        "test",
+        "v_in_subquery",
+        """CREATE VIEW test.v_in_subquery AS
+           SELECT id FROM test.main_t
+           WHERE id IN (SELECT id FROM test.allowlist)
+           SETTINGS max_threads = 2""",
+        ["test.allowlist", "test.main_t"],
+    ),
+    (
+        "test",
+        "v_exists_subquery",
+        """CREATE VIEW test.v_exists_subquery AS
+           SELECT t.id FROM test.main_u t
+           WHERE EXISTS (SELECT 1 FROM test.audit a WHERE a.id = t.id)
+           SETTINGS max_threads = 2""",
+        ["test.audit", "test.main_u"],
+    ),
+    (
+        "test",
+        "v_union_all",
+        """CREATE VIEW test.v_union_all AS
+           SELECT id FROM test.u1 UNION ALL SELECT id FROM test.u2
+           SETTINGS max_threads = 2""",
+        ["test.u1", "test.u2"],
+    ),
+    (
+        "test",
+        "v_multi_cte",
+        """CREATE VIEW test.v_multi_cte AS
+           WITH c1 AS (SELECT id FROM test.r1),
+                c2 AS (SELECT c1.id FROM c1 JOIN test.r2 r ON c1.id = r.id)
+           SELECT c2.id FROM c2 JOIN c1 ON c2.id = c1.id
+           SETTINGS max_threads = 2""",
+        ["test.r1", "test.r2"],
+    ),
+    (
+        "test",
+        "dict_hashed",
+        """CREATE DICTIONARY test.dim_dict (id UInt64, name String)
+           PRIMARY KEY id
+           SOURCE(CLICKHOUSE(TABLE 'dim_src' DB 'test'))
+           LIFETIME(MIN 0 MAX 300) LAYOUT(HASHED())""",
+        ["test.dim_src"],
+    ),
+    (
+        "test",
+        "dict_default_db",
+        """CREATE DICTIONARY test.geo_dict (id UInt64, region String)
+           PRIMARY KEY id
+           SOURCE(CLICKHOUSE(TABLE 'geo_src'))
+           LIFETIME(300) LAYOUT(FLAT())""",
+        ["test.geo_src"],
+    ),
+    (
+        "test",
+        "watch_lv",
+        "WATCH test.lv_hits",
+        ["test.lv_hits"],
+    ),
+    (
+        "test",
+        "watch_events_limit",
+        "WATCH test.lv_sessions EVENTS LIMIT 3",
+        ["test.lv_sessions"],
+    ),
+    (
+        "test",
+        "insert_select",
+        """INSERT INTO test.dst_agg
+           SELECT e.id, u.name FROM test.src_events e
+           JOIN test.src_users u ON e.uid = u.id
+           SETTINGS max_threads = 2""",
+        ["test.src_events", "test.src_users"],
+    ),
+    (
+        "test",
+        "insert_select_cte",
+        """INSERT INTO test.dst2
+           WITH c AS (SELECT id FROM test.base_t)
+           SELECT id FROM c
+           SETTINGS max_threads = 2""",
+        ["test.base_t"],
+    ),
+    (
+        "test",
+        "script_etl",
+        """CREATE TABLE test.stage (id UInt64) ENGINE = MergeTree ORDER BY id;
+           INSERT INTO test.stage SELECT id FROM test.raw_src;
+           CREATE VIEW test.v_stage AS SELECT id FROM test.stage;""",
+        ["test.raw_src", "test.stage"],
+    ),
+    (
+        "test",
+        "alter_update_in",
+        """ALTER TABLE test.big_t UPDATE flag = 1
+           WHERE id IN (SELECT id FROM test.bad_ids)""",
+        ["test.bad_ids"],
+    ),
+    (
+        "test",
+        "alter_delete_in",
+        """ALTER TABLE test.big_t DELETE
+           WHERE uid IN (SELECT uid FROM test.gdpr_requests)""",
+        ["test.gdpr_requests"],
+    ),
+    (
+        "test",
+        "t_clone",
+        "CREATE TABLE test.t_copy AS test.t_orig",
+        ["test.t_orig"],
+    ),
+    (
+        "test",
+        "t_distributed",
+        """CREATE TABLE test.t_dist AS test.t_local
+           ENGINE = Distributed('main_cluster', 'test', 't_local')""",
+        ["test.t_local"],
+    ),
+    (
+        "test",
+        "v_final",
+        """CREATE VIEW test.v_final AS
+           SELECT id FROM test.rmt FINAL SETTINGS max_threads = 2""",
+        ["test.rmt"],
+    ),
+    (
+        "test",
+        "v_comma_join",
+        """CREATE VIEW test.v_comma_join AS
+           SELECT ca.id FROM test.ca, test.cb WHERE ca.id = cb.id
+           SETTINGS max_threads = 2""",
+        ["test.ca", "test.cb"],
+    ),
+    (
+        "test",
+        "v_comma_alias",
+        """CREATE VIEW test.v_comma_alias AS
+           SELECT a.id FROM test.x1 a, test.x2 b, test.x3 AS c
+           WHERE a.id = b.id AND b.id = c.id
+           SETTINGS max_threads = 2""",
+        ["test.x1", "test.x2", "test.x3"],
+    ),
+    (
+        "test",
+        "v_global_any",
+        """CREATE VIEW test.v_global_any AS
+           SELECT a.id FROM test.shard_t a
+           GLOBAL ANY LEFT JOIN test.dict_t b ON a.id = b.id""",
+        ["test.dict_t", "test.shard_t"],
+    ),
+    (
+        "test",
+        "v_asof_left",
+        """CREATE VIEW test.v_asof_left AS
+           SELECT a.id FROM test.trades2 a
+           ASOF LEFT JOIN test.quotes2 b ON a.sym = b.sym AND a.ts >= b.ts""",
+        ["test.quotes2", "test.trades2"],
+    ),
+    (
+        "test",
+        "v_remote_fn",
+        """CREATE VIEW test.v_remote_fn AS
+           SELECT id FROM remote('host1', test.remote_t)
+           SETTINGS max_threads = 2""",
+        [],
+    ),
+    (
+        "test",
+        "v_cluster_fn",
+        """CREATE VIEW test.v_cluster_fn AS
+           SELECT c.id, d.name FROM cluster('main', test.sharded) c
+           JOIN test.local_dim d ON c.id = d.id
+           SETTINGS max_threads = 2""",
+        ["test.local_dim"],
+    ),
+    (
+        "test",
+        "wv_tumble",
+        """CREATE WINDOW VIEW test.wv_tumble AS
+           SELECT count() AS n FROM test.stream_t
+           GROUP BY tumble(ts, INTERVAL '5' SECOND)""",
+        ["test.stream_t"],
+    ),
+    (
+        "test",
+        "lv_create",
+        "CREATE LIVE VIEW test.lv_rates AS SELECT id FROM test.rates_src",
+        ["test.rates_src"],
+    ),
+    (
+        "test",
+        "v_prewhere_sample",
+        """CREATE VIEW test.v_prewhere_sample AS
+           SELECT id FROM test.hits2 SAMPLE 0.05 PREWHERE sign > 0""",
+        ["test.hits2"],
+    ),
 ]
 
 CH_DIALECT_EDGES: list[tuple[str, str]] = sorted(
