@@ -55,6 +55,11 @@ _CHANGED_THIS_ROUND = (
     "semantic_dedup",          # (same cosine_pairs change)
     "watch_events_heartbeat",  # new: WATCH ... EVENTS
     "watch_limit_bounded",     # new: WATCH ... LIMIT n
+    "covar_avg_weighted",      # new: covarPop/covarSamp/avgWeighted
+    "max_intersections",       # new: maxIntersections(+Position)
+    "student_welch_ttest",     # new: studentTTest/welchTTest
+    "array_auc",               # new: arrayAUC rank-sum identity
+    "group_uniq_array",        # new: groupUniqArray
 )
 
 

@@ -1,0 +1,372 @@
+"""Round-4 aggregate wave: more ClickHouse behavioral aggregates
+(grammar: the aggregate-function name list reachable from the generic
+function rule, generated_ch_parser/ClickHouseParser.py:15571) —
+covarPop/covarSamp/avgWeighted, maxIntersections(+Position),
+studentTTest/welchTTest, arrayAUC, groupUniqArray.
+
+Float discipline follows the SCALE.md playbook: every moment accumulates
+as an exact integer (quantities as int64, prices as int64 cents, with
+hi/lo quotient/remainder splits where a sum could leave int64 at scale),
+and each final statistic is evaluated ONCE per group in double with the
+identical expression tree on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import query, tables
+
+
+@query(
+    "covar_avg_weighted",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(ROUND((n * sxy - sx * sy) / (n * n) / 100.0, 6)
+                AS DOUBLE) AS covar_pop,
+           CAST(ROUND((n * sxy - sx * sy) / (n * (n - 1)) / 100.0, 6)
+                AS DOUBLE) AS covar_samp,
+           CAST(ROUND(sxy / sx / 100.0, 6) AS DOUBLE) AS avg_weighted
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def covar_avg_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``covarPop(x, y)`` / ``covarSamp(x, y)`` /
+    ``avgWeighted(y, x)`` from the same exact integer moments as
+    linear_regression_agg (x = quantity, y = price cents; sy and sxy as
+    hi/lo int64 splits, reconstructed exactly per group). One map-side
+    combined aggregate; four moments per group is the shuffle payload."""
+    li = tables(spark, sf_dir)["lineitem"]
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    x = F.col("x")
+    m = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(F.expr("y DIV 10000")).alias("sy_hi"),
+        F.sum(F.expr("y % 10000")).alias("sy_lo"),
+        F.sum(F.expr("x * y DIV 100000")).alias("sxy_hi"),
+        F.sum(F.expr("x * y % 100000")).alias("sxy_lo"),
+    )
+
+    def _join(hi: str, lo: str, div: int):
+        return (
+            F.col(hi).cast("decimal(38,0)") * F.lit(div) + F.col(lo)
+        ).cast("double")
+
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = _join("sy_hi", "sy_lo", 10000)
+    sxyd = _join("sxy_hi", "sxy_lo", 100000)
+    num = nd * sxyd - sxd * syd
+    return m.select(
+        "l_returnflag",
+        F.round(num / (nd * nd) / F.lit(100.0), 6)
+        .cast("double")
+        .alias("covar_pop"),
+        F.round(num / (nd * (nd - F.lit(1))) / F.lit(100.0), 6)
+        .cast("double")
+        .alias("covar_samp"),
+        F.round(sxyd / sxd / F.lit(100.0), 6)
+        .cast("double")
+        .alias("avg_weighted"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "max_intersections",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS lo,
+               epoch_us(ts) + CAST(3600e6 AS BIGINT) AS hi
+        FROM events WHERE event_type = 'view'
+    ),
+    pts AS (
+        SELECT user_id, lo AS t, 1 AS d, event_id FROM iv
+        UNION ALL
+        SELECT user_id, hi AS t, -1 AS d, event_id FROM iv
+    ),
+    run AS (
+        SELECT user_id, t,
+               SUM(d) OVER (PARTITION BY user_id
+                            ORDER BY t, d, event_id
+                            ROWS UNBOUNDED PRECEDING) AS c
+        FROM pts
+    ),
+    mx AS (
+        SELECT user_id, t, c,
+               MAX(c) OVER (PARTITION BY user_id) AS m
+        FROM run
+    )
+    SELECT user_id,
+           CAST(MAX(m) AS BIGINT) AS max_intersections,
+           CAST(MIN(t) AS BIGINT) AS at_us
+    FROM mx WHERE c = m
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def max_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)`` +
+    ``maxIntersectionsPosition``: the peak number of concurrently-open
+    intervals and the earliest instant it is reached (same 1-hour view
+    windows as interval_length_sum; intervals are half-open [lo, hi), so
+    at equal timestamps closes process before opens — the d-ascending
+    tiebreak). Sweep-line as pure windowing: ±1 endpoint deltas, one
+    running sum over the (t, d, event_id) sort, then max + argmin-t.
+    All integer microseconds; no state machine, no Python."""
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "view"
+    )
+    lo = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        lo.alias("lo"),
+        (lo + F.lit(3600_000_000).cast("long")).alias("hi"),
+    )
+    pts = iv.select(
+        "user_id", F.col("lo").alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionAll(
+        iv.select(
+            "user_id", F.col("hi").alias("t"), F.lit(-1).alias("d"),
+            "event_id",
+        )
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "user_id", "t", F.sum("d").over(w_run).alias("c")
+    ).withColumn("m", F.max("c").over(Window.partitionBy("user_id")))
+    return (
+        run.filter(F.col("c") == F.col("m"))
+        .groupBy("user_id")
+        .agg(
+            F.max("m").cast("long").alias("max_intersections"),
+            F.min("t").cast("long").alias("at_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "student_welch_ttest",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    m AS (
+        SELECT
+            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS na,
+            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN y END)
+                 AS DOUBLE) AS s1a,
+            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN y * y END)
+                 AS DOUBLE) AS s2a,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS nr,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN y END)
+                 AS DOUBLE) AS s1r,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN y * y END)
+                 AS DOUBLE) AS s2r
+        FROM b
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+           CAST(ROUND((s1a / na - s1r / nr)
+             / SQRT((((s2a - s1a * s1a / na) + (s2r - s1r * s1r / nr))
+                     / (na + nr - 2)) * (1.0 / na + 1.0 / nr)), 6)
+             AS DOUBLE) AS t_student,
+           CAST(ROUND((s1a / na - s1r / nr)
+             / SQRT((s2a - s1a * s1a / na) / (na - 1) / na
+                    + (s2r - s1r * s1r / nr) / (nr - 1) / nr), 6)
+             AS DOUBLE) AS t_welch,
+           CAST(ROUND(
+             ((s2a - s1a * s1a / na) / (na - 1) / na
+              + (s2r - s1r * s1r / nr) / (nr - 1) / nr)
+             * ((s2a - s1a * s1a / na) / (na - 1) / na
+                + (s2r - s1r * s1r / nr) / (nr - 1) / nr)
+             / ((s2a - s1a * s1a / na) / (na - 1) / na
+                * ((s2a - s1a * s1a / na) / (na - 1) / na) / (na - 1)
+                + (s2r - s1r * s1r / nr) / (nr - 1) / nr
+                  * ((s2r - s1r * s1r / nr) / (nr - 1) / nr) / (nr - 1)),
+             6) AS DOUBLE) AS df_welch
+    FROM m
+    """,
+)
+def student_welch_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest(x, y)`` / ``welchTTest(x, y)``: two-sample
+    t statistics comparing extended price between return flags A and R,
+    plus the Welch-Satterthwaite degrees of freedom. Moments are exact
+    integer cent sums (the y² sums as hi/lo int64 splits); every
+    statistic evaluates once, on one row, in double, with the identical
+    expression tree on both engines — t is scale-invariant so the cents
+    scale never needs undoing."""
+    li = tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    b = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    is_a = F.col("l_returnflag") == "A"
+    is_r = F.col("l_returnflag") == "R"
+    m = b.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(is_a, F.col("y"))).alias("s1a"),
+        F.sum(F.when(is_a, F.expr("y * y DIV 10000000"))).alias("s2a_hi"),
+        F.sum(F.when(is_a, F.expr("y * y % 10000000"))).alias("s2a_lo"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(is_r, F.col("y"))).alias("s1r"),
+        F.sum(F.when(is_r, F.expr("y * y DIV 10000000"))).alias("s2r_hi"),
+        F.sum(F.when(is_r, F.expr("y * y % 10000000"))).alias("s2r_lo"),
+    )
+
+    def _join(hi: str, lo: str):
+        return (
+            F.col(hi).cast("decimal(38,0)") * F.lit(10000000) + F.col(lo)
+        ).cast("double")
+
+    na, nr = F.col("na").cast("double"), F.col("nr").cast("double")
+    s1a, s1r = F.col("s1a").cast("double"), F.col("s1r").cast("double")
+    s2a, s2r = _join("s2a_hi", "s2a_lo"), _join("s2r_hi", "s2r_lo")
+    dmean = s1a / na - s1r / nr
+    ssa = s2a - s1a * s1a / na  # group sums of squared deviations
+    ssr = s2r - s1r * s1r / nr
+    va_n = ssa / (na - F.lit(1)) / na  # var_a / n_a
+    vr_n = ssr / (nr - F.lit(1)) / nr
+    t_student = dmean / F.sqrt(
+        ((ssa + ssr) / (na + nr - F.lit(2)))
+        * (F.lit(1.0) / na + F.lit(1.0) / nr)
+    )
+    t_welch = dmean / F.sqrt(va_n + vr_n)
+    df_welch = (
+        (va_n + vr_n) * (va_n + vr_n)
+        / (va_n * va_n / (na - F.lit(1)) + vr_n * vr_n / (nr - F.lit(1)))
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nr").cast("long").alias("n_r"),
+        F.round(t_student, 6).cast("double").alias("t_student"),
+        F.round(t_welch, 6).cast("double").alias("t_welch"),
+        F.round(df_welch, 6).cast("double").alias("df_welch"),
+    )
+
+
+@query(
+    "array_auc",
+    oracle="""
+    WITH s AS (
+        SELECT (embedding::DOUBLE[])[1] AS score,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos,
+               RANK() OVER (ORDER BY score) AS rk,
+               COUNT(*) OVER (PARTITION BY score) AS ties
+        FROM s
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(1 - pos) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pos = 1
+                             THEN 2 * rk + ties - 1 END) AS BIGINT) AS s2
+        FROM r
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           CAST(ROUND((s2 - p * (p + 1)) / (2.0 * p * n), 6)
+                AS DOUBLE) AS auc
+    FROM agg
+    """,
+)
+def array_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayAUC(scores, labels)``: ROC AUC of the first
+    embedding component as a score for label >= 5, via the exact
+    rank-sum identity AUC = (ΣR₊ − P(P+1)/2) / (P·N) with average ranks
+    for ties kept integral as 2·avg_rank = 2·min_rank + ties − 1. One
+    double division at the end.
+
+    The global rank here is a single-partition window — fine for a
+    per-model eval set (AUC inputs are eval-scale by definition); a
+    100 TB-scored corpus would rank via the two-pass partition-histogram
+    trick before the same integer rank-sum."""
+    e = tables(spark, sf_dir)["embeddings"]
+    s = e.select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
+    )
+    r = s.select(
+        "pos",
+        F.rank().over(Window.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("ties"),
+    )
+    agg = r.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("pos") == 1, 2 * F.col("rk") + F.col("ties") - 1)
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    p, n = F.col("p"), F.col("n")
+    return agg.select(
+        p.alias("n_pos"),
+        n.alias("n_neg"),
+        F.round(
+            (F.col("s2") - p * (p + 1)) / (F.lit(2.0) * p * n), 6
+        )
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+@query(
+    "group_uniq_array",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_uniq
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def group_uniq_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray(x)`` (+ arrayStringConcat /
+    arraySort): the distinct values of a column per group as a sorted
+    array — rendered as a joined string so the hash gate compares
+    canonical text. collect_set is the map-side-combined native path;
+    sorting happens once per group row."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count_distinct("o_orderpriority").cast("long").alias("n_uniq"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,98 @@
+"""Independent numpy models for the wave-6 statistics: the DuckDB
+oracles share this repo's algebra (same expression trees by design —
+that is what the hash gate needs), so these tests recompute the
+statistics from raw data with textbook numpy formulas to guard the
+formulas themselves."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def li(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_covar_avg_weighted_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["covar_avg_weighted"](spark, sf_dir).collect()
+    }
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy(dtype=float)
+        y = g["l_extendedprice"].to_numpy(dtype=float)
+        assert got[flag]["covar_pop"] == pytest.approx(
+            np.cov(x, y, bias=True)[0, 1], rel=1e-5, abs=1e-4
+        )
+        assert got[flag]["covar_samp"] == pytest.approx(
+            np.cov(x, y, bias=False)[0, 1], rel=1e-5, abs=1e-4
+        )
+        assert got[flag]["avg_weighted"] == pytest.approx(
+            np.average(y, weights=x), rel=1e-6
+        )
+
+
+def test_student_welch_ttest_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    row = QUERIES["student_welch_ttest"](spark, sf_dir).collect()[0]
+    a = li.loc[li["l_returnflag"] == "A", "l_extendedprice"].to_numpy(float)
+    r = li.loc[li["l_returnflag"] == "R", "l_extendedprice"].to_numpy(float)
+    na, nr = len(a), len(r)
+    va, vr = a.var(ddof=1), r.var(ddof=1)
+    sp2 = ((na - 1) * va + (nr - 1) * vr) / (na + nr - 2)
+    t_student = (a.mean() - r.mean()) / np.sqrt(sp2 * (1 / na + 1 / nr))
+    t_welch = (a.mean() - r.mean()) / np.sqrt(va / na + vr / nr)
+    df_welch = (va / na + vr / nr) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vr / nr) ** 2 / (nr - 1)
+    )
+    assert row["n_a"] == na and row["n_r"] == nr
+    assert row["t_student"] == pytest.approx(t_student, rel=1e-4, abs=1e-5)
+    assert row["t_welch"] == pytest.approx(t_welch, rel=1e-4, abs=1e-5)
+    assert row["df_welch"] == pytest.approx(df_welch, rel=1e-4)
+
+
+def test_array_auc_model(spark, sf_dir):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    row = QUERIES["array_auc"](spark, sf_dir).collect()[0]
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    score = np.array([v[0] for v in e["embedding"]], dtype=np.float64)
+    pos = (e["label"].to_numpy() >= 5).astype(int)
+    # textbook: P(score_pos > score_neg) + 0.5 * P(tie)
+    sp, sn = score[pos == 1], score[pos == 0]
+    gt = (sp[:, None] > sn[None, :]).sum()
+    eq = (sp[:, None] == sn[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(sp) * len(sn))
+    assert row["n_pos"] == len(sp) and row["n_neg"] == len(sn)
+    assert row["auc"] == pytest.approx(auc, abs=1e-6)
+
+
+def test_max_intersections_model(spark, sf_dir):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["max_intersections"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "view"]
+    hour_us = 3600 * 10**6
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        pts = sorted(
+            [(x, 1) for x in t] + [(x + hour_us, -1) for x in t],
+            key=lambda p: (p[0], p[1]),
+        )
+        best, cur, at = 0, 0, None
+        for x, d in pts:
+            cur += d
+            if cur > best:
+                best, at = cur, x
+        assert got[uid]["max_intersections"] == best
+        assert got[uid]["at_us"] == at

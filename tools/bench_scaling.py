@@ -1,0 +1,81 @@
+"""Scaling bench (VERDICT r3 item 6): time the headline queries at
+sf0.1 and at the 10x synthesized sf1 (tools/make_scaled_sf.py), and
+record per-query scaling exponents.
+
+exponent = log10(t_sf1 / t_sf0.1) for a 10x data step: 1.0 = linear,
+< 1 = sublinear (fixed overheads amortizing), > 1 = superlinear (named
+cause required in SCALE.md).
+
+Writes BENCH_sf1.json at the repo root.
+
+Usage: python tools/bench_scaling.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clickhouse_objects_analysis_spark.queries import QUERIES  # noqa: E402
+from clickhouse_objects_analysis_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q8_market_share",
+    "q9_product_profit", "q18_large_volume_customer",
+    "asof_join", "range_bin_join", "skew_salted_join",
+    "window_funnel", "window_ranking", "quantiles",
+    "linear_regression_agg",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "ngram_jaccard_pairs", "semantic_dedup",
+    "embedding_neardup_pairs", "ann_cosine_topk",
+    "text_quality", "tfidf_top_terms",
+    "streaming_tumbling_window",
+]
+
+
+def best_of(fn, runs: int = 2) -> float:
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(root, ".scratch", "sf1")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + python workers once
+    QUERIES["q1_pricing_summary"](spark, SF01).collect()
+
+    out: dict[str, dict] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t_small = best_of(lambda: fn(spark, SF01).collect())
+        t_big = best_of(lambda: fn(spark, sf1).collect())
+        exp = math.log10(t_big / t_small) if t_small > 0 else None
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "exponent": round(exp, 3),
+        }
+        print(name, out[name], flush=True)
+
+    with open(os.path.join(root, "BENCH_sf1.json"), "w") as f:
+        json.dump(
+            {"step": "sf0.1 -> sf1 (10x rows)", "queries": out}, f, indent=1
+        )
+
+
+if __name__ == "__main__":
+    main()
