@@ -60,6 +60,7 @@ _CHANGED_THIS_ROUND = (
     "student_welch_ttest",     # new: studentTTest/welchTTest
     "array_auc",               # new: arrayAUC rank-sum identity
     "group_uniq_array",        # new: groupUniqArray
+    "boilerplate_span_scrub",  # new: C4-style global boilerplate removal
 )
 
 

@@ -1,0 +1,144 @@
+"""Round-4 LLM-data wave: text REWRITE operators (the earlier waves
+filter, score, split, pack — these change the text itself).
+
+boilerplate_span_scrub is the C4/RefinedWeb-style global boilerplate
+pass: any 5-token span appearing in >= MIN_DF distinct documents is
+boilerplate (nav bars, license footers, templated headers); every token
+covered by such a span is removed and the document reassembled. The
+whole operator is joins + windows + aggregates — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import query, tables
+
+_NGRAM = 5
+_MIN_DF = 3
+
+
+@query(
+    "boilerplate_span_scrub",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(ws) AS w,
+               CAST(unnest(range(len(ws))) AS BIGINT) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    sh AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', w,
+                         lead(w, 1) OVER wd, lead(w, 2) OVER wd,
+                         lead(w, 3) OVER wd, lead(w, 4) OVER wd) AS s,
+               lead(w, {_NGRAM - 1}) OVER wd IS NOT NULL AS is_full
+        FROM tok
+        WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    frequent AS (
+        SELECT s FROM sh WHERE is_full
+        GROUP BY s HAVING COUNT(DISTINCT doc_id) >= {_MIN_DF}
+    ),
+    covered AS (
+        SELECT DISTINCT o.doc_id, o.pos + r.r AS cpos
+        FROM (SELECT doc_id, pos FROM sh
+              WHERE is_full AND s IN (SELECT s FROM frequent)) o,
+             (SELECT unnest(range({_NGRAM})) AS r) r
+    ),
+    kept AS (
+        SELECT t.doc_id, t.w, t.pos
+        FROM tok t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrubbed,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.scrubbed, '') AS scrubbed_text,
+           CAST(len(string_split(d.text, ' '))
+                - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def boilerplate_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate span removal: tokenize with positions,
+    form 5-token shingles via lead() windows, find shingles occurring in
+    >= 3 distinct docs, expand their occurrences to covered position
+    ranges, anti-join tokens against covered positions, reassemble in
+    position order.
+
+    Scale shape: the shingle df-count is one map-side-combined aggregate
+    on the shingle hash; occurrence expansion is sequence+explode (5 rows
+    per hit); the anti-join shuffles (doc_id, pos) pairs — narrow ints,
+    not text. At 100 TB the frequent-shingle set is the only candidate
+    broadcast, and it is df-capped by construction (same guard as
+    ngram_jaccard's max_df). Reassembly is the nested_type_roundtrip
+    pattern: partial collect_list before the shuffle, array ops JVM-side.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            "w",
+            *[F.lead("w", i).over(wd) for i in range(1, _NGRAM)],
+        ).alias("s"),
+        F.lead("w", _NGRAM - 1).over(wd).isNotNull().alias("is_full"),
+    )
+    occurrences = sh.filter("is_full")
+    frequent = (
+        occurrences.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _MIN_DF)
+        .select("s")
+    )
+    covered = (
+        occurrences.join(frequent, "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_NGRAM - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(
+        covered,
+        (tok["doc_id"] == covered["doc_id"])
+        & (tok["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda st: st["w"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    orig = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_orig")
+    )
+    return (
+        orig.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+            (F.col("n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
