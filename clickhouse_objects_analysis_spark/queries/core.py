@@ -332,29 +332,44 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch value itself is engine-specific, but its ERROR BOUND is a
     deterministic claim: percentile_approx(accuracy=10000) guarantees
-    rank error ≤ 1e-4·N, so the estimate must lie between the exact
-    interpolated percentiles at q ∓ 0.02 (a 200× margin). The query
-    emits that bound check as booleans next to the exact group count —
-    fully oracle-checkable while still exercising the sketch path."""
+    rank error ≤ 1e-4·N. The check is rank-based and SORT-FREE: pass 1
+    runs the sketch, pass 2 counts rows strictly below / at-or-below
+    each estimate, and the bound holds iff the estimate's rank interval
+    [cnt_lt, cnt_le] intersects [(q−δ)·n, (q+δ)·n] with δ = 0.02 (200×
+    the guarantee). Two cheap scans instead of the exact-percentile
+    per-group sort the first cut of this gate paid (0.62 s → 1.99 s at
+    sf0.1; this shape is ~0.4 s) — and the same two-pass rank check is
+    how you'd validate a sketch at 100 TB, where the exact sort is the
+    thing you bought the sketch to avoid."""
     li = tables(spark, sf_dir)["lineitem"]
-    qe = F.percentile(
-        "l_extendedprice",
-        F.array(F.lit(0.48), F.lit(0.52), F.lit(0.97)),
-    )
-    g = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
+    sk = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("a99"),
-        qe.alias("qe"),
-        F.max("l_extendedprice").alias("mx"),
     )
+    x = F.col("l_extendedprice")
+    g = (
+        li.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(x < F.col("a50"), 1).otherwise(0)).alias("lt50"),
+            F.sum(F.when(x <= F.col("a50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(x < F.col("a99"), 1).otherwise(0)).alias("lt99"),
+            F.sum(F.when(x <= F.col("a99"), 1).otherwise(0)).alias("le99"),
+        )
+    )
+    n = F.col("n")
+
+    def in_bound(lt: str, le: str, q: float, delta: float = 0.02):
+        return (F.col(lt) <= (q + delta) * n) & (
+            F.col(le) >= (q - delta) * n
+        )
+
     return g.select(
         "l_returnflag",
-        F.col("n").cast("long").alias("n"),
-        ((F.col("a50") >= F.col("qe")[0]) & (F.col("a50") <= F.col("qe")[1]))
-        .alias("p50_in_bound"),
-        ((F.col("a99") >= F.col("qe")[2]) & (F.col("a99") <= F.col("mx")))
-        .alias("p99_in_bound"),
+        n.cast("long").alias("n"),
+        in_bound("lt50", "le50", 0.5).alias("p50_in_bound"),
+        in_bound("lt99", "le99", 0.99).alias("p99_in_bound"),
     ).orderBy("l_returnflag")
 
 
@@ -374,13 +389,20 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The HLL estimate is engine-specific, but its relative-error bound is
     deterministic: at rsd=0.01 the estimate must sit within 5% of the
-    exact count (5× the configured rsd). The query emits the exact count
-    plus that bound check, making the sketch driver-checkable."""
+    exact count (5× the configured rsd). Exact and sketch run as two
+    SEPARATE single-purpose aggregations joined on the 3-row group key:
+    fusing them into one agg makes Catalyst plan the distinct via Expand
+    (every row duplicated into both aggregation paths) and drags the
+    high-precision HLL over the expanded rows — 6.7 s at sf0.1 vs ~0.8 s
+    for the split plan."""
     li = tables(spark, sf_dir)["lineitem"]
-    g = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("uniq_orders"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("uniq_orders")
     )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx")
+    )
+    g = exact.join(F.broadcast(approx), "l_returnflag")
     return g.select(
         "l_returnflag",
         F.col("uniq_orders").cast("long").alias("uniq_orders"),
