@@ -61,6 +61,8 @@ _CHANGED_THIS_ROUND = (
     "array_auc",               # new: arrayAUC rank-sum identity
     "group_uniq_array",        # new: groupUniqArray
     "boilerplate_span_scrub",  # new: C4-style global boilerplate removal
+    "rank_corr_spearman",      # new: rankCorr via integral 2x ranks
+    "mann_whitney_utest",      # new: mannWhitneyUTest + tie-corrected z
 )
 
 

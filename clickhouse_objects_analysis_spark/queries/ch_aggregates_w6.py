@@ -370,3 +370,185 @@ def group_uniq_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "rank_corr_spearman",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag,
+               2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+        FROM b
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(rx) AS DOUBLE) AS sx,
+               CAST(SUM(ry) AS DOUBLE) AS sy,
+               CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+               CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+               CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+        FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS DOUBLE) AS spearman_rho
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def rank_corr_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)`` — Spearman's rho: Pearson
+    correlation of the two rank vectors, with average ranks for ties
+    kept integral as 2·avg_rank = 2·min_rank + ties − 1 (the array_auc
+    trick; correlation is affine-invariant so the ×2 never needs
+    undoing). Rank moments are exact int64 sums here (2r ≤ 2n keeps
+    every product inside int64 through ~1e4× this scale); the rho
+    expression evaluates once per group in double, identical tree both
+    engines. At 100 TB the per-group window rank becomes the two-pass
+    partition-histogram rank, feeding the same integer moments."""
+    li = tables(spark, sf_dir)["lineitem"]
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    wx = Window.partitionBy("l_returnflag").orderBy("x")
+    wy = Window.partitionBy("l_returnflag").orderBy("y")
+    r = b.select(
+        "l_returnflag",
+        (
+            2 * F.rank().over(wx)
+            + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "x"))
+            - 1
+        ).cast("long").alias("rx"),
+        (
+            2 * F.rank().over(wy)
+            + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "y"))
+            - 1
+        ).cast("long").alias("ry"),
+    )
+    m = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    rho = (nd * sxyd - sxd * syd) / F.sqrt(
+        (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(rho, 6).cast("double").alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "mann_whitney_utest",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    r AS (
+        SELECT l_returnflag, y,
+               2 * RANK() OVER (ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY y) - 1 AS r2
+        FROM b
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS DOUBLE) AS tcorr
+        FROM (SELECT COUNT(*) AS t FROM b GROUP BY y)
+    ),
+    m AS (
+        SELECT
+            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS na,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS nr,
+            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN r2 END)
+                 AS DOUBLE) AS sra2
+        FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+           CAST(ROUND(((sra2 / 2 - na * (na + 1) / 2) - na * nr / 2)
+             / SQRT(na * nr / 12.0
+                    * ((na + nr + 1)
+                       - tcorr / ((na + nr) * (na + nr - 1)))), 6)
+           AS DOUBLE) AS z_stat,
+           CAST(ROUND(sra2 / 2 - na * (na + 1) / 2, 1) AS DOUBLE) AS u_a
+    FROM m, ties
+    """,
+)
+def mann_whitney_utest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest(x, y)``: the rank-sum U statistic
+    for extended price between return flags A and R, plus the
+    tie-corrected normal approximation z. Combined ranks use the
+    integral 2·avg_rank form; U_A = ΣR_A − n_A(n_A+1)/2 and
+    z = (U_A − n_A·n_R/2) / σ with
+    σ² = n_A·n_R/12 · (N+1 − Σ(t³−t)/(N(N−1))). Every sum is an exact
+    integer; z and U evaluate once in double on one row."""
+    li = tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    b = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    r = b.select(
+        "l_returnflag",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    ties = (
+        b.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("double").alias("tcorr")
+        )
+    )
+    is_a = F.col("l_returnflag") == "A"
+    m = r.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(is_a, F.col("r2"))).alias("sra2"),
+    )
+    j = m.crossJoin(F.broadcast(ties))
+    na, nr = F.col("na").cast("double"), F.col("nr").cast("double")
+    sra2 = F.col("sra2").cast("double")
+    u_a = sra2 / F.lit(2) - na * (na + F.lit(1)) / F.lit(2)
+    ntot = na + nr
+    sigma = F.sqrt(
+        na * nr / F.lit(12.0)
+        * ((ntot + F.lit(1))
+           - F.col("tcorr") / (ntot * (ntot - F.lit(1))))
+    )
+    z = (u_a - na * nr / F.lit(2)) / sigma
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nr").cast("long").alias("n_r"),
+        F.round(z, 6).cast("double").alias("z_stat"),
+        F.round(u_a, 1).cast("double").alias("u_a"),
+    )

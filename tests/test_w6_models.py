@@ -96,3 +96,40 @@ def test_max_intersections_model(spark, sf_dir):
                 best, at = cur, x
         assert got[uid]["max_intersections"] == best
         assert got[uid]["at_us"] == at
+
+
+def test_rank_corr_spearman_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {
+        r["l_returnflag"]: r["spearman_rho"]
+        for r in QUERIES["rank_corr_spearman"](spark, sf_dir).collect()
+    }
+    for flag, g in li.groupby("l_returnflag"):
+        rx = g["l_quantity"].rank(method="average").to_numpy()
+        ry = (
+            (g["l_extendedprice"] * 100).round().astype("int64")
+            .rank(method="average").to_numpy()
+        )
+        rho = np.corrcoef(rx, ry)[0, 1]
+        assert got[flag] == pytest.approx(rho, abs=1e-5)
+
+
+def test_mann_whitney_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    row = QUERIES["mann_whitney_utest"](spark, sf_dir).collect()[0]
+    sub = li[li["l_returnflag"].isin(["A", "R"])].copy()
+    y = (sub["l_extendedprice"] * 100).round().astype("int64")
+    ranks = y.rank(method="average")
+    a_mask = (sub["l_returnflag"] == "A").to_numpy()
+    na, nr = int(a_mask.sum()), int((~a_mask).sum())
+    u_a = ranks[a_mask].sum() - na * (na + 1) / 2
+    n = na + nr
+    _, t = np.unique(y, return_counts=True)
+    tcorr = float((t.astype(np.float64) ** 3 - t).sum())
+    sigma = np.sqrt(na * nr / 12.0 * ((n + 1) - tcorr / (n * (n - 1))))
+    z = (u_a - na * nr / 2) / sigma
+    assert row["n_a"] == na and row["n_r"] == nr
+    assert row["u_a"] == pytest.approx(u_a, abs=0.51)
+    assert row["z_stat"] == pytest.approx(z, abs=1e-5)
