@@ -63,6 +63,8 @@ _CHANGED_THIS_ROUND = (
     "boilerplate_span_scrub",  # new: C4-style global boilerplate removal
     "rank_corr_spearman",      # new: rankCorr via integral 2x ranks
     "mann_whitney_utest",      # new: mannWhitneyUTest + tie-corrected z
+    "exp_time_decayed_avg",    # new: exponentialTimeDecayedAvg (2^k buckets)
+    "sequence_next_node",      # new: sequenceNextNode forward/first_match
 )
 
 

@@ -552,3 +552,152 @@ def mann_whitney_utest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).cast("double").alias("z_stat"),
         F.round(u_a, 1).cast("double").alias("u_a"),
     )
+
+
+@query(
+    "exp_time_decayed_avg",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    k AS (
+        SELECT user_id, cents,
+               (MAX(t) OVER (PARTITION BY user_id) - t)
+                   // CAST(86400e6 AS BIGINT) AS age
+        FROM b
+    ),
+    w AS (
+        SELECT user_id, cents,
+               CASE WHEN age <= 36
+                    THEN CAST(POWER(2, 36 - age) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS wq
+        FROM k
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(SUM(cents * wq) AS DOUBLE) AS num,
+               CAST(SUM(wq) AS DOUBLE) AS den
+        FROM w GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(ROUND(num / den / 100.0, 6) AS DOUBLE) AS decayed_avg
+    FROM m WHERE den > 0 ORDER BY user_id
+    """,
+)
+def exp_time_decayed_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedAvg(halflife)(v, t)`` — recency
+    -weighted average of each user's purchase values, half-life one day.
+    Cross-engine determinism demands exact arithmetic, so the decay is
+    bucketed to integer half-lives: age = (t_max − t) DIV halflife and
+    weight = 2^(36−age) as an exact int64 (0 beyond 36 half-lives, where
+    the true weight is < 2⁻³⁶ ≈ 1.5e-11 of the newest point — below the
+    1e-6 output rounding). Every sum is integer-exact; one double
+    division per user. The delta vs ClickHouse's continuous exp() decay
+    is the within-bucket resolution, bounded by 2× weight steps —
+    documented, deterministic, and identical on both engines."""
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    b = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+    )
+    wu = Window.partitionBy("user_id")
+    k = b.withColumn("tmax", F.max("t").over(wu)).withColumn(
+        # exact int64 floor division on both engines (a double division
+        # could round up across a bucket boundary)
+        "age",
+        F.expr("(tmax - t) DIV 86400000000"),
+    )
+    # integer-exact 2^(36-age); FLOOR-free because POWER(2, int) is exact
+    w = k.select(
+        "user_id",
+        "cents",
+        F.when(
+            F.col("age") <= 36,
+            F.pow(F.lit(2.0), F.lit(36) - F.col("age")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("wq"),
+    )
+    m = w.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("wq")).alias("num"),
+        F.sum("wq").alias("den"),
+    )
+    return (
+        m.filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.lit(100.0),
+                6,
+            )
+            .cast("double")
+            .alias("decayed_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sequence_next_node",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    hits AS (
+        SELECT user_id, t, event_id, nxt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS rn
+        FROM e
+        WHERE event_type = 'click'
+          AND EXISTS (SELECT 1 FROM events v
+                      WHERE v.user_id = e.user_id
+                        AND v.event_type = 'view'
+                        AND (epoch_us(v.ts) < e.t
+                             OR (epoch_us(v.ts) = e.t
+                                 AND v.event_id < e.event_id)))
+    )
+    SELECT user_id, nxt AS next_event_type
+    FROM hits WHERE rn = 1 AND nxt IS NOT NULL
+    ORDER BY user_id
+    """,
+)
+def sequence_next_node_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward','first_match')(ts, et,
+    et='click', et='view')``: the event type that FOLLOWS the first
+    'click' which itself has some earlier 'view' — i.e. where does the
+    funnel go after view→…→click. One (user, time) sort serves three
+    windows: a running had-view flag, the next-event lead, and the
+    first-match row_number. Ties break on event_id on both engines."""
+    ev = tables(spark, sf_dir)["events"]
+    wt = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    ).select(
+        "*",
+        F.lead("event_type").over(wt).alias("nxt"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(wt.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("had_view"),
+    )
+    hits = (
+        e.filter((F.col("event_type") == "click") & (F.col("had_view") == 1))
+        .select(
+            "user_id", "nxt", F.row_number().over(wt).alias("rn")
+        )
+    )
+    return (
+        hits.filter((F.col("rn") == 1) & F.col("nxt").isNotNull())
+        .select("user_id", F.col("nxt").alias("next_event_type"))
+        .orderBy("user_id")
+    )
