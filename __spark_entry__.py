@@ -65,6 +65,7 @@ _CHANGED_THIS_ROUND = (
     "mann_whitney_utest",      # new: mannWhitneyUTest + tie-corrected z
     "exp_time_decayed_avg",    # new: exponentialTimeDecayedAvg (2^k buckets)
     "sequence_next_node",      # new: sequenceNextNode forward/first_match
+    "lttb_downsample",         # new: largestTriangleThreeBuckets
 )
 
 

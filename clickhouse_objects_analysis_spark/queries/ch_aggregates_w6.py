@@ -701,3 +701,154 @@ def sequence_next_node_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("nxt").alias("next_event_type"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "lttb_downsample",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ot,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, event_id, ot, y,
+               ot - MIN(ot) OVER (PARTITION BY user_id) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ot, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM p
+    ),
+    pb AS (
+        SELECT *, (rk - 1) * 10 // n AS b FROM r
+    ),
+    agg AS (
+        SELECT user_id, b,
+               SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS c
+        FROM pb GROUP BY user_id, b
+    ),
+    anch AS (
+        SELECT user_id, b,
+               lag(sx) OVER w AS pxs, lag(sy) OVER w AS pys,
+               lag(c) OVER w AS pc,
+               lead(sx) OVER w AS nxs, lead(sy) OVER w AS nys,
+               lead(c) OVER w AS nc
+        FROM agg WINDOW w AS (PARTITION BY user_id ORDER BY b)
+    ),
+    scored AS (
+        SELECT pb.user_id, pb.b, pb.ot, pb.y, pb.rk, pb.n, pb.event_id,
+               a.pc, a.nc,
+               CASE WHEN a.pc IS NOT NULL AND a.nc IS NOT NULL THEN
+                 abs((CAST(pb.x AS HUGEINT) * a.pc - a.pxs)
+                       * (CAST(a.nys AS HUGEINT) * a.pc - CAST(a.pys AS HUGEINT) * a.nc)
+                     - (CAST(a.nxs AS HUGEINT) * a.pc - CAST(a.pxs AS HUGEINT) * a.nc)
+                       * (CAST(pb.y AS HUGEINT) * a.pc - a.pys))
+               END AS t2
+        FROM pb JOIN anch a ON pb.user_id = a.user_id AND pb.b = a.b
+    ),
+    pick AS (
+        SELECT user_id, b, ot, y,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, b
+                   ORDER BY CASE
+                       WHEN pc IS NULL THEN rk         -- first bucket: first pt
+                       WHEN nc IS NULL THEN -rk END,   -- last bucket: last pt
+                     t2 DESC, ot, event_id) AS pr
+        FROM scored
+    )
+    SELECT user_id, CAST(b AS BIGINT) AS bucket,
+           CAST(ot AS BIGINT) AS t_us, CAST(y AS BIGINT) AS v_cents
+    FROM pick WHERE pr = 1
+    ORDER BY user_id, bucket
+    """,
+)
+def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(10)(t, v)``: downsample
+    each user's purchase series to <= 10 visually-representative points.
+    Anchored variant: points fall into 10 equal-count buckets; an
+    interior bucket keeps the point maximizing the triangle area against
+    the MEAN of the previous and next non-empty buckets (CH anchors on
+    the previously-selected point, which is inherently sequential; mean
+    anchors make every bucket independent — one window pass instead of a
+    per-series loop — with the same visual intent). Edge buckets keep
+    their first/last point.
+
+    Exactness: areas compare as |T| where T is the cross product scaled
+    by prev_count²·next_count — every factor integer (µs offsets ×
+    cents), products up to ~1e30 carried in decimal(38,0)/HUGEINT, so
+    the argmax and its (t, event_id) tie-break are deterministic on both
+    engines. No floats anywhere in the operator."""
+    from pyspark.sql.types import DecimalType
+
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ot"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    wu = Window.partitionBy("user_id")
+    wt = wu.orderBy("ot", "event_id")
+    r = p.select(
+        "*",
+        (F.col("ot") - F.min("ot").over(wu)).alias("x"),
+        F.row_number().over(wt).alias("rk"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    pb = r.withColumn("b", F.expr("(rk - 1) * 10 DIV n"))
+    agg = pb.groupBy("user_id", "b").agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("b")
+    anch = agg.select(
+        "user_id",
+        "b",
+        F.lag("sx").over(wb).alias("pxs"),
+        F.lag("sy").over(wb).alias("pys"),
+        F.lag("c").over(wb).alias("pc"),
+        F.lead("sx").over(wb).alias("nxs"),
+        F.lead("sy").over(wb).alias("nys"),
+        F.lead("c").over(wb).alias("nc"),
+    )
+    dec = DecimalType(38, 0)
+
+    def d(c):
+        return c.cast(dec)
+
+    t2 = F.abs(
+        (d(F.col("x")) * F.col("pc") - F.col("pxs"))
+        * (d(F.col("nys")) * F.col("pc") - d(F.col("pys")) * F.col("nc"))
+        - (d(F.col("nxs")) * F.col("pc") - d(F.col("pxs")) * F.col("nc"))
+        * (d(F.col("y")) * F.col("pc") - F.col("pys"))
+    )
+    scored = pb.join(anch, ["user_id", "b"]).withColumn(
+        "t2",
+        F.when(
+            F.col("pc").isNotNull() & F.col("nc").isNotNull(), t2
+        ),
+    )
+    edge_key = F.when(F.col("pc").isNull(), F.col("rk")).when(
+        F.col("nc").isNull(), -F.col("rk")
+    )
+    w_pick = Window.partitionBy("user_id", "b").orderBy(
+        edge_key.asc_nulls_last(),
+        F.col("t2").desc_nulls_last(),
+        "ot",
+        "event_id",
+    )
+    pick = scored.withColumn("pr", F.row_number().over(w_pick))
+    return (
+        pick.filter(F.col("pr") == 1)
+        .select(
+            "user_id",
+            F.col("b").cast("long").alias("bucket"),
+            F.col("ot").cast("long").alias("t_us"),
+            F.col("y").cast("long").alias("v_cents"),
+        )
+        .orderBy("user_id", "bucket")
+    )

@@ -133,3 +133,54 @@ def test_mann_whitney_model(spark, sf_dir, li):
     assert row["n_a"] == na and row["n_r"] == nr
     assert row["u_a"] == pytest.approx(u_a, abs=0.51)
     assert row["z_stat"] == pytest.approx(z, abs=1e-5)
+
+
+def test_lttb_model(spark, sf_dir):
+    """Independent Python LTTB (mean-anchored variant): same bucketing,
+    exact integer area comparison, same tie-breaks."""
+    from fractions import Fraction
+
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {}
+    for r in QUERIES["lttb_downsample"](spark, sf_dir).collect():
+        got[(r["user_id"], r["bucket"])] = (r["t_us"], r["v_cents"])
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["y"] = (ev["value"] * 100).round().astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        x = (g["t"] - g["t"].min()).to_numpy()
+        y = g["y"].to_numpy()
+        buckets: dict[int, list[int]] = {}
+        for i in range(n):
+            buckets.setdefault(i * 10 // n, []).append(i)
+        bids = sorted(buckets)
+        for j, b in enumerate(bids):
+            idx = buckets[b]
+            if j == 0:
+                pick = idx[0]
+            elif j == len(bids) - 1:
+                pick = idx[-1]
+            else:
+                prev, nxt = buckets[bids[j - 1]], buckets[bids[j + 1]]
+                ax = Fraction(int(sum(x[k] for k in prev)), len(prev))
+                ay = Fraction(int(sum(y[k] for k in prev)), len(prev))
+                cx = Fraction(int(sum(x[k] for k in nxt)), len(nxt))
+                cy = Fraction(int(sum(y[k] for k in nxt)), len(nxt))
+                best = None
+                for k in idx:
+                    area = abs(
+                        (Fraction(int(x[k])) - ax) * (cy - ay)
+                        - (cx - ax) * (Fraction(int(y[k])) - ay)
+                    )
+                    key = (-area, int(g["t"][k]), int(g["event_id"][k]))
+                    if best is None or key < best[0]:
+                        best = (key, k)
+                pick = best[1]
+            assert got[(uid, b)] == (int(g["t"][pick]), int(y[pick])), (
+                uid, b,
+            )
