@@ -66,6 +66,8 @@ _CHANGED_THIS_ROUND = (
     "exp_time_decayed_avg",    # new: exponentialTimeDecayedAvg (2^k buckets)
     "sequence_next_node",      # new: sequenceNextNode forward/first_match
     "lttb_downsample",         # new: largestTriangleThreeBuckets
+    "cramers_v_contingency",   # new: cramersV + contingency coefficient
+    "quantiles_exact_weighted",  # new: quantilesExactWeighted vector
 )
 
 

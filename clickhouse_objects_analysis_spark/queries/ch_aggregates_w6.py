@@ -852,3 +852,160 @@ def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@query(
+    "cramers_v_contingency",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderstatus AS r, o_orderpriority AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT r, SUM(o) AS ro FROM cells GROUP BY r
+    ),
+    colm AS (
+        SELECT c, SUM(o) AS co FROM cells GROUP BY c
+    ),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+                   COUNT(DISTINCT c) AS nc FROM cells),
+    terms AS (
+        SELECT CAST(FLOOR(
+                 (CAST(cells.o AS DOUBLE)
+                    - CAST(m.ro AS DOUBLE) * cm.co / t.n)
+                 * (CAST(cells.o AS DOUBLE)
+                    - CAST(m.ro AS DOUBLE) * cm.co / t.n)
+                 / (CAST(m.ro AS DOUBLE) * cm.co / t.n)
+                 * 1e9 + 0.5) AS BIGINT) AS q
+        FROM cells
+        JOIN margins m ON cells.r = m.r
+        JOIN colm cm ON cells.c = cm.c
+        CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(ROUND(SQRT(CAST(s.chi2q AS DOUBLE) / 1e9
+                           / (t.n * (LEAST(t.nr, t.nc) - 1))), 6)
+                AS DOUBLE) AS cramers_v,
+           CAST(ROUND(SQRT(CAST(s.chi2q AS DOUBLE) / 1e9
+                           / (CAST(s.chi2q AS DOUBLE) / 1e9 + t.n)), 6)
+                AS DOUBLE) AS contingency_coef
+    FROM (SELECT SUM(q) AS chi2q FROM terms) s CROSS JOIN tot t
+    """,
+)
+def cramers_v_contingency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(x, y)`` + ``contingency(x, y)``: association
+    between order status and priority from the full contingency table.
+    Each cell's χ² term (o−e)²/e is computed in double on identical
+    integer operands — same expression tree both engines — then
+    QUANTIZED to a 1e-9 grid and summed as int64, so the cross-cell
+    summation order (which the engines do differ on) can't move the
+    total. V and the contingency coefficient evaluate once from the
+    exact quantized χ². The contingency table itself is tiny (|statuses|
+    × |priorities|); the only full-data pass is the cell count."""
+    o = tables(spark, sf_dir)["orders"]
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("r"), F.col("o_orderpriority").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = cells.groupBy("r").agg(F.sum("o").alias("ro"))
+    colm = cells.groupBy("c").agg(F.sum("o").alias("co"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+    )
+    e = F.col("ro").cast("double") * F.col("co") / F.col("n")
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    terms = (
+        cells.join(F.broadcast(margins), "r")
+        .join(F.broadcast(colm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long").alias("q")
+        )
+    )
+    s = terms.agg(F.sum("q").alias("chi2q"))
+    j = s.crossJoin(F.broadcast(tot))
+    chi2 = F.col("chi2q").cast("double") / F.lit(1e9)
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n") * (F.least("nr", "nc") - F.lit(1)))),
+            6,
+        )
+        .cast("double")
+        .alias("cramers_v"),
+        F.round(F.sqrt(chi2 / (chi2 + F.col("n"))), 6)
+        .cast("double")
+        .alias("contingency_coef"),
+    )
+
+
+@query(
+    "quantiles_exact_weighted",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, y, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY y ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM b
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 4 * cw >= tw THEN y END) AS BIGINT)
+               AS p25_cents,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN y END) AS BIGINT)
+               AS p50_cents,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * tw THEN y END) AS BIGINT)
+               AS p75_cents
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def quantiles_exact_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantilesExactWeighted(0.25, 0.5, 0.75)(y, w)``:
+    weight-cumulative exact quantiles (weighted_median generalized to a
+    quantile VECTOR) — the smallest value whose running weight reaches
+    q·total. One cumulative-weight window over the per-group (value)
+    sort serves all three quantiles as conditional mins; the q·total
+    comparisons stay integral (4·cw ≥ k·tw), so no float crosses the
+    selection boundary."""
+    li = tables(spark, sf_dir)["lineitem"]
+    b = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.select(
+        "l_returnflag",
+        "y",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("y")))
+            .cast("long")
+            .alias("p25_cents"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("y")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("y")))
+            .cast("long")
+            .alias("p75_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -184,3 +184,39 @@ def test_lttb_model(spark, sf_dir):
             assert got[(uid, b)] == (int(g["t"][pick]), int(y[pick])), (
                 uid, b,
             )
+
+
+def test_cramers_v_model(spark, sf_dir):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    row = QUERIES["cramers_v_contingency"](spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    ct = pd.crosstab(o["o_orderstatus"], o["o_orderpriority"]).to_numpy()
+    n = ct.sum()
+    e = np.outer(ct.sum(1), ct.sum(0)) / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    v = np.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    cc = np.sqrt(chi2 / (chi2 + n))
+    assert row["n"] == n
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-5)
+    assert row["contingency_coef"] == pytest.approx(cc, abs=1e-5)
+
+
+def test_quantiles_exact_weighted_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["quantiles_exact_weighted"](spark, sf_dir).collect()
+    }
+    for flag, g in li.groupby("l_returnflag"):
+        y = (g["l_extendedprice"] * 100).round().astype("int64").to_numpy()
+        w = g["l_quantity"].astype("int64").to_numpy()
+        order = np.argsort(y, kind="stable")
+        ys, ws = y[order], w[order]
+        cw = np.cumsum(ws)
+        tw = int(cw[-1])
+        for col, q in (("p25_cents", 0.25), ("p50_cents", 0.5),
+                       ("p75_cents", 0.75)):
+            expected = int(ys[np.searchsorted(cw, q * tw)])
+            assert got[flag][col] == expected, (flag, col)
