@@ -127,6 +127,8 @@ def main() -> None:
         "streaming_stateful_state", "streaming_dedup",
         "lineage_edges", "lineage_transitive_closure",
         "mutation_delete_where", "sink_partitioned_parquet",
+        "linear_regression_agg", "boilerplate_span_scrub",
+        "lttb_downsample", "rank_corr_spearman",
     ]
     compact = {
         "metric": "total_query_set_runtime",
