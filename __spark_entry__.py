@@ -68,6 +68,7 @@ _CHANGED_THIS_ROUND = (
     "lttb_downsample",         # new: largestTriangleThreeBuckets
     "cramers_v_contingency",   # new: cramersV + contingency coefficient
     "quantiles_exact_weighted",  # new: quantilesExactWeighted vector
+    "kolmogorov_smirnov_test",  # new: two-sample KS via integer CDF gaps
 )
 
 

@@ -1009,3 +1009,81 @@ def quantiles_exact_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "kolmogorov_smirnov_test",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    v AS (
+        SELECT y,
+               SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr
+        FROM b GROUP BY y
+    ),
+    c AS (
+        SELECT SUM(ca) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cuma,
+               SUM(cr) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cumr
+        FROM v
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cr) AS nr FROM v),
+    d AS (SELECT MAX(abs(cuma * (SELECT nr FROM t)
+                         - cumr * (SELECT na FROM t))) AS dmax
+          FROM c)
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nr AS BIGINT) AS n_r,
+           CAST(ROUND(CAST(d.dmax AS DOUBLE)
+                      / (CAST(t.na AS DOUBLE) * t.nr), 6) AS DOUBLE)
+               AS ks_stat
+    FROM d CROSS JOIN t
+    """,
+)
+def kolmogorov_smirnov_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest(x, y)``: the two-sample KS
+    statistic D = max |F_A(y) − F_R(y)| between the A and R price
+    distributions. Exactness: at every distinct value the CDF gap
+    compares as the INTEGER |cum_A·n_R − cum_R·n_A| (common denominator
+    n_A·n_R cleared), so the max is an integer max and the single
+    division to D happens once. One distinct-value aggregate, one
+    cumulative window over the value sort, one max."""
+    li = tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    b = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    is_a = F.col("l_returnflag") == "A"
+    v = b.groupBy("y").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("cr"),
+    )
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cr").over(wc).alias("cumr"),
+    )
+    t = v.agg(F.sum("ca").alias("na"), F.sum("cr").alias("nr"))
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("nr") - F.col("cumr") * F.col("na"))
+            ).alias("dmax")
+        )
+    )
+    j = d.crossJoin(F.broadcast(t))
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nr").cast("long").alias("n_r"),
+        F.round(
+            F.col("dmax").cast("double")
+            / (F.col("na").cast("double") * F.col("nr")),
+            6,
+        )
+        .cast("double")
+        .alias("ks_stat"),
+    )

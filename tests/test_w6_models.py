@@ -220,3 +220,23 @@ def test_quantiles_exact_weighted_model(spark, sf_dir, li):
                        ("p75_cents", 0.75)):
             expected = int(ys[np.searchsorted(cw, q * tw)])
             assert got[flag][col] == expected, (flag, col)
+
+
+def test_kolmogorov_smirnov_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    row = QUERIES["kolmogorov_smirnov_test"](spark, sf_dir).collect()[0]
+    a = np.sort(
+        (li.loc[li["l_returnflag"] == "A", "l_extendedprice"] * 100)
+        .round().astype("int64").to_numpy()
+    )
+    r = np.sort(
+        (li.loc[li["l_returnflag"] == "R", "l_extendedprice"] * 100)
+        .round().astype("int64").to_numpy()
+    )
+    grid = np.unique(np.concatenate([a, r]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fr = np.searchsorted(r, grid, side="right") / len(r)
+    d = np.abs(fa - fr).max()
+    assert row["n_a"] == len(a) and row["n_r"] == len(r)
+    assert row["ks_stat"] == pytest.approx(d, abs=1e-6)
