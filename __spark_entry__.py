@@ -41,18 +41,12 @@ _NEVER_DRIVER_CHECKED = (
     "running_difference",
 )
 
-#: Implementation changed in round 4 — prior green rows no longer
-#: certify the current code, so these re-enter the window first.
+#: New in round 4 or implementation changed in round 4 — no prior row,
+#: or the prior green row no longer certifies the current code. Ordered
+#: new-first; the three tail entries changed algorithmically but hold
+#: both an earlier driver-green row and a LOCAL_PARITY_r04 green row, so
+#: they lose their slot first if the head list outgrows the window.
 _CHANGED_THIS_ROUND = (
-    "linear_regression_agg",   # decimal(38,6) moments -> int64 hi/lo splits
-    "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
-    "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
-    "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)
-    "ann_lsh_topk",            # rows-only -> recall gate vs exact (oracled)
-    "ann_ivf_topk",            # rows-only -> recall gate vs exact (oracled)
-    "dedup_clusters",          # CC algorithm now picked by density probe
-    "embedding_neardup_pairs", # cosine_pairs blocks now executor-side
-    "semantic_dedup",          # (same cosine_pairs change)
     "watch_events_heartbeat",  # new: WATCH ... EVENTS
     "watch_limit_bounded",     # new: WATCH ... LIMIT n
     "covar_avg_weighted",      # new: covarPop/covarSamp/avgWeighted
@@ -69,11 +63,20 @@ _CHANGED_THIS_ROUND = (
     "cramers_v_contingency",   # new: cramersV + contingency coefficient
     "quantiles_exact_weighted",  # new: quantilesExactWeighted vector
     "kolmogorov_smirnov_test",  # new: two-sample KS via integer CDF gaps
+    "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
+    "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
+    "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)
+    "ann_lsh_topk",            # rows-only -> recall gate vs exact (oracled)
+    "ann_ivf_topk",            # rows-only -> recall gate vs exact (oracled)
+    "linear_regression_agg",   # decimal(38,6) moments -> int64 hi/lo splits
+    "dedup_clusters",          # CC algorithm now picked by density probe
+    "embedding_neardup_pairs", # cosine_pairs blocks now executor-side
+    "semantic_dedup",          # (same cosine_pairs change)
 )
 
 
 def _ordered() -> list[str]:
-    head = [n for n in _CHANGED_THIS_ROUND + _NEVER_DRIVER_CHECKED
+    head = [n for n in _NEVER_DRIVER_CHECKED + _CHANGED_THIS_ROUND
             if n in QUERIES]
     seen = set(head)
     return head + [n for n in QUERIES if n not in seen]
