@@ -134,7 +134,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(order_by: bool = True) -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
         for b in range(SIMHASH_BITS)
@@ -153,7 +153,7 @@ def _simhash_oracle() -> str:
                  CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
           FROM words),
     votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-    SELECT doc_id AS id, {fp} AS simhash FROM votes ORDER BY id
+    SELECT doc_id AS id, {fp} AS simhash FROM votes{" ORDER BY id" if order_by else ""}
     """
 
 

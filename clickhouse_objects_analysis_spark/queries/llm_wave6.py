@@ -142,3 +142,71 @@ def boilerplate_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+from ..operators.dedup import simhash  # noqa: E402
+from .llm import _simhash_oracle  # noqa: E402
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sh AS ({_simhash_oracle(order_by=False)}),
+    bands AS (
+        SELECT id, simhash, b.b AS band_id,
+               (simhash >> (8 * b.b)) & 255 AS band_val
+        FROM sh, (SELECT unnest(range(4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 3 — the fingerprint
+    follow-up to dedup_simhash: band each 32-bit fingerprint into 4
+    bytes; by pigeonhole, any pair within distance 3 shares at least one
+    intact byte, so candidates come from 4 tiny band-bucket self-joins
+    (shuffle on (band, byte) — never all-pairs), then the exact popcount
+    of the XOR filters. The oracle rebuilds the identical portable
+    fingerprints in SQL and mirrors the banding. Scale shape: this IS
+    the Manku/Google simhash dedup layout — at 100 TB the bands become
+    the partition key and each bucket stays tiny."""
+    d = tables(spark, sf_dir)["documents"]
+    fp = simhash(d, "doc_id", "text")
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn(
+        "band_val", F.expr("shiftright(simhash, 8 * band_id) & 255")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sa"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sb"),
+        "band_id", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sa ^ sb"))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
