@@ -349,16 +349,20 @@ def array_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
                AS priorities,
-           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_uniq
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_uniq,
+           CAST(LEAST(COUNT(DISTINCT o_orderpriority), 4) AS BIGINT)
+               AS uniq_up_to_3
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def group_uniq_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupUniqArray(x)`` (+ arrayStringConcat /
-    arraySort): the distinct values of a column per group as a sorted
-    array — rendered as a joined string so the hash gate compares
-    canonical text. collect_set is the map-side-combined native path;
-    sorting happens once per group row."""
+    arraySort) and ``uniqUpTo(3)(x)`` — exact distinct count saturating
+    at N+1, the cheap "are there more than N" probe: the distinct
+    values of a column per group as a sorted array — rendered as a
+    joined string so the hash gate compares canonical text. collect_set
+    is the map-side-combined native path; sorting happens once per
+    group row."""
     o = tables(spark, sf_dir)["orders"]
     return (
         o.groupBy("o_orderstatus")
@@ -367,6 +371,9 @@ def group_uniq_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_set("o_orderpriority")), ","
             ).alias("priorities"),
             F.count_distinct("o_orderpriority").cast("long").alias("n_uniq"),
+            F.least(
+                F.count_distinct("o_orderpriority"), F.lit(4)
+            ).cast("long").alias("uniq_up_to_3"),
         )
         .orderBy("o_orderstatus")
     )
