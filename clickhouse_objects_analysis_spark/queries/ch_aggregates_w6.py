@@ -16,7 +16,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .ch_aggregates import _FUNNEL_W_US
 from .registry import query, tables
+
+
+def _FUNNEL_W() -> int:
+    return _FUNNEL_W_US
 
 
 @query(
@@ -1093,4 +1098,98 @@ def kolmogorov_smirnov_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("ks_stat"),
+    )
+
+
+@query(
+    "window_funnel_strict_order",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+               lag(event_type) OVER w AS p1_type,
+               lag(epoch_us(ts)) OVER w AS p1_t,
+               lag(event_type, 2) OVER w AS p2_type,
+               lag(epoch_us(ts), 2) OVER w AS p2_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+               MAX(CASE WHEN event_type = 'click' AND p1_type = 'view'
+                         AND t - p1_t <= {_FUNNEL_W()} THEN 1 ELSE 0 END)
+                   AS l2,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND p1_type = 'click' AND p2_type = 'view'
+                         AND t - p2_t <= {_FUNNEL_W()} THEN 1 ELSE 0 END)
+                   AS l3
+        FROM e GROUP BY user_id
+    )
+    SELECT CAST(l1 + l2 + l3 AS INT) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id,
+                 l1,
+                 CASE WHEN l1 = 1 THEN l2 ELSE 0 END AS l2,
+                 CASE WHEN l1 = 1 AND l2 = 1 THEN l3 ELSE 0 END AS l3
+          FROM f)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def window_funnel_strict_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window, 'strict_order')``: the funnel
+    only advances when the steps are CONSECUTIVE events — a click counts
+    only if the immediately preceding event is a view (any intervening
+    event breaks the chain), a purchase only if preceded by exactly
+    click-after-view, all inside the time window. Two lags over one
+    (user, time) sort replace window_funnel's running-max construction;
+    levels stay monotone (a level only counts if the previous one was
+    reached). Output is the same per-level user histogram as
+    window_funnel — directly comparable to see how much the strict mode
+    shrinks each level."""
+    ev = tables(spark, sf_dir)["events"]
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lag("event_type").over(wt).alias("p1_type"),
+        F.lag(F.unix_micros("ts")).over(wt).alias("p1_t"),
+        F.lag("event_type", 2).over(wt).alias("p2_type"),
+        F.lag(F.unix_micros("ts"), 2).over(wt).alias("p2_t"),
+    )
+    w = F.lit(_FUNNEL_W())
+    f = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("l1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("p1_type") == "view")
+                & (F.col("t") - F.col("p1_t") <= w),
+                1,
+            ).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("p1_type") == "click")
+                & (F.col("p2_type") == "view")
+                & (F.col("t") - F.col("p2_t") <= w),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    lvl = (
+        F.col("l1")
+        + F.when(F.col("l1") == 1, F.col("l2")).otherwise(0)
+        + F.when(
+            (F.col("l1") == 1) & (F.col("l2") == 1), F.col("l3")
+        ).otherwise(0)
+    )
+    return (
+        f.select(lvl.cast("int").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_level")
     )
