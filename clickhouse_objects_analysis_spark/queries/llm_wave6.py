@@ -19,6 +19,77 @@ _NGRAM = 5
 _MIN_DF = 3
 
 
+def scrub_boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Remove every token covered by an ``ngram``-token span that occurs
+    in >= ``min_df`` distinct documents, and reassemble the text.
+    Returns (id_col, scrubbed_text, n_removed). See
+    boilerplate_span_scrub_q for the scale analysis."""
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            "w",
+            *[F.lead("w", i).over(wd) for i in range(1, ngram)],
+        ).alias("s"),
+        F.lead("w", ngram - 1).over(wd).isNotNull().alias("is_full"),
+    )
+    occurrences = sh.filter("is_full")
+    frequent = (
+        occurrences.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("s")
+    )
+    covered = (
+        occurrences.join(frequent, "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (ngram - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(
+        covered,
+        (tok["doc_id"] == covered["doc_id"])
+        & (tok["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda st: st["w"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    orig = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_orig")
+    )
+    return orig.join(rebuilt, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        (F.col("n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 @query(
     "boilerplate_span_scrub",
     oracle=f"""
@@ -81,67 +152,9 @@ def boilerplate_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: partial collect_list before the shuffle, array ops JVM-side.
     """
     d = tables(spark, sf_dir)["documents"]
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    sh = tok.select(
-        "doc_id",
-        "pos",
-        F.concat_ws(
-            " ",
-            "w",
-            *[F.lead("w", i).over(wd) for i in range(1, _NGRAM)],
-        ).alias("s"),
-        F.lead("w", _NGRAM - 1).over(wd).isNotNull().alias("is_full"),
-    )
-    occurrences = sh.filter("is_full")
-    frequent = (
-        occurrences.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _MIN_DF)
-        .select("s")
-    )
-    covered = (
-        occurrences.join(frequent, "s")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (_NGRAM - 1))
-            ).alias("cpos"),
-        )
-        .distinct()
-    )
-    kept = tok.join(
-        covered,
-        (tok["doc_id"] == covered["doc_id"])
-        & (tok["pos"] == covered["cpos"]),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "w"))),
-                lambda st: st["w"],
-            ),
-            " ",
-        ).alias("scrubbed"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    orig = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_orig")
-    )
-    return (
-        orig.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
-            (F.col("n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-        .orderBy("doc_id")
-    )
+    return scrub_boilerplate_spans(
+        d, "doc_id", "text", ngram=_NGRAM, min_df=_MIN_DF
+    ).orderBy("doc_id")
 
 
 from ..operators.dedup import simhash  # noqa: E402

@@ -240,3 +240,36 @@ def test_kolmogorov_smirnov_model(spark, sf_dir, li):
     d = np.abs(fa - fr).max()
     assert row["n_a"] == len(a) and row["n_r"] == len(r)
     assert row["ks_stat"] == pytest.approx(d, abs=1e-6)
+
+
+def test_scrub_boilerplate_fixture(spark):
+    """Handcrafted corpus: the span 'one two three four five' appears in
+    3 docs (boilerplate at df>=3); 'alpha beta gamma delta eps' appears
+    in only 2 (kept)."""
+    from clickhouse_objects_analysis_spark.queries.llm_wave6 import (
+        scrub_boilerplate_spans,
+    )
+
+    bp = "one two three four five"
+    rare = "alpha beta gamma delta eps"
+    docs = [
+        (1, f"intro {bp} outro"),
+        (2, f"{bp} tail words here"),
+        (3, f"pre text {bp}"),
+        (4, f"{rare} solo"),
+        (5, f"{rare} again here"),
+        (6, "totally unrelated text content"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate_spans(df, "doc_id", "text").collect()
+    }
+    assert got[1]["scrubbed_text"] == "intro outro"
+    assert got[1]["n_removed"] == 5
+    assert got[2]["scrubbed_text"] == "tail words here"
+    assert got[3]["scrubbed_text"] == "pre text"
+    # df=2 span survives
+    assert got[4]["scrubbed_text"] == f"{rare} solo"
+    assert got[4]["n_removed"] == 0
+    assert got[6]["scrubbed_text"] == "totally unrelated text content"
