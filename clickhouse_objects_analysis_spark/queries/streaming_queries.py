@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.pipeline import (
     materialized_view_sink,
+    upsert_latest_sink,
     watch_heartbeats,
     session_counts,
     sliding_counts,
@@ -348,3 +349,35 @@ def watch_limit_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the heartbeat stream truncated at version 2."""
     tables(spark, sf_dir)
     return watch_heartbeats(spark, sf_dir, limit=2).orderBy("version")
+
+
+@query(
+    "streaming_upsert_sink",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           ROUND(value, 2) AS last_value
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def streaming_upsert_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree streaming WRITE path: four micro-batch upserts
+    into a keyed parquet destination, latest (ts, event_id) per user
+    winning each merge. The batch oracle takes one argmax over the whole
+    table — equal iff latest-wins merged correctly across every batch
+    boundary."""
+    tables(spark, sf_dir)
+    res = upsert_latest_sink(spark, sf_dir)
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")

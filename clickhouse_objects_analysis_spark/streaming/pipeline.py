@@ -410,3 +410,66 @@ def watch_heartbeats(
     return spark.createDataFrame(
         rows, "version long, n_new_rows long, n_total long"
     )
+
+
+def upsert_latest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree as a STREAMING sink: each micro-batch upserts
+    into a keyed destination, latest (ts, event_id) version per user
+    wins — the write-side twin of the batch SELECT ... FINAL read
+    (final_replacing_read). Replays the deterministic 4-slice source
+    (one micro-batch per slice); foreachBatch reduces the batch to its
+    latest row per key, merges with the current destination, and swaps
+    the parquet directory atomically (write-new, remove-old, rename).
+    Latest-wins is associative under the total (ts, event_id) order, so
+    the final state is independent of batch boundaries — which is what
+    the oracle (one argmax over the whole table) checks."""
+    import glob as _glob  # noqa: F401  (parallel to _watch_slices import)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    src_dir = _watch_slices(spark, sf_dir, 4)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    run_dir = os.path.join(SCRATCH, f"upsert_{uuid.uuid4().hex[:8]}")
+    dest = os.path.join(run_dir, "dest")
+    ckpt = os.path.join(run_dir, "ckpt")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir, exist_ok=True)
+
+    w = Window.partitionBy("user_id").orderBy(
+        SF.col("ts").desc(), SF.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", SF.row_number().over(w))
+            .filter(SF.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge(bdf: DataFrame, bid: int) -> None:
+        cols = ["user_id", "event_id", "ts", "value"]
+        new = latest(bdf.select(*cols))
+        if os.path.exists(dest):
+            cur = bdf.sparkSession.read.parquet(dest)
+            merged = latest(cur.unionByName(new))
+        else:
+            merged = new
+        tmp = dest + f".tmp{bid}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(dest, ignore_errors=True)
+        os.rename(tmp, dest)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)
