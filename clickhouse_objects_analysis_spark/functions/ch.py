@@ -238,6 +238,20 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "avgIf": lambda c, cond: F.avg(F.when(cond, c)),
     "minIf": lambda c, cond: F.min(F.when(cond, c)),
     "maxIf": lambda c, cond: F.max(F.when(cond, c)),
+    "avgWeighted": lambda c, w: F.sum(c * w) / F.sum(w),
+    "uniqUpTo": lambda c, n=3: F.least(
+        F.count_distinct(c), F.lit(int(n) + 1)
+    ),
+    # statistical family: the hash-gated registry twins use exact
+    # integer moments (queries/ch_aggregates_w6.py); these one-liners
+    # are the quick float-path equivalents for interactive use
+    "skewPop": F.skewness,
+    "kurtPop": F.kurtosis,
+    "rankCorr": lambda x, y: F.corr(x, y),  # exact twin: rank_corr_spearman
+    "quantileExactWeighted": lambda c, w, q=0.5: F.percentile(c, q, w),
+    "quantilesExactWeighted": lambda c, w, *qs: F.percentile(
+        c, F.array(*[F.lit(q) for q in (qs or (0.5,))]), w
+    ),
     # --- window names (same names, used with .over) ---
     "row_number": F.row_number,
     "rank": F.rank,
