@@ -66,6 +66,7 @@ _CHANGED_THIS_ROUND = (
     "simhash_hamming_pairs",   # new: banded Hamming<=3 fingerprint pairs
     "window_funnel_strict_order",  # new: windowFunnel strict_order mode
     "streaming_upsert_sink",   # new: ReplacingMergeTree streaming write path
+    "bitmap_set_cardinalities",  # new: groupBitmapAnd/Or/AndNot surface
     "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
     "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
     "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)

@@ -1193,3 +1193,59 @@ def window_funnel_strict_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("funnel_level")
     )
+
+
+@query(
+    "bitmap_set_cardinalities",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+    SELECT
+        CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        CAST((SELECT COUNT(*) FROM v JOIN c USING (user_id)) AS BIGINT)
+            AS view_and_click,
+        CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v
+                                    UNION SELECT user_id FROM c))
+             AS BIGINT) AS view_or_click,
+        CAST((SELECT COUNT(*) FROM v
+              WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT)
+            AS view_andnot_purchase
+    """,
+)
+def bitmap_set_cardinalities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bitmap family — ``groupBitmap`` /
+    ``groupBitmapAnd/Or/AndNot`` cardinalities (bitmapAnd, bitmapOr,
+    bitmapAndnot over per-segment user bitmaps): audience intersection /
+    union / difference counts between event-type segments. Spark-first,
+    the bitmap IS the distinct key set: semi/anti joins and a distinct
+    union — expressed as ONE plan: per-user membership flags (a single
+    map-side-combined aggregate over (user, 3 booleans)) followed by one
+    global conditional count, so all four cardinalities share a single
+    shuffle and nothing executes at DataFrame-build time. At 100 TB this
+    is the layout roaring bitmaps accelerate; the relational plan has
+    the same asymptotics (shuffle on the id)."""
+    ev = tables(spark, sf_dir)["events"]
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    one = F.lit(1)
+    return flags.agg(
+        F.sum(F.when(F.col("v") == 1, one).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(F.when((F.col("v") == 1) & (F.col("c") == 1), one).otherwise(0))
+        .cast("long")
+        .alias("view_and_click"),
+        F.sum(F.when((F.col("v") == 1) | (F.col("c") == 1), one).otherwise(0))
+        .cast("long")
+        .alias("view_or_click"),
+        F.sum(F.when((F.col("v") == 1) & (F.col("p") == 0), one).otherwise(0))
+        .cast("long")
+        .alias("view_andnot_purchase"),
+    )
