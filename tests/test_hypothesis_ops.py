@@ -108,3 +108,90 @@ def test_limit_with_ties_keeps_full_tie_groups(spark, vals, n):
         cutoff = s[n - 1]
         want = [v for v in s if v <= cutoff]
     assert got == want
+
+
+# ---- round-4 sweep-line / scrub properties ----
+
+_iv_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # start
+        st.integers(min_value=1, max_value=10),   # length
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(ivs=_iv_sets)
+@settings(**_SETTINGS)
+def test_max_concurrency_sweep_matches_brute_force(spark, ivs):
+    """The windowed ±1 sweep (max_intersections' core) must equal the
+    brute-force point-wise maximum over half-open intervals."""
+    from pyspark.sql import Window
+
+    rows = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "event_id long, lo long, hi long")
+    pts = df.select(
+        F.col("lo").alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionAll(
+        df.select(F.col("hi").alias("t"), F.lit(-1).alias("d"), "event_id")
+    )
+    w = Window.orderBy("t", "d", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = (
+        pts.select(F.sum("d").over(w).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    brute = max(
+        sum(1 for lo, ln in ivs if lo <= t < lo + ln)
+        for t in range(0, 45)
+    )
+    assert got == brute
+
+
+_doc_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(_doc_words, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_scrub_invariants(spark, docs):
+    """scrub_boilerplate_spans invariants on random corpora: kept text
+    is a subsequence of the original, n_removed is consistent, and a
+    document with no df>=2 5-gram survives untouched."""
+    from clickhouse_objects_analysis_spark.queries.llm_wave6 import (
+        scrub_boilerplate_spans,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate_spans(
+            df, "doc_id", "text", ngram=5, min_df=2
+        ).collect()
+    }
+    from collections import Counter
+
+    grams = Counter()
+    for ws in docs:
+        for seen_in_doc in ({tuple(ws[i:i + 5])
+                             for i in range(len(ws) - 4)},):
+            grams.update(seen_in_doc)
+    frequent = {g for g, c in grams.items() if c >= 2}
+    for i, ws in enumerate(docs):
+        out = got[i]["scrubbed_text"].split(" ") if got[i][
+            "scrubbed_text"
+        ] else []
+        assert got[i]["n_removed"] == len(ws) - len(out)
+        # kept tokens are a subsequence of the original
+        it = iter(ws)
+        assert all(any(w == x for x in it) for w in out)
+        if not any(tuple(ws[j:j + 5]) in frequent
+                   for j in range(len(ws) - 4)):
+            assert out == ws  # untouched when no frequent span
