@@ -570,7 +570,13 @@ def connected_components_auto(
     O(n) rounds (see ``pick_cc_algorithm``). Output contract matches
     both underlying implementations: (node, component) for every node in
     ``edges``."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the edge list ONCE (often the tail of an expensive
+    # pair-generation pipeline — MinHash bands, cosine blocks); the
+    # probe and the chosen algorithm both read the checkpoint instead
+    # of recomputing the pipeline.
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     row = e.agg(
         F.count(F.lit(1)).alias("m"),
         F.approx_count_distinct("a").alias("na"),
@@ -578,5 +584,5 @@ def connected_components_auto(
     ).first()
     algo = pick_cc_algorithm(row[0], max(row[1], row[2]), density_threshold)
     if algo == "minlabel":
-        return connected_components(edges, src, dst, max_iter)
-    return connected_components_star(edges, src, dst, max_iter)
+        return connected_components(e, "a", "b", max_iter)
+    return connected_components_star(e, "a", "b", max_iter)
