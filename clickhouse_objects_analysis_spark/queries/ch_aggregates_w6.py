@@ -423,11 +423,14 @@ def rank_corr_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation of the two rank vectors, with average ranks for ties
     kept integral as 2·avg_rank = 2·min_rank + ties − 1 (the array_auc
     trick; correlation is affine-invariant so the ×2 never needs
-    undoing). Rank moments are exact int64 sums here (2r ≤ 2n keeps
-    every product inside int64 through ~1e4× this scale); the rho
-    expression evaluates once per group in double, identical tree both
-    engines. At 100 TB the per-group window rank becomes the two-pass
-    partition-histogram rank, feeding the same integer moments."""
+    undoing). The quadratic rank moments grow as 4n³, which leaves
+    int64 near n ≈ 1.3e6 rows per group — the sf1 scaling bench caught
+    exactly that overflow — so sxx/syy/sxy accumulate as hi/lo splits
+    (divisor 1e8; exact to n ≈ 1e9 rows per group) and reconstruct in
+    decimal(38,0) on the group rows; rho evaluates once per group in
+    double, identical tree both engines. At 100 TB the per-group window
+    rank becomes the two-pass partition-histogram rank, feeding the
+    same integer moments."""
     li = tables(spark, sf_dir)["lineitem"]
     b = li.select(
         "l_returnflag",
@@ -453,15 +456,24 @@ def rank_corr_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.expr("rx * rx DIV 100000000")).alias("sxx_hi"),
+        F.sum(F.expr("rx * rx % 100000000")).alias("sxx_lo"),
+        F.sum(F.expr("ry * ry DIV 100000000")).alias("syy_hi"),
+        F.sum(F.expr("ry * ry % 100000000")).alias("syy_lo"),
+        F.sum(F.expr("rx * ry DIV 100000000")).alias("sxy_hi"),
+        F.sum(F.expr("rx * ry % 100000000")).alias("sxy_lo"),
     )
+
+    def _join(hi: str, lo: str):
+        return (
+            F.col(hi).cast("decimal(38,0)") * F.lit(100000000) + F.col(lo)
+        ).cast("double")
+
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxxd = F.col("sxx").cast("double")
-    syyd = F.col("syy").cast("double")
-    sxyd = F.col("sxy").cast("double")
+    sxxd = _join("sxx_hi", "sxx_lo")
+    syyd = _join("syy_hi", "syy_lo")
+    sxyd = _join("sxy_hi", "sxy_lo")
     rho = (nd * sxyd - sxd * syd) / F.sqrt(
         (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
     )

@@ -37,6 +37,10 @@ HEADLINE = [
     "embedding_neardup_pairs", "ann_cosine_topk",
     "text_quality", "tfidf_top_terms",
     "streaming_tumbling_window",
+    # round-4 additions
+    "boilerplate_span_scrub", "rank_corr_spearman", "lttb_downsample",
+    "simhash_hamming_pairs", "mann_whitney_utest",
+    "kolmogorov_smirnov_test", "max_intersections",
 ]
 
 
