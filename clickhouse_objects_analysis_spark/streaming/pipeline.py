@@ -41,14 +41,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # conf locked down — get_spark already set them
     path = os.path.join(sf_dir, "events.parquet")
-    # The file stream source wants a directory; expose the single parquet
-    # file through a scratch directory of symlinks (testdata is read-only).
+    # The file stream source wants a directory of data files; expose the
+    # table through a scratch directory of symlinks (testdata is
+    # read-only). Handles both physical shapes: a single parquet FILE
+    # (the driver-generated testdata) and a parquet DIRECTORY of part
+    # files (Spark-written tables, e.g. the synthesized sf1).
+    import glob as _glob
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stream_dir = os.path.join(SCRATCH, f"events_src_{key}")
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.islink(link):
-        os.symlink(path, link)
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        parts = [path]
+    for i, part in enumerate(parts):
+        link = os.path.join(stream_dir, f"events_{i:04d}.parquet")
+        if not os.path.islink(link):
+            # abspath: a relative source would dangle relative to the
+            # link's own directory
+            os.symlink(os.path.abspath(part), link)
     schema = spark.read.parquet(path).schema
     return normalize_nanos(spark.readStream.schema(schema).parquet(stream_dir))
 
