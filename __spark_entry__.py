@@ -67,6 +67,8 @@ _CHANGED_THIS_ROUND = (
     "window_funnel_strict_order",  # new: windowFunnel strict_order mode
     "streaming_upsert_sink",   # new: ReplacingMergeTree streaming write path
     "bitmap_set_cardinalities",  # new: groupBitmapAnd/Or/AndNot surface
+    "group_array_sample",      # new: groupArraySample via portable hash
+    "quantile_timing",         # new: quantileTiming bucket resolution
     "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
     "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
     "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)

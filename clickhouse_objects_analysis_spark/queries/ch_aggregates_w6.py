@@ -1261,3 +1261,118 @@ def bitmap_set_cardinalities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("view_andnot_purchase"),
     )
+
+
+@query(
+    "group_array_sample",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderstatus, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'),
+                            o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS sample_keys
+    FROM r WHERE rn <= 3
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def group_array_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySample(3, 42)(x)``: a fixed-size uniform
+    sample of values per group. Determinism across engines comes from
+    hash-ordering instead of RNG state: rank by md5(value || ':seed')
+    (the portable-hash idiom every dedup operator here uses) and keep
+    the first 3 — a seeded sample both engines reproduce bit-exactly.
+    One window over the group sort, map-side nothing-fancy; rendered as
+    a sorted joined string for the hash gate."""
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))),
+        "o_orderkey",
+    )
+    r = o.select(
+        "o_orderstatus", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    return (
+        r.filter(F.col("rn") <= 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("sample_keys")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "quantile_timing",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN CAST(ROUND(value) AS BIGINT) < 1024
+                    THEN CAST(ROUND(value) AS BIGINT)
+                    ELSE LEAST(CAST(ROUND(value) AS BIGINT) // 16 * 16,
+                               30000) END AS ms
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, ms,
+               SUM(1) OVER (PARTITION BY event_type
+                            ORDER BY ms ROWS UNBOUNDED PRECEDING) AS cw,
+               COUNT(*) OVER (PARTITION BY event_type) AS tw
+        FROM b
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN ms END) AS BIGINT)
+               AS p50_ms,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN ms END) AS BIGINT)
+               AS p90_ms
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quantile_timing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTiming(q)(t)``: the timing-specialized
+    quantile with CH's documented resolution — exact integer
+    milliseconds below 1024, 16 ms buckets above, saturated at 30 s.
+    After bucketing, the quantile is EXACT over integers (the same
+    cumulative-count threshold construction as quantiles_exact_weighted
+    with unit weights, k·cw ≥ q·tw kept integral), so the sketch's
+    deterministic contract survives the hash gate — unlike t-digest,
+    whose centroids are stream-order-dependent."""
+    ev = tables(spark, sf_dir)["events"]
+    v = F.round(F.col("value"), 0).cast("long")
+    b = ev.select(
+        "event_type",
+        F.when(v < 1024, v)
+        .otherwise(F.least(F.expr(
+            "CAST(ROUND(value, 0) AS BIGINT) DIV 16 * 16"
+        ), F.lit(30000)))
+        .alias("ms"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.select(
+        "event_type",
+        "ms",
+        F.sum(F.lit(1)).over(wc).alias("cw"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("tw"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("ms")))
+            .cast("long")
+            .alias("p50_ms"),
+            F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("ms")))
+            .cast("long")
+            .alias("p90_ms"),
+        )
+        .orderBy("event_type")
+    )
