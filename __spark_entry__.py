@@ -69,6 +69,7 @@ _CHANGED_THIS_ROUND = (
     "bitmap_set_cardinalities",  # new: groupBitmapAnd/Or/AndNot surface
     "group_array_sample",      # new: groupArraySample via portable hash
     "quantile_timing",         # new: quantileTiming bucket resolution
+    "group_array_intersect",   # new: groupArrayIntersect across group rows
     "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
     "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
     "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)

@@ -1376,3 +1376,73 @@ def quantile_timing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "group_array_intersect",
+    oracle="""
+    WITH dw AS (
+        SELECT DISTINCT d.lang, d.doc_id, w.w
+        FROM documents d,
+             unnest(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                                x -> length(x) > 0)) AS w(w)
+    ),
+    per_lang AS (
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM dw GROUP BY lang
+    ),
+    common AS (
+        SELECT dw.lang, dw.w
+        FROM dw JOIN per_lang p ON dw.lang = p.lang
+        GROUP BY dw.lang, dw.w, p.n_docs
+        HAVING COUNT(DISTINCT dw.doc_id) = p.n_docs
+    )
+    SELECT p.lang,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           COALESCE(array_to_string(list_sort(list(c.w)), ','), '')
+               AS common_words
+    FROM per_lang p LEFT JOIN common c ON p.lang = c.lang
+    GROUP BY p.lang, p.n_docs ORDER BY p.lang
+    """,
+)
+def group_array_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayIntersect(arr)``: the intersection of the
+    per-row word sets across each group — here, words present in EVERY
+    document of a language. Relational rendering: distinct (lang, doc,
+    word) triples, then a word survives iff its distinct-doc count
+    equals the group's doc count — two map-side-combined aggregates, no
+    per-row set state; the intersection is emitted as a sorted joined
+    string (empty when no word is universal). Scale shape: the triple
+    dedup is the only wide shuffle and it is (lang, word)-keyed."""
+    d = tables(spark, sf_dir)["documents"]
+    from ..operators.text import tokenize
+
+    dw = d.select(
+        "lang", "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+    ).distinct()
+    per_lang = dw.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    common = (
+        dw.join(per_lang, "lang")
+        .groupBy("lang", "w", "n_docs")
+        .agg(F.count_distinct("doc_id").alias("dc"))
+        .filter(F.col("dc") == F.col("n_docs"))
+        .select("lang", "w")
+    )
+    return (
+        per_lang.join(
+            common.groupBy("lang").agg(
+                F.array_join(F.sort_array(F.collect_list("w")), ",").alias(
+                    "cw"
+                )
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("cw"), F.lit("")).alias("common_words"),
+        )
+        .orderBy("lang")
+    )
