@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.dist_rank import dist_cumsum, histogram_r2
 from .ch_aggregates import _FUNNEL_W_US
 from .registry import query, tables
 
@@ -313,28 +314,24 @@ def array_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ties kept integral as 2·avg_rank = 2·min_rank + ties − 1. One
     double division at the end.
 
-    The global rank here is a single-partition window — fine for a
-    per-model eval set (AUC inputs are eval-scale by definition); a
-    100 TB-scored corpus would rank via the two-pass partition-histogram
-    trick before the same integer rank-sum."""
+    Ranks come from the two-pass partition-histogram rank
+    (operators/dist_rank.py) — distinct-score histogram, range
+    partition, per-slice cumsum + broadcast offsets — so no task ever
+    sorts more than ~1/P of the distinct scores.  ΣR₊ needs no
+    row-level join back: per distinct score, the positive rows
+    contribute ``n_pos(score) · r2(score)``, an exact integer."""
     e = tables(spark, sf_dir)["embeddings"]
     s = e.select(
         F.col("embedding")[0].cast("double").alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
     )
-    r = s.select(
-        "pos",
-        F.rank().over(Window.orderBy("score")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("ties"),
+    h = histogram_r2(
+        s, "score", extra_aggs={"np": F.sum("pos").cast("long")}
     )
-    agg = r.agg(
-        F.sum("pos").cast("long").alias("p"),
-        F.sum(1 - F.col("pos")).cast("long").alias("n"),
-        F.sum(
-            F.when(F.col("pos") == 1, 2 * F.col("rk") + F.col("ties") - 1)
-        )
-        .cast("long")
-        .alias("s2"),
+    agg = h.agg(
+        F.sum("np").cast("long").alias("p"),
+        F.sum(F.col("cnt") - F.col("np")).cast("long").alias("n"),
+        F.sum(F.col("np") * F.col("r2")).cast("long").alias("s2"),
     )
     p, n = F.col("p"), F.col("n")
     return agg.select(
@@ -428,41 +425,54 @@ def rank_corr_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly that overflow — so sxx/syy/sxy accumulate as hi/lo splits
     (divisor 1e8; exact to n ≈ 1e9 rows per group) and reconstruct in
     decimal(38,0) on the group rows; rho evaluates once per group in
-    double, identical tree both engines. At 100 TB the per-group window
-    rank becomes the two-pass partition-histogram rank, feeding the
-    same integer moments."""
+    double, identical tree both engines.
+
+    Ranks are the two-pass partition-histogram rank
+    (operators/dist_rank.py).  No row-level join back: the x
+    histogram (l_quantity, 50 distinct per flag) broadcasts rx onto
+    the rows map-side, and every moment then FOLDS from histograms —
+    n/sx/sxx from the tiny x histogram, sy/syy from the y histogram
+    (all t rows tied at y share one ry, so Σ_rows ry^k = Σ_y t·ry^k,
+    term-for-term the same integers as the row-level sum), and
+    Σrx·ry = Σ_y srx(y)·ry with srx the per-y rank sum, accumulated
+    in decimal(38,0) because srx·ry is cubic in the worst all-ties
+    case.  Two fact-table shuffles total (one per axis histogram),
+    both plain hash aggregations."""
     li = tables(spark, sf_dir)["lineitem"]
     b = li.select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
     )
-    wx = Window.partitionBy("l_returnflag").orderBy("x")
-    wy = Window.partitionBy("l_returnflag").orderBy("y")
-    r = b.select(
-        "l_returnflag",
-        (
-            2 * F.rank().over(wx)
-            + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "x"))
-            - 1
-        ).cast("long").alias("rx"),
-        (
-            2 * F.rank().over(wy)
-            + F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "y"))
-            - 1
-        ).cast("long").alias("ry"),
+    hx = histogram_r2(
+        b.select("l_returnflag", "x"), "x", keys=["l_returnflag"]
+    ).select("l_returnflag", "x", "cnt", F.col("r2").alias("rx"))
+    mx = hx.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("rx")).alias("sx"),
+        F.sum(F.expr("cnt * (rx * rx DIV 100000000)")).alias("sxx_hi"),
+        F.sum(F.expr("cnt * (rx * rx % 100000000)")).alias("sxx_lo"),
     )
-    m = r.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.expr("rx * rx DIV 100000000")).alias("sxx_hi"),
-        F.sum(F.expr("rx * rx % 100000000")).alias("sxx_lo"),
-        F.sum(F.expr("ry * ry DIV 100000000")).alias("syy_hi"),
-        F.sum(F.expr("ry * ry % 100000000")).alias("syy_lo"),
-        F.sum(F.expr("rx * ry DIV 100000000")).alias("sxy_hi"),
-        F.sum(F.expr("rx * ry % 100000000")).alias("sxy_lo"),
+    b2 = b.join(
+        F.broadcast(hx.select("l_returnflag", "x", "rx")),
+        ["l_returnflag", "x"],
     )
+    hy = b2.groupBy("l_returnflag", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("rx").alias("srx"),
+    )
+    hy = dist_cumsum(hy, "y", ["cnt"], keys=["l_returnflag"]).withColumn(
+        "ry", 2 * F.col("cum_cnt") - F.col("cnt") + 1
+    )
+    my = hy.groupBy("l_returnflag").agg(
+        F.sum(F.col("cnt") * F.col("ry")).alias("sy"),
+        F.sum(F.expr("cnt * (ry * ry DIV 100000000)")).alias("syy_hi"),
+        F.sum(F.expr("cnt * (ry * ry % 100000000)")).alias("syy_lo"),
+        F.sum(
+            F.col("srx").cast("decimal(38,0)") * F.col("ry")
+        ).alias("sxy"),
+    )
+    m = mx.join(my, "l_returnflag")
 
     def _join(hi: str, lo: str):
         return (
@@ -473,7 +483,7 @@ def rank_corr_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxxd = _join("sxx_hi", "sxx_lo")
     syyd = _join("syy_hi", "syy_lo")
-    sxyd = _join("sxy_hi", "sxy_lo")
+    sxyd = F.col("sxy").cast("double")
     rho = (nd * sxyd - sxd * syd) / F.sqrt(
         (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
     )
@@ -528,38 +538,39 @@ def mann_whitney_utest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral 2·avg_rank form; U_A = ΣR_A − n_A(n_A+1)/2 and
     z = (U_A − n_A·n_R/2) / σ with
     σ² = n_A·n_R/12 · (N+1 − Σ(t³−t)/(N(N−1))). Every sum is an exact
-    integer; z and U evaluate once in double on one row."""
+    integer; z and U evaluate once in double on one row.
+
+    Combined ranks come from the two-pass partition-histogram rank
+    (operators/dist_rank.py); ΣR_A·2 folds from the histogram as
+    Σ n_A(y)·r2(y) with no row-level join, and the tie correction
+    Σ(t³−t) reads off the same histogram — one distinct-value pass
+    serves ranks, counts, and ties.  ΣR_A·2 ~ N² leaves int64 near
+    N ≈ 3e9, so it accumulates as a hi/lo quotient/remainder split
+    (divisor 1e8) per the file's discipline."""
     li = tables(spark, sf_dir)["lineitem"].filter(
         F.col("l_returnflag").isin("A", "R")
     )
     b = li.select(
-        "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("a"),
     )
-    r = b.select(
-        "l_returnflag",
+    h = histogram_r2(b, "y", extra_aggs={"ca": F.sum("a").cast("long")})
+    m = h.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("nr"),
+        F.sum(F.expr("ca * r2 DIV 100000000")).alias("sra2_hi"),
+        F.sum(F.expr("ca * r2 % 100000000")).alias("sra2_lo"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("double").alias("tcorr"),
+    ).withColumn(
+        "sra2",
         (
-            2 * F.rank().over(Window.orderBy("y"))
-            + F.count(F.lit(1)).over(Window.partitionBy("y"))
-            - 1
-        ).cast("long").alias("r2"),
+            F.col("sra2_hi").cast("decimal(38,0)") * F.lit(100000000)
+            + F.col("sra2_lo")
+        ).cast("double"),
     )
-    ties = (
-        b.groupBy("y")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).cast("double").alias("tcorr")
-        )
-    )
-    is_a = F.col("l_returnflag") == "A"
-    m = r.agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).alias("nr"),
-        F.sum(F.when(is_a, F.col("r2"))).alias("sra2"),
-    )
-    j = m.crossJoin(F.broadcast(ties))
+    j = m
     na, nr = F.col("na").cast("double"), F.col("nr").cast("double")
     sra2 = F.col("sra2").cast("double")
     u_a = sra2 / F.lit(2) - na * (na + F.lit(1)) / F.lit(2)
@@ -1072,7 +1083,10 @@ def kolmogorov_smirnov_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares as the INTEGER |cum_A·n_R − cum_R·n_A| (common denominator
     n_A·n_R cleared), so the max is an integer max and the single
     division to D happens once. One distinct-value aggregate, one
-    cumulative window over the value sort, one max."""
+    DISTRIBUTED cumulative sum over the value order (two-pass
+    partition-histogram cumsum, operators/dist_rank.py — range
+    partition + per-slice running sums + broadcast offsets, no
+    single-task sort), one max."""
     li = tables(spark, sf_dir)["lineitem"].filter(
         F.col("l_returnflag").isin("A", "R")
     )
@@ -1085,10 +1099,8 @@ def kolmogorov_smirnov_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(~is_a, 1).otherwise(0)).alias("cr"),
     )
-    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
-    c = v.select(
-        F.sum("ca").over(wc).alias("cuma"),
-        F.sum("cr").over(wc).alias("cumr"),
+    c = dist_cumsum(v, "y", ["ca", "cr"]).select(
+        F.col("cum_ca").alias("cuma"), F.col("cum_cr").alias("cumr")
     )
     t = v.agg(F.sum("ca").alias("na"), F.sum("cr").alias("nr"))
     d = (

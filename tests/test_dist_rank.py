@@ -1,0 +1,137 @@
+"""Two-pass partition-histogram rank (operators/dist_rank.py).
+
+Correctness: exact match against pandas groupby-cumsum / average-rank on
+randomized data, across partition counts (partition boundaries must not
+change answers). Plan shape: the four rank statistics rebuilt on it
+(array_auc, rank_corr_spearman, mann_whitney_utest,
+kolmogorov_smirnov_test) must contain NO unpartitioned Window over query
+data — the only global window allowed is the P-row ``__tot_*`` offset
+prefix-sum.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_objects_analysis_spark.operators.dist_rank import (
+    dist_cumsum,
+    histogram_r2,
+)
+from clickhouse_objects_analysis_spark.queries import QUERIES
+
+from .test_plan_shapes import plan_of
+
+RANK_QUERIES = [
+    "array_auc",
+    "rank_corr_spearman",
+    "mann_whitney_utest",
+    "kolmogorov_smirnov_test",
+]
+
+
+@st.composite
+def histogram_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    keys = draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=n, max_size=n
+        )
+    )
+    cnts = draw(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=n, max_size=n)
+    )
+    pdf = pd.DataFrame({"k": keys, "v": vals, "cnt": cnts})
+    # distinct (k, v) per row — dist_cumsum's documented contract
+    return pdf.drop_duplicates(["k", "v"]).reset_index(drop=True)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pdf=histogram_frames(), parts=st.sampled_from([1, 3, 8]))
+def test_dist_cumsum_matches_pandas(spark, pdf, parts):
+    df = spark.createDataFrame(pdf)
+    got = (
+        dist_cumsum(df, "v", ["cnt"], keys=["k"], num_partitions=parts)
+        .toPandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["k", "v"]).reset_index(drop=True)
+    exp["cum_cnt"] = exp.groupby("k")["cnt"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "cum_cnt"]].astype({"cum_cnt": "int64"}),
+        exp[["k", "v", "cum_cnt"]].astype({"cum_cnt": "int64"}),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-20, max_value=20), min_size=1, max_size=120
+    ),
+    parts=st.sampled_from([1, 4]),
+)
+def test_histogram_r2_is_doubled_average_rank(spark, vals, parts):
+    pdf = pd.DataFrame({"v": vals})
+    df = spark.createDataFrame(pdf)
+    got = (
+        histogram_r2(df, "v", num_partitions=parts)
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    # pandas average rank per distinct value, doubled, must equal r2
+    avg_rank = pdf["v"].rank(method="average")
+    exp = (
+        pd.DataFrame({"v": pdf["v"], "r2x": 2 * avg_rank})
+        .drop_duplicates("v")
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert list(got["v"]) == list(exp["v"])
+    assert [float(x) for x in got["r2"]] == [float(x) for x in exp["r2x"]]
+    assert int(got["cnt"].sum()) == len(vals)
+    # below = rows strictly smaller
+    for _, row in got.iterrows():
+        assert row["below"] == int((pdf["v"] < row["v"]).sum())
+
+
+def test_dist_cumsum_no_keys(spark):
+    pdf = pd.DataFrame({"v": [5, 1, 3, 9, 7], "cnt": [2, 1, 4, 1, 3]})
+    got = (
+        dist_cumsum(spark.createDataFrame(pdf), "v", ["cnt"], num_partitions=3)
+        .toPandas()
+        .sort_values("v")["cum_cnt"]
+        .tolist()
+    )
+    assert got == [1, 5, 7, 10, 11]
+
+
+@pytest.mark.parametrize("name", RANK_QUERIES)
+def test_rank_statistics_have_no_global_window_sort(spark, sf_dir, name):
+    """Every Window over query data must carry partition columns; the only
+    unpartitioned window allowed is the offset prefix-sum over the
+    ``__tot_*`` totals table (≤ P × |key groups| rows by construction)."""
+    plan = plan_of(QUERIES[name](spark, sf_dir), "extended")
+    physical = plan.split("== Physical Plan ==")[-1]
+    for line in physical.splitlines():
+        m = re.search(r"\bWindow\b", line)
+        if not m or "windowspecdefinition" not in line:
+            continue
+        spec = line[line.index("windowspecdefinition") :]
+        if "__tot_" in line:
+            continue  # tiny offset table — the one allowed global window
+        assert "__dr_pid" in spec, f"unpartitioned Window in {name}: {line[:200]}"
