@@ -4,16 +4,11 @@ Delegates to clickhouse_objects_analysis_spark.queries — the named,
 oracle-checked registry covering SURVEY.md §2 (relational core, custom
 operators, lineage pipeline, LLM-data ops, streaming slice).
 
-Ordering: the round-3 ADVICE (high) flagged the previous rank machinery
-(a hard-coded prior-green list permanently buried below the driver's
-50-entry window) as harness gaming; it is gone. What remains is the
-single explicit rotation the round-3 VERDICT directed ("Next round: do
-this" #2): the 27 oracled queries that have never had a driver-side
-correctness row — plus queries whose implementation changed this round,
-which must re-earn their row — come first, then the registry in its
-natural module order. The rotation list is deleted next round, leaving
-plain natural order; full-registry verification is
-tools/local_parity.py, which checks every entry every round.
+Ordering: plain natural registry order (module import order), as the
+round-4 docstring promised — the rotation lists that steered earlier
+driver windows are deleted. The driver's capped window simply reads the
+registry front-to-back; full-registry verification every round is
+tools/local_parity.py, which oracle-checks every entry.
 """
 
 from __future__ import annotations
@@ -24,70 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_objects_analysis_spark.queries import ORACLE, QUERIES
 
-#: Round-4 rotation (VERDICT.md round 3, "What's missing" #1 / "Next
-#: round" #2): oracled queries with no green row in any committed
-#: CORRECTNESS_r*.json, in registry order — recomputed, not curated.
-_NEVER_DRIVER_CHECKED = (
-    "source_json_roundtrip", "sink_partitioned_parquet",
-    "insert_select_ctas", "table_function_file", "mutation_delete_where",
-    "mutation_update", "optimize_deduplicate", "ttl_expiry",
-    "enum_decode", "nested_type_roundtrip", "topk_frequent",
-    "collate_order", "projection_aggregate", "url_functions",
-    "dict_get_lookup", "map_functions", "decimal_uint64_arithmetic",
-    "ch_function_translation", "bucketed_colocated_join",
-    "correlated_scalar_subquery", "select_except_settings",
-    "skew_salted_join", "q5_local_supplier_volume",
-    "q18_large_volume_customer", "exists_subquery", "pivot_event_types",
-    "running_difference",
-)
-
-#: New in round 4 or implementation changed in round 4 — no prior row,
-#: or the prior green row no longer certifies the current code. Ordered
-#: new-first; the three tail entries changed algorithmically but hold
-#: both an earlier driver-green row and a LOCAL_PARITY_r04 green row, so
-#: they lose their slot first if the head list outgrows the window.
-_CHANGED_THIS_ROUND = (
-    "watch_events_heartbeat",  # new: WATCH ... EVENTS
-    "watch_limit_bounded",     # new: WATCH ... LIMIT n
-    "covar_avg_weighted",      # new: covarPop/covarSamp/avgWeighted
-    "max_intersections",       # new: maxIntersections(+Position)
-    "student_welch_ttest",     # new: studentTTest/welchTTest
-    "array_auc",               # new: arrayAUC rank-sum identity
-    "group_uniq_array",        # new: groupUniqArray
-    "boilerplate_span_scrub",  # new: C4-style global boilerplate removal
-    "rank_corr_spearman",      # new: rankCorr via integral 2x ranks
-    "mann_whitney_utest",      # new: mannWhitneyUTest + tie-corrected z
-    "exp_time_decayed_avg",    # new: exponentialTimeDecayedAvg (2^k buckets)
-    "sequence_next_node",      # new: sequenceNextNode forward/first_match
-    "lttb_downsample",         # new: largestTriangleThreeBuckets
-    "cramers_v_contingency",   # new: cramersV + contingency coefficient
-    "quantiles_exact_weighted",  # new: quantilesExactWeighted vector
-    "kolmogorov_smirnov_test",  # new: two-sample KS via integer CDF gaps
-    "simhash_hamming_pairs",   # new: banded Hamming<=3 fingerprint pairs
-    "window_funnel_strict_order",  # new: windowFunnel strict_order mode
-    "streaming_upsert_sink",   # new: ReplacingMergeTree streaming write path
-    "bitmap_set_cardinalities",  # new: groupBitmapAnd/Or/AndNot surface
-    "group_array_sample",      # new: groupArraySample via portable hash
-    "quantile_timing",         # new: quantileTiming bucket resolution
-    "group_array_intersect",   # new: groupArrayIntersect across group rows
-    "approx_quantiles",        # rows-only -> rank-error-bound gate (oracled)
-    "approx_count_distinct",   # rows-only -> rel-error-bound gate (oracled)
-    "tablesample_fraction",    # rows-only -> binomial 5-sigma gate (oracled)
-    "ann_lsh_topk",            # rows-only -> recall gate vs exact (oracled)
-    "ann_ivf_topk",            # rows-only -> recall gate vs exact (oracled)
-    "linear_regression_agg",   # decimal(38,6) moments -> int64 hi/lo splits
-    "dedup_clusters",          # CC algorithm now picked by density probe
-    "embedding_neardup_pairs", # cosine_pairs blocks now executor-side
-    "semantic_dedup",          # (same cosine_pairs change)
-)
-
-
-def _ordered() -> list[str]:
-    head = [n for n in _NEVER_DRIVER_CHECKED + _CHANGED_THIS_ROUND
-            if n in QUERIES]
-    seen = set(head)
-    return head + [n for n in QUERIES if n not in seen]
-
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shape pricing summary on sf0.001 (scan → pushed
@@ -97,11 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {n: QUERIES[n] for n in _ordered()}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL equivalents; keys without an entry are the
     deliberately non-SQL-expressible ops (approx sketches, LSH candidate
     sets, stubbed decoders) → rows-only checks."""
-    return {n: ORACLE[n] for n in _ordered() if n in ORACLE}
+    return dict(ORACLE)
