@@ -55,25 +55,29 @@ _PID = "__dr_pid"
 
 def dist_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     sum_cols: Sequence[str],
     keys: Sequence[str] = (),
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Inclusive cumulative sums of ``sum_cols`` per ``keys`` group,
-    ordered by ``order_col``, with NO single-task global sort.
+    ordered by ``order_col`` (a column name or a composite of names),
+    with NO single-task global sort.
 
     Adds one ``cum_<c>`` (long) column per input sum column.  Intended
     for distinct-value histograms: rows must be unique per
-    ``(keys, order_col)`` and ``order_col`` null-free — both hold by
-    construction when the input is a ``groupBy(keys, value)`` result.
+    ``(keys, order_col)`` and the order columns null-free — both hold
+    by construction when the input is a ``groupBy(keys, value)`` result.
 
     Plan shape: RangeExchange(P) → hash Exchange on (pid, keys) for the
     local windows (each task sorts only its range slice) → broadcast
     join of the P×|keys| offset table.  The only unpartitioned window
     in the job runs over that offset table.
     """
-    part_cols = [*keys, order_col]
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
+    )
+    part_cols = [*keys, *order_cols]
     if num_partitions is None:
         h = df.repartitionByRange(*part_cols)
     else:
@@ -103,7 +107,7 @@ def dist_cumsum(
     # Pass 2: local inclusive cumsum within each range slice, then add
     # the global offset.  The window HAS partition keys — no task sorts
     # more than its slice.
-    w_loc = Window.partitionBy(_PID, *keys).orderBy(order_col).rowsBetween(
+    w_loc = Window.partitionBy(_PID, *keys).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local = h.select(
@@ -124,6 +128,55 @@ def dist_cumsum(
             for c in sum_cols
         ],
     )
+
+
+def dist_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: Sequence[str],
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without a global
+    single-task sort.
+
+    SQL ntile semantics depend on each row's exact global POSITION in
+    the total order (with ``N = q·n + r`` rows, buckets ``1..r`` get
+    ``q+1`` rows, buckets ``r+1..n`` get ``q``) — a value-threshold
+    bucketing can't reproduce the tie splits.  Positions come from
+    ``dist_cumsum`` over a unit column (rows must be unique per
+    ``order_cols`` — include a tie-break id), the row count joins as a
+    one-row broadcast, and the bucket is then pure map-side integer
+    arithmetic:
+
+        p < r·(q+1)  →  bucket = p DIV (q+1) + 1
+        otherwise    →  bucket = r + (p − r·(q+1)) DIV q + 1
+
+    (When N < n, every row has p < r so the q = 0 branch never
+    evaluates.)
+    """
+    ranked = dist_cumsum(
+        df.withColumn("__one", F.lit(1)),
+        list(order_cols),
+        ["__one"],
+        num_partitions=num_partitions,
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n_tot"))
+    b = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "__p", (F.col("cum___one") - 1).cast("long")
+    )
+    # exact int64 arithmetic throughout (a double floor(p/q) would lose
+    # exactness past 2^53 rows)
+    bucket = F.expr(
+        f"CAST(CASE WHEN __p < (__n_tot % {n}) * (__n_tot DIV {n} + 1) "
+        f"THEN __p DIV (__n_tot DIV {n} + 1) "
+        f"ELSE (__n_tot % {n}) "
+        f"  + (__p - (__n_tot % {n}) * (__n_tot DIV {n} + 1)) "
+        f"    DIV (__n_tot DIV {n}) "
+        f"END + 1 AS INT)"
+    )
+    out = [c for c in df.columns if c != "__one"]
+    return b.select(*out, bucket.alias(out_col))
 
 
 def histogram_r2(

@@ -3,12 +3,12 @@
 ClickHouse grammar anchors: limitByClause (ClickHouseParser.py:10153-10186),
 WITH TIES in limitClause (:10241-area), TOP n (:9454).
 
-Scale notes: both rewrites are a single window over a shuffle on the
-partition keys; for LIMIT BY the window is partitioned (parallel per key
-group). ``limit_with_ties`` over a global ORDER BY necessarily has an
-unpartitioned window — at 100 TB use it only on pre-aggregated inputs, or
-bound the scan first with a cheap `orderBy().limit(n * slack)` pre-pass
-(TakeOrderedAndProject) when the order key has no pathological tie mass.
+Scale notes: LIMIT BY is a single partitioned window over a shuffle on
+the partition keys (parallel per key group). ``limit_with_ties`` is a
+distributed top-n (TakeOrderedAndProject — per-partition heaps, driver
+merge of P·n candidates) followed by a broadcast semi-join of the ≤ n
+boundary keys; no unpartitioned window anywhere, any tie mass on the
+n-th key streams through the semi-join filter map-side.
 """
 
 from __future__ import annotations
@@ -48,10 +48,25 @@ def limit_with_ties(
     df: DataFrame, order: Sequence[str | Column], n: int
 ) -> DataFrame:
     """``LIMIT n WITH TIES``: the first ``n`` rows in ``order`` plus every
-    row tying the n-th on the order key — i.e. ``rank() <= n``."""
-    w = Window.orderBy(*order)
-    return (
-        df.withColumn(_ROW_COL, F.rank().over(w))
-        .filter(F.col(_ROW_COL) <= n)
-        .drop(_ROW_COL)
+    row tying the n-th on the order key — i.e. ``rank() <= n``.
+
+    Distributed rewrite (no global single-task rank): ``rank() <= n``
+    holds exactly when the row's order-key tuple appears among the keys
+    of the first ``n`` rows (a key group with rank ≤ n starts at
+    position ≤ n, so at least one of its rows is in the top n;
+    conversely any key present in the top n has rank ≤ n).  So:
+    distributed top-n (``orderBy().limit(n)`` → TakeOrderedAndProject)
+    → distinct keys (≤ n rows) → broadcast LEFT SEMI join back.
+    ``order`` items must be projectable expressions (no ``.desc()``
+    sort-order wrappers) — rank-tie semantics need the raw key anyway.
+    """
+    names = [f"__ties_k{i}" for i in range(len(order))]
+    cols = [
+        (o if isinstance(o, Column) else F.col(o)).alias(nm)
+        for o, nm in zip(order, names)
+    ]
+    aug = df.select("*", *cols)
+    top_keys = (
+        aug.select(*names).orderBy(*names).limit(n).distinct()
     )
+    return aug.join(F.broadcast(top_keys), names, "left_semi").drop(*names)

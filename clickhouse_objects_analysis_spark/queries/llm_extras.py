@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.dist_rank import dist_ntile
 from ..operators.text import hash64, quality_features_table
 from .registry import query, tables
 
@@ -213,7 +214,11 @@ def curriculum_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     difficulty-ordering step of curriculum training. Averages are exact
     decimal SUM / COUNT (a double AVG's accumulation order differs between
     engines); quality itself is the text_quality formula, bit-identical on
-    both sides."""
+    both sides.
+
+    The quartile assignment is ``dist_ntile`` (operators/dist_rank.py):
+    exact ntile positions from a distributed range-partitioned cumsum +
+    one-row count broadcast — no single-task sort of the corpus."""
     d = tables(spark, sf_dir)["documents"]
     feats = quality_features_table(d, "doc_id", "text")
     quality = (
@@ -224,9 +229,7 @@ def curriculum_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.select(
         "doc_id", "n_words", quality.alias("quality")
     )
-    bucketed = scored.withColumn(
-        "bucket", F.ntile(4).over(Window.orderBy("quality", "doc_id"))
-    )
+    bucketed = dist_ntile(scored, 4, ["quality", "doc_id"])
     return (
         bucketed.groupBy(F.col("bucket").cast("long").alias("bucket"))
         .agg(

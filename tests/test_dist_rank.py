@@ -20,6 +20,7 @@ from hypothesis import strategies as st
 
 from clickhouse_objects_analysis_spark.operators.dist_rank import (
     dist_cumsum,
+    dist_ntile,
     histogram_r2,
 )
 from clickhouse_objects_analysis_spark.queries import QUERIES
@@ -120,7 +121,51 @@ def test_dist_cumsum_no_keys(spark):
     assert got == [1, 5, 7, 10, 11]
 
 
-@pytest.mark.parametrize("name", RANK_QUERIES)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    n=st.sampled_from([2, 4, 7]),
+    parts=st.sampled_from([1, 3]),
+)
+def test_dist_ntile_matches_sql_ntile(spark, n_rows, n, parts):
+    """dist_ntile must reproduce SQL ntile(n) positions exactly,
+    including the +1-row head buckets when n_rows % n != 0."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(
+        {"id": range(n_rows), "v": [(i * 37) % 11 for i in range(n_rows)]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        dist_ntile(df, n, ["v", "id"], num_partitions=parts)
+        .toPandas()
+        .sort_values("id")["bucket"]
+        .tolist()
+    )
+    exp = (
+        df.withColumn("bucket", F.ntile(n).over(Window.orderBy("v", "id")))
+        .toPandas()
+        .sort_values("id")["bucket"]
+        .tolist()
+    )
+    assert got == exp
+
+
+def test_limit_with_ties_is_take_ordered_plus_semi_join(spark, sf_dir):
+    """WITH TIES must plan as distributed top-n + broadcast semi join —
+    not a single-task global rank window."""
+    plan = plan_of(QUERIES["limit_with_ties"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert "windowspecdefinition" not in plan
+
+
+@pytest.mark.parametrize("name", RANK_QUERIES + ["curriculum_quality_buckets"])
 def test_rank_statistics_have_no_global_window_sort(spark, sf_dir, name):
     """Every Window over query data must carry partition columns; the only
     unpartitioned window allowed is the offset prefix-sum over the
