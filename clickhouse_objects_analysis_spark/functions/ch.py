@@ -246,8 +246,14 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # integer moments (queries/ch_aggregates_w6.py); these one-liners
     # are the quick float-path equivalents for interactive use
     "skewPop": F.skewness,
-    "kurtPop": F.kurtosis,
-    "rankCorr": lambda x, y: F.corr(x, y),  # exact twin: rank_corr_spearman
+    # ClickHouse kurtPop is NON-excess m4/sigma^4; Spark's kurtosis is
+    # excess (m4/m2^2 - 3) — the exact twin skew_kurt_agg computes
+    # m4/m2^2, so the float path must add the 3 back
+    "kurtPop": lambda c: F.kurtosis(c) + F.lit(3.0),
+    # rankCorr (Spearman) has NO single-expression form — it needs a
+    # rank transform first; deliberately absent from this table. Use
+    # operators/dist_rank.histogram_r2 + Pearson over the rank columns
+    # (the rank_corr_spearman query is the worked example).
     "quantileExactWeighted": lambda c, w, q=0.5: F.percentile(c, q, w),
     "quantilesExactWeighted": lambda c, w, *qs: F.percentile(
         c, F.array(*[F.lit(q) for q in (qs or (0.5,))]), w

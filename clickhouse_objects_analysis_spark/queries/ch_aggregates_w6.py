@@ -659,19 +659,26 @@ def exp_time_decayed_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("wq"),
     )
+    # cents*wq reaches ~cents*2^36 per row (~1e17-1e18): a plain int64
+    # SUM wraps for a user with thousands of recent purchases while the
+    # DuckDB oracle promotes to HUGEINT — so num accumulates as the
+    # file's hi/lo quotient/remainder split and reconstructs in
+    # decimal(38,0)
     m = w.groupBy("user_id").agg(
-        F.sum(F.col("cents") * F.col("wq")).alias("num"),
+        F.sum(F.expr("cents * wq DIV 100000000")).alias("num_hi"),
+        F.sum(F.expr("cents * wq % 100000000")).alias("num_lo"),
         F.sum("wq").alias("den"),
     )
+    num = (
+        F.col("num_hi").cast("decimal(38,0)") * F.lit(100000000)
+        + F.col("num_lo")
+    ).cast("double")
     return (
         m.filter(F.col("den") > 0)
         .select(
             "user_id",
             F.round(
-                F.col("num").cast("double")
-                / F.col("den").cast("double")
-                / F.lit(100.0),
-                6,
+                num / F.col("den").cast("double") / F.lit(100.0), 6
             )
             .cast("double")
             .alias("decayed_avg"),

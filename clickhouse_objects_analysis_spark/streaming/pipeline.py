@@ -48,13 +48,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files (Spark-written tables, e.g. the synthesized sf1).
     import glob as _glob
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = os.path.join(SCRATCH, f"events_src_{key}")
-    os.makedirs(stream_dir, exist_ok=True)
     if os.path.isdir(path):
         parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     else:
         parts = [path]
+    # Key the scratch dir on the PART LIST, not just sf_dir: a source
+    # regenerated with a different physical layout (single file -> part
+    # dir, renamed/fewer parts) must land in a fresh dir, or stale links
+    # double-count rows / dangle. Same-content reuse stays warm.
+    key = hashlib.md5("|".join([sf_dir, *parts]).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(SCRATCH, f"events_src_{key}")
+    expected = {f"events_{i:04d}.parquet" for i in range(len(parts))}
+    if os.path.isdir(stream_dir):
+        have = set(os.listdir(stream_dir))
+        stale = have != expected or any(
+            not os.path.exists(os.path.join(stream_dir, n)) for n in have
+        )
+        if stale:
+            shutil.rmtree(stream_dir)
+    os.makedirs(stream_dir, exist_ok=True)
     for i, part in enumerate(parts):
         link = os.path.join(stream_dir, f"events_{i:04d}.parquet")
         if not os.path.islink(link):

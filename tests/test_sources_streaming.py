@@ -150,3 +150,48 @@ class TestWatchHeartbeats:
 
         got = watch_heartbeats(spark, sf_dir, limit=2).orderBy("version").collect()
         assert [r["version"] for r in got] == [0, 1]
+
+
+def test_events_stream_dir_rebuilds_on_layout_change(spark, tmp_path):
+    """A regenerated source with a different part layout must get a fresh
+    (or rebuilt) scratch link dir — stale links from a previous layout
+    would double-count every row (round-4 ADVICE)."""
+    import glob
+    import os
+    import shutil
+
+    from clickhouse_objects_analysis_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    base = pd.read_parquet("/root/testdata/sf0.001/events.parquet").head(100)
+    # layout 1: single file
+    base.to_parquet(src / "events.parquet")
+
+    def count_rows():
+        df = read_events_stream(spark, str(src))
+        name = f"relink_{os.urandom(4).hex()}"
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(name).count()
+
+    assert count_rows() == 100
+
+    # layout 2: directory of two part files, same path name
+    (src / "events.parquet").unlink()
+    d = src / "events.parquet"
+    d.mkdir()
+    base.head(40).to_parquet(d / "part-0000.parquet")
+    base.tail(60).to_parquet(d / "part-0001.parquet")
+    assert count_rows() == 100  # not 200: no stale single-file link
+
+    # layout 3: back to fewer parts — no dangling links either
+    for f in glob.glob(str(d / "*.parquet")):
+        os.remove(f)
+    base.head(25).to_parquet(d / "part-0000.parquet")
+    assert count_rows() == 25

@@ -273,3 +273,24 @@ def test_scrub_boilerplate_fixture(spark):
     assert got[4]["scrubbed_text"] == f"{rare} solo"
     assert got[4]["n_removed"] == 0
     assert got[6]["scrubbed_text"] == "totally unrelated text content"
+
+
+def test_kurt_pop_float_path_is_non_excess(spark):
+    """functions/ch.py kurtPop must be NON-excess (m4/m2^2), matching
+    the exact twin skew_kurt_agg — Spark's kurtosis is excess, so the
+    builder adds the 3 back. [1,2,3,4]: m2=1.25, m4=2.5625 -> 1.64."""
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "v double")
+    got = df.agg(ch_expr("kurtPop", F.col("v")).alias("k")).collect()[0].k
+    assert abs(got - 1.64) < 1e-9
+
+
+def test_rank_corr_absent_from_translation_table():
+    """rankCorr has no single-expression Spearman form; aliasing Pearson
+    under the name would be a wrong statistic. It must stay absent."""
+    from clickhouse_objects_analysis_spark.functions.ch import CH_FUNCTIONS
+
+    assert "rankCorr" not in CH_FUNCTIONS
