@@ -78,6 +78,8 @@ def cosine_pairs(
     vec_col: str,
     threshold: float,
     max_block_bytes: int = 256 << 20,
+    min_block_rows: int = 512,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — exact baseline,
     block-nested loop.
@@ -101,37 +103,46 @@ def cosine_pairs(
         F.col(id_col).cast("long").alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     )
-    n = src.count()
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("v")).alias("dim")
+    ).head()
+    n, dim = stats[0], stats[1]
     if n == 0:
         return spark.createDataFrame([], "id_a long, id_b long, cos double")
-    dim = len(src.select("v").head()[0])
     nb_mem = -(-(n * dim * 8) // max_block_bytes)
     par = spark.sparkContext.defaultParallelism
     nb_par = int(np.ceil((np.sqrt(8 * par + 1) - 1) / 2))  # nb(nb+1)/2 >= par
-    nb = int(max(1, nb_mem, nb_par))
+    # Parallelism floor only helps while blocks stay matmul-sized: below
+    # ~min_block_rows per block the per-cogroup Arrow/worker overhead
+    # exceeds the BLAS win. Cap the floor by the row budget; the memory
+    # bound always wins. (r5 sweep at sf0.1, 2000x64: the old broadcast
+    # pair-join fan-out cost ~1.3s regardless of nb; the explode fan-out
+    # + fused n/dim agg brought the whole query to ~0.5-0.8s with nb
+    # 1-8 inside noise.)
+    nb_rows = -(-n // min_block_rows)
+    nb = int(max(1, nb_mem, min(nb_par, nb_rows)))
+    if num_blocks is not None:  # explicit override (tuning/tests)
+        nb = max(1, int(num_blocks))
     a = src.withColumn(
         "g", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
     )
-    pairs = spark.createDataFrame(
-        [(p, q) for p in range(nb) for q in range(p, nb)], "p int, q int"
+    # two independent lineages of the same corpus; block-pair fan-out via
+    # generators (a row in block g plays the p-role for every q >= g and
+    # the q-role for every p <= g) — pure map-side, no join. The right
+    # lineage renames id/v: both sides share the same source attributes,
+    # and identical attribute ids across a self-cogroup make Catalyst's
+    # column pruning drop the right side's payload columns.
+    left = a.select(
+        F.col("g").alias("p"),
+        F.explode(F.sequence(F.col("g"), F.lit(nb - 1))).alias("q"),
+        "id",
+        "v",
     )
-    # two independent lineages of the same corpus (qualified aliases keep
-    # the cogroup self-join unambiguous)
-    left = (
-        a.alias("L")
-        .join(F.broadcast(pairs.alias("PL")), F.col("L.g") == F.col("PL.p"))
-        .select(
-            F.col("PL.p").alias("p"), F.col("PL.q").alias("q"),
-            F.col("L.id").alias("id"), F.col("L.v").alias("v"),
-        )
-    )
-    right = (
-        a.alias("R")
-        .join(F.broadcast(pairs.alias("PR")), F.col("R.g") == F.col("PR.q"))
-        .select(
-            F.col("PR.p").alias("p"), F.col("PR.q").alias("q"),
-            F.col("R.id").alias("id"), F.col("R.v").alias("v"),
-        )
+    right = a.select(
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("p"),
+        F.col("g").alias("q"),
+        F.col("id").alias("rid"),
+        F.col("v").alias("rv"),
     )
 
     def score(key, lpdf, rpdf):
@@ -145,8 +156,8 @@ def cosine_pairs(
         lids = lpdf["id"].to_numpy()
         lmat = np.stack(lpdf["v"].to_numpy())
         lunit = lmat / np.linalg.norm(lmat, axis=1, keepdims=True)
-        rids = rpdf["id"].to_numpy()
-        rmat = np.stack(rpdf["v"].to_numpy())
+        rids = rpdf["rid"].to_numpy()
+        rmat = np.stack(rpdf["rv"].to_numpy())
         runit = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
         cos = lunit @ runit.T  # (|p|, |q|)
         keep = cos >= threshold
