@@ -571,6 +571,172 @@ CH_DIALECT_DDLS: list[tuple[str, str, str, list[str]]] = [
            SELECT id FROM test.hits2 SAMPLE 0.05 PREWHERE sign > 0""",
         ["test.hits2"],
     ),
+    # ---- round-5 depth extension (VERDICT r4 item 6): >=2-deep nested
+    # FROM subqueries, EXCHANGE/REPLACE/RENAME forms, MODIFY QUERY,
+    # INSERT INTO FUNCTION, richer multi-statement scripts ----
+    (
+        "test",
+        "t_exchange",
+        "EXCHANGE TABLES test.e_new AND test.e_live",
+        [],
+    ),
+    (
+        "test",
+        "t_rename_stmt",
+        "RENAME TABLE test.r_old TO test.r_new, test.r_old2 TO test.r_new2",
+        [],
+    ),
+    (
+        "test",
+        "t_replace",
+        """REPLACE TABLE test.rt AS
+           SELECT id FROM test.rt_src SETTINGS max_threads = 2""",
+        ["test.rt_src"],
+    ),
+    (
+        "test",
+        "v_or_replace",
+        """CREATE OR REPLACE VIEW test.v_reload AS
+           SELECT x.id FROM (SELECT id FROM test.reload_src) x
+           SETTINGS max_threads = 2""",
+        ["test.reload_src"],
+    ),
+    (
+        "test",
+        "v_three_deep",
+        """CREATE VIEW test.v_three_deep AS
+           SELECT a.id FROM
+             (SELECT b.id FROM
+               (SELECT c.id FROM (SELECT id FROM test.l3_base) c
+                JOIN test.l3_d1 d ON c.id = d.id) b
+              JOIN test.l3_d2 e ON b.id = e.id) a
+           SETTINGS max_threads = 2""",
+        ["test.l3_base", "test.l3_d1", "test.l3_d2"],
+    ),
+    (
+        "test",
+        "mv_to_dest",
+        """CREATE MATERIALIZED VIEW test.mv_to TO test.mv_dest AS
+           SELECT id, count() AS n FROM test.mv_src GROUP BY id""",
+        ["test.mv_src"],
+    ),
+    (
+        "test",
+        "insert_fn_export",
+        """INSERT INTO FUNCTION file('export.parquet', 'Parquet')
+           SELECT id FROM test.exp_src""",
+        ["test.exp_src"],
+    ),
+    (
+        "test",
+        "insert_select_tf",
+        """INSERT INTO test.ins_dst
+           SELECT x.id FROM s3('https://b.example/in/*.parquet', 'Parquet') x
+           JOIN test.ins_dim d ON x.id = d.id
+           SETTINGS max_threads = 2""",
+        ["test.ins_dim"],
+    ),
+    (
+        "test",
+        "script_swap",
+        """CREATE TABLE test.swap_new AS test.swap_tpl;
+           INSERT INTO test.swap_new SELECT id FROM test.swap_src;
+           EXCHANGE TABLES test.swap_new AND test.swap_live;""",
+        ["test.swap_src", "test.swap_tpl"],
+    ),
+    (
+        "test",
+        "script_rebuild",
+        """DROP TABLE IF EXISTS test.rb_stage;
+           CREATE TABLE test.rb_stage ENGINE = MergeTree ORDER BY id AS
+           SELECT e.id FROM test.rb_events e JOIN test.rb_dims d
+             ON e.id = d.id;
+           CREATE OR REPLACE VIEW test.v_rb AS
+           SELECT id FROM test.rb_stage;""",
+        ["test.rb_dims", "test.rb_events", "test.rb_stage"],
+    ),
+    (
+        "test",
+        "alter_modify_query",
+        """ALTER TABLE test.mv_daily MODIFY QUERY
+           SELECT toDate(ts) AS d, sum(x) FROM test.events_v2 GROUP BY d""",
+        ["test.events_v2"],
+    ),
+    (
+        "test",
+        "v_global_in",
+        """CREATE VIEW test.v_global_in AS
+           SELECT id FROM test.gmain
+           WHERE id GLOBAL IN (SELECT id FROM test.gset)
+           SETTINGS max_threads = 2""",
+        ["test.gmain", "test.gset"],
+    ),
+    (
+        "test",
+        "v_scalar_subquery",
+        """CREATE VIEW test.v_scalar_subquery AS
+           SELECT (SELECT max(v) FROM test.sc_m) AS mx, id FROM test.sc_n
+           SETTINGS max_threads = 2""",
+        ["test.sc_m", "test.sc_n"],
+    ),
+    (
+        "test",
+        "v_join_subquery",
+        """CREATE VIEW test.v_join_subquery AS
+           SELECT a.id FROM test.jmain a
+           JOIN (SELECT id FROM test.jsub) b ON a.id = b.id
+           SETTINGS max_threads = 2""",
+        ["test.jmain", "test.jsub"],
+    ),
+    (
+        "test",
+        "v_view_fn",
+        """CREATE VIEW test.v_view_fn AS
+           SELECT id FROM view(SELECT id FROM test.vf_inner)
+           SETTINGS max_threads = 2""",
+        ["test.vf_inner"],
+    ),
+    (
+        "test",
+        "v_merge_fn",
+        """CREATE VIEW test.v_merge_fn AS
+           SELECT id FROM merge('test', '^log_')
+           SETTINGS max_threads = 2""",
+        [],
+    ),
+    (
+        "test",
+        "watch_unqualified",
+        "WATCH lv_plain LIMIT 2",
+        ["test.lv_plain"],
+    ),
+    (
+        "test",
+        "v_setops_three",
+        """CREATE VIEW test.v_setops_three AS
+           SELECT id FROM test.su1 UNION DISTINCT
+           SELECT id FROM test.su2 EXCEPT
+           SELECT id FROM test.su3
+           SETTINGS max_threads = 2""",
+        ["test.su1", "test.su2", "test.su3"],
+    ),
+    (
+        "test",
+        "v_paste_join",
+        """CREATE VIEW test.v_paste_join AS
+           SELECT * FROM test.p1 PASTE JOIN test.p2
+           SETTINGS max_threads = 2""",
+        ["test.p1", "test.p2"],
+    ),
+    (
+        "test",
+        "dict_external_src",
+        """CREATE DICTIONARY test.ext_dict (id UInt64, v String)
+           PRIMARY KEY id
+           SOURCE(MYSQL(HOST 'db.example' TABLE 'ext_rows'))
+           LIFETIME(600) LAYOUT(HASHED())""",
+        [],
+    ),
 ]
 
 CH_DIALECT_EDGES: list[tuple[str, str]] = sorted(
