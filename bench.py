@@ -58,6 +58,22 @@ def main() -> None:
         .save()
     )
 
+    # Streaming engine warmup, timed once as the SETUP figure: the first
+    # StreamingQuery in a JVM pays ~8-10 s of class loading / state-store
+    # provider init that belongs to the session, not to whichever
+    # streaming query happens to run first. One throwaway availableNow
+    # replay absorbs it; the per-query entries below are steady-state
+    # (their own per-run checkpoint + microbatch cost only).
+    from clickhouse_objects_analysis_spark.streaming.pipeline import (
+        tumbling_counts,
+    )
+
+    t0 = time.perf_counter()
+    tumbling_counts(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    streaming_setup = round(time.perf_counter() - t0, 3)
+
     # Best-of-N per query (default 2): single-shot timings on this host
     # show rare multi-second spikes (JVM GC / virtualization jitter) that
     # land on arbitrary queries — two back-to-back runs and taking the min
@@ -99,6 +115,10 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
+        # one-time streaming engine spin-up (class loading, state-store
+        # provider init) — paid once per JVM, excluded from the per-query
+        # steady-state entries
+        "streaming_setup_sec": streaming_setup,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -137,6 +157,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": {n: timings[n] for n in headline if n in timings},
         "sf": sf,
+        "streaming_setup_sec": streaming_setup,
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
