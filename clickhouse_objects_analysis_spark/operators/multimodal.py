@@ -69,25 +69,81 @@ def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, list[float
     return n, width, height, features
 
 
+# ---------------------------------------------------------------------------
+# Pluggable decoder seam: stub by default, real decode by injection or
+# by PIL auto-detection. A decoder is (doc_id, payload) ->
+# (n_bytes, width, height, features). It is RESOLVED AT PLAN TIME and
+# serialized into the mapInPandas closure, so inject before building the
+# DataFrame, and the executors never re-probe the environment per batch.
+# ---------------------------------------------------------------------------
+
+Decoder = "Callable[[int, bytes], tuple[int, int, int, list[float]]]"
+_DECODER = None
+
+
+def set_decoder(fn) -> None:
+    """Inject a real decoder (or None to reset to auto/stub)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def _pil_decoder():
+    """Real image decoder when Pillow is importable: decodes the payload,
+    reports true dimensions, and emits mean-channel features. Returns
+    None when PIL is absent (this container) — callers fall back."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(doc_id: int, payload: bytes):
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        w, h = img.size
+        small = img.resize((8, 8))
+        px = list(small.getdata())
+        features = [
+            float(sum(c[i] for c in px)) / len(px) for i in range(3)
+        ]
+        return len(payload), w, h, features
+
+    return decode
+
+
+def resolve_decoder(strict: bool = False):
+    """Injection > PIL auto-detect > (strict ? raise : deterministic
+    stub). The NotImplementedError branch is the honest 'no decoder in
+    this environment' behavior the rows-only registry entry declares."""
+    if _DECODER is not None:
+        return _DECODER
+    pil = _pil_decoder()
+    if pil is not None:
+        return pil
+    if strict:
+        raise NotImplementedError(
+            "no decoder injected (set_decoder) and no image library "
+            "importable in this environment"
+        )
+    return _fake_decode
+
+
 def decode_features(
     multimodal: DataFrame, strict: bool = False
 ) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.
 
-    ``strict=True`` raises NotImplementedError (the honest "no decoder in
-    this environment" behavior); the default runs the deterministic fake so
-    the plumbing — Arrow batching, schema, partitioning — is testable.
+    The decoder comes from the seam above: an injected callable or PIL
+    when available, else the deterministic fake (``strict=True`` raises
+    instead) so the plumbing — Arrow batching, schema, partitioning — is
+    testable everywhere.
     """
+    decoder = resolve_decoder(strict)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "image/audio decode libraries are not available in this "
-                "container; wire a real decoder here"
-            )
         for pdf in batches:
             rows = [
-                (int(doc_id), *_fake_decode(int(doc_id), bytes(payload)))
+                (int(doc_id), *decoder(int(doc_id), bytes(payload)))
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(

@@ -426,3 +426,40 @@ class TestWeightedMedianModel:
             total = g["l_quantity"].sum()
             model = g.loc[2 * cumw >= total, "l_extendedprice"].iloc[0]
             assert got.loc[rf] == model, rf
+
+
+class TestDecoderSeam:
+    """Pluggable multimodal decoder (VERDICT r4 item 9): injection wins,
+    stub is the fallback, strict still raises when nothing is wired."""
+
+    def test_injected_decoder_is_used(self, spark, sf_dir):
+        from clickhouse_objects_analysis_spark.operators import multimodal as mm
+        from clickhouse_objects_analysis_spark.queries.registry import tables
+
+        docs = tables(spark, sf_dir)["documents"].limit(5)
+        payloads = mm.attach_binary_payload(docs, "doc_id", "text")
+        mm.set_decoder(lambda i, b: (len(b), 1, 2, [42.0]))
+        try:
+            out = mm.decode_features(payloads).collect()
+        finally:
+            mm.set_decoder(None)
+        assert out and all(
+            r.width == 1 and r.height == 2 and r.features == [42.0]
+            for r in out
+        )
+
+    def test_strict_raises_without_decoder(self):
+        import pytest as _pytest
+
+        from clickhouse_objects_analysis_spark.operators import multimodal as mm
+
+        assert mm._pil_decoder() is None  # this container has no PIL
+        with _pytest.raises(NotImplementedError):
+            mm.resolve_decoder(strict=True)
+
+    def test_stub_fallback_is_deterministic(self):
+        from clickhouse_objects_analysis_spark.operators import multimodal as mm
+
+        d = mm.resolve_decoder()
+        assert d is mm._fake_decode
+        assert d(1, b"abc") == d(1, b"abc")
