@@ -26,7 +26,8 @@ from clickhouse_objects_analysis_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 
-HEADLINE = [
+#: Always-measured operator families (one per family even when cheap).
+MUST_HAVE = [
     "q1_pricing_summary", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q18_large_volume_customer",
     "asof_join", "range_bin_join", "skew_salted_join",
@@ -37,11 +38,32 @@ HEADLINE = [
     "embedding_neardup_pairs", "ann_cosine_topk",
     "text_quality", "tfidf_top_terms",
     "streaming_tumbling_window",
-    # round-4 additions
     "boilerplate_span_scrub", "rank_corr_spearman", "lttb_downsample",
     "simhash_hamming_pairs", "mann_whitney_utest",
     "kolmogorov_smirnov_test", "max_intersections",
+    "array_auc", "curriculum_quality_buckets", "limit_with_ties",
 ]
+
+
+def headline(root: str, top_n: int = 50) -> list[str]:
+    """MUST_HAVE plus the top-N most expensive registry queries from the
+    latest full bench (VERDICT r4 item 7: every family with real cost
+    gets a measured exponent), deduped, registry-validated."""
+    import json as _json
+
+    costs: dict[str, float] = {}
+    try:
+        with open(os.path.join(root, "BENCH_FULL.json")) as fh:
+            costs = _json.load(fh).get("queries", {})
+    except OSError:
+        pass
+    by_cost = sorted(costs, key=lambda n: -costs[n])[:top_n]
+    out, seen = [], set()
+    for n in MUST_HAVE + by_cost:
+        if n in QUERIES and n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
 
 
 def best_of(fn, runs: int = 2) -> float:
@@ -58,11 +80,14 @@ def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(root, ".scratch", "sf1")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + python workers once
+    # warm the JVM + python workers + streaming engine once
     QUERIES["q1_pricing_summary"](spark, SF01).collect()
+    QUERIES["streaming_tumbling_window"](spark, SF01).collect()
 
+    names = headline(root)
+    print(f"measuring {len(names)} queries", flush=True)
     out: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name]
         t_small = best_of(lambda: fn(spark, SF01).collect())
         t_big = best_of(lambda: fn(spark, sf1).collect())
