@@ -92,6 +92,16 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "format": F.format_string,
     "empty": lambda c: F.length(c) == 0,
     "notEmpty": lambda c: F.length(c) > 0,
+    "locate": lambda s, c: F.instr(c, s),  # CH locate(needle, haystack)
+    "levenshteinDistance": F.levenshtein,
+    "editDistance": F.levenshtein,
+    "soundex": F.soundex,
+    "initcapUTF8": F.initcap,
+    "base64Encode": F.base64,
+    "base64Decode": lambda c: F.unbase64(c).cast("string"),
+    "hex": F.hex,
+    "unhex": F.unhex,
+    "arrayStringConcat": lambda c, sep=" ": F.array_join(c, sep),
     # --- math ---
     "abs": F.abs,
     "round": F.round,
@@ -110,6 +120,17 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "sin": F.sin,
     "cos": F.cos,
     "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "atan2": F.atan2,
+    "exp2": lambda c: F.pow(F.lit(2.0), c),
+    "exp10": lambda c: F.pow(F.lit(10.0), c),
+    "degrees": F.degrees,
+    "radians": F.radians,
+    "sign": F.signum,
+    "bitCount": F.bit_count,
+    "bitTest": lambda c, pos: F.bit_get(c, pos),
     # (a - a%b)/b truncates toward zero (Spark % follows the dividend's
     # sign); cast keeps the CH integral return type instead of DOUBLE.
     "intDiv": lambda a, b: ((a - a % b) / b).cast("long"),
@@ -146,6 +167,9 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toYYYYMMDD": lambda c: F.date_format(c, "yyyyMMdd").cast("int"),
     "toYear": F.year,
     "toMonth": F.month,
+    "toQuarter": F.quarter,
+    "toISOWeek": F.weekofyear,
+    "monthName": lambda c: F.date_format(c, "MMMM"),
     "toDayOfMonth": F.dayofmonth,
     "toDayOfWeek": lambda c: F.weekday(c) + 1,  # ClickHouse: Mon=1..Sun=7
     "toHour": F.hour,
@@ -173,6 +197,28 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "arrayJoin": F.explode,
     "arrayDistinct": F.array_distinct,
     "arraySort": F.array_sort,
+    "arrayMin": F.array_min,
+    "arrayMax": F.array_max,
+    "arrayAvg": lambda c: F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size(c),
+    "arrayProduct": lambda c: F.aggregate(
+        c, F.lit(1.0), lambda acc, x: acc * x.cast("double")
+    ),
+    "arrayFlatten": F.flatten,
+    "arrayReverse": F.reverse,
+    "arrayCompact": lambda c: F.filter(
+        c,
+        lambda x, i: (i == 0) | (x != F.element_at(c, i)),
+    ),  # collapse CONSECUTIVE duplicates (element_at(c, i) is 1-indexed
+    #     = the previous element of 0-indexed position i)
+    "arrayIntersect": F.array_intersect,
+    "arrayDifference": lambda c: F.transform(
+        c,
+        lambda x, i: F.when(i == 0, F.lit(0).cast("double")).otherwise(
+            x.cast("double") - F.element_at(c, i).cast("double")
+        ),
+    ),  # [a,b,c] -> [0, b-a, c-b], ClickHouse semantics
     "arrayReverse": F.reverse,
     "arraySlice": F.slice,
     "arrayUniq": lambda c: F.size(F.array_distinct(c)),

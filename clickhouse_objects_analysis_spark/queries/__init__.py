@@ -27,6 +27,7 @@ from . import llm_wave3  # noqa: E402,F401
 from . import llm_wave4  # noqa: E402,F401
 from . import llm_wave5  # noqa: E402,F401
 from . import llm_wave6  # noqa: E402,F401
+from . import llm_wave7  # noqa: E402,F401
 from . import ch_aggregates  # noqa: E402,F401
 from . import ch_aggregates_w6  # noqa: E402,F401
 from . import ch_aggregates_w7  # noqa: E402,F401

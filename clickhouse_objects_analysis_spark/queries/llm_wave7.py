@@ -1,0 +1,214 @@
+"""Round-5 LLM-data wave: corpus statistics for training-data curation —
+n-gram novelty scoring (per-source contribution of first-seen n-grams),
+the token frequency spectrum (counts-of-counts, the Zipf/Good-Turing
+diagnostic), and a least-squares Zipf slope fit.
+
+Scale shapes: everything is explode → hash aggregate → (one) join — no
+windows over row data, no driver loops. The novelty join keys on the
+n-gram itself; a pathologically hot gram is one row on the build side,
+and AQE skew-join splits the probe side if a single gram's postings
+dominate a partition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.text import shingles, tokenize
+from .llm import _SHINGLE_CTE
+from .registry import query, tables
+
+#: Quantizer shared with ch_aggregates_w7: order-independent integer
+#: sums of per-row double terms.
+_Q = 1_000_000_000
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    g AS (SELECT w2.doc_id, w2.source, unnest(sh.s) AS g
+          FROM sh JOIN (SELECT doc_id, source FROM documents) w2
+            ON sh.doc_id = w2.doc_id),
+    first AS (SELECT g, MIN(doc_id) AS fd FROM g GROUP BY g),
+    per AS (
+        SELECT g.doc_id, g.source,
+               COUNT(*) AS ng,
+               SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS novel
+        FROM g JOIN first f USING (g)
+        GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(novel) AS BIGINT) AS novel_grams,
+           CAST(SUM(ng) AS BIGINT) AS total_grams,
+           CAST(ROUND(SUM(novel) / CAST(SUM(ng) AS DOUBLE), 6) AS DOUBLE)
+               AS novelty
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty / contribution scoring: for each source, the share
+    of its documents' distinct 3-grams that FIRST appear (lowest doc_id)
+    in that document — the de-duplicated marginal contribution a curation
+    pipeline uses to decide whether a source still adds new text or only
+    repeats the corpus.  One explode, one gram-keyed aggregate for the
+    first-seen owner, one gram-keyed join back, two tiny rollups."""
+    d = tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("g"),
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per = (
+        sh.join(first, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("novel").cast("long").alias("novel_grams"),
+            F.sum("ng").cast("long").alias("total_grams"),
+            F.round(
+                F.sum("novel") / F.sum("ng").cast("double"), 6
+            )
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "token_frequency_spectrum",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    g AS (SELECT unnest(s) AS g FROM sh),
+    tc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY g)
+    SELECT CAST(CASE WHEN c <= 20 THEN c ELSE 21 END AS BIGINT)
+               AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM tc GROUP BY 1 ORDER BY 1
+    """,
+)
+def token_frequency_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-of-frequencies spectrum over 3-gram types (document
+    frequency k, capped at 20 with a tail bucket) — the Good-Turing /
+    vocabulary-growth diagnostic a tokenizer-training pipeline reads
+    before choosing vocab size.  3-grams rather than unigrams because
+    the spectrum of a bounded unigram vocabulary saturates; the n-gram
+    type space keeps growing with the corpus.  Two chained hash
+    aggregates, both map-side combined; the second runs on |types|
+    rows."""
+    d = tables(spark, sf_dir)["documents"]
+    g = d.select(
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("g")
+    )
+    tc = g.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        tc.groupBy(
+            F.when(F.col("c") <= 20, F.col("c"))
+            .otherwise(F.lit(21))
+            .cast("long")
+            .alias("freq_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .orderBy("freq_bucket")
+    )
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+    WITH w AS (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    tok AS (SELECT unnest(ws) AS t FROM w),
+    tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+            FROM tc ORDER BY c DESC, t LIMIT 1000),
+    q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)) AS sx,
+               SUM(CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)) AS sy,
+               SUM(CAST(FLOOR(LN(CAST(r AS DOUBLE))
+                              * LN(CAST(r AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)) AS sxx,
+               SUM(CAST(FLOOR(LN(CAST(r AS DOUBLE))
+                              * LN(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)) AS sxy
+        FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           CAST(ROUND(
+             (n * (CAST(sxy AS DOUBLE) / 1e9)
+              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+             / (n * (CAST(sxx AS DOUBLE) / 1e9)
+                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+             6) AS DOUBLE) AS zipf_slope
+    FROM q
+    """,
+)
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope: least-squares fit of ln(freq) against ln(rank)
+    over the top-1000 tokens (a healthy natural corpus sits near −1; a
+    templated/boilerplate corpus flattens).  The top-1000 comes from a
+    distributed TakeOrdered (never a global sort); the 1000-row rank
+    window is metadata-scale by construction.  Per-rank log terms are
+    quantized to int64 before summing (the w7 discipline) so the slope
+    is accumulation-order-proof; one double expression at the end."""
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("t"))
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = (
+        tc.orderBy(F.col("c").desc(), "t")
+        .limit(1000)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "t")),
+        )
+    )
+
+    def _q(col):
+        return F.floor(col * F.lit(_Q) + F.lit(0.5)).cast("long")
+
+    lr = F.log(F.col("r").cast("double"))
+    lc = F.log(F.col("c").cast("double"))
+    q = top.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_q(lr)).alias("sx"),
+        F.sum(_q(lc)).alias("sy"),
+        F.sum(_q(lr * lr)).alias("sxx"),
+        F.sum(_q(lr * lc)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    # de-quantize each sum BEFORE combining: the quantum does not cancel
+    # in (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) because the products mix one
+    # quantized factor with two (caught by test_zipf_slope_model)
+    sx = F.col("sx").cast("double") / F.lit(1e9)
+    sy = F.col("sy").cast("double") / F.lit(1e9)
+    sxx = F.col("sxx").cast("double") / F.lit(1e9)
+    sxy = F.col("sxy").cast("double") / F.lit(1e9)
+    return q.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        .cast("double")
+        .alias("zipf_slope"),
+    )

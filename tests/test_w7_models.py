@@ -78,3 +78,102 @@ def test_sparkbar_is_24_glyphs_from_palette(spark, sf_dir):
         assert len(r.bar) == 24
         assert set(r.bar) <= palette
         assert "█" in r.bar  # the max bucket always renders full height
+
+
+def test_ngram_novelty_model(spark, sf_dir):
+    """Independent pandas recomputation of per-source 3-gram novelty."""
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.source: r
+        for r in QUERIES["ngram_novelty"](spark, sf_dir).collect()
+    }
+    first: dict[str, int] = {}
+    grams_by_doc: dict[int, tuple[str, set]] = {}
+    for _, row in docs.sort_values("doc_id").iterrows():
+        ws = [w for w in str(row.text).split() if w]
+        gs = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+        grams_by_doc[row.doc_id] = (row.source, gs)
+        for g in gs:
+            first.setdefault(g, row.doc_id)
+    agg: dict[str, list[int]] = {}
+    for doc_id, (src, gs) in grams_by_doc.items():
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        a = agg.setdefault(src, [0, 0, 0])
+        a[0] += 1
+        a[1] += novel
+        a[2] += len(gs)
+    assert set(agg) == set(got)
+    for src, (n_docs, novel, totg) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.novel_grams, r.total_grams) == (
+            n_docs, novel, totg,
+        ), src
+
+
+def test_zipf_slope_model(spark, sf_dir):
+    """Least-squares slope recomputed with numpy over the same top-1000."""
+    from collections import Counter
+
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counts = Counter()
+    for t in docs["text"]:
+        counts.update(w for w in str(t).split() if w)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    r = np.arange(1, len(top) + 1, dtype=float)
+    c = np.array([v for _, v in top], dtype=float)
+    slope = np.polyfit(np.log(r), np.log(c), 1)[0]
+    got = QUERIES["zipf_fit"](spark, sf_dir).collect()[0]
+    assert got.n_ranks == len(top)
+    assert got.zipf_slope == pytest.approx(slope, abs=1e-4)
+
+
+def test_new_ch_function_builders(spark):
+    """Round-5 translation-table additions (arrays/strings/math/dates)
+    evaluated against hand-computed expectations."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr(
+                "arrayCompact",
+                F.array(F.lit(1), F.lit(1), F.lit(2), F.lit(2), F.lit(1)),
+            ).alias("compact"),
+            ch_expr(
+                "arrayDifference", F.array(F.lit(1), F.lit(4), F.lit(9))
+            ).alias("diff"),
+            ch_expr("arrayProduct", F.array(F.lit(2.0), F.lit(3.0))).alias(
+                "prod"
+            ),
+            ch_expr("levenshteinDistance", F.lit("abc"), F.lit("adc")).alias(
+                "lev"
+            ),
+            ch_expr("soundex", F.lit("Robert")).alias("sx"),
+            ch_expr("bitCount", F.lit(7)).alias("bc"),
+            ch_expr("bitTest", F.lit(5), F.lit(2)).alias("bt"),
+            ch_expr("toQuarter", F.lit("2026-08-14").cast("date")).alias("q"),
+            ch_expr("locate", F.lit("b"), F.lit("abc")).alias("loc"),
+            ch_expr("exp10", F.lit(3.0)).alias("e10"),
+        )
+        .collect()[0]
+    )
+    assert list(r.compact) == [1, 2, 1]
+    assert [float(v) for v in r.diff] == [0.0, 3.0, 5.0]
+    assert r.prod == 6.0
+    assert r.lev == 1
+    assert r.sx == "R163"
+    assert r.bc == 3
+    assert r.bt == 1  # bit 2 of 0b101
+    assert r.q == 3
+    assert r.loc == 2
+    assert r.e10 == 1000.0
