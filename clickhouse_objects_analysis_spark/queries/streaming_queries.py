@@ -17,6 +17,7 @@ from ..streaming.pipeline import (
     stateful_user_peaks,
     stream_static_enrichment,
     stream_stream_click_purchase,
+    stream_stream_left_outer,
     tumbling_counts,
 )
 from .registry import query, tables
@@ -381,3 +382,32 @@ def streaming_upsert_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.round("value", 2).alias("last_value"),
     ).orderBy("user_id")
+
+
+@query(
+    "streaming_join_left_outer",
+    oracle="""
+    SELECT c.event_id AS c_id,
+           c.user_id AS c_user,
+           p.event_id AS p_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+               - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY c_id, p_id
+    """,
+)
+def streaming_join_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — clicks with their
+    next-hour purchases OR a watermark-proven NULL. The replay unions a
+    far-future sentinel into both sides so the watermark passes all real
+    data and every outer result flushes before the stream ends
+    (streaming/pipeline.py:stream_stream_left_outer); the batch oracle
+    is the plain left interval join."""
+    tables(spark, sf_dir)
+    res = stream_stream_left_outer(spark, sf_dir)
+    return res.orderBy("c_id", "p_id")

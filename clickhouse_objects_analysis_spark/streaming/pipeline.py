@@ -374,6 +374,96 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest)
 
 
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every click,
+    matched to same-user purchases in the following hour — or emitted
+    with NULLs once the watermark proves no purchase can still arrive.
+
+    Outer results can only flush when the watermark passes the join
+    window, and a stream's watermark never passes its own last event —
+    so a one-row far-future SENTINEL is unioned into each side purely
+    to drive the watermark past all real data (filtered back out of the
+    output). That makes the availableNow replay's outer result exactly
+    the batch left join — the property the oracle checks. At 100 TB the
+    same pattern is how a bounded backfill of an outer-join stream is
+    made complete: advance the watermark, then stop."""
+    run_dir = os.path.join(SCRATCH, f"sslo_{uuid.uuid4().hex[:8]}")
+    dest = os.path.join(run_dir, "dest")
+    ckpt = ckpt_dir("sslo")
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    # far-future sentinel rows (one per side), written once per sf_dir
+    max_ts = (
+        normalize_nanos(
+            spark.read.option("mergeSchema", "false").parquet(
+                os.path.join(sf_dir, "events.parquet")
+            )
+        )
+        .agg(F.max("ts").alias("m"))
+        .head()[0]
+    )
+    sent_dir = os.path.join(
+        SCRATCH,
+        f"sslo_sentinel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if not os.path.isdir(sent_dir):
+        import datetime as _dt
+
+        far = max_ts + _dt.timedelta(hours=12)
+        spark.createDataFrame(
+            [(-1, far, -1, "__sentinel__", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        sen = spark.readStream.schema(ev.schema).parquet(sent_dir)
+        return (
+            ev.unionByName(sen)
+            .filter(
+                (F.col("event_type") == event_type)
+                | (F.col("event_type") == "__sentinel__")
+            )
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 minute")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "c_id",
+        "c_user",
+        "p_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    from ..functions.settings import query_settings
+
+    with query_settings(
+        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+    ):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(dest).filter(F.col("c_id") >= 0)
+
+
 def _watch_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
     """Materialize the events table as ``n_slices`` single-file parquet
     slices (slice i = rows with event_id % n_slices == i) with strictly
