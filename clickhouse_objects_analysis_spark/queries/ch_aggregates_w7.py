@@ -621,3 +621,130 @@ def sparkbar_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.array_join(glyphs, "").alias("bar")
         ).orderBy("event_type")
     )
+
+
+@query(
+    "window_funnel_strict_dedup",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    m AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN t END) AS t1
+        FROM e GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, m.t1,
+               MIN(CASE WHEN e.event_type = 'view' AND e.t > m.t1
+                        THEN e.t END) AS v2,
+               MIN(CASE WHEN e.event_type = 'click' AND e.t > m.t1
+                             AND e.t - m.t1 <= {W}
+                        THEN e.t END) AS t2
+        FROM e JOIN m USING (user_id)
+        GROUP BY e.user_id, m.t1
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.t1, s2.v2, s2.t2,
+               MIN(CASE WHEN e.event_type = 'click' AND e.t > s2.t2
+                        THEN e.t END) AS c2,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.t > s2.t2
+                             AND e.t - s2.t1 <= {W}
+                        THEN e.t END) AS t3
+        FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        GROUP BY s2.user_id, s2.t1, s2.v2, s2.t2
+    ),
+    lv AS (
+        SELECT user_id,
+               CASE
+                 WHEN t1 IS NULL THEN 0
+                 WHEN t2 IS NULL OR (v2 IS NOT NULL AND v2 <= t2) THEN 1
+                 WHEN t3 IS NULL OR (c2 IS NOT NULL AND c2 <= t3) THEN 2
+                 ELSE 3
+               END AS lvl
+        FROM s3
+    )
+    SELECT CAST(lvl AS INT) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lv WHERE lvl > 0 GROUP BY lvl ORDER BY lvl
+    """.replace("{W}", "259200000000"),
+)
+def window_funnel_strict_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window, 'strict_dedup')(ts, v, c, p)``:
+    the view→click→purchase funnel where a REPEAT of an already-matched
+    step before the next step interrupts the chain — a second view
+    before the first click caps the user at level 1, a second click
+    before the first purchase caps at level 2 (the dedup guard CH docs
+    specify; plain windowFunnel would keep searching).
+
+    Spark shape: the per-step earliest-times are conditional MINs over
+    per-user windows — one shuffle on user_id, four Window aggregates
+    over the same partitioning (Catalyst collapses them into one sort),
+    integer microsecond arithmetic throughout."""
+    from pyspark.sql import Window
+
+    W = 3 * 24 * 3600 * 1_000_000
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    wu = Window.partitionBy("user_id")
+    is_ = lambda et: F.col("event_type") == et  # noqa: E731
+    d = ev.withColumn("t1", F.min(F.when(is_("view"), F.col("t"))).over(wu))
+    d = d.withColumn(
+        "v2",
+        F.min(
+            F.when(is_("view") & (F.col("t") > F.col("t1")), F.col("t"))
+        ).over(wu),
+    ).withColumn(
+        "t2",
+        F.min(
+            F.when(
+                is_("click")
+                & (F.col("t") > F.col("t1"))
+                & (F.col("t") - F.col("t1") <= W),
+                F.col("t"),
+            )
+        ).over(wu),
+    )
+    d = d.withColumn(
+        "c2",
+        F.min(
+            F.when(is_("click") & (F.col("t") > F.col("t2")), F.col("t"))
+        ).over(wu),
+    ).withColumn(
+        "t3",
+        F.min(
+            F.when(
+                is_("purchase")
+                & (F.col("t") > F.col("t2"))
+                & (F.col("t") - F.col("t1") <= W),
+                F.col("t"),
+            )
+        ).over(wu),
+    )
+    per = d.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("v2").alias("v2"),
+        F.first("t2").alias("t2"),
+        F.first("c2").alias("c2"),
+        F.first("t3").alias("t3"),
+    )
+    lvl = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(
+            F.col("t2").isNull()
+            | (F.col("v2").isNotNull() & (F.col("v2") <= F.col("t2"))),
+            1,
+        )
+        .when(
+            F.col("t3").isNull()
+            | (F.col("c2").isNotNull() & (F.col("c2") <= F.col("t3"))),
+            2,
+        )
+        .otherwise(3)
+    )
+    return (
+        per.select("user_id", lvl.alias("lvl"))
+        .filter(F.col("lvl") > 0)
+        .groupBy(F.col("lvl").cast("int").alias("funnel_level"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("funnel_level")
+    )

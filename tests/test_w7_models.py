@@ -177,3 +177,38 @@ def test_new_ch_function_builders(spark):
     assert r.q == 3
     assert r.loc == 2
     assert r.e10 == 1000.0
+
+
+def test_window_funnel_strict_dedup_model(spark, sf_dir):
+    """Pandas per-user replay of the strict_dedup rule: a repeat of an
+    already-matched step before the next step interrupts the chain."""
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    W = 3 * 24 * 3600 * 1_000_000
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")  # -> us
+    levels = {}
+    for uid, g in ev.groupby("user_id"):
+        views = sorted(g.loc[g.event_type == "view", "t"])
+        clicks = sorted(g.loc[g.event_type == "click", "t"])
+        purch = sorted(g.loc[g.event_type == "purchase", "t"])
+        if not views:
+            continue
+        t1 = views[0]
+        v2 = next((t for t in views if t > t1), None)
+        t2 = next((t for t in clicks if t > t1 and t - t1 <= W), None)
+        if t2 is None or (v2 is not None and v2 <= t2):
+            levels[uid] = 1
+            continue
+        c2 = next((t for t in clicks if t > t2), None)
+        t3 = next((t for t in purch if t > t2 and t - t1 <= W), None)
+        if t3 is None or (c2 is not None and c2 <= t3):
+            levels[uid] = 2
+            continue
+        levels[uid] = 3
+    exp = pd.Series(list(levels.values())).value_counts().sort_index()
+    got = {
+        r.funnel_level: r.n_users
+        for r in QUERIES["window_funnel_strict_dedup"](spark, sf_dir).collect()
+    }
+    assert got == {int(k): int(v) for k, v in exp.items()}
