@@ -192,3 +192,28 @@ def table_function_file_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="s_suppkey bigint, s_name string, s_nationkey bigint",
     )
     return back.orderBy("s_suppkey")
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def source_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT ORC round trip (the reference's format clause admits ORC
+    among its FORMAT identifiers): columnar sink + schema-preserving
+    source, Spark's built-in vectorized ORC reader/writer. The oracle
+    reads the SAME rows from the parquet table — if the ORC round trip
+    dropped, re-typed, or reordered anything, the hash gate catches it."""
+    n = tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    path = scratch_path("sinks", _sf_key(sf_dir), "nation_orc")
+    n.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).orderBy("n_nationkey")
