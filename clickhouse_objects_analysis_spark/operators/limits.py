@@ -67,6 +67,16 @@ def limit_with_ties(
     ]
     aug = df.select("*", *cols)
     top_keys = (
-        aug.select(*names).orderBy(*names).limit(n).distinct()
+        aug.select(*names)
+        .orderBy(*names)
+        .limit(n)
+        .distinct()
+        .select(*[F.col(nm).alias(f"__ties_b{i}") for i, nm in enumerate(names)])
     )
-    return aug.join(F.broadcast(top_keys), names, "left_semi").drop(*names)
+    # null-SAFE equality: rank() puts NULL keys in a rank group too
+    # (NULLS FIRST), so a null boundary key must still match
+    cond = None
+    for i, nm in enumerate(names):
+        c = F.col(nm).eqNullSafe(F.col(f"__ties_b{i}"))
+        cond = c if cond is None else cond & c
+    return aug.join(F.broadcast(top_keys), cond, "left_semi").drop(*names)

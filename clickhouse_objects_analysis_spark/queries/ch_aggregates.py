@@ -608,28 +608,25 @@ def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties in the sort key can't change the answer because the selected
     value is the MIN price in the crossing block.
 
-    Scale shape: one shuffle on the group key, one sort serving both the
-    running and total windows, then a min-aggregate. (Like all exact
-    quantiles, per-group data must co-locate; the approx twin for
-    100 TB is approx_quantiles.)"""
+    Scale shape (r5): the cumulative weights come from the two-pass
+    partition-histogram cumsum (operators/dist_rank.py) over the
+    distinct-price weight histogram — the previous per-group window sort
+    put a third of the table in one task (sf1 exponent 0.985, the worst
+    measured); now no task sorts more than its range slice. The answer
+    is unchanged: the crossing happens at the same minimal price whether
+    cumulated per row or per distinct value, because the distinct-value
+    cumsum at price p includes every tied row."""
     li = tables(spark, sf_dir)["lineitem"]
-    from pyspark.sql import Window
+    from ..operators.dist_rank import dist_cumsum
 
-    wt = F.col("l_quantity").cast("long")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    h = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
     )
-    w_all = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum(wt).over(w_cum).alias("cumw"),
-        F.sum(wt).over(w_all).alias("total"),
-    )
+    h = dist_cumsum(h, "l_extendedprice", ["w"], keys=["l_returnflag"])
+    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("total"))
     return (
-        c.filter(2 * F.col("cumw") >= F.col("total"))
+        h.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cum_w") >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median"))
         .orderBy("l_returnflag")

@@ -1015,26 +1015,24 @@ def quantiles_exact_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``quantilesExactWeighted(0.25, 0.5, 0.75)(y, w)``:
     weight-cumulative exact quantiles (weighted_median generalized to a
     quantile VECTOR) — the smallest value whose running weight reaches
-    q·total. One cumulative-weight window over the per-group (value)
-    sort serves all three quantiles as conditional mins; the q·total
-    comparisons stay integral (4·cw ≥ k·tw), so no float crosses the
-    selection boundary."""
+    q·total. Cumulative weights come from the distributed two-pass
+    histogram cumsum (operators/dist_rank.py; the per-group window sort
+    this replaced measured sf1 exponent 0.718 — a third of the table in
+    one task); all three quantiles read off the same cumsum as
+    conditional mins, and the q·total comparisons stay integral
+    (4·cw ≥ k·tw), so no float crosses the selection boundary.
+    Per-distinct-value cumulation picks the same boundary values: the
+    cumsum at y includes every tied row's weight."""
     li = tables(spark, sf_dir)["lineitem"]
-    b = li.select(
+    h = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
         F.col("l_quantity").cast("long").alias("w"),
-    )
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("y")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = b.select(
-        "l_returnflag",
-        "y",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    ).groupBy("l_returnflag", "y").agg(F.sum("w").alias("w"))
+    h = dist_cumsum(h, "y", ["w"], keys=["l_returnflag"])
+    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    c = h.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag", "y", F.col("cum_w").alias("cw"), "tw"
     )
     return (
         c.groupBy("l_returnflag")

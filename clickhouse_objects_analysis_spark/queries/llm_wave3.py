@@ -222,11 +222,15 @@ def normalize_text_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches near-identical documents differing only in case/punctuation,
     run before the more expensive MinHash stage).
 
-    Scale shape: normalization and hashing are codegen string expressions;
-    the only shuffle is one groupBy on the 8-byte norm_hash (never on
-    bodies) plus a hash-partitioned self-join on the same key — both
-    stages reuse the same partitioning. Identical to dedup_exact's scale
-    contract (dedup.py) with a normalization front."""
+    Scale shape: normalization and hashing are codegen string expressions
+    evaluated ONCE per row; the only shuffle is one hash partition on the
+    8-byte norm_hash with a partitioned window for canonical-id/size
+    (the r5 sf1 sweep showed the previous groupBy + self-join shape
+    re-running the regex normalization on a second lineage — the regex
+    passes dominate this query, so compute-once halves it). Group sizes
+    are duplicate-cluster sizes: bounded, no skew hazard."""
+    from pyspark.sql import Window
+
     d = tables(spark, sf_dir)["documents"]
     norm = F.trim(
         F.regexp_replace(
@@ -236,12 +240,10 @@ def normalize_text_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = d.select("doc_id", hash64(norm).alias("norm_hash"))
-    g = h.groupBy("norm_hash").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
+    wh = Window.partitionBy("norm_hash")
     return (
-        h.join(g, "norm_hash")
+        h.withColumn("canonical_id", F.min("doc_id").over(wh))
+        .withColumn("group_size", F.count(F.lit(1)).over(wh))
         .select(
             "doc_id",
             "norm_hash",
@@ -626,9 +628,15 @@ def curation_pipeline_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
+    from pyspark.sql import Window
+
     hh = d.select("doc_id", "source", hash64(norm).alias("nh"))
-    canon = hh.groupBy("nh").agg(F.min("doc_id").alias("canonical"))
-    dedup = hh.join(canon, "nh").select(
+    # window (not self-join) so the regex normalization evaluates once
+    # per row — same fix as normalize_text_dedup, where the second
+    # lineage's regex pass dominated the sf1 cost
+    dedup = hh.withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy("nh"))
+    ).select(
         "doc_id",
         "source",
         F.when(F.col("doc_id") == F.col("canonical"), 1)

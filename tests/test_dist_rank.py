@@ -156,6 +156,25 @@ def test_dist_ntile_matches_sql_ntile(spark, n_rows, n, parts):
     assert got == exp
 
 
+def test_limit_with_ties_keeps_null_key_group(spark):
+    """rank() puts NULL order keys in a rank group (NULLS FIRST); the
+    semi-join rewrite must match them null-safely, not drop them."""
+    from clickhouse_objects_analysis_spark.operators.limits import (
+        limit_with_ties,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (2,)], "v int"
+    )
+    got = sorted(
+        (r.v if r.v is not None else -99)
+        for r in limit_with_ties(df, ["v"], 3).collect()
+    )
+    # NULLS FIRST: ranks are [1,1,3,3,5] -> rank<=3 keeps both NULLs and
+    # both 1s
+    assert got == [-99, -99, 1, 1]
+
+
 def test_limit_with_ties_is_take_ordered_plus_semi_join(spark, sf_dir):
     """WITH TIES must plan as distributed top-n + broadcast semi join —
     not a single-task global rank window."""
