@@ -748,3 +748,205 @@ def window_funnel_strict_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("funnel_level")
     )
+
+
+@query(
+    "entropy_agg",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_shipdate AS v, CAST(COUNT(*) AS BIGINT) AS k
+        FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (SELECT l_returnflag, SUM(k) AS n FROM c GROUP BY 1),
+    q AS (
+        SELECT c.l_returnflag,
+               SUM(CAST(FLOOR(
+                 -(CAST(k AS DOUBLE) / t.n)
+                 * LN(CAST(k AS DOUBLE) / t.n) / LN(2.0)
+                 * 1e9 + 0.5) AS BIGINT)) AS hq,
+               MAX(t.n) AS n
+        FROM c JOIN t USING (l_returnflag) GROUP BY c.l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(hq / 1e9, 6) AS DOUBLE) AS entropy_bits
+    FROM q ORDER BY l_returnflag
+    """,
+)
+def entropy_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy(x)`` — Shannon entropy (bits) of a column's
+    value distribution per group, here ship dates per return flag.
+    Distinct-value counts are exact integers; each −p·log2(p) term is
+    quantized to int64 before the cross-value sum (the w7 discipline),
+    one de-scale division at the end.  Two chained hash aggregates."""
+    li = tables(spark, sf_dir)["lineitem"]
+    c = li.groupBy("l_returnflag", F.col("l_shipdate").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    t = c.groupBy("l_returnflag").agg(F.sum("k").alias("n"))
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    q = (
+        c.join(F.broadcast(t), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(_q(-p * F.log(p) / F.log(F.lit(2.0)))).alias("hq"),
+            F.max("n").alias("n"),
+        )
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("hq") / F.lit(1e9), 6)
+        .cast("double")
+        .alias("entropy_bits"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "exponential_moving_average",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE event_type = 'purchase'
+    ),
+    q AS (
+        SELECT user_id,
+               SUM(CAST(FLOOR(cents * POWER(0.5, n - r) * 1e6 + 0.5)
+                        AS BIGINT)) AS num_q,
+               SUM(CAST(FLOOR(POWER(0.5, n - r) * 1e6 + 0.5)
+                        AS BIGINT)) AS den_q
+        FROM s WHERE n - r <= 40
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(ROUND(CAST(num_q AS DOUBLE) / den_q / 100.0, 6) AS DOUBLE)
+               AS ema
+    FROM q ORDER BY user_id
+    """,
+)
+def exponential_moving_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage(1)(value, pos)`` — the
+    normalized EMA of each user's purchase stream with per-step decay
+    0.5: Σ v_i·0.5^(n−i) / Σ 0.5^(n−i).  The recurrence unrolls into a
+    weighted sum, so it's one per-series window (row_number — partition
+    bounded by the series) + a hash aggregate; each term is quantized to
+    int64 at 1e-6 before summing so accumulation order can't move the
+    hash, and steps older than 40 half-lives (weight < 1e-12) are
+    dropped identically on both engines."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.row_number().over(wu).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    ).filter(F.col("n") - F.col("r") <= 40)
+    wgt = F.pow(F.lit(0.5), F.col("n") - F.col("r"))
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    q = s.groupBy("user_id").agg(
+        F.sum(q6(F.col("cents") * wgt)).alias("num_q"),
+        F.sum(q6(wgt)).alias("den_q"),
+    )
+    return q.select(
+        "user_id",
+        F.round(
+            F.col("num_q").cast("double") / F.col("den_q") / F.lit(100.0), 6
+        )
+        .cast("double")
+        .alias("ema"),
+    ).orderBy("user_id")
+
+
+@query(
+    "quantile_interpolated_weighted",
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, y, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY y
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM h
+    ),
+    lo AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN 2 * cw <= tw THEN y END) AS y_lo,
+               MIN(CASE WHEN 2 * cw >= tw THEN y END) AS y_hi,
+               MAX(CASE WHEN 2 * cw <= tw THEN cw END) AS cw_lo,
+               MAX(tw) AS tw
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(ROUND(CASE
+             WHEN y_lo IS NULL THEN y_hi
+             WHEN 2 * cw_lo = tw AND y_hi IS NOT NULL AND y_hi > y_lo
+               THEN (y_lo + y_hi) / 2.0
+             ELSE y_hi
+           END / 100.0, 4) AS DOUBLE) AS median_interp
+    FROM lo ORDER BY l_returnflag
+    """,
+)
+def quantile_interpolated_weighted_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``quantileInterpolatedWeighted(0.5)(y, w)`` — the
+    weighted median with linear interpolation at an exact boundary hit:
+    when the cumulative weight lands exactly on half the total, the
+    answer is the midpoint of the straddling values; otherwise the
+    crossing value.  Built on the SAME distributed histogram cumsum as
+    weighted_median (operators/dist_rank.py) — the interpolation is two
+    conditional aggregates over the cumsum, integer comparisons only
+    until the final midpoint division."""
+    from ..operators.dist_rank import dist_cumsum
+
+    li = tables(spark, sf_dir)["lineitem"]
+    h = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).groupBy("l_returnflag", "y").agg(F.sum("w").alias("w"))
+    h = dist_cumsum(h, "y", ["w"], keys=["l_returnflag"])
+    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    c = h.join(F.broadcast(tot), "l_returnflag")
+    lo = c.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(2 * F.col("cum_w") <= F.col("tw"), F.col("y"))
+        ).alias("y_lo"),
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("tw"), F.col("y"))
+        ).alias("y_hi"),
+        F.max(
+            F.when(2 * F.col("cum_w") <= F.col("tw"), F.col("cum_w"))
+        ).alias("cw_lo"),
+        F.max("tw").alias("tw"),
+    )
+    med = (
+        F.when(F.col("y_lo").isNull(), F.col("y_hi").cast("double"))
+        .when(
+            (2 * F.col("cw_lo") == F.col("tw"))
+            & F.col("y_hi").isNotNull()
+            & (F.col("y_hi") > F.col("y_lo")),
+            (F.col("y_lo") + F.col("y_hi")) / F.lit(2.0),
+        )
+        .otherwise(F.col("y_hi").cast("double"))
+    )
+    return lo.select(
+        "l_returnflag",
+        F.round(med / F.lit(100.0), 4).cast("double").alias("median_interp"),
+    ).orderBy("l_returnflag")

@@ -212,3 +212,56 @@ def test_window_funnel_strict_dedup_model(spark, sf_dir):
         for r in QUERIES["window_funnel_strict_dedup"](spark, sf_dir).collect()
     }
     assert got == {int(k): int(v) for k, v in exp.items()}
+
+
+def test_entropy_agg_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {r.l_returnflag: r for r in QUERIES["entropy_agg"](spark, sf_dir).collect()}
+    for flag, g in li.groupby("l_returnflag"):
+        p = g["l_shipdate"].value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log2(p)).sum())
+        assert got[flag].n == len(g)
+        assert got[flag].entropy_bits == pytest.approx(h, abs=1e-5)
+
+
+def test_exponential_moving_average_model(spark, sf_dir):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    p = ev[ev.event_type == "purchase"].sort_values(["ts", "event_id"])
+    got = {
+        r.user_id: r.ema
+        for r in QUERIES["exponential_moving_average"](spark, sf_dir).collect()
+    }
+    for uid, g in p.groupby("user_id"):
+        cents = (g["value"] * 100).round().to_numpy()
+        n = len(cents)
+        w = 0.5 ** np.arange(n - 1, -1, -1)
+        keep = (n - 1 - np.arange(n)) <= 40
+        ema = (cents[keep] * w[keep]).sum() / w[keep].sum() / 100.0
+        assert got[uid] == pytest.approx(ema, abs=1e-4), uid
+
+
+def test_quantile_interpolated_weighted_model(spark, sf_dir, li):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    got = {
+        r.l_returnflag: r.median_interp
+        for r in QUERIES["quantile_interpolated_weighted"](spark, sf_dir).collect()
+    }
+    for flag, g in li.groupby("l_returnflag"):
+        y = (g["l_extendedprice"] * 100).round().astype("int64")
+        w = g["l_quantity"].astype("int64")
+        h = pd.DataFrame({"y": y, "w": w}).groupby("y")["w"].sum().sort_index()
+        cw = h.cumsum()
+        tw = int(h.sum())
+        lo = cw[2 * cw <= tw]
+        hi = cw[2 * cw >= tw]
+        y_lo = lo.index.max() if len(lo) else None
+        y_hi = hi.index.min()
+        if y_lo is not None and 2 * int(cw[y_lo]) == tw and y_hi > y_lo:
+            med = (y_lo + y_hi) / 2.0
+        else:
+            med = float(y_hi)
+        assert got[flag] == pytest.approx(round(med / 100.0, 4), abs=1e-9), flag
