@@ -212,3 +212,54 @@ def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zipf_slope"),
     )
+
+
+@query(
+    "kmeans_clusters",
+    oracle="""
+    WITH e AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                          -- promote BEFORE multiplying: FLOAT * INT
+                          -- runs in single precision in DuckDB and
+                          -- crosses .5 differently than Spark's double
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                    AS BIGINT)) AS a
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, a AS c
+           FROM e ORDER BY id LIMIT 4),
+    j1 AS (SELECT e.id, e.a,
+                  MIN(list_sum(list_transform(range(1, 65),
+                        i -> (e.a[i] - c0.c[i]) * (e.a[i] - c0.c[i])))
+                      * 4 + c0.cl) AS enc
+           FROM e CROSS JOIN c0 GROUP BY e.id, e.a),
+    a1 AS (SELECT id, a, enc % 4 AS cl FROM j1),
+    n1 AS (SELECT cl, COUNT(*) AS n FROM a1 GROUP BY cl),
+    s1 AS (SELECT cl, t.i, SUM(a[t.i]) AS s
+           FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+           GROUP BY cl, t.i),
+    c1 AS (SELECT s1.cl, list(s1.s // n1.n ORDER BY s1.i) AS c
+           FROM s1 JOIN n1 USING (cl) GROUP BY s1.cl, n1.n),
+    j2 AS (SELECT e.id,
+                  MIN(list_sum(list_transform(range(1, 65),
+                        i -> (e.a[i] - c1.c[i]) * (e.a[i] - c1.c[i])))
+                      * 4 + c1.cl) AS enc
+           FROM e CROSS JOIN c1 GROUP BY e.id),
+    a2 AS (SELECT id, enc % 4 AS cl, enc // 4 AS dist FROM j2)
+    SELECT CAST(cl AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dist // 1000) AS BIGINT) AS inertia_k
+    FROM a2 GROUP BY cl ORDER BY cl
+    """,
+)
+def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means (operators/kmeans.py): two exact
+    Lloyd iterations, k=4, lowest-id init, over the embeddings table.
+    Everything is int64 (quantized vectors, exact squared-L2, argmin
+    with encoded tie-breaks, truncating integer centroid means), so the
+    full iterative trajectory — normally where float accumulation order
+    breaks cross-engine reproducibility — is bit-identical between
+    Spark and the DuckDB oracle's hand-unrolled two iterations."""
+    from ..operators.kmeans import kmeans_report
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return kmeans_report(e, "vec_id", "embedding", k=4, iters=2)

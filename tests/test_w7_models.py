@@ -265,3 +265,50 @@ def test_quantile_interpolated_weighted_model(spark, sf_dir, li):
         else:
             med = float(y_hi)
         assert got[flag] == pytest.approx(round(med / 100.0, 4), abs=1e-9), flag
+
+
+def test_kmeans_clusters_model(spark, sf_dir):
+    """Pure-Python integer Lloyd replay (round-half-away quantize,
+    truncating division) must reproduce the Spark trajectory exactly."""
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+
+    def q(x):  # round half away from zero, like Spark/DuckDB round()
+        v = float(x) * 1e6
+        return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+    def tdiv(s, n):  # truncation toward zero, like DIV / //
+        return s // n if s >= 0 else -((-s) // n)
+
+    vecs = {
+        int(r.vec_id): [q(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    k, dim = 4, len(next(iter(vecs.values())))
+    ids = sorted(vecs)
+    cents = {j: vecs[ids[j]] for j in range(k)}
+    for _ in range(2):
+        assign, dists = {}, {}
+        for i, a in vecs.items():
+            best = min(
+                (sum((x - y) ** 2 for x, y in zip(a, cents[c])), c)
+                for c in sorted(cents)
+            )
+            dists[i], assign[i] = best
+        cents = {}
+        for c in set(assign.values()):
+            members = [vecs[i] for i in vecs if assign[i] == c]
+            cents[c] = [
+                tdiv(sum(m[p] for m in members), len(members))
+                for p in range(dim)
+            ]
+    exp = {}
+    for c in sorted(set(assign.values())):
+        ms = [i for i in vecs if assign[i] == c]
+        exp[c] = (len(ms), sum(dists[i] // 1000 for i in ms))
+    got = {
+        r.cluster: (r.n_vecs, r.inertia_k)
+        for r in QUERIES["kmeans_clusters"](spark, sf_dir).collect()
+    }
+    assert got == exp
