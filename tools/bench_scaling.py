@@ -42,6 +42,8 @@ MUST_HAVE = [
     "simhash_hamming_pairs", "mann_whitney_utest",
     "kolmogorov_smirnov_test", "max_intersections",
     "array_auc", "curriculum_quality_buckets", "limit_with_ties",
+    "weighted_median", "quantiles_exact_weighted", "kmeans_clusters",
+    "ngram_novelty", "normalize_text_dedup",
 ]
 
 
