@@ -763,3 +763,92 @@ def lineage_edges_ch_dialect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, [(db, n, ddl) for db, n, ddl, _deps in CH_DIALECT_DDLS]
     )
     return edges.orderBy("view", "dep")
+
+
+#: Combined edge set for graph analytics: the core pipeline's edges plus
+#: the CH-dialect corpus edges (both deterministic constants).
+ALL_EDGES: list[tuple[str, str]] = sorted(set(EXPECTED_EDGES) | set(CH_DIALECT_EDGES))
+
+
+@query(
+    "lineage_pagerank",
+    oracle=f"""
+    WITH e AS (SELECT view AS src, dep AS dst
+               FROM {{V}}),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+    p0 AS (SELECT n, (SELECT 1000000000 // nn FROM meta) AS pr FROM nodes),
+    i1 AS (SELECT n,
+                  (SELECT 150000000 // nn FROM meta)
+                  + 85 * COALESCE((SELECT SUM(p0.pr // outd.od)
+                                   FROM e JOIN p0 ON p0.n = e.src
+                                   JOIN outd ON outd.src = e.src
+                                   WHERE e.dst = nodes.n), 0) // 100 AS pr
+           FROM nodes),
+    i2 AS (SELECT n,
+                  (SELECT 150000000 // nn FROM meta)
+                  + 85 * COALESCE((SELECT SUM(i1.pr // outd.od)
+                                   FROM e JOIN i1 ON i1.n = e.src
+                                   JOIN outd ON outd.src = e.src
+                                   WHERE e.dst = nodes.n), 0) // 100 AS pr
+           FROM nodes),
+    i3 AS (SELECT n,
+                  (SELECT 150000000 // nn FROM meta)
+                  + 85 * COALESCE((SELECT SUM(i2.pr // outd.od)
+                                   FROM e JOIN i2 ON i2.n = e.src
+                                   JOIN outd ON outd.src = e.src
+                                   WHERE e.dst = nodes.n), 0) // 100 AS pr
+           FROM nodes)
+    SELECT n AS node, CAST(pr AS BIGINT) AS pagerank_ppb
+    FROM i3 ORDER BY pr DESC, n LIMIT 15
+    """.replace("{{V}}", "{V}").format(
+        V=_values_sql(ALL_EDGES, ["view", "dep"])
+    ),
+)
+def lineage_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the view-dependency graph — which base tables the
+    catalog's views lean on hardest (mass flows view → dependency,
+    damping 0.85, three iterations). Exact integer fixed-point (parts
+    per billion, truncating DIV at every step), so the trajectory is
+    engine-independent like kmeans_clusters. Spark shape: per-iteration
+    contribution join on the edge list + hash aggregate per destination
+    — the distributed semi-naive pattern of lineage_transitive_closure;
+    at catalog scale (millions of views) the same joins shuffle on node
+    ids, never materializing the graph on one task."""
+    spark_edges = _values_df(spark, ALL_EDGES, ["view", "dep"]).select(
+        F.col("view").alias("src"), F.col("dep").alias("dst")
+    )
+    nodes = (
+        spark_edges.select(F.col("src").alias("n"))
+        .union(spark_edges.select("dst"))
+        .distinct()
+    )
+    nn = nodes.count()
+    base = 150_000_000 // nn
+    outd = spark_edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    pr = nodes.withColumn("pr", F.lit(1_000_000_000 // nn).cast("long"))
+    for _ in range(3):
+        contrib = (
+            spark_edges.join(pr, spark_edges.src == pr.n)
+            .join(outd, "src")
+            .select("dst", F.expr("pr DIV od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(
+            contrib, nodes.n == contrib.dst, "left"
+        ).select(
+            "n",
+            (
+                F.lit(base)
+                + F.expr("85 * coalesce(s, 0) DIV 100")
+            ).cast("long").alias("pr"),
+        )
+    return (
+        pr.orderBy(F.col("pr").desc(), "n")
+        .limit(15)
+        .select(F.col("n").alias("node"), F.col("pr").alias("pagerank_ppb"))
+    )
