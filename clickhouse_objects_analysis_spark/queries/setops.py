@@ -85,3 +85,47 @@ def except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"].select(F.col("c_custkey").alias("k"))
     o = t["orders"].select(F.col("o_custkey").alias("k"))
     return c.exceptAll(o).distinct().orderBy("k")
+
+
+@query(
+    "setops_all_multiplicity",
+    oracle="""
+    WITH a AS (SELECT l_suppkey % 50 AS k FROM lineitem
+               WHERE l_returnflag = 'A'),
+    b AS (SELECT l_suppkey % 50 AS k FROM lineitem
+          WHERE l_returnflag = 'R')
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n, 'intersect_all' AS op
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n, 'except_all' AS op
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+    ORDER BY op, k
+    """,
+)
+def setops_all_multiplicity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving (bag
+    semantics) set operations: per key, intersect keeps min(countA,
+    countB) copies and except keeps countA−countB. Both plan as a
+    single hash aggregate per side plus a join on the key — no row-level
+    materialization of duplicates is needed until the final count, and
+    the compare folds them straight back to (key, n)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        (F.col("l_suppkey") % 50).alias("k")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        (F.col("l_suppkey") % 50).alias("k")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).orderBy("op", "k")

@@ -250,3 +250,87 @@ def named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, rn
     """)
+
+
+@query(
+    "window_distribution_fns",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 199 = 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW)
+               AS second_key
+    FROM s
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_totalprice, o_orderkey
+    """,
+)
+def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    nth_value(…, 2) — over per-status price order (1/199 key slice keeps
+    the oracle compare bounded). The ratio outputs round at 1e-6; ties
+    are broken by the key so both engines rank identically. Partitioned
+    windows: parallel per status group."""
+    o = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 199 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.percent_rank().over(w), 6).cast("double").alias(
+                "pct_rank"
+            ),
+            F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+            F.nth_value("o_orderkey", 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("second_key"),
+        )
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    )
+
+
+@query(
+    "grouping_id_flags",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY gid, status, priority
+    """,
+)
+def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id over GROUPING SETS — the flag that
+    distinguishes a real NULL from a rollup supertotal (groupingSets
+    reference in the GROUP BY clause grammar). Spark's grouping_id bit
+    order matches the column list order, compared here via the same
+    2·g(status)+g(priority) encoding on both engines."""
+    o = tables(spark, sf_dir)["orders"]
+    o.createOrReplaceTempView("orders_gidf")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders_gidf
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, status, priority
+        """
+    )
