@@ -213,6 +213,47 @@ CH_FUNCTIONS: dict[str, Builder] = {
     ),  # collapse CONSECUTIVE duplicates (element_at(c, i) is 1-indexed
     #     = the previous element of 0-indexed position i)
     "arrayIntersect": F.array_intersect,
+    "arrayZip": F.arrays_zip,
+    "arrayEnumerate": lambda c: F.sequence(F.lit(1), F.size(c)),
+    # occurrence index of each element among its equals (1-based), the
+    # CH dedup-within-array helper; O(len^2) per array via prefix count
+    "arrayEnumerateUniq": lambda c: F.transform(
+        c,
+        lambda x, i: F.size(
+            F.filter(F.slice(c, 1, i + 1), lambda y: y == x)
+        ),
+    ),
+    "arrayResize": lambda c, n, fill=None: F.slice(
+        F.concat(
+            c,
+            F.array_repeat(
+                F.lit(fill) if not isinstance(fill, Column) else fill, n
+            ),
+        ),
+        1,
+        n,
+    ),
+    "arrayPushBack": lambda c, x: F.concat(c, F.array(x)),
+    "arrayPushFront": lambda c, x: F.concat(F.array(x), c),
+    "arrayPopBack": lambda c: F.slice(
+        c, 1, F.greatest(F.size(c) - 1, F.lit(0))
+    ),
+    "arrayPopFront": lambda c: F.slice(
+        c, 2, F.greatest(F.size(c) - 1, F.lit(0))
+    ),
+    "hasAny": lambda a, b: F.arrays_overlap(a, b),
+    "hasAll": lambda a, b: F.size(F.array_except(b, a)) == 0,
+    "arrayFirst": lambda f, c: F.element_at(F.filter(c, f), 1),
+    "arrayLast": lambda f, c: F.element_at(F.filter(c, f), -1),
+    "arrayFirstIndex": lambda f, c: F.coalesce(
+        F.array_position(
+            F.transform(c, f), F.lit(True)
+        ),
+        F.lit(0),
+    ).cast("long"),
+    "arrayCount": lambda f, c: F.size(F.filter(c, f)).cast("long"),
+    "mapContains": F.map_contains_key,
+    "mapFromArrays": F.map_from_arrays,
     "arrayDifference": lambda c: F.transform(
         c,
         lambda x, i: F.when(i == 0, F.lit(0).cast("double")).otherwise(

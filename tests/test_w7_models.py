@@ -312,3 +312,58 @@ def test_kmeans_clusters_model(spark, sf_dir):
         for r in QUERIES["kmeans_clusters"](spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_array_map_builder_batch(spark):
+    """Second round-5 builder batch: zip/enumerate/resize/push/pop,
+    hasAny/hasAll, arrayFirst/Last/FirstIndex/Count, map builders."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    arr = F.array(F.lit(3), F.lit(1), F.lit(3), F.lit(2))
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("arrayEnumerate", arr).alias("en"),
+            ch_expr("arrayEnumerateUniq", arr).alias("eu"),
+            ch_expr("arrayResize", F.array(F.lit(1), F.lit(2)), 4, 0).alias(
+                "rs"
+            ),
+            ch_expr("arrayPushBack", F.array(F.lit(1)), F.lit(9)).alias("pb"),
+            ch_expr("arrayPushFront", F.array(F.lit(1)), F.lit(9)).alias(
+                "pf"
+            ),
+            ch_expr("arrayPopBack", arr).alias("ob"),
+            ch_expr("arrayPopFront", arr).alias("of"),
+            ch_expr(
+                "hasAny", arr, F.array(F.lit(9), F.lit(2))
+            ).alias("ha"),
+            ch_expr(
+                "hasAll", arr, F.array(F.lit(3), F.lit(2))
+            ).alias("hl"),
+            ch_expr("arrayFirst", lambda x: x > 1, arr).alias("fi"),
+            ch_expr("arrayLast", lambda x: x > 1, arr).alias("la"),
+            ch_expr("arrayFirstIndex", lambda x: x == 2, arr).alias("fx"),
+            ch_expr("arrayCount", lambda x: x == 3, arr).alias("ct"),
+            ch_expr(
+                "mapContains",
+                ch_expr(
+                    "mapFromArrays",
+                    F.array(F.lit("a"), F.lit("b")),
+                    F.array(F.lit(1), F.lit(2)),
+                ),
+                F.lit("b"),
+            ).alias("mc"),
+        )
+        .collect()[0]
+    )
+    assert list(r.en) == [1, 2, 3, 4]
+    assert list(r.eu) == [1, 1, 2, 1]
+    assert list(r.rs) == [1, 2, 0, 0]
+    assert list(r.pb) == [1, 9] and list(r.pf) == [9, 1]
+    assert list(r.ob) == [3, 1, 3] and list(r.of) == [1, 3, 2]
+    assert r.ha is True and r.hl is True
+    assert r.fi == 3 and r.la == 2
+    assert r.fx == 4 and r.ct == 2
+    assert r.mc is True
