@@ -402,10 +402,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("m"))
         .head()[0]
     )
-    sent_dir = os.path.join(
-        SCRATCH,
-        f"sslo_sentinel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    # key the sentinel dir on max_ts as well as sf_dir: a regenerated
+    # source with LATER events must not reuse an older (now too-early)
+    # sentinel, or the watermark would never pass the new tail and the
+    # outer join would silently under-emit
+    sent_key = hashlib.md5(
+        f"{sf_dir}|{max_ts.isoformat()}".encode()
+    ).hexdigest()[:12]
+    sent_dir = os.path.join(SCRATCH, f"sslo_sentinel_{sent_key}")
     if not os.path.isdir(sent_dir):
         import datetime as _dt
 
