@@ -950,3 +950,179 @@ def quantile_interpolated_weighted_q(
         "l_returnflag",
         F.round(med / F.lit(100.0), 4).cast("double").alias("median_interp"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "sum_map_filtered",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      SUM(CAST(value AS DECIMAL(18,2))) AS total
+               FROM events
+               WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+               GROUP BY user_id, event_type)
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(total AS VARCHAR), ','
+                      ORDER BY event_type) AS type_totals
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sum_map_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMapFiltered(['view','click'])(k, v)`` — sumMap
+    restricted to a fixed key allowlist (the monitoring idiom: keep only
+    the counters you chart). The filter lands BEFORE the first
+    aggregate, so the map-side state never holds unwanted keys; rendered
+    as the canonical sorted key:total string like sum_map_by_user."""
+    ev = tables(spark, sf_dir)["events"]
+    s = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("view", "click")
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_type", "total"))
+                    ),
+                    lambda st: F.concat_ws(
+                        ":", st["event_type"], st["total"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("type_totals")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "group_array_moving_avg",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS mv
+        FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(CAST(mv AS DOUBLE) / 3, 4) AS DOUBLE) AS avg3
+        FROM m
+    )
+    SELECT user_id,
+           string_agg(CAST(avg3 AS VARCHAR), ',' ORDER BY event_id)
+               AS moving_avgs
+    FROM a GROUP BY user_id ORDER BY user_id
+    """,
+)
+def group_array_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingAvg(3)(value)`` — the moving-average
+    sibling of groupArrayMovingSum: window sum over the same
+    (user, time) rows frame, divided by the WINDOW SIZE (ClickHouse
+    semantics: leading elements are partial sums over the full divisor,
+    not an adaptive mean). The sum stays exact decimal; the one double
+    division per element is the identical tree on both engines."""
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    m = ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.lit(3),
+            4,
+        )
+        .cast("double")
+        .alias("avg3"),
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_id", "avg3"))
+                    ),
+                    lambda st: st["avg3"].cast("string"),
+                ),
+                ",",
+            ).alias("moving_avgs")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "quantile_timing_weighted",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN CAST(ROUND(value, 0) AS BIGINT) < 1024
+                    THEN CAST(ROUND(value, 0) AS BIGINT)
+                    ELSE LEAST(CAST(ROUND(value, 0) AS BIGINT) // 16 * 16,
+                               30000) END AS ms,
+               event_id % 5 + 1 AS w
+        FROM events
+    ),
+    h AS (SELECT event_type, ms, SUM(w) AS w FROM b GROUP BY 1, 2),
+    c AS (
+        SELECT event_type, ms, w,
+               SUM(w) OVER (PARTITION BY event_type ORDER BY ms
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY event_type) AS tw
+        FROM h
+    )
+    SELECT event_type,
+           MIN(CASE WHEN 2 * cw >= tw THEN ms END) AS p50_ms
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quantile_timing_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTimingWeighted(0.5)(t, w)`` — the timing
+    sketch with per-row weights (weight = a deterministic event-id
+    derived repeat count): same ms bucketing as quantile_timing, then
+    the weighted median over the bucket histogram via the distributed
+    cumsum (operators/dist_rank.py) — integer threshold comparisons,
+    no single-task sort."""
+    from ..operators.dist_rank import dist_cumsum
+
+    ev = tables(spark, sf_dir)["events"]
+    v = F.round(F.col("value"), 0).cast("long")
+    b = ev.select(
+        "event_type",
+        F.when(v < 1024, v)
+        .otherwise(
+            F.least(
+                F.expr("CAST(ROUND(value, 0) AS BIGINT) DIV 16 * 16"),
+                F.lit(30000),
+            )
+        )
+        .alias("ms"),
+        (F.col("event_id") % 5 + 1).alias("w"),
+    )
+    h = b.groupBy("event_type", "ms").agg(F.sum("w").alias("w"))
+    h = dist_cumsum(h, "ms", ["w"], keys=["event_type"])
+    tot = h.groupBy("event_type").agg(F.sum("w").alias("tw"))
+    return (
+        h.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum_w") >= F.col("tw"), F.col("ms"))
+            ).alias("p50_ms")
+        )
+        .orderBy("event_type")
+    )
