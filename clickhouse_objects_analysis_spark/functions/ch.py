@@ -60,6 +60,47 @@ def _multi_if(*args: Column) -> Column:
     return default if out is None else out.otherwise(default)
 
 
+def _format_readable_size(c: Column) -> Column:
+    """ClickHouse ``formatReadableSize``: '123.00 B', '1.21 KiB', … with
+    binary (1024) units and two decimals."""
+    b = c.cast("double")
+    out = None
+    for unit, scale in [
+        ("B", 1.0),
+        ("KiB", 1024.0),
+        ("MiB", 1024.0**2),
+        ("GiB", 1024.0**3),
+        ("TiB", 1024.0**4),
+    ]:
+        cond = b < scale * 1024 if unit != "TiB" else F.lit(True)
+        rendered = F.format_string(f"%.2f {unit}", b / F.lit(scale))
+        out = F.when(cond, rendered) if out is None else out.when(
+            cond, rendered
+        )
+    return out
+
+
+_BAR_EIGHTHS = " ▏▎▍▌▋▊▉"
+
+
+def _bar(x: Column, mn, mx, width) -> Column:
+    """ClickHouse ``bar(x, min, max, width)``: a width-character bar of
+    full blocks plus one eighth-block partial, clamped to [min, max].
+    Eighth count is computed in exact integer arithmetic after one
+    double scale, so renderings are engine-stable."""
+    frac = (x.cast("double") - F.lit(mn)) / F.lit(float(mx - mn))
+    clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
+    eighths = F.floor(clamped * F.lit(int(width) * 8) + F.lit(0.5)).cast(
+        "int"
+    )
+    full = F.floor(eighths / 8).cast("int")
+    rem = F.pmod(eighths, F.lit(8))
+    partial = F.when(rem == 0, F.lit("")).otherwise(
+        F.substring(F.lit(_BAR_EIGHTHS), rem + 1, 1)
+    )
+    return F.concat(F.repeat(F.lit("█"), full), partial)
+
+
 CH_FUNCTIONS: dict[str, Builder] = {
     # --- string ---
     "lower": F.lower,
@@ -170,6 +211,16 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toQuarter": F.quarter,
     "toISOWeek": F.weekofyear,
     "monthName": lambda c: F.date_format(c, "MMMM"),
+    # floor a timestamp to an arbitrary interval of `secs` seconds —
+    # the generalized date_trunc (CH: toStartOfInterval(t, INTERVAL n
+    # unit); pass the interval as seconds)
+    "toStartOfInterval": lambda c, secs: F.timestamp_seconds(
+        F.unix_seconds(c) - F.pmod(F.unix_seconds(c), F.lit(secs))
+    ),
+    "age": lambda unit, a, b: F.timestampdiff(unit, a, b),
+    # --- display helpers (ClickHouse rendering functions) ---
+    "formatReadableSize": lambda c: _format_readable_size(c),
+    "bar": lambda x, mn, mx, width=80: _bar(x, mn, mx, width),
     "toDayOfMonth": F.dayofmonth,
     "toDayOfWeek": lambda c: F.weekday(c) + 1,  # ClickHouse: Mon=1..Sun=7
     "toHour": F.hour,
@@ -214,6 +265,7 @@ CH_FUNCTIONS: dict[str, Builder] = {
     #     = the previous element of 0-indexed position i)
     "arrayIntersect": F.array_intersect,
     "arrayZip": F.arrays_zip,
+    "arrayFold": lambda f, c, acc0: F.aggregate(c, acc0, f),
     "arrayEnumerate": lambda c: F.sequence(F.lit(1), F.size(c)),
     # occurrence index of each element among its equals (1-based), the
     # CH dedup-within-array helper; O(len^2) per array via prefix count
@@ -278,6 +330,14 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "JSONExtractFloat": lambda c, k: F.get_json_object(c, f"$.{k}").cast("double"),
     "JSONHas": lambda c, k: F.get_json_object(c, f"$.{k}").isNotNull(),
     "visitParamExtractString": lambda c, k: F.get_json_object(c, f"$.{k}"),
+    "simpleJSONExtractString": lambda c, k: F.get_json_object(c, f"$.{k}"),
+    "JSONExtractBool": lambda c, k: F.get_json_object(c, f"$.{k}").cast(
+        "boolean"
+    ),
+    "JSONLength": lambda c: F.coalesce(
+        F.json_array_length(c),
+        F.size(F.json_object_keys(c)).cast("int"),
+    ),
     "protocol": lambda c: F.parse_url(c, F.lit("PROTOCOL")),
     "domain": lambda c: F.parse_url(c, F.lit("HOST")),
     "path": lambda c: F.parse_url(c, F.lit("PATH")),

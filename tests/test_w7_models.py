@@ -367,3 +367,48 @@ def test_array_map_builder_batch(spark):
     assert r.fi == 3 and r.la == 2
     assert r.fx == 4 and r.ct == 2
     assert r.mc is True
+
+
+def test_display_and_json_builders(spark):
+    """Third builder batch: formatReadableSize, bar, toStartOfInterval,
+    arrayFold, JSON length/bool."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("formatReadableSize", F.lit(123)).alias("b"),
+            ch_expr("formatReadableSize", F.lit(1536)).alias("kib"),
+            ch_expr("formatReadableSize", F.lit(3 * 1024**2)).alias("mib"),
+            ch_expr("bar", F.lit(5), 0, 10, 4).alias("bar_half"),
+            ch_expr("bar", F.lit(10), 0, 10, 4).alias("bar_full"),
+            ch_expr("bar", F.lit(-3), 0, 10, 4).alias("bar_clamped"),
+            ch_expr(
+                "toStartOfInterval",
+                F.lit("2026-08-14 12:34:56").cast("timestamp"),
+                900,
+            ).alias("q15"),
+            ch_expr(
+                "arrayFold",
+                lambda acc, x: acc + x,
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                F.lit(10),
+            ).alias("fold"),
+            ch_expr("JSONLength", F.lit('[1,2,3]')).alias("jl_arr"),
+            ch_expr("JSONLength", F.lit('{"a":1,"b":2}')).alias("jl_obj"),
+            ch_expr("JSONExtractBool", F.lit('{"f":true}'), "f").alias("jb"),
+        )
+        .collect()[0]
+    )
+    assert r.b == "123.00 B"
+    assert r.kib == "1.50 KiB"
+    assert r.mib == "3.00 MiB"
+    assert r.bar_half == "██"
+    assert r.bar_full == "████"
+    assert r.bar_clamped == ""
+    assert str(r.q15) == "2026-08-14 12:30:00"
+    assert r.fold == 16
+    assert r.jl_arr == 3 and r.jl_obj == 2
+    assert r.jb is True
