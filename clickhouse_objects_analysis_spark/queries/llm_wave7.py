@@ -263,3 +263,75 @@ def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     return kmeans_report(e, "vec_id", "embedding", k=4, iters=2)
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    g0 AS (SELECT w2.source, unnest(sh.s) AS g
+           FROM sh JOIN (SELECT doc_id, source FROM documents) w2
+             ON sh.doc_id = w2.doc_id),
+    g AS (SELECT DISTINCT source, g FROM g0),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source),
+    px AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT px.src_a, px.src_b, px.inter,
+           CAST(ROUND(CAST(px.inter AS DOUBLE)
+                      / (sa.n + sb.n - px.inter), 6) AS DOUBLE) AS jaccard
+    FROM px JOIN sz sa ON sa.source = px.src_a
+            JOIN sz sb ON sb.source = px.src_b
+    WHERE CAST(px.inter AS DOUBLE) / (sa.n + sb.n - px.inter) >= 0.01
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: Jaccard similarity of the distinct
+    3-gram vocabularies of every source pair (reported above 1% — the
+    cross-source contamination diagnostic a mixture designer reads
+    before weighting sources).  Shape: one explode + distinct, a
+    gram-keyed self-join whose fan-out per gram is bounded by the
+    SOURCE count (never the corpus), and a |sources|² rollup — the
+    same inverted-index pattern as ngram_jaccard_pairs lifted from
+    documents to sources."""
+    d = tables(spark, sf_dir)["documents"]
+    g = (
+        d.select(
+            "source",
+            F.explode(shingles(tokenize(F.col("text")), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "g")
+    b = g.select(F.col("source").alias("src_b"), "g")
+    px = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    j = (
+        px.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).cast("double"),
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= 0.01
+        )
+    )
+    return j.select("src_a", "src_b", "inter", "jaccard").orderBy(
+        "src_a", "src_b"
+    )
