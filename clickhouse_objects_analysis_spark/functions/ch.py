@@ -260,7 +260,12 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "arrayReverse": F.reverse,
     "arrayCompact": lambda c: F.filter(
         c,
-        lambda x, i: (i == 0) | (x != F.element_at(c, i)),
+        # null-safe keep-condition: a plain != is NULL for null elements
+        # (dropping them entirely; CH keeps one), and guarding i == 0 in
+        # a when() also avoids ANSI element_at(c, 0) errors
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            ~x.eqNullSafe(F.element_at(c, i))
+        ),
     ),  # collapse CONSECUTIVE duplicates (element_at(c, i) is 1-indexed
     #     = the previous element of 0-indexed position i)
     "arrayIntersect": F.array_intersect,

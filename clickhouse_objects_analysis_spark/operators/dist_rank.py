@@ -73,6 +73,16 @@ def dist_cumsum(
     local windows (each task sorts only its range slice) → broadcast
     join of the P×|keys| offset table.  The only unpartitioned window
     in the job runs over that offset table.
+
+    INVARIANT: the ``totals`` and ``local`` branches below must observe
+    IDENTICAL range-partition boundaries — the (pid, keys) offset join
+    is silently wrong otherwise.  Catalyst normally guarantees this by
+    reusing the single range exchange, but with
+    ``spark.sql.exchange.reuse=false`` each branch would re-sample its
+    own boundaries, so we pin the partitioning with a lazy
+    ``localCheckpoint`` right after the exchange: both branches then
+    read one materialized RDD regardless of reuse settings (covered by
+    tests/test_dist_rank.py with exchange reuse disabled).
     """
     order_cols = (
         [order_col] if isinstance(order_col, str) else list(order_col)
@@ -82,7 +92,7 @@ def dist_cumsum(
         h = df.repartitionByRange(*part_cols)
     else:
         h = df.repartitionByRange(num_partitions, *part_cols)
-    h = h.withColumn(_PID, F.spark_partition_id())
+    h = h.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
 
     # Pass 1: per-(partition, key) totals — tiny (≤ P × |key groups|).
     totals = h.groupBy(_PID, *keys).agg(

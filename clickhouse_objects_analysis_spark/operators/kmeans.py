@@ -56,6 +56,8 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run ``iters`` exact-integer Lloyd iterations over ``e`` (from
     quantize_vectors). Returns one row per vector: (id, cl, dist)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     if dim is None:
         dim = e.select(F.size("arr")).head()[0]
     cents = (
@@ -66,8 +68,7 @@ def kmeans_assignments(
             F.col("arr").alias("c"),
         )
     )
-    assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         j = e.crossJoin(F.broadcast(cents))
         enc = _sq_dist(F.col("arr"), F.col("c")) * k + F.col("cl")
         assigned = j.groupBy("id").agg(
@@ -77,6 +78,8 @@ def kmeans_assignments(
             "id", "arr", (F.col("enc") % k).alias("cl"),
             F.expr(f"enc DIV {k}").alias("dist"),
         )
+        if it == iters - 1:
+            break  # the final assignment needs no centroid rebuild
         n_cl = a.groupBy("cl").agg(F.count(F.lit(1)).alias("n"))
         sums = (
             a.select("cl", F.posexplode("arr").alias("pos", "v"))

@@ -2,11 +2,13 @@
 columns with typed metadata, decoded/feature-extracted via Arrow-batched
 ``mapInPandas`` UDFs.
 
-The image/audio decode libraries are not in this container, so the decode
-step is STUBBED (deterministic fake derived from the payload bytes, or
-``NotImplementedError`` when ``strict=True``) — but the Spark-side plumbing
-is real and tested: schema, Arrow batch shape, partition-preserving
-mapInPandas, and the binary payload round trip.
+Decode is REAL for stdlib-parseable formats: a dependency-free netpbm
+(P6/P3 PPM) and uncompressed 24-bit BMP parser runs on the executors,
+with PIL probed lazily per-executor for everything else and a
+deterministic fake (or ``NotImplementedError`` when ``strict=True``) as
+the honest fallback for formats this container can't decode. The
+Spark-side plumbing — schema, Arrow batch shape, partition-preserving
+mapInPandas, binary payload round trip — is tested end-to-end.
 
 At scale: payloads ride in parquet binary columns; decode parallelism is
 per input split; `spark.sql.files.maxPartitionBytes` sizes the batches;
@@ -22,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -56,6 +59,42 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+#: Output schema of the PPM synthesis step (a real image-bytes column).
+PPM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def encode_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize a REAL binary P6 PPM image per document (Arrow-batched
+    mapInPandas, 1→1): dimensions derived from the utf-8 byte length L
+    (w = 16 + L%32, h = 16 + (L//32)%32) with a solid fill of L%256.
+    The output is a valid netpbm file any viewer opens — so the decode
+    step downstream exercises a genuine parse, while every field stays
+    arithmetically derivable for the DuckDB oracle."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("raw"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+                n = len(bytes(raw))
+                w, h = 16 + (n % 32), 16 + ((n // 32) % 32)
+                payload = b"P6\n%d %d\n255\n" % (w, h) + bytes(
+                    [n % 256]
+                ) * (w * h * 3)
+                rows.append((int(doc_id), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(build, schema=PPM_SCHEMA)
+
+
 def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for an image decoder: pretends the payload is
     a (width x height) image and emits a tiny feature vector from byte
@@ -70,11 +109,17 @@ def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, list[float
 
 
 # ---------------------------------------------------------------------------
-# Pluggable decoder seam: stub by default, real decode by injection or
-# by PIL auto-detection. A decoder is (doc_id, payload) ->
-# (n_bytes, width, height, features). It is RESOLVED AT PLAN TIME and
-# serialized into the mapInPandas closure, so inject before building the
-# DataFrame, and the executors never re-probe the environment per batch.
+# Pluggable decoder seam. A decoder is (doc_id, payload) ->
+# (n_bytes, width, height, features).
+#
+# Resolution order per payload: stdlib format parsers (PPM / BMP — real,
+# dependency-free decodes) > PIL when importable > injected fallback >
+# (strict ? raise : deterministic fake). An INJECTED decoder is resolved
+# at plan time and serialized into the closure (explicit user intent);
+# the PIL probe happens lazily INSIDE the mapInPandas function on the
+# executor, so a cluster where driver and executor environments differ
+# still picks the right path on each executor (driver-side probing would
+# bake the driver's environment into the plan).
 # ---------------------------------------------------------------------------
 
 Decoder = "Callable[[int, bytes], tuple[int, int, int, list[float]]]"
@@ -111,21 +156,106 @@ def _pil_decoder():
     return decode
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Dependency-free netpbm decode (P6 binary / P3 ascii RGB): parse the
+    whitespace/comment-tolerant header, then per-channel pixel means."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = payload[:2] == b"P6"
+    # tokenize the header: magic, width, height, maxval (comments `#..\n`
+    # can appear between tokens)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, _maxval = fields
+    if binary:
+        px = payload[pos + 1 : pos + 1 + w * h * 3]  # single ws after maxval
+    else:
+        px = bytes(int(t) for t in payload[pos:].split())[: w * h * 3]
+    if len(px) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    n = w * h
+    features = [
+        float(sum(px[c::3])) / n if n else 0.0 for c in range(3)
+    ]
+    return len(payload), w, h, features
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Dependency-free uncompressed 24-bit BMP decode: BITMAPINFOHEADER
+    dims + per-channel means over the padded BGR rows."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    sums, n = [0, 0, 0], w * h
+    for r in range(h):
+        row = payload[data_off + r * row_bytes :][: w * 3]
+        if len(row) != w * 3:
+            raise ValueError("truncated BMP pixel data")
+        # BGR order on disk
+        sums[0] += sum(row[2::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[0::3])
+    features = [float(s) / n if n else 0.0 for s in sums]
+    return len(payload), w, h, features
+
+
+_STDLIB_MAGICS = {b"P6": _decode_ppm, b"P3": _decode_ppm, b"BM": _decode_bmp}
+
+
+def _make_auto_decoder(strict: bool):
+    """Build the executor-side decoder closure: stdlib parsers for
+    recognized magics, then a lazily-probed PIL (cached per process),
+    then fake/raise. Safe to pickle — probes nothing until called."""
+    pil_cache = []  # [decoder-or-None], filled on first use per process
+
+    def decode(doc_id: int, payload: bytes):
+        fmt = _STDLIB_MAGICS.get(bytes(payload[:2]))
+        if fmt is not None:
+            try:
+                return fmt(payload)
+            except ValueError:
+                pass  # mis-magic'd payload — fall through
+        if not pil_cache:
+            pil_cache.append(_pil_decoder())
+        if pil_cache[0] is not None:
+            return pil_cache[0](doc_id, payload)
+        if strict:
+            raise NotImplementedError(
+                "payload is not a stdlib-decodable format (PPM/BMP), no "
+                "decoder injected (set_decoder), and no image library "
+                "importable on this executor"
+            )
+        return _fake_decode(doc_id, payload)
+
+    return decode
+
+
 def resolve_decoder(strict: bool = False):
-    """Injection > PIL auto-detect > (strict ? raise : deterministic
-    stub). The NotImplementedError branch is the honest 'no decoder in
-    this environment' behavior the rows-only registry entry declares."""
+    """Injection wins; otherwise the auto decoder closure (stdlib
+    formats > executor-probed PIL > fake, or NotImplementedError per
+    undecodable payload when ``strict``)."""
     if _DECODER is not None:
         return _DECODER
-    pil = _pil_decoder()
-    if pil is not None:
-        return pil
-    if strict:
-        raise NotImplementedError(
-            "no decoder injected (set_decoder) and no image library "
-            "importable in this environment"
-        )
-    return _fake_decode
+    return _make_auto_decoder(strict)
 
 
 def decode_features(
@@ -133,10 +263,13 @@ def decode_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.
 
-    The decoder comes from the seam above: an injected callable or PIL
-    when available, else the deterministic fake (``strict=True`` raises
-    instead) so the plumbing — Arrow batching, schema, partitioning — is
-    testable everywhere.
+    The decoder comes from the seam above: an injected callable wins;
+    otherwise the auto closure parses PPM/BMP with stdlib code, probes
+    PIL lazily ON THE EXECUTOR (per-process cache), and falls back to
+    the deterministic fake (``strict=True`` raises per undecodable
+    payload instead) — so the plumbing is testable everywhere and a
+    driver/executor environment mismatch can't bake the wrong decoder
+    into the plan.
     """
     decoder = resolve_decoder(strict)
 

@@ -5,8 +5,9 @@ Oracle portability: all hashing is md5-derived (operators.text.hash64), so
 the DuckDB oracles reproduce the exact same values — the SimHash oracle is
 even generated from the same bit arithmetic. Approximate/ANN variants whose
 candidate sets are algorithm-specific are verified end-to-end instead
-(exact-verified output) or declared rows-only (ann_lsh_topk,
-multimodal_decode_stub)."""
+(exact-verified output). The multimodal decode is a REAL parse: documents
+are rendered to valid binary P6 PPM images and decoded back with the
+stdlib netpbm parser, with every field arithmetically oracled."""
 
 from __future__ import annotations
 
@@ -25,6 +26,7 @@ from ..operators.multimodal import (
     FRAME_BYTES,
     attach_binary_payload,
     decode_features,
+    encode_ppm_payload,
     resize_images,
     sample_frames,
 )
@@ -512,14 +514,44 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(mm, every_n=2).orderBy("doc_id", "frame_idx")
 
 
-@query("multimodal_decode_stub")  # stubbed decoder → rows-only
-def multimodal_decode_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (deterministic
-    fake decoder — the Arrow batching/schema/partitioning is the real
-    deliverable; swap in PIL/ffmpeg in production)."""
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+    d AS (
+        SELECT doc_id,
+               (16 + L % 32)          AS w,
+               (16 + (L // 32) % 32)  AS h,
+               (L % 256)              AS fill
+        FROM b
+    )
+    SELECT doc_id,
+           (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+              + w * h * 3)::BIGINT AS n_bytes,
+           w::BIGINT               AS width,
+           h::BIGINT               AS height,
+           fill::DOUBLE            AS mean_px
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a valid binary P6 PPM per
+    document (mapInPandas ingest), then parse it back with the
+    dependency-free netpbm decoder (stdlib seam — PIL/injection slot in
+    for other formats). The oracle replays the header+pixel arithmetic:
+    n_bytes = header(9 + digit widths) + w*h*3, mean = the solid fill.
+    """
     d = tables(spark, sf_dir)["documents"]
-    mm = attach_binary_payload(d, "doc_id", "text")
-    return decode_features(mm).orderBy("doc_id")
+    ppm = encode_ppm_payload(d, "doc_id", "text")
+    feats = decode_features(ppm, strict=True)  # stdlib parse must succeed
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.element_at("features", 1).alias("mean_px"),
+    ).orderBy("doc_id")
 
 
 @query(

@@ -84,6 +84,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the knob you set per stream.
 STATE_PARTITIONS = "8"
 
+#: Checkpoint dirs created by THIS process — exempt from the reaper so a
+#: long-running session can never delete its own live state.
+_SESSION_CKPTS: set[str] = set()
+
 
 def ckpt_dir(tag: str) -> str:
     """Fresh checkpoint dir for one availableNow replay, preferring a
@@ -104,12 +108,26 @@ def ckpt_dir(tag: str) -> str:
     try:
         for old in os.listdir(root):
             p = os.path.join(root, old)
-            if _time.time() - os.path.getmtime(p) > 3600:
+            if p in _SESSION_CKPTS:
+                continue  # never reap this process's own checkpoints
+            # age from the NEWEST mtime inside the dir, not the top-level
+            # one: a live stream refreshes offsets/ and commits/ every
+            # batch but not the checkpoint root, so top-level age would
+            # reap a >1h-running concurrent session's checkpoint mid-query
+            try:
+                newest = max(
+                    [os.path.getmtime(p)]
+                    + [e.stat().st_mtime for e in os.scandir(p)]
+                )
+            except OSError:
+                continue
+            if _time.time() - newest > 3600:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
     d = os.path.join(root, f"{tag}_{uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
+    _SESSION_CKPTS.add(d)
     return d
 
 

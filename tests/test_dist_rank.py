@@ -199,3 +199,36 @@ def test_rank_statistics_have_no_global_window_sort(spark, sf_dir, name):
         if "__tot_" in line:
             continue  # tiny offset table — the one allowed global window
         assert "__dr_pid" in spec, f"unpartitioned Window in {name}: {line[:200]}"
+
+
+def test_dist_cumsum_correct_with_exchange_reuse_off(spark):
+    """The (pid, keys) offset join requires both branches to observe the
+    same range boundaries. The lazy localCheckpoint in dist_cumsum pins
+    this even when Catalyst's exchange reuse is disabled (without the
+    pin, each branch would re-sample its own boundaries)."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b", "a", "b", "a"],
+            "v": [5, 1, 3, 9, 7, 8, 2, 4],
+            "cnt": [2, 1, 4, 1, 3, 2, 5, 1],
+        }
+    )
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = (
+            dist_cumsum(
+                spark.createDataFrame(pdf), "v", ["cnt"], keys=["k"],
+                num_partitions=4,
+            )
+            .toPandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    exp = pdf.sort_values(["k", "v"]).reset_index(drop=True)
+    exp["cum_cnt"] = exp.groupby("k")["cnt"].cumsum()
+    assert got["cum_cnt"].astype("int64").tolist() == exp["cum_cnt"].astype(
+        "int64"
+    ).tolist()

@@ -448,18 +448,68 @@ class TestDecoderSeam:
             for r in out
         )
 
-    def test_strict_raises_without_decoder(self):
+    def test_strict_raises_on_undecodable_payload(self):
         import pytest as _pytest
 
         from clickhouse_objects_analysis_spark.operators import multimodal as mm
 
         assert mm._pil_decoder() is None  # this container has no PIL
+        d = mm.resolve_decoder(strict=True)
         with _pytest.raises(NotImplementedError):
-            mm.resolve_decoder(strict=True)
+            d(1, b"\x00\x01not-an-image")  # per-payload, executor-side
 
     def test_stub_fallback_is_deterministic(self):
         from clickhouse_objects_analysis_spark.operators import multimodal as mm
 
         d = mm.resolve_decoder()
-        assert d is mm._fake_decode
-        assert d(1, b"abc") == d(1, b"abc")
+        assert d(1, b"abc") == d(1, b"abc") == mm._fake_decode(1, b"abc")
+
+    def test_stdlib_ppm_decode(self):
+        from clickhouse_objects_analysis_spark.operators import multimodal as mm
+
+        # 2x2 P6 with a comment line; pixels R=(10,20,30,40) G=0 B=255
+        px = bytes([10, 0, 255, 20, 0, 255, 30, 0, 255, 40, 0, 255])
+        payload = b"P6\n# test\n2 2\n255\n" + px
+        n, w, h, feats = mm.resolve_decoder(strict=True)(7, payload)
+        assert (n, w, h) == (len(payload), 2, 2)
+        assert feats == [25.0, 0.0, 255.0]
+        # P3 ascii twin decodes to the same features
+        p3 = b"P3\n2 2\n255\n" + " ".join(str(b) for b in px).encode()
+        n3, w3, h3, f3 = mm.resolve_decoder(strict=True)(7, p3)
+        assert (w3, h3, f3) == (2, 2, feats)
+
+    def test_stdlib_bmp_decode(self):
+        import struct
+
+        from clickhouse_objects_analysis_spark.operators import multimodal as mm
+
+        # hand-built 2x1 uncompressed 24-bit BMP: pixels (BGR on disk)
+        # left = pure red, right = pure green; row padded to 8 bytes
+        row = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(row), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+        )
+        payload = header + row
+        n, w, h, feats = mm.resolve_decoder(strict=True)(3, payload)
+        assert (n, w, h) == (len(payload), 2, 1)
+        assert feats == [127.5, 127.5, 0.0]
+
+    def test_encode_ppm_roundtrip(self, spark):
+        from clickhouse_objects_analysis_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [(1, "hello"), (2, "x" * 100)], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r
+            for r in mm.decode_features(
+                mm.encode_ppm_payload(docs, "doc_id", "text"), strict=True
+            ).collect()
+        }
+        for L, doc_id in [(5, 1), (100, 2)]:
+            w, h = 16 + (L % 32), 16 + ((L // 32) % 32)
+            r = out[doc_id]
+            assert (r.width, r.height) == (w, h)
+            assert r.features == [float(L % 256)] * 3

@@ -412,3 +412,29 @@ def test_display_and_json_builders(spark):
     assert r.fold == 16
     assert r.jl_arr == 3 and r.jl_obj == 2
     assert r.jb is True
+
+
+def test_array_compact_null_safe(spark):
+    """ClickHouse arrayCompact keeps one element per consecutive run
+    INCLUDING nulls: [1,null,null,2,2,null] -> [1,null,2,null]."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    arr = F.array(
+        F.lit(1), F.lit(None).cast("int"), F.lit(None).cast("int"),
+        F.lit(2), F.lit(2), F.lit(None).cast("int"),
+    )
+    got = spark.range(1).select(ch_expr("arrayCompact", arr).alias("c")).head()[0]
+    assert got == [1, None, 2, None]
+
+
+def test_kmeans_rejects_zero_iters(spark):
+    import pytest as _pytest
+
+    from clickhouse_objects_analysis_spark.operators import kmeans as km
+
+    docs = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "vec"])
+    e = km.quantize_vectors(docs, "id", "vec")
+    with _pytest.raises(ValueError):
+        km.kmeans_assignments(e, k=1, iters=0, dim=2)
