@@ -74,6 +74,27 @@ def main() -> None:
     ).save()
     streaming_setup = round(time.perf_counter() - t0, 3)
 
+    # Fixed calibration micro-query: a data-independent spark.range agg
+    # whose cost depends only on host speed (CPU + JVM), never on the
+    # query set or sf. Round-over-round comparisons divide per-query
+    # times by the ratio of calibration_sec values to cancel uniform
+    # host slowdowns (virtualization jitter, thermal state) instead of
+    # explaining them in prose. Best of 3.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(50_000_000)
+            .select((F.col("id") % 97).alias("k"), F.col("id"))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("id").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        cal_runs.append(time.perf_counter() - t0)
+    calibration = round(min(cal_runs), 3)
+
     # Best-of-N per query (default 2): single-shot timings on this host
     # show rare multi-second spikes (JVM GC / virtualization jitter) that
     # land on arbitrary queries — two back-to-back runs and taking the min
@@ -119,6 +140,8 @@ def main() -> None:
         # provider init) — paid once per JVM, excluded from the per-query
         # steady-state entries
         "streaming_setup_sec": streaming_setup,
+        # host-speed normalizer (see comment at the measurement site)
+        "calibration_sec": calibration,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -158,6 +181,7 @@ def main() -> None:
         "queries": {n: timings[n] for n in headline if n in timings},
         "sf": sf,
         "streaming_setup_sec": streaming_setup,
+        "calibration_sec": calibration,
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -33,11 +33,31 @@ NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
     {
         "cityHash64",  # → xxhash64 (different 64-bit hash family)
         "sipHash64",  # → xxhash64
+        "xxHash64",  # same algorithm, different seed (Spark 42, CH 0)
+        "farmHash64",  # → xxhash64
         "uniq",  # → Spark HLL++ (different sketch + bias tables)
         "uniqHLL12",  # → Spark HLL++
+        "uniqCombined",  # → Spark HLL++
+        "uniqCombined64",  # → Spark HLL++
         "quantileTDigest",  # → Spark percentile_approx (KLL-style sketch)
     }
 )
+
+
+def _literal_sep(sep) -> str:
+    """concat_ws needs a Python-string separator; reject Column args the
+    same way _regex_quote does."""
+    if isinstance(sep, Column):
+        raise TypeError("concatWithSeparator separator must be a literal")
+    return str(sep)
+
+
+def _floor_interval(c: Column, secs: int) -> Column:
+    """Floor a timestamp to an arbitrary ``secs`` bucket (the generalized
+    date_trunc backing toStartOfInterval/FiveMinutes/…/timeSlot)."""
+    return F.timestamp_seconds(
+        F.unix_seconds(c) - F.pmod(F.unix_seconds(c), F.lit(secs))
+    )
 
 
 def _regex_quote(sep) -> str:
@@ -214,10 +234,8 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # floor a timestamp to an arbitrary interval of `secs` seconds —
     # the generalized date_trunc (CH: toStartOfInterval(t, INTERVAL n
     # unit); pass the interval as seconds)
-    "toStartOfInterval": lambda c, secs: F.timestamp_seconds(
-        F.unix_seconds(c) - F.pmod(F.unix_seconds(c), F.lit(secs))
-    ),
-    "age": lambda unit, a, b: F.timestampdiff(unit, a, b),
+    "toStartOfInterval": lambda c, secs: _floor_interval(c, secs),
+    "age": lambda unit, a, b: F.timestamp_diff(unit, a, b),
     # --- display helpers (ClickHouse rendering functions) ---
     "formatReadableSize": lambda c: _format_readable_size(c),
     "bar": lambda x, mn, mx, width=80: _bar(x, mn, mx, width),
@@ -228,8 +246,8 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toSecond": F.second,
     "toUnixTimestamp": F.unix_timestamp,
     "fromUnixTimestamp": F.from_unixtime,
-    "dateDiff": lambda unit, a, b: F.timestampdiff(unit, a, b),
-    "dateAdd": lambda unit, n, c: F.timestampadd(unit, n, c),
+    "dateDiff": lambda unit, a, b: F.timestamp_diff(unit, a, b),
+    "dateAdd": lambda unit, n, c: F.timestamp_add(unit, n, c),
     "addDays": lambda c, n: F.date_add(c, n),
     "subtractDays": lambda c, n: F.date_sub(c, n),
     "formatDateTime": F.date_format,
@@ -418,6 +436,93 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "leadInFrame": F.lead,
     "first_value": F.first,
     "last_value": F.last,
+    # --- round-6 breadth: strings ---
+    "ascii": F.ascii,
+    "bin": F.bin,
+    "left": F.left,
+    "right": F.right,
+    "substringUTF8": F.substring,
+    "positionUTF8": F.instr,
+    "countMatches": lambda c, p: F.regexp_count(c, p).cast("long"),
+    # literal-substring occurrence count via length arithmetic (stays in
+    # codegen; no regex engine involved)
+    "countSubstrings": lambda c, s: (
+        (F.length(c) - F.length(F.replace(c, s, F.lit(""))))
+        / F.length(s)
+    ).cast("long"),
+    # CH extractAll returns every match of the whole pattern (the capture
+    # group when one exists; group 0 idx here — pass patterns without
+    # groups or wrap the group yourself)
+    "extractAll": lambda c, p: F.regexp_extract_all(c, p, 0),
+    "splitByRegexp": lambda p, c: F.split(c, p),
+    "splitByWhitespace": lambda c: F.split(F.trim(c), r"\s+"),
+    "concatWithSeparator": lambda sep, *cs: F.concat_ws(
+        _literal_sep(sep), *cs
+    ),
+    # --- round-6 breadth: math / bit ---
+    "bitAnd": lambda a, b: a.bitwiseAND(b),
+    "bitOr": lambda a, b: a.bitwiseOR(b),
+    "bitXor": lambda a, b: a.bitwiseXOR(b),
+    "bitNot": lambda a: F.bitwise_not(a),
+    "bitShiftLeft": F.shiftleft,
+    "bitShiftRight": F.shiftright,
+    "roundBankers": F.bround,
+    "isNaN": F.isnan,
+    "isInfinite": lambda c: F.abs(c) == F.lit(float("inf")),
+    "isFinite": lambda c: ~(F.isnan(c) | (F.abs(c) == F.lit(float("inf")))),
+    "ifNotFinite": lambda x, alt: F.when(
+        F.isnan(x) | (F.abs(x) == F.lit(float("inf"))), alt
+    ).otherwise(x),
+    "e": lambda: F.lit(2.718281828459045),
+    "pi": lambda: F.lit(3.141592653589793),
+    # --- round-6 breadth: date / time ---
+    # CH toStartOfWeek default mode 0 = week starts Sunday
+    # (dayofweek: Sun=1); toMonday = ISO week start (weekday: Mon=0)
+    "toStartOfWeek": lambda c: F.date_sub(
+        c.cast("date"), F.dayofweek(c) - 1
+    ),
+    "toMonday": lambda c: F.date_sub(c.cast("date"), F.weekday(c)),
+    "toStartOfFiveMinutes": lambda c: _floor_interval(c, 300),
+    "toStartOfTenMinutes": lambda c: _floor_interval(c, 600),
+    "toStartOfFifteenMinutes": lambda c: _floor_interval(c, 900),
+    "timeSlot": lambda c: _floor_interval(c, 1800),
+    "toDayOfYear": F.dayofyear,
+    "addMonths": F.add_months,
+    "subtractMonths": lambda c, n: F.add_months(c, -n),
+    "addHours": lambda c, n: F.timestamp_add("HOUR", n, c),
+    "addMinutes": lambda c, n: F.timestamp_add("MINUTE", n, c),
+    "addSeconds": lambda c, n: F.timestamp_add("SECOND", n, c),
+    "toRelativeHourNum": lambda c: (F.unix_seconds(c) / 3600).cast("long"),
+    # --- round-6 breadth: map ---
+    # CH lambdas take (k, v); Spark's map_filter matches. mapApply's CH
+    # lambda returns a (k, v) tuple — here the entry struct.
+    "mapApply": lambda f, m: F.map_from_entries(
+        F.transform(F.map_entries(m), f)
+    ),
+    "mapFilter": lambda f, m: F.map_filter(m, f),
+    "mapConcat": F.map_concat,
+    # --- round-6 breadth: type conversions ---
+    "toInt32": lambda c: c.cast("int"),
+    "toInt64": lambda c: c.cast("long"),
+    "toUInt32": lambda c: c.cast("long"),  # Spark has no unsigned ints
+    "toUInt64": lambda c: c.cast("long"),
+    "toFloat32": lambda c: c.cast("float"),
+    "toFloat64": lambda c: c.cast("double"),
+    "toString": lambda c: c.cast("string"),
+    "toInt64OrNull": lambda c: c.try_cast("long"),
+    "toFloat64OrNull": lambda c: c.try_cast("double"),
+    # --- round-6 breadth: URL ---
+    "encodeURLComponent": F.url_encode,
+    "decodeURLComponent": F.url_decode,
+    "topLevelDomain": lambda c: F.element_at(
+        F.split(F.parse_url(c, F.lit("HOST")), r"\."), -1
+    ),
+    # --- round-6 breadth: hashing / aggregates ---
+    "crc32": F.crc32,  # zlib CRC-32 on both engines: bit-compatible
+    "xxHash64": F.xxhash64,  # seed differs (Spark 42, CH 0): values differ
+    "farmHash64": F.xxhash64,
+    "uniqCombined": F.approx_count_distinct,
+    "uniqCombined64": F.approx_count_distinct,
 }
 
 

@@ -438,3 +438,110 @@ def test_kmeans_rejects_zero_iters(spark):
     e = km.quantize_vectors(docs, "id", "vec")
     with _pytest.raises(ValueError):
         km.kmeans_assignments(e, k=1, iters=0, dim=2)
+
+
+def test_r6_ch_function_builders(spark):
+    """Round-6 translation-table additions evaluated against hand-computed
+    expectations (strings / bit / date / map / casts / URL)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.functions.ch import CH_FUNCTIONS, ch_expr
+
+    assert len(CH_FUNCTIONS) >= 250
+
+    ts = F.lit("2026-08-14 10:47:31").cast("timestamp")
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("countMatches", F.lit("a1b22c333"), F.lit("[0-9]+")).alias("cm"),
+            ch_expr("countSubstrings", F.lit("abcabcab"), F.lit("ab")).alias("cs"),
+            ch_expr("extractAll", F.lit("a1b22c333"), F.lit("[0-9]+")).alias("ea"),
+            ch_expr("splitByRegexp", F.lit("[,;]"), F.lit("a,b;c")).alias("sr"),
+            ch_expr("splitByWhitespace", F.lit("  a\tb  c ")).alias("sw"),
+            ch_expr("concatWithSeparator", "-", F.lit("x"), F.lit("y")).alias("cws"),
+            ch_expr("left", F.lit("hello"), F.lit(2)).alias("l2"),
+            ch_expr("right", F.lit("hello"), F.lit(2)).alias("r2"),
+            ch_expr("ascii", F.lit("A")).alias("asc"),
+            ch_expr("bitAnd", F.lit(12), F.lit(10)).alias("ba"),
+            ch_expr("bitXor", F.lit(12), F.lit(10)).alias("bx"),
+            ch_expr("bitShiftLeft", F.lit(3), 2).alias("bsl"),
+            ch_expr("roundBankers", F.lit(2.5), 0).alias("rb"),
+            ch_expr("isNaN", F.lit(float("nan"))).alias("nan"),
+            ch_expr("isFinite", F.lit(1.5)).alias("fin"),
+            ch_expr("isInfinite", F.lit(float("inf"))).alias("inf"),
+            ch_expr("ifNotFinite", F.lit(float("inf")), F.lit(-1.0)).alias("inf2"),
+            ch_expr("toStartOfWeek", ts).alias("sow"),
+            ch_expr("toMonday", ts).alias("mon"),
+            ch_expr("toStartOfFifteenMinutes", ts).alias("s15"),
+            ch_expr("timeSlot", ts).alias("slot"),
+            ch_expr("toDayOfYear", ts).alias("doy"),
+            ch_expr("addHours", ts, F.lit(3)).alias("ah"),
+            ch_expr("subtractMonths", F.lit("2026-08-14").cast("date"), F.lit(2)).alias("sm"),
+            ch_expr("toRelativeHourNum", F.lit("1970-01-02 01:00:00").cast("timestamp")).alias("rh"),
+            ch_expr(
+                "mapFilter",
+                lambda k, v: v > 1,
+                F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)),
+            ).alias("mf"),
+            ch_expr(
+                "mapApply",
+                lambda e: F.struct(
+                    F.upper(e["key"]).alias("key"), (e["value"] * 10).alias("value")
+                ),
+                F.create_map(F.lit("a"), F.lit(1)),
+            ).alias("ma"),
+            ch_expr("toInt64OrNull", F.lit("12x")).alias("bad_int"),
+            ch_expr("toInt64OrNull", F.lit("12")).alias("ok_int"),
+            ch_expr("toFloat64", F.lit("2.5")).alias("f64"),
+            ch_expr("encodeURLComponent", F.lit("a b&c")).alias("enc"),
+            ch_expr("decodeURLComponent", F.lit("a%20b%26c")).alias("dec"),
+            ch_expr("topLevelDomain", F.lit("https://docs.example.org/x?q=1")).alias("tld"),
+            ch_expr("crc32", F.lit("hello")).alias("crc"),
+        )
+        .head()
+    )
+    assert r.cm == 3 and r.cs == 3
+    assert r.ea == ["1", "22", "333"]
+    assert r.sr == ["a", "b", "c"] and r.sw == ["a", "b", "c"]
+    assert r.cws == "x-y" and r.l2 == "he" and r.r2 == "lo" and r.asc == 65
+    assert r.ba == 8 and r.bx == 6 and r.bsl == 12
+    assert r.rb == 2.0  # banker's rounding: 2.5 -> 2
+    assert r.nan is True and r.fin is True and r.inf is True and r.inf2 == -1.0
+    # 2026-08-14 is a Friday: Sunday start = 08-09, Monday = 08-10
+    assert r.sow == dt.date(2026, 8, 9) and r.mon == dt.date(2026, 8, 10)
+    assert r.s15 == dt.datetime(2026, 8, 14, 10, 45, 0)
+    assert r.slot == dt.datetime(2026, 8, 14, 10, 30, 0)
+    assert r.doy == 226
+    assert r.ah == dt.datetime(2026, 8, 14, 13, 47, 31)
+    assert r.sm == dt.date(2026, 6, 14)
+    assert r.rh == 25  # 25 full hours since the epoch
+    assert r.mf == {"b": 2} and r.ma == {"A": 10}
+    assert r.bad_int is None and r.ok_int == 12 and r.f64 == 2.5
+    assert r.enc == "a+b%26c" and r.dec == "a b&c" and r.tld == "org"
+    assert r.crc == 907060870  # zlib.crc32(b"hello")
+
+
+def test_age_datediff_dateadd_builders(spark):
+    """These three referenced nonexistent F.timestampadd/timestampdiff
+    names until round 6 — pin them with real evaluations."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    a = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    b = F.lit("2026-03-01 12:00:00").cast("timestamp")
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("age", "DAY", a, b).alias("age_d"),
+            ch_expr("dateDiff", "HOUR", a, b).alias("dd_h"),
+            ch_expr("dateAdd", "DAY", F.lit(10), a).alias("da"),
+        )
+        .head()
+    )
+    assert r.age_d == 59 and r.dd_h == 59 * 24 + 12
+    assert r.da == dt.datetime(2026, 1, 11, 0, 0, 0)
