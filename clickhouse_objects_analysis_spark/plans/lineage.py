@@ -167,6 +167,9 @@ def parse_table_dependencies(
         if len(parts) == 1 and parts[0] in cte_names:
             continue
         out.add(qualify(".".join(parts), default_db))
+    # dictGet*('db.dict', …) reads are function arguments, not relations —
+    # invisible to ANY relation-level parse, so both paths add them here.
+    out |= _dictget_dependencies(sql_text, default_db)
     return sorted(out)
 
 
@@ -207,6 +210,67 @@ _DICT_SOURCE_RE = re.compile(
 )
 _DICT_TABLE_RE = re.compile(r"\bTABLE\s+'([^']+)'", re.IGNORECASE)
 _DICT_DB_RE = re.compile(r"\bDB\s+'([^']+)'", re.IGNORECASE)
+#: dictGet / dictGetString / dictGetOrDefault / … read a dictionary whose
+#: name rides in the first string-literal argument — a read dependency
+#: invisible to any relation-level parse (Spark's included).
+_DICTGET_RE = re.compile(r"\bdictGet\w*\s*\(\s*'([^']+)'", re.IGNORECASE)
+#: One quoted-or-bare identifier atom (the building block of _QUALIFIED);
+#: used to split `db.table` captures WITHOUT breaking dots inside quotes.
+_IDENT_ATOM_RE = re.compile(_IDENT)
+
+
+def _mask_literals(sql_text: str) -> str:
+    """Blank out comment bodies and single-quoted string CONTENTS
+    (length-preserving) so the relation scans below can't hallucinate a
+    `FROM`/`JOIN` out of a comment or a string literal. Single-quoted
+    strings honor both ClickHouse escapes ('' and \\'); double-quoted /
+    backtick tokens are identifiers in ClickHouse, never strings, so
+    they pass through untouched. A single left-to-right pass keeps the
+    interactions right ('-- inside a string' is a string, not a
+    comment)."""
+    out = list(sql_text)
+    i, n = 0, len(sql_text)
+    while i < n:
+        c = sql_text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql_text[j] == "\\":
+                    j += 2
+                    continue
+                if sql_text[j] == "'":
+                    if sql_text[j + 1 : j + 2] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif c == "-" and sql_text[i : i + 2] == "--":
+            j = sql_text.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif c == "/" and sql_text[i : i + 2] == "/*":
+            j = sql_text.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _dictget_dependencies(sql_text: str, default_db: str) -> set[str]:
+    """Dictionary names read via dictGet*('db.dict', ...) — extracted from
+    the ORIGINAL text (the name lives inside a string literal)."""
+    return {
+        qualify(m.group(1), default_db)
+        for m in _DICTGET_RE.finditer(sql_text)
+    }
 
 
 def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list[str]:
@@ -217,39 +281,45 @@ def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list
     CREATE TABLE ... AS clones, and dictionary CLICKHOUSE(TABLE/DB)
     sources; table functions (identifier followed by '(') excluded, ARRAY
     JOIN operands excluded, WITH-clause aliases excluded, quoting stripped
-    (doubled quote chars collapsed), names qualified. INSERT targets are
+    (doubled quote chars collapsed), names qualified, comments and string
+    literals masked first (a `FROM` inside either is text, not a
+    relation), dictGet*('db.dict', …) reads included. INSERT targets are
     deliberately NOT dependencies (write edge, not read edge)."""
-    ctes = {clean_identifier(m.group(1)) for m in _CTE_DEF_RE.finditer(sql_text)}
+    masked = _mask_literals(sql_text)
+    ctes = {clean_identifier(m.group(1)) for m in _CTE_DEF_RE.finditer(masked)}
 
     found: set[str] = set()
 
     def add(raw: str, end: int) -> bool:
         """Record one captured reference; False if it was a function call
         (caller stops any comma chain there)."""
-        if sql_text[end : end + 1] == "(":
+        if masked[end : end + 1] == "(":
             return False  # table-valued function, not a relation
-        parts = [clean_identifier(p) for p in re.split(r"\s*\.\s*", raw)]
+        # split db.table on the dots BETWEEN identifier atoms only — a
+        # dot inside a quoted identifier (`w.db`.`t`) is part of the name
+        parts = [clean_identifier(p) for p in _IDENT_ATOM_RE.findall(raw)]
         name = ".".join(parts)
         if not (len(parts) == 1 and parts[0] in ctes):
             found.add(qualify(name, default_db))
         return True
 
-    for m in _TABLE_REF_RE.finditer(sql_text):
-        if _ARRAY_JOIN_BEFORE_RE.search(sql_text[: m.start()]):
+    for m in _TABLE_REF_RE.finditer(masked):
+        if _ARRAY_JOIN_BEFORE_RE.search(masked[: m.start()]):
             continue  # ARRAY JOIN explodes a column, not a relation
         if not add(m.group(2), m.end()):
             continue
         if m.group(1).upper() == "FROM":  # follow `FROM a, b, c` lists
             pos = m.end()
             while True:
-                cm = _COMMA_CONT_RE.match(sql_text, pos)
+                cm = _COMMA_CONT_RE.match(masked, pos)
                 if cm is None or not add(cm.group(1), cm.end()):
                     break
                 pos = cm.end()
-    for m in _WATCH_RE.finditer(sql_text):
+    for m in _WATCH_RE.finditer(masked):
         add(m.group(1), m.end())
-    for m in _CREATE_CLONE_RE.finditer(sql_text):
+    for m in _CREATE_CLONE_RE.finditer(masked):
         add(m.group(1), m.end())
+    found |= _dictget_dependencies(sql_text, default_db)
     for m in _DICT_SOURCE_RE.finditer(sql_text):
         inner = m.group(1)
         t = _DICT_TABLE_RE.search(inner)

@@ -737,6 +737,247 @@ CH_DIALECT_DDLS: list[tuple[str, str, str, list[str]]] = [
            LIFETIME(600) LAYOUT(HASHED())""",
         [],
     ),
+    # ---- round-6 depth extension (VERDICT r5 item 2): comment and
+    # string-literal traps, scalar WITH CTEs, UNION inside MV DDL,
+    # nested ARRAY JOIN + table functions, cross-database dictGet,
+    # quoted identifiers with embedded dots, FORMAT/LIMIT BY/WITH FILL
+    # tails, lightweight DELETE, KILL/SYSTEM, script forms ----
+    (
+        "test",
+        "v_comment_line",
+        """CREATE VIEW test.v_comment_line AS
+           SELECT id FROM test.real -- legacy: FROM test.fake JOIN test.ghost
+           WHERE id > 0 SETTINGS max_threads = 1""",
+        ["test.real"],
+    ),
+    (
+        "test",
+        "v_comment_block",
+        """CREATE VIEW test.v_comment_block AS
+           SELECT id /* JOIN test.phantom ON 1 = 1 */ FROM test.actual
+           SETTINGS max_threads = 1""",
+        ["test.actual"],
+    ),
+    (
+        "test",
+        "v_string_from_trap",
+        """CREATE VIEW test.v_string_from_trap AS
+           SELECT 'copied FROM test.str_trap' AS note, id FROM test.src1
+           SETTINGS max_threads = 1""",
+        ["test.src1"],
+    ),
+    (
+        "test",
+        "v_string_doubled_quote",
+        """CREATE VIEW test.v_string_doubled_quote AS
+           SELECT id FROM test.src2 WHERE note = 'it''s FROM test.trap2'
+           SETTINGS max_threads = 1""",
+        ["test.src2"],
+    ),
+    (
+        "test",
+        "v_string_backslash_quote",
+        r"""CREATE VIEW test.v_string_backslash_quote AS
+           SELECT id FROM test.src3 WHERE note = 'a\' JOIN test.trap3'
+           SETTINGS max_threads = 1""",
+        ["test.src3"],
+    ),
+    (
+        "test",
+        "v_comment_marker_in_string",
+        """CREATE VIEW test.v_comment_marker_in_string AS
+           SELECT a.id FROM test.src4 a JOIN test.dim4 b ON a.id = b.id
+           WHERE a.note = 'x -- y' SETTINGS max_threads = 1""",
+        ["test.dim4", "test.src4"],
+    ),
+    (
+        "test",
+        "v_scalar_with",
+        """CREATE VIEW test.v_scalar_with AS
+           WITH (SELECT max(ts) FROM test.bounds) AS mx
+           SELECT id FROM test.events6 WHERE ts > mx""",
+        ["test.bounds", "test.events6"],
+    ),
+    (
+        "test",
+        "v_with_expr_alias",
+        """CREATE VIEW test.v_with_expr_alias AS
+           WITH 86400 AS day_secs
+           SELECT intDiv(ts, day_secs) AS d FROM test.events7 SAMPLE 0.5""",
+        ["test.events7"],
+    ),
+    (
+        "test",
+        "mv_union_in_ddl",
+        """CREATE MATERIALIZED VIEW test.mv_union_in_ddl
+           ENGINE = MergeTree() ORDER BY id POPULATE AS
+           SELECT id FROM test.mu1 UNION ALL SELECT id FROM test.mu2""",
+        ["test.mu1", "test.mu2"],
+    ),
+    (
+        "test",
+        "v_union_nested_prewhere",
+        """CREATE VIEW test.v_union_nested_prewhere AS
+           SELECT * FROM (
+             SELECT id FROM test.n1 PREWHERE id > 0
+             UNION DISTINCT
+             SELECT id FROM test.n2
+           )""",
+        ["test.n1", "test.n2"],
+    ),
+    (
+        "test",
+        "v_array_join_table_fn",
+        """CREATE VIEW test.v_array_join_table_fn AS
+           SELECT x, n.number FROM test.arr_t ARRAY JOIN tags AS x
+           JOIN numbers(5) n ON length(x) = n.number
+           SETTINGS max_threads = 1""",
+        ["test.arr_t"],
+    ),
+    (
+        "test",
+        "v_nested_array_join",
+        """CREATE VIEW test.v_nested_array_join AS
+           SELECT y FROM (
+             SELECT y FROM test.deep_arr LEFT ARRAY JOIN ys AS y
+           ) SETTINGS max_threads = 1""",
+        ["test.deep_arr"],
+    ),
+    (
+        "test",
+        "v_dictget_crossdb",
+        """CREATE VIEW test.v_dictget_crossdb AS
+           SELECT dictGet('refdata.countries', 'name', country_id) AS c,
+                  count() AS n
+           FROM test.users_t PREWHERE country_id > 0 GROUP BY c""",
+        ["refdata.countries", "test.users_t"],
+    ),
+    (
+        "test",
+        "v_dictget_ordefault",
+        """CREATE VIEW test.v_dictget_ordefault AS
+           SELECT dictGetOrDefault('dims.geo', 'region', id, 'n/a') AS r
+           FROM test.visits SAMPLE 0.1""",
+        ["dims.geo", "test.visits"],
+    ),
+    (
+        "test",
+        "v_dictget_unqualified",
+        """CREATE VIEW test.v_dictget_unqualified AS
+           SELECT dictGetString('plain_dict', 'v', id) AS v
+           FROM test.keys_t SETTINGS max_threads = 1""",
+        ["test.keys_t", "test.plain_dict"],
+    ),
+    (
+        "test",
+        "v_merge_bare_db",
+        """CREATE VIEW test.v_merge_bare_db AS
+           SELECT count() AS n FROM merge(logs, '^events_')
+           SETTINGS max_threads = 1""",
+        [],
+    ),
+    (
+        "test",
+        "v_quoted_dot_idents",
+        """CREATE VIEW test.v_quoted_dot_idents AS
+           SELECT id FROM `w.db`.`t.name` SETTINGS max_threads = 1""",
+        ["w.db.t.name"],
+    ),
+    (
+        "test",
+        "v_semi_join",
+        """CREATE VIEW test.v_semi_join AS
+           SELECT a.id FROM db1.ls a LEFT SEMI JOIN db2.rs b ON a.id = b.id
+           SETTINGS max_threads = 1""",
+        ["db1.ls", "db2.rs"],
+    ),
+    (
+        "test",
+        "v_anti_join",
+        """CREATE VIEW test.v_anti_join AS
+           SELECT a.id FROM db1.la a LEFT ANTI JOIN db2.ra b ON a.id = b.id
+           SETTINGS max_threads = 1""",
+        ["db1.la", "db2.ra"],
+    ),
+    (
+        "test",
+        "script_insert_comment",
+        """INSERT INTO test.dst6 SELECT * FROM test.src6; -- refresh
+           OPTIMIZE TABLE test.dst6 FINAL""",
+        ["test.src6"],
+    ),
+    (
+        "test",
+        "kill_query",
+        "KILL QUERY WHERE query_id = 'abc' SYNC",
+        [],
+    ),
+    (
+        "test",
+        "system_reload",
+        "SYSTEM RELOAD DICTIONARY refdata.countries",
+        [],
+    ),
+    (
+        "test",
+        "lightweight_delete",
+        """DELETE FROM test.events_del WHERE ts < '2026-01-01'
+           SETTINGS mutations_sync = 1""",
+        ["test.events_del"],
+    ),
+    (
+        "test",
+        "script_truncate_select",
+        """TRUNCATE TABLE test.tmp7;
+           SELECT id FROM test.live_t SETTINGS max_threads = 1""",
+        ["test.live_t"],
+    ),
+    (
+        "test",
+        "v_tuple_in_subquery",
+        """CREATE VIEW test.v_tuple_in_subquery AS
+           SELECT id FROM test.base8
+           WHERE (a, b) IN (SELECT a, b FROM test.pairs8)
+           SETTINGS max_threads = 1""",
+        ["test.base8", "test.pairs8"],
+    ),
+    (
+        "test",
+        "v_arrayjoin_fn_totals",
+        """CREATE VIEW test.v_arrayjoin_fn_totals AS
+           SELECT arrayJoin(tags) AS t, count() AS n FROM test.tagged
+           GROUP BY t WITH TOTALS""",
+        ["test.tagged"],
+    ),
+    (
+        "test",
+        "select_format_tail",
+        "SELECT id FROM test.fmt_t FORMAT JSONEachRow",
+        ["test.fmt_t"],
+    ),
+    (
+        "test",
+        "v_limit_by",
+        """CREATE VIEW test.v_limit_by AS
+           SELECT id, v FROM test.lb ORDER BY v DESC LIMIT 2 BY id""",
+        ["test.lb"],
+    ),
+    (
+        "test",
+        "v_with_fill",
+        """CREATE VIEW test.v_with_fill AS
+           SELECT d, v FROM test.fill_t
+           ORDER BY d WITH FILL STEP 1 INTERPOLATE (v AS v)""",
+        ["test.fill_t"],
+    ),
+    (
+        "test",
+        "v_string_concat_keywords",
+        """CREATE VIEW test.v_string_concat_keywords AS
+           SELECT concat('FROM ', 'JOIN ghost') AS s, id FROM test.cc9
+           SETTINGS max_threads = 1""",
+        ["test.cc9"],
+    ),
 ]
 
 CH_DIALECT_EDGES: list[tuple[str, str]] = sorted(
