@@ -271,7 +271,7 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from ..functions.settings import query_settings
-    from ..streaming.pipeline import STATE_PARTITIONS, read_events_stream
+    from ..streaming.pipeline import read_events_stream, state_partitions_for
 
     name = f"dedup_{_uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, sf_dir)
@@ -282,7 +282,7 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     with query_settings(
-        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+        spark, {"spark.sql.shuffle.partitions": state_partitions_for(sf_dir)}
     ):
         q = (
             deduped.writeStream.format("memory")

@@ -77,12 +77,45 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nanos(spark.readStream.schema(schema).parquet(stream_dir))
 
 
-#: State-store partition count for the replay pipelines. The number of
-#: streaming state partitions is pinned at first checkpoint creation from
-#: spark.sql.shuffle.partitions — size it to throughput (tens of MB of
-#: events here), not the batch default; on a production cluster this is
-#: the knob you set per stream.
+#: Floor state-store partition count for the replay pipelines. The number
+#: of streaming state partitions is pinned at first checkpoint creation
+#: from spark.sql.shuffle.partitions — size it to throughput, not the
+#: batch default. Prefer ``state_partitions_for(sf_dir)``, which derives
+#: the count from input volume; this constant is its floor and the
+#: fallback when no source path is known.
 STATE_PARTITIONS = "8"
+
+#: Measured curve (SCALE.md round-5 STATE_PARTITIONS sweep at sf1, ~20 MB
+#: of parquet events): 8 partitions → 3.9 s ≈ 16 → 3.9 s, 32 → 8.6 s —
+#: i.e. ~2 MiB of parquet input per state partition is the sweet spot;
+#: more partitions just multiply the per-batch state-store commit cost,
+#: fewer under-parallelize the stateful exchange.
+_STATE_PARTITION_INPUT_BYTES = 2 << 20
+
+
+def state_partitions_for(sf_dir: str) -> str:
+    """Derive the streaming shuffle/state partition count from the byte
+    size of the events source under ``sf_dir`` using the measured curve
+    above: one partition per ~2 MiB of parquet input, rounded up to a
+    power of two (state-store partition counts are sticky per checkpoint;
+    pow2 keeps re-derivations stable under small size drift), clamped to
+    [STATE_PARTITIONS, 512]. Unknown/missing sources fall back to the
+    floor."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            n_bytes = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            )
+        else:
+            n_bytes = os.path.getsize(path)
+    except OSError:
+        return STATE_PARTITIONS
+    want = max(1, -(-n_bytes // _STATE_PARTITION_INPUT_BYTES))
+    parts = 1 << (want - 1).bit_length()  # next power of two
+    return str(min(max(parts, int(STATE_PARTITIONS)), 512))
 
 #: Checkpoint dirs created by THIS process — exempt from the reaper so a
 #: long-running session can never delete its own live state.
@@ -131,11 +164,13 @@ def ckpt_dir(tag: str) -> str:
     return d
 
 
-def _run_to_memory(agg: DataFrame, name: str) -> None:
+def _run_to_memory(
+    agg: DataFrame, name: str, n_parts: str = STATE_PARTITIONS
+) -> None:
     from ..functions.settings import query_settings
 
     with query_settings(
-        agg.sparkSession, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+        agg.sparkSession, {"spark.sql.shuffle.partitions": n_parts}
     ):
         q = (
             agg.writeStream.format("memory")
@@ -163,7 +198,7 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    _run_to_memory(agg, name)
+    _run_to_memory(agg, name, state_partitions_for(sf_dir))
     return spark.table(name)
 
 
@@ -177,7 +212,7 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    _run_to_memory(agg, name)
+    _run_to_memory(agg, name, state_partitions_for(sf_dir))
     return spark.table(name)
 
 
@@ -194,7 +229,7 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    _run_to_memory(agg, name)
+    _run_to_memory(agg, name, state_partitions_for(sf_dir))
     return spark.table(name)
 
 
@@ -247,7 +282,7 @@ def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.settings import query_settings
 
     with query_settings(
-        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+        spark, {"spark.sql.shuffle.partitions": state_partitions_for(sf_dir)}
     ):
         q = (
             out.writeStream.format("memory")
@@ -323,7 +358,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).alias("__sv"),
         )
     )
-    _run_to_memory(agg, name)
+    _run_to_memory(agg, name, state_partitions_for(sf_dir))
     return spark.table(name)
 
 
@@ -378,7 +413,7 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.settings import query_settings
 
     with query_settings(
-        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+        spark, {"spark.sql.shuffle.partitions": state_partitions_for(sf_dir)}
     ):
         q = (
             joined.writeStream.format("parquet")
@@ -472,7 +507,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.settings import query_settings
 
     with query_settings(
-        spark, {"spark.sql.shuffle.partitions": STATE_PARTITIONS}
+        spark, {"spark.sql.shuffle.partitions": state_partitions_for(sf_dir)}
     ):
         q = (
             joined.writeStream.format("parquet")

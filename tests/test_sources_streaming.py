@@ -195,3 +195,45 @@ def test_events_stream_dir_rebuilds_on_layout_change(spark, tmp_path):
         os.remove(f)
     base.head(25).to_parquet(d / "part-0000.parquet")
     assert count_rows() == 25
+
+
+class TestStatePartitionSizing:
+    """state_partitions_for encodes the round-5 STATE_PARTITIONS sweep
+    (SCALE.md): ~2 MiB parquet input per state partition, pow2, floor 8,
+    cap 512 — the sf1 session-window number must reproduce without
+    manual tuning."""
+
+    def test_curve_matches_sweep(self, tmp_path):
+        from clickhouse_objects_analysis_spark.streaming.pipeline import (
+            state_partitions_for,
+        )
+
+        def fake_sf(n_bytes):
+            d = tmp_path / f"sf_{n_bytes}"
+            d.mkdir()
+            (d / "events.parquet").write_bytes(b"\0" * n_bytes)
+            return str(d)
+
+        # sf0.1 (~2 MB) -> floor 8; sf1 (~20 MB) -> 16 (inside the
+        # measured 8-16 optimum; 32 measured 2.2x slower)
+        assert state_partitions_for(fake_sf(2_000_000)) == "8"
+        assert state_partitions_for(fake_sf(20_000_000)) == "16"
+        # sf10 (~200 MB) -> 128; growth stays monotone and capped
+        assert state_partitions_for(fake_sf(200_000_000)) == "128"
+        assert state_partitions_for(fake_sf(10_000_000_000)) == "512"
+
+    def test_missing_source_falls_back_to_floor(self, tmp_path):
+        from clickhouse_objects_analysis_spark.streaming.pipeline import (
+            STATE_PARTITIONS,
+            state_partitions_for,
+        )
+
+        assert state_partitions_for(str(tmp_path / "nope")) == STATE_PARTITIONS
+
+    def test_real_testdata_sizing(self):
+        from clickhouse_objects_analysis_spark.streaming.pipeline import (
+            state_partitions_for,
+        )
+
+        # the bundled sf0.1 events (~2 MB) sit at the floor
+        assert state_partitions_for("/root/testdata/sf0.1") == "8"
