@@ -69,7 +69,13 @@ _R5_REWRITTEN = [
 ]
 
 # Round-6 additions (never driver-checked by definition).
-_R6_ADDITIONS: list[str] = []
+_R6_ADDITIONS: list[str] = [
+    "ch_r6_function_surface",
+    "corr_matrix",
+    "any_heavy_mode",
+    "group_array_last_n",
+    "json_props_stats",
+]
 
 
 def _ordered(mapping: dict) -> dict:

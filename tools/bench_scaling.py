@@ -78,34 +78,60 @@ def best_of(fn, runs: int = 2) -> float:
 
 
 def main() -> None:
+    """Default: sf0.1 -> .scratch/sf1 over the headline set, writing
+    BENCH_sf1.json. Generalized step (the sf1 -> sf10 second decade,
+    VERDICT r5 item 4):
+
+        python tools/bench_scaling.py BIG_DIR --small SMALL_DIR \\
+            --out FILE --names n1,n2,... --label "sf1 -> sf10 (10x rows)"
+    """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(root, ".scratch", "sf1")
+    argv = sys.argv[1:]
+
+    def opt(flag: str, default: str) -> str:
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            return val
+        return default
+
+    small = opt("--small", SF01)
+    out_file = opt("--out", os.path.join(root, "BENCH_sf1.json"))
+    names_arg = opt("--names", "")
+    label = opt("--label", "sf0.1 -> sf1 (10x rows)")
+    big = argv[0] if argv else os.path.join(root, ".scratch", "sf1")
+
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + python workers + streaming engine once
-    QUERIES["q1_pricing_summary"](spark, SF01).collect()
-    QUERIES["streaming_tumbling_window"](spark, SF01).collect()
+    QUERIES["q1_pricing_summary"](spark, small).collect()
+    QUERIES["streaming_tumbling_window"](spark, small).collect()
 
-    names = headline(root)
-    print(f"measuring {len(names)} queries", flush=True)
+    names = (
+        [n for n in names_arg.split(",") if n in QUERIES]
+        if names_arg
+        else headline(root)
+    )
+    small_key = f"{os.path.basename(small.rstrip('/'))}_sec"
+    big_key = f"{os.path.basename(big.rstrip('/'))}_sec"
+    print(f"measuring {len(names)} queries: {small} -> {big}", flush=True)
     out: dict[str, dict] = {}
     for name in names:
         fn = QUERIES[name]
-        t_small = best_of(lambda: fn(spark, SF01).collect())
-        t_big = best_of(lambda: fn(spark, sf1).collect())
+        t_small = best_of(lambda: fn(spark, small).collect())
+        t_big = best_of(lambda: fn(spark, big).collect())
         exp = math.log10(t_big / t_small) if t_small > 0 else None
         out[name] = {
-            "sf0.1_sec": round(t_small, 3),
-            "sf1_sec": round(t_big, 3),
+            small_key: round(t_small, 3),
+            big_key: round(t_big, 3),
             "ratio": round(t_big / t_small, 2),
             "exponent": round(exp, 3),
         }
         print(name, out[name], flush=True)
 
-    with open(os.path.join(root, "BENCH_sf1.json"), "w") as f:
-        json.dump(
-            {"step": "sf0.1 -> sf1 (10x rows)", "queries": out}, f, indent=1
-        )
+    with open(out_file, "w") as f:
+        json.dump({"step": label, "queries": out}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -81,13 +81,18 @@ def main() -> None:
             if name == "embeddings":
                 d = 64
                 r = k % d
-                s = s.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice("embedding", r + 1, d - r),
-                        F.slice("embedding", 1, r),
-                    ),
+                rotated = F.concat(
+                    F.slice("embedding", r + 1, d - r),
+                    F.slice("embedding", 1, r),
                 )
+                # beyond d shards the rotation aliases (shard k and k+d
+                # would carry IDENTICAL vectors -> bogus cross-shard
+                # near-dup pairs); negate odd rotation cycles — a global
+                # sign flip preserves within-shard pairwise cosines while
+                # pushing the aliased twin to cosine -1
+                if (k // d) % 2 == 1:
+                    rotated = F.transform(rotated, lambda x: -x)
+                s = s.withColumn("embedding", rotated)
             shards.append(s)
         out = shards[0]
         for s in shards[1:]:
