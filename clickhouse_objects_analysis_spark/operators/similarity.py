@@ -79,6 +79,7 @@ def cosine_pairs(
     threshold: float,
     max_block_bytes: int = 256 << 20,
     min_block_rows: int = 512,
+    max_block_rows: int = 16384,
     num_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — exact baseline,
@@ -120,7 +121,13 @@ def cosine_pairs(
     # + fused n/dim agg brought the whole query to ~0.5-0.8s with nb
     # 1-8 inside noise.)
     nb_rows = -(-n // min_block_rows)
-    nb = int(max(1, nb_mem, min(nb_par, nb_rows)))
+    # Hard row cap per block: the matmul is chunked (below), but block
+    # size still bounds the per-task INPUT matrices and the worst-case
+    # result burst, and a 10x data step must grow the number of block
+    # pairs, not the per-task working set (the r6 sf10 run OOM-killed
+    # the host when 75k-row blocks met an unchunked |p| x |q| output).
+    nb_cap = -(-n // max_block_rows)
+    nb = int(max(1, nb_mem, nb_cap, min(nb_par, nb_rows)))
     if num_blocks is not None:  # explicit override (tuning/tests)
         nb = max(1, int(num_blocks))
     a = src.withColumn(
@@ -159,22 +166,41 @@ def cosine_pairs(
         rids = rpdf["rid"].to_numpy()
         rmat = np.stack(rpdf["rv"].to_numpy())
         runit = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
-        cos = lunit @ runit.T  # (|p|, |q|)
-        keep = cos >= threshold
-        if p == q:  # diagonal group sees both orders — keep one triangle
-            keep &= lids[:, None] < rids[None, :]
-        ai, bj = np.nonzero(keep)
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(
-                    np.minimum(lids[ai], rids[bj]), dtype="int64"
-                ),
-                "id_b": pd.Series(
-                    np.maximum(lids[ai], rids[bj]), dtype="int64"
-                ),
-                "cos": pd.Series(cos[ai, bj], dtype="float64"),
-            }
-        )
+        # Row-chunked matmul: peak memory is O(chunk x |q|) (~128 MB of
+        # float64 here) regardless of block size — the full |p| x |q|
+        # cosine matrix at large blocks is the thing that OOMs, and the
+        # kept-pair density (not the scored-cell count) is what the
+        # output actually costs.
+        chunk = max(1, int((128 << 20) // (8 * max(len(rids), 1))))
+        frames = []
+        for lo in range(0, len(lids), chunk):
+            cls = lids[lo : lo + chunk]
+            cos = lunit[lo : lo + chunk] @ runit.T  # (chunk, |q|)
+            keep = cos >= threshold
+            if p == q:  # diagonal sees both orders — keep one triangle
+                keep &= cls[:, None] < rids[None, :]
+            ai, bj = np.nonzero(keep)
+            if len(ai):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": pd.Series(
+                                np.minimum(cls[ai], rids[bj]), dtype="int64"
+                            ),
+                            "id_b": pd.Series(
+                                np.maximum(cls[ai], rids[bj]), dtype="int64"
+                            ),
+                            "cos": pd.Series(cos[ai, bj], dtype="float64"),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     out = (
         left.groupBy("p", "q")
