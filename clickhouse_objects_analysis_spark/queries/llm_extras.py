@@ -274,6 +274,8 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import read_events_stream, state_partitions_for
 
     name = f"dedup_{_uuid.uuid4().hex[:8]}"
+    from ..streaming.pipeline import drop_stale_memory_tables
+    drop_stale_memory_tables(spark, "dedup")
     stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.select("user_id", "event_type", "ts")

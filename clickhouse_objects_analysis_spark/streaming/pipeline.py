@@ -164,10 +164,27 @@ def ckpt_dir(tag: str) -> str:
     return d
 
 
+def drop_stale_memory_tables(spark: SparkSession, prefix: str) -> None:
+    """Drop previous runs' memory-sink temp views sharing ``prefix``.
+    Every replay registers a fresh ``<prefix>_<uuid>`` view whose rows
+    live in DRIVER heap; without this, repeated runs in one session (a
+    benchmark loop, a long notebook) ratchet heap until a large-SF run
+    tips the JVM over — the r6 sf10 bench died broadcasting into a heap
+    already holding several 10x-sized session-window result tables."""
+    try:
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name.startswith(prefix + "_"):
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass  # catalog listing is best-effort cleanup
+
+
 def _run_to_memory(
     agg: DataFrame, name: str, n_parts: str = STATE_PARTITIONS
 ) -> None:
     from ..functions.settings import query_settings
+
+    drop_stale_memory_tables(agg.sparkSession, name.rsplit("_", 1)[0])
 
     with query_settings(
         agg.sparkSession, {"spark.sql.shuffle.partitions": n_parts}
@@ -245,6 +262,7 @@ def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
+    drop_stale_memory_tables(spark, "stateful")
     stream = read_events_stream(spark, sf_dir)
 
     def track(key, pdfs, state: GroupState):

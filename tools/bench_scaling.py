@@ -68,6 +68,16 @@ def headline(root: str, top_n: int = 50) -> list[str]:
     return out
 
 
+def run_query(df) -> None:
+    """Materialize through the noop sink — same convention as bench.py.
+    A driver-side collect() would (a) charge driver serialization to the
+    query and (b) blow the driver heap on pair-output queries at large
+    SFs (the r6 sf10 run died exactly this way on ngram_jaccard_pairs /
+    simhash_hamming_pairs: millions of result rows collected into a 16g
+    heap)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def best_of(fn, runs: int = 2) -> float:
     ts = []
     for _ in range(runs):
@@ -105,8 +115,8 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + python workers + streaming engine once
-    QUERIES["q1_pricing_summary"](spark, small).collect()
-    QUERIES["streaming_tumbling_window"](spark, small).collect()
+    run_query(QUERIES["q1_pricing_summary"](spark, small))
+    run_query(QUERIES["streaming_tumbling_window"](spark, small))
 
     names = (
         [n for n in names_arg.split(",") if n in QUERIES]
@@ -119,8 +129,8 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in names:
         fn = QUERIES[name]
-        t_small = best_of(lambda: fn(spark, small).collect())
-        t_big = best_of(lambda: fn(spark, big).collect())
+        t_small = best_of(lambda: run_query(fn(spark, small)))
+        t_big = best_of(lambda: run_query(fn(spark, big)))
         exp = math.log10(t_big / t_small) if t_small > 0 else None
         out[name] = {
             small_key: round(t_small, 3),
