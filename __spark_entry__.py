@@ -75,6 +75,12 @@ _R6_ADDITIONS: list[str] = [
     "any_heavy_mode",
     "group_array_last_n",
     "json_props_stats",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
 ]
 
 

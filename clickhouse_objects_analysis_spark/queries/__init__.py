@@ -32,6 +32,7 @@ from . import ch_aggregates  # noqa: E402,F401
 from . import ch_aggregates_w6  # noqa: E402,F401
 from . import ch_aggregates_w7  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
+from . import tpch_fill  # noqa: E402,F401
 from . import lineage_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import sources_queries  # noqa: E402,F401

@@ -1,13 +1,13 @@
-"""Run the driver-style parity check for a named subset of queries.
+"""Ad-hoc driver-style parity check for a named subset of queries.
 
-Usage: python tools/parity_subset.py q1 q2 ... [--sf /root/testdata/sf0.01]
+Usage: python tools/parity_subset.py q4_order_priority q21_waiting_suppliers
+Runs at sf0.01 (override with PARITY_SF_DIR), prints one line per query.
 """
 
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,43 +18,40 @@ from tools.local_parity import frame_hash  # noqa: E402
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in argv:
-        i = argv.index("--sf")
-        sf_dir = argv[i + 1]
-        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    names = sys.argv[1:]
+    qs, oracles = e.queries(), e.oracle_sql()
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    qs, oracles = e.queries(), e.oracle_sql()
-    fail = 0
-    for name in argv:
-        t0 = time.time()
+    failures = 0
+    for name in names:
+        if name not in qs:
+            print(f"{name}: NOT REGISTERED")
+            failures += 1
+            continue
         try:
-            spdf = qs[name](spark, sf_dir).toPandas()
-            if name not in oracles:
-                print(f"{name}: rows-only, {len(spdf)} rows "
-                      f"({time.time()-t0:.2f}s)")
-                continue
-            opdf = run_oracle(oracles[name], sf_dir)
-            ok = (
-                len(spdf) == len(opdf)
-                and sorted(spdf.columns) == sorted(opdf.columns)
-                and frame_hash(spdf) == frame_hash(opdf)
-            )
-            fail += 0 if ok else 1
+            sdf = qs[name](spark, sf_dir).toPandas()
+            odf = run_oracle(oracles[name], sf_dir)
+            ok_rows = len(sdf) == len(odf)
+            ok_schema = sorted(sdf.columns) == sorted(odf.columns)
+            ok_hash = ok_schema and frame_hash(sdf) == frame_hash(odf)
+            status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+            if status == "FAIL":
+                failures += 1
             print(
-                f"{name}: {'GREEN' if ok else 'RED'} "
-                f"spark={len(spdf)} oracle={len(opdf)} "
-                f"({time.time()-t0:.2f}s)"
+                f"{name}: {status} rows={len(sdf)}/{len(odf)} "
+                f"schema={ok_schema} hash={ok_hash}"
             )
-            if not ok and len(spdf) < 20:
-                print(spdf.sort_index(axis=1).to_string())
-                print(opdf.sort_index(axis=1).to_string())
+            if not ok_schema:
+                print("  spark cols:", list(sdf.columns))
+                print("  oracle cols:", list(odf.columns))
+            elif not ok_hash:
+                print("  spark head:\n", sdf.head(5))
+                print("  oracle head:\n", odf.head(5))
         except Exception as ex:  # noqa: BLE001
-            fail += 1
-            print(f"{name}: ERR {type(ex).__name__}: {ex}")
-    sys.exit(1 if fail else 0)
+            failures += 1
+            print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
