@@ -81,6 +81,10 @@ _R6_ADDITIONS: list[str] = [
     "q16_supplier_cnt",
     "q20_part_promotion",
     "q21_waiting_suppliers",
+    "anova_ftest",
+    "group_array_sorted",
+    "kmv_distinct_users",
+    "gd_linear_regression",
 ]
 
 
