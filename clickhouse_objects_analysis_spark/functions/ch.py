@@ -40,6 +40,7 @@ NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
         "uniqCombined",  # → Spark HLL++
         "uniqCombined64",  # → Spark HLL++
         "quantileTDigest",  # → Spark percentile_approx (KLL-style sketch)
+        "murmurHash3_32",  # same algorithm, different seed (Spark 42, CH 0)
     }
 )
 
@@ -203,7 +204,6 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "negate": lambda a: -a,
     "greatest": F.greatest,
     "least": F.least,
-    "sign": F.signum,
     # --- conditional / null ---
     "if": _if,
     "multiIf": _multi_if,
@@ -335,12 +335,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
             x.cast("double") - F.element_at(c, i).cast("double")
         ),
     ),  # [a,b,c] -> [0, b-a, c-b], ClickHouse semantics
-    "arrayReverse": F.reverse,
     "arraySlice": F.slice,
     "arrayUniq": lambda c: F.size(F.array_distinct(c)),
     "range": lambda n: F.sequence(F.lit(0), n - 1),
     "emptyArrayString": lambda: F.array().cast("array<string>"),
-    "arrayStringConcat": lambda c, sep: F.array_join(c, sep),
     # --- map / tuple ---
     "tuple": F.struct,
     "tupleElement": lambda c, i: c.getField(f"col{i}"),
@@ -523,6 +521,170 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "farmHash64": F.xxhash64,
     "uniqCombined": F.approx_count_distinct,
     "uniqCombined64": F.approx_count_distinct,
+    # --- round-6 wave 8: math ---
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": lambda c: F.log(c + F.sqrt(c * c + 1)),
+    "acosh": lambda c: F.log(c + F.sqrt(c * c - 1)),
+    "atanh": lambda c: F.log((1 + c) / (1 - c)) / 2,
+    "hypot": F.hypot,
+    "log1p": F.log1p,
+    "expm1": F.expm1,
+    "intExp2": lambda c: F.pow(F.lit(2), c).cast("long"),
+    # numeric truncate-toward-zero with precision (Spark's trunc is
+    # date-only); value integral after floor so the pattern is the same
+    # engine-portable one gd_linear_regression uses
+    "truncate": lambda c, n=0: (
+        F.signum(c) * F.floor(F.abs(c) * F.pow(F.lit(10), F.lit(int(n))))
+    ) / F.pow(F.lit(10), F.lit(int(n))),
+    # CH default radius 6372797.560856 m (mean Earth radius)
+    "greatCircleDistance": lambda lon1, lat1, lon2, lat2: F.lit(2.0)
+    * F.lit(6372797.560856)
+    * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+            + F.cos(F.radians(lat1))
+            * F.cos(F.radians(lat2))
+            * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+        )
+    ),
+    # --- round-6 wave 8: date / time ---
+    "addYears": lambda c, n: F.add_months(c, n * 12),
+    "subtractYears": lambda c, n: F.add_months(c, -n * 12),
+    "subtractHours": lambda c, n: F.timestamp_add("HOUR", -n, c),
+    "subtractMinutes": lambda c, n: F.timestamp_add("MINUTE", -n, c),
+    "subtractSeconds": lambda c, n: F.timestamp_add("SECOND", -n, c),
+    "toLastDayOfMonth": F.last_day,
+    "toStartOfSecond": lambda c: F.date_trunc("second", c),
+    "yesterday": lambda: F.date_sub(F.current_date(), 1),
+    "toTimeZone": lambda c, tz: F.convert_timezone(
+        F.lit("UTC"), tz if isinstance(tz, Column) else F.lit(tz), c
+    ),
+    # best-effort parse: try ISO datetime, then date, then slash forms
+    "parseDateTimeBestEffort": lambda c: F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("MM/dd/yyyy")),
+    ),
+    # --- round-6 wave 8: string ---
+    # delimiter/count must be Python literals (substring_index's JVM
+    # signature takes them as constants, same restriction as
+    # concatWithSeparator's separator)
+    "substringIndex": lambda c, d, n: F.substring_index(
+        c, _literal_sep(d), int(n)
+    ),
+    "translate": F.translate,
+    "space": lambda n: F.repeat(F.lit(" "), n),
+    # --- round-6 wave 8: array ---
+    "arrayCumSum": lambda c: F.slice(
+        F.aggregate(
+            c,
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x
+                ),
+            ),
+        ),
+        1,
+        F.size(c),
+    ),
+    "arrayReverseSort": lambda c: F.sort_array(c, asc=False),
+    "arrayRotateLeft": lambda c, n: F.when(F.size(c) == 0, c).otherwise(
+        F.concat(
+            F.slice(c, F.pmod(n, F.size(c)) + 1, F.size(c)),
+            F.slice(c, 1, F.pmod(n, F.size(c))),
+        )
+    ),
+    "arrayRotateRight": lambda c, n: F.when(F.size(c) == 0, c).otherwise(
+        F.concat(
+            F.slice(c, F.size(c) - F.pmod(n, F.size(c)) + 1, F.size(c)),
+            F.slice(c, 1, F.size(c) - F.pmod(n, F.size(c))),
+        )
+    ),
+    "arrayDotProduct": lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ),
+    # set semantics (CH treats inputs as sets for the Jaccard index)
+    "arrayJaccardIndex": lambda a, b: F.size(F.array_intersect(a, b))
+    / F.size(F.array_union(a, b)).cast("double"),
+    # CH argument order is (value, n); Spark's array_repeat matches
+    "arrayWithConstant": lambda n, x: F.array_repeat(x, n),
+    "countEqual": lambda c, x: F.size(
+        F.filter(c, lambda e: e.eqNullSafe(x))
+    ).cast("long"),
+    # dense first-appearance numbering: array_distinct preserves
+    # first-occurrence order, so position-in-distinct IS the dense id
+    "arrayEnumerateDense": lambda c: F.transform(
+        c, lambda x: F.array_position(F.array_distinct(c), x)
+    ),
+    # --- round-6 wave 8: map arithmetic ---
+    # built over explicit key-union transforms instead of map_concat:
+    # Spark's duplicate-key policy (mapKeyDedupPolicy) defaults to
+    # EXCEPTION, so merged maps must never materialize duplicate keys
+    "mapAdd": lambda m1, m2: F.map_from_arrays(
+        F.array_union(F.map_keys(m1), F.map_keys(m2)),
+        F.transform(
+            F.array_union(F.map_keys(m1), F.map_keys(m2)),
+            lambda k: F.coalesce(F.element_at(m1, k), F.lit(0))
+            + F.coalesce(F.element_at(m2, k), F.lit(0)),
+        ),
+    ),
+    "mapSubtract": lambda m1, m2: F.map_from_arrays(
+        F.array_union(F.map_keys(m1), F.map_keys(m2)),
+        F.transform(
+            F.array_union(F.map_keys(m1), F.map_keys(m2)),
+            lambda k: F.coalesce(F.element_at(m1, k), F.lit(0))
+            - F.coalesce(F.element_at(m2, k), F.lit(0)),
+        ),
+    ),
+    "mapUpdate": lambda m1, m2: F.map_from_arrays(
+        F.array_union(F.map_keys(m1), F.map_keys(m2)),
+        F.transform(
+            F.array_union(F.map_keys(m1), F.map_keys(m2)),
+            lambda k: F.coalesce(F.element_at(m2, k), F.element_at(m1, k)),
+        ),
+    ),
+    # --- round-6 wave 8: JSON (simpleJSON = CH's visitParam family) ---
+    "JSONExtractKeys": F.json_object_keys,
+    # field name must be a Python literal (get_json_object's path is a
+    # constant in the JVM signature)
+    "simpleJSONExtractInt": lambda c, f: F.get_json_object(
+        c, "$." + _literal_sep(f)
+    ).try_cast("long"),
+    "simpleJSONExtractFloat": lambda c, f: F.get_json_object(
+        c, "$." + _literal_sep(f)
+    ).try_cast("double"),
+    "simpleJSONExtractBool": lambda c, f: F.get_json_object(
+        c, "$." + _literal_sep(f)
+    )
+    == F.lit("true"),
+    # --- round-6 wave 8: URL ---
+    "fragment": lambda c: F.coalesce(F.parse_url(c, F.lit("REF")), F.lit("")),
+    "cutFragment": lambda c: F.regexp_replace(c, "#.*$", ""),
+    "cutQueryString": lambda c: F.regexp_replace(c, r"\?.*$", ""),
+    "cutQueryStringAndFragment": lambda c: F.regexp_replace(
+        c, r"[?#].*$", ""
+    ),
+    "extractURLParameter": lambda c, name: F.coalesce(
+        F.parse_url(c, F.lit("QUERY"), name), F.lit("")
+    ),
+    # --- round-6 wave 8: conditional / misc ---
+    # CH transform(x, from, to, default): value-mapping via a literal map
+    "transform": lambda x, frm, to, default: F.coalesce(
+        F.element_at(F.map_from_arrays(frm, to), x), default
+    ),
+    "throwIf": lambda cond, msg="throwIf": F.when(
+        cond, F.raise_error(F.lit(msg) if not isinstance(msg, Column) else msg)
+    ).otherwise(F.lit(0)),
+    "isZeroOrNull": lambda c: F.coalesce(c == 0, F.lit(True)),
+    "toNullable": lambda c: c,
+    "murmurHash3_32": F.hash,  # same algorithm family, Spark seed 42
 }
 
 
