@@ -44,6 +44,7 @@ from ..operators.text import (
     rolling_fingerprints,
     tokenize,
 )
+from ..session import widen_scan
 from .registry import query, tables
 
 # Shared DuckDB CTE: word-trigram shingle sets per document (mirrors
@@ -130,7 +131,7 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs via the inverted shingle index
     (only docs sharing a shingle are paired — never a cross join)."""
-    d = tables(spark, sf_dir)["documents"]
+    d = widen_scan(tables(spark, sf_dir)["documents"])
     return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).orderBy(
         "id_a", "id_b"
     )

@@ -88,6 +88,30 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism for a single-row-group test file, for
+    queries whose MAP phase dominates.
+
+    The driver's testdata parquet is written as ONE row group per table,
+    and a row group is parquet's minimal read unit — so a map phase over
+    these tables runs in a single task no matter how many cores the
+    session has (measured: 3.2 s of single-threaded shingling inside a
+    6.6 s query at sf0.1 on local[32]). At 100 TB the same tables arrive
+    as thousands of files/row groups and the scan parallelizes natively;
+    a round-robin repartition emulates that layout locally.
+
+    Deliberately opt-in per query, NOT applied in load_tables: the extra
+    exchange costs ~0.5-0.9 s against this testdata, which only pays for
+    itself where per-row expression work exceeds that (shingling /
+    per-shingle hashing). A blanket version regressed the sf0.1 bench
+    136 s -> 161 s across scan-light queries; the four gram-pipeline
+    adopters below each won 35-85%. Round-robin (not hash) partitioning:
+    no key skew, and plan-shape tests that pin "no hash exchange before
+    X" keep meaning what they say."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def normalize_nanos(df: DataFrame) -> DataFrame:
     """Normalize the ``ts`` column to a session-TZ TIMESTAMP regardless of
     how the parquet stored it:
