@@ -85,6 +85,7 @@ _R6_ADDITIONS: list[str] = [
     "group_array_sorted",
     "kmv_distinct_users",
     "gd_linear_regression",
+    "cms_heavy_hitters",
 ]
 
 

@@ -307,3 +307,102 @@ def gd_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         F.col("w").alias("w_micros"), F.col("b").alias("b_micros"), F.col("n").alias("n_rows")
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH cells AS (
+        SELECT k.k,
+               CAST(('0x' || substr(md5(k.k || ':' ||
+                         CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1024 AS b
+        FROM events CROSS JOIN (SELECT unnest(['0','1','2','3']) AS k) k
+    ),
+    cms AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM cells GROUP BY k, b),
+    top10 AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY user_id
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT t.user_id, t.exact_cnt, k.k,
+               CAST(('0x' || substr(md5(k.k || ':' ||
+                         CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1024 AS b
+        FROM top10 t CROSS JOIN (SELECT unnest(['0','1','2','3']) AS k) k
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS est_cnt
+    FROM probes p JOIN cms c ON c.k = p.k AND c.b = p.b
+    GROUP BY p.user_id, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.user_id
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024) over events.user_id, read
+    back for the exact top-10 heavy hitters — the mergeable counting
+    sketch behind approximate topK at scale (the registry's topk_frequent
+    is the exact twin). Each event increments 4 cells keyed by the
+    engine-portable 60-bit hash with a per-row seed prefix, so the whole
+    sketch — and therefore every estimate, collisions included — is
+    bit-identical in the DuckDB replay; est >= exact always (one-sided
+    CMS error). The sketch build is one 4x-fanout map + a 4096-cell
+    aggregate (map-side combined, mergeable across partitions exactly
+    like the production sketch merges across executors); probes are
+    dimension-sized."""
+    ev = tables(spark, sf_dir)["events"]
+    w = 1024
+
+    def bucket(user, k: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k}:"), user.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w))
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(str(k)).alias("k"),
+                        bucket(F.col("user_id"), k).alias("b"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.k", "cell.b")
+    cms = cells.groupBy("k", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top10 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top10.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(str(k)).alias("k"),
+                        bucket(F.col("user_id"), k).alias("b"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "exact_cnt", "cell.k", "cell.b")
+    return (
+        probes.join(F.broadcast(cms), ["k", "b"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
