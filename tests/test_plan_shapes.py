@@ -419,3 +419,58 @@ class TestWave5Plans:
         plan = plan_of(QUERIES["histogram_fixed_bins"](spark, sf_dir), "simple")
         assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestR6Session2Plans:
+    """Plan shapes for the round-6 continuation queries (tpch_fill,
+    r6_wave2): the scale claims in their docstrings made checkable."""
+
+    def test_q4_exists_is_semi_join_not_aggregate(self, spark, sf_dir):
+        """EXISTS must compile to a LEFT SEMI hash join on the natural
+        key — never a distinct+inner rewrite."""
+        plan = plan_of(QUERIES["q4_order_priority"](spark, sf_dir))
+        assert "LeftSemi" in plan
+
+    def test_q21_shuffles_lineitem_once(self, spark, sf_dir):
+        """The EXISTS + NOT EXISTS pair is folded into ONE per-order
+        roll-up: lineitem appears once in the plan (the canonical form
+        scans it three times), and the supplier dimension broadcasts."""
+        plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+        assert plan.count("lineitem.parquet") == 1
+        assert "BroadcastHashJoin" in plan
+
+    def test_q16_not_in_is_broadcast_anti(self, spark, sf_dir):
+        """The complained-supplier exclusion must be a broadcast LEFT
+        ANTI (s_suppkey is non-null, NOT IN and ANTI agree)."""
+        plan = plan_of(QUERIES["q16_supplier_cnt"](spark, sf_dir))
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+    def test_gd_state_is_one_row_broadcast(self, spark, sf_dir):
+        """Each GD step's (w, b) state attaches via a 1-row broadcast
+        nested loop — the correct scalar-broadcast plan — and no step
+        may fall back to a Python worker."""
+        plan = plan_of(QUERIES["gd_linear_regression"](spark, sf_dir), "simple")
+        assert plan.count("BroadcastNestedLoopJoin") == 3
+        assert "Python" not in plan
+
+    def test_cms_probe_broadcasts_sketch(self, spark, sf_dir):
+        """The 4096-cell sketch is the build side of a broadcast join;
+        the probe side is the dimension-sized top-10 fan-out."""
+        plan = plan_of(QUERIES["cms_heavy_hitters"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_kmv_ranks_distinct_hashes_only(self, spark, sf_dir):
+        """The window must rank the DISTINCT (type, hash) stream — a
+        partial (map-side) dedup aggregate must sit below the exchange."""
+        plan = plan_of(QUERIES["kmv_distinct_users"](spark, sf_dir), "simple")
+        low = plan.lower()
+        assert "window" in low
+        assert "partial" in low  # map-side dedup before the shuffle
+
+    def test_ngram_novelty_reads_documents_twice_no_gram_join(self, spark, sf_dir):
+        """The r6 rewrite removed the gram-keyed join back: no join may
+        remain except the doc-cardinality left join, and only ONE side
+        explodes (the other reads the shingle-array SIZE)."""
+        plan = plan_of(QUERIES["ngram_novelty"](spark, sf_dir), "simple")
+        assert plan.count("Generate explode") == 1
