@@ -406,3 +406,99 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("est_cnt"))
         .orderBy(F.col("exact_cnt").desc(), "user_id")
     )
+
+
+@query(
+    "kmv_user_overlap",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sk AS (
+        SELECT event_type, hv
+        FROM (SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn
+              FROM h)
+        WHERE rn <= 64
+    ),
+    merged AS (
+        SELECT hv, CAST(COUNT(*) AS BIGINT) AS sides
+        FROM sk GROUP BY hv
+        ORDER BY hv LIMIT 64
+    ),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k_both,
+               MAX(hv) AS h_k
+        FROM merged
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+        FROM (SELECT hv FROM h GROUP BY hv HAVING COUNT(*) = 2)
+    )
+    SELECT k_both,
+           CAST(ROUND(CAST(k_both AS DOUBLE) / k, 6) AS DOUBLE)
+               AS est_jaccard,
+           CAST(ROUND((CAST(k_both AS DOUBLE) / k)
+                      * ROUND((k - 1) * power(2, 60) / h_k), 0) AS BIGINT)
+               AS est_intersection,
+           exact_intersection
+    FROM est CROSS JOIN exact
+    """,
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the capability HLL lacks and the
+    reason uniqTheta exists: estimate |click-users ∩ purchase-users| by
+    merging the two per-type min-64 sketches (union sketch = 64 smallest
+    of the merged hash sets; Jaccard ≈ share of union-sketch hashes
+    present in both sides; intersection ≈ Jaccard × union estimate),
+    with the exact intersection alongside. Every step is integer rank
+    arithmetic on the portable 60-bit hash plus one fixed-shape double
+    expression, so the DuckDB replay is bit-identical. Plan: one distinct
+    (map-side-deduped) pass over the filtered fact, two ≤64-row windows,
+    dimension-sized everything after."""
+    ev = tables(spark, sf_dir)["events"]
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", hv.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    merged = (
+        sk.groupBy("hv")
+        .agg(F.count(F.lit(1)).cast("long").alias("sides"))
+        .orderBy("hv")
+        .limit(64)
+    )
+    est = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("k_both"),
+        F.max("hv").alias("h_k"),
+    )
+    exact = (
+        h.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    jac = F.col("k_both").cast("double") / F.col("k")
+    union_est = F.round(
+        (F.col("k") - 1) * F.pow(F.lit(2), F.lit(60)) / F.col("h_k")
+    )
+    return est.join(F.broadcast(exact)).select(
+        "k_both",
+        F.round(jac, 6).cast("double").alias("est_jaccard"),
+        F.round(jac * union_est, 0).cast("long").alias("est_intersection"),
+        "exact_intersection",
+    )
