@@ -172,6 +172,11 @@ def main() -> None:
         "mutation_delete_where", "sink_partitioned_parquet",
         "linear_regression_agg", "boilerplate_span_scrub",
         "lttb_downsample", "rank_corr_spearman",
+        # round-6 continuation: gram-pipeline rewrites + new families
+        "ngram_novelty", "token_frequency_spectrum",
+        "q21_waiting_suppliers", "q2_min_cost_supplier",
+        "anova_ftest", "gd_linear_regression",
+        "cms_heavy_hitters", "kmv_distinct_users",
     ]
     compact = {
         "metric": "total_query_set_runtime",

@@ -978,6 +978,87 @@ CH_DIALECT_DDLS: list[tuple[str, str, str, list[str]]] = [
            SETTINGS max_threads = 1""",
         ["test.cc9"],
     ),
+    # --- round-6 continuation: 92 -> 103 (table functions that wrap
+    # remote/regex relations, GLOBAL IN, CTE shadowing a cross-db name,
+    # escaped-quote string traps, FINAL, parameterized views) ---
+    (
+        "test",
+        "v_merge_fn",
+        "CREATE VIEW test.v_merge_fn AS SELECT * FROM merge('logs', '^log_.*') SETTINGS max_threads = 1",
+        [],  # merge() is a table function: excluded, like the reference
+    ),
+    (
+        "test",
+        "v_remote_fn",
+        "CREATE VIEW test.v_remote_fn AS SELECT * FROM remote('h:9000', prod.events) SETTINGS max_threads = 1",
+        [],  # remote() wraps a foreign-server relation: excluded
+    ),
+    (
+        "test",
+        "v_cluster_fn",
+        "CREATE VIEW test.v_cluster_fn AS SELECT * FROM cluster('c1', prod, hits) SETTINGS max_threads = 1",
+        [],
+    ),
+    (
+        "test",
+        "v_global_in",
+        """CREATE VIEW test.v_global_in AS
+           SELECT id FROM test.base WHERE id GLOBAL IN
+           (SELECT id FROM test.allow) SETTINGS max_threads = 2""",
+        ["test.allow", "test.base"],
+    ),
+    (
+        "test",
+        "v_cte_shadows_crossdb",
+        """CREATE VIEW test.v_cte_shadows_crossdb AS
+           WITH t AS (SELECT 1 AS id)
+           SELECT * FROM t JOIN db2.t USING (id) SETTINGS max_threads = 1""",
+        ["db2.t"],  # bare t is the CTE; the qualified db2.t is real
+    ),
+    (
+        "test",
+        "v_dictionary_fn",
+        "CREATE VIEW test.v_dictionary_fn AS SELECT * FROM dictionary('test.dict_d') SETTINGS max_threads = 1",
+        [],  # dictionary() table function (dictGet() reads ARE extracted)
+    ),
+    (
+        "test",
+        "v_union_except_crossdb",
+        """CREATE VIEW test.v_union_except_crossdb AS
+           SELECT id FROM db1.a UNION DISTINCT
+           SELECT id FROM db2.b EXCEPT SELECT id FROM db3.c
+           SETTINGS max_threads = 1""",
+        ["db1.a", "db2.b", "db3.c"],
+    ),
+    (
+        "test",
+        "v_lambda_array_join",
+        """CREATE VIEW test.v_lambda_array_join AS
+           SELECT v FROM test.base2 ARRAY JOIN arrayMap(x -> x + 1, ids) AS v
+           SETTINGS max_threads = 1""",
+        ["test.base2"],
+    ),
+    (
+        "test",
+        "v_escaped_quote_trap",
+        """CREATE VIEW test.v_escaped_quote_trap AS
+           SELECT concat('it''s FROM fake.table, really') AS s
+           FROM test.real2 SETTINGS max_threads = 1""",
+        ["test.real2"],  # doubled-quote escape must not end the literal
+    ),
+    (
+        "test",
+        "v_select_final",
+        "CREATE VIEW test.v_select_final AS SELECT * FROM test.rmt FINAL SETTINGS max_threads = 1",
+        ["test.rmt"],
+    ),
+    (
+        "test",
+        "v_parameterized",
+        """CREATE VIEW test.v_parameterized AS
+           SELECT * FROM test.pt WHERE x = {p:UInt32}""",
+        ["test.pt"],  # CH parameterized view: {p:UInt32} forces the fallback
+    ),
 ]
 
 CH_DIALECT_EDGES: list[tuple[str, str]] = sorted(
