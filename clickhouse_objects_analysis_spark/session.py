@@ -107,9 +107,18 @@ def widen_scan(df: DataFrame) -> DataFrame:
     136 s -> 161 s across scan-light queries; the four gram-pipeline
     adopters below each won 35-85%. Round-robin (not hash) partitioning:
     no key skew, and plan-shape tests that pin "no hash exchange before
-    X" keep meaning what they say."""
+    X" keep meaning what they say.
+
+    No-op when the scan already splits enough (multi-file synthesized
+    sf1/sf10, or any real multi-row-group layout): there the repartition
+    would shuffle the full text column for nothing — measured +0.5 s/GB
+    of pure linear overhead on the sf1→sf10 gram queries before this
+    guard."""
     spark = df.sparkSession
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
