@@ -525,7 +525,9 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "sinh": F.sinh,
     "cosh": F.cosh,
     "tanh": F.tanh,
-    "asinh": lambda c: F.log(c + F.sqrt(c * c + 1)),
+    # odd-symmetric form: log(c + sqrt(c²+1)) cancels catastrophically
+    # for large-negative c (sqrt(c²+1) == |c| in double → log(0) = -Inf)
+    "asinh": lambda c: F.signum(c) * F.log(F.abs(c) + F.sqrt(c * c + 1)),
     "acosh": lambda c: F.log(c + F.sqrt(c * c - 1)),
     "atanh": lambda c: F.log((1 + c) / (1 - c)) / 2,
     "hypot": F.hypot,
@@ -561,12 +563,14 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toTimeZone": lambda c, tz: F.convert_timezone(
         F.lit("UTC"), tz if isinstance(tz, Column) else F.lit(tz), c
     ),
-    # best-effort parse: try ISO datetime, then date, then slash forms
+    # best-effort parse: try ISO datetime, then date, then slash forms.
+    # CH best-effort reads slash dates as DD/MM — keep the same
+    # convention for the date-only form as for the datetime form.
     "parseDateTimeBestEffort": lambda c: F.coalesce(
         F.try_to_timestamp(c),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
         F.try_to_timestamp(c, F.lit("dd/MM/yyyy HH:mm:ss")),
-        F.try_to_timestamp(c, F.lit("MM/dd/yyyy")),
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy")),
     ),
     # --- round-6 wave 8: string ---
     # delimiter/count must be Python literals (substring_index's JVM
@@ -667,7 +671,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # --- round-6 wave 8: URL ---
     "fragment": lambda c: F.coalesce(F.parse_url(c, F.lit("REF")), F.lit("")),
     "cutFragment": lambda c: F.regexp_replace(c, "#.*$", ""),
-    "cutQueryString": lambda c: F.regexp_replace(c, r"\?.*$", ""),
+    # strips the query string but PRESERVES the fragment
+    # ('http://e.com/p?q=1#f' → 'http://e.com/p#f'), unlike
+    # cutQueryStringAndFragment which drops both
+    "cutQueryString": lambda c: F.regexp_replace(c, r"\?[^#]*", ""),
     "cutQueryStringAndFragment": lambda c: F.regexp_replace(
         c, r"[?#].*$", ""
     ),

@@ -156,7 +156,9 @@ def any_heavy_mode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_array_last_n",
     oracle="""
     SELECT user_id,
-           (array_agg(event_type ORDER BY ts, event_id))[-3:] AS last3,
+           array_to_string(
+             (array_agg(event_type ORDER BY ts, event_id))[-3:], ','
+           ) AS last3,
            count(*)::BIGINT AS n_events
     FROM events
     GROUP BY user_id
@@ -169,7 +171,9 @@ def group_array_last_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list of (ts, event_id, payload) structs + array_sort + a
     negative-offset slice — the sort happens per GROUP inside the
     aggregated array (bounded by per-user event counts), never as a
-    global window."""
+    global window. Rendered via array_join so the output column is a
+    plain string (driver/oracle canonicalizers row-sort the frame and
+    cannot hash raw array cells)."""
     e = tables(spark, sf_dir)["events"]
     arr = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
@@ -177,8 +181,11 @@ def group_array_last_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .agg(
-            F.transform(
-                F.slice(arr, -3, 3), lambda s: s["event_type"]
+            F.array_join(
+                F.transform(
+                    F.slice(arr, -3, 3), lambda s: s["event_type"]
+                ),
+                ",",
             ).alias("last3"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )

@@ -85,6 +85,28 @@ def _cells_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+def assert_driver_safe_schema(schema, name: str) -> None:
+    """The driver's canonicalizer row-sorts the pandas frame across all
+    columns before hashing; a top-level array/map/struct cell is
+    unhashable there (pandas ``sort_values`` → ``TypeError: unhashable
+    type``) — exactly how ``group_array_last_n`` erred in the round-6
+    driver window despite being parity-green locally.  Reject complex
+    top-level output columns at the registry gate: render them to a
+    string first (``F.array_join`` / ``F.to_json``)."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: driver-unsafe output column(s) {bad} — top-level "
+        "array/map/struct cells crash the driver's row-sort "
+        "canonicalizer; render to string (array_join / to_json)"
+    )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     s_cols = sorted(spark_pdf.columns)
     o_cols = sorted(oracle_pdf.columns)

@@ -30,6 +30,7 @@ def test_w8_math_builders(spark):
         .select(
             ch_expr("sinh", F.lit(1.0)).alias("sh"),
             ch_expr("asinh", F.lit(1.0)).alias("ash"),
+            ch_expr("asinh", F.lit(-1e8)).alias("ashn"),
             ch_expr("acosh", F.lit(2.0)).alias("ach"),
             ch_expr("atanh", F.lit(0.5)).alias("ath"),
             ch_expr("hypot", F.lit(3.0), F.lit(4.0)).alias("hy"),
@@ -47,6 +48,9 @@ def test_w8_math_builders(spark):
     )
     assert abs(r.sh - math.sinh(1.0)) < 1e-12
     assert abs(r.ash - math.asinh(1.0)) < 1e-12
+    # catastrophic-cancellation regression: naive log(c+sqrt(c²+1))
+    # returns -Inf here; the odd-symmetric form stays finite
+    assert abs(r.ashn - math.asinh(-1e8)) < 1e-9
     assert abs(r.ach - math.acosh(2.0)) < 1e-12
     assert abs(r.ath - math.atanh(0.5)) < 1e-12
     assert r.hy == 5.0 and r.l1p == 0.0 and r.em1 == 0.0 and r.e2 == 1024
@@ -71,6 +75,7 @@ def test_w8_date_builders(spark):
             ch_expr("parseDateTimeBestEffort", F.lit("2026-08-14")).alias("p2"),
             ch_expr("parseDateTimeBestEffort", F.lit("14/08/2026 10:47:31")).alias("p3"),
             ch_expr("parseDateTimeBestEffort", F.lit("not a date")).alias("p4"),
+            ch_expr("parseDateTimeBestEffort", F.lit("14/08/2026")).alias("p5"),
         )
         .head()
     )
@@ -85,6 +90,9 @@ def test_w8_date_builders(spark):
     assert r.p2 == dt.datetime(2026, 8, 14, 0, 0, 0)
     assert r.p3 == dt.datetime(2026, 8, 14, 10, 47, 31)
     assert r.p4 is None
+    # date-only slash form uses the same DD/MM convention as the
+    # datetime slash form (CH best-effort reads slash dates as DD/MM)
+    assert r.p5 == dt.datetime(2026, 8, 14, 0, 0, 0)
 
 
 def test_w8_string_array_builders(spark):
@@ -183,7 +191,9 @@ def test_w8_map_json_url_builders(spark):
     assert r.ji == 42 and r.jf == 1.5 and r.jb is True
     assert r.fr == "frag"
     assert r.cf == "https://example.org/p/q?k=v&x=1"
-    assert r.cq == "https://example.org/p/q"
+    # cutQueryString preserves the fragment (CH semantics); only
+    # cutQueryStringAndFragment drops both
+    assert r.cq == "https://example.org/p/q#frag"
     assert r.cqf == "https://example.org/p/q"
     assert r.xp == "1"
     assert r.tf == 2 and r.tfd == -1

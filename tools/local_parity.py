@@ -27,15 +27,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as e  # noqa: E402
 from clickhouse_objects_analysis_spark.session import get_spark  # noqa: E402
-from tests.parity import _canon_cell, run_oracle  # noqa: E402
+from tests.parity import (  # noqa: E402
+    _canon_cell,
+    assert_driver_safe_schema,
+    run_oracle,
+)
 
 
 def frame_hash(pdf) -> str:
+    """Mirror the driver's canonicalizer: row-sort the frame across ALL
+    name-sorted columns before hashing.  The driver sorts the raw frame
+    with pandas ``sort_values``; any deterministic total order over
+    canonical cell renderings yields the same multiset hash, so we sort
+    fully-rendered rows (which also stays deterministic for cells the
+    raw sort could not compare).  Complex cells (list/dict) are rejected
+    upstream by ``assert_driver_safe_schema`` — the driver crashes on
+    them, so they must never reach this hash."""
     cols = sorted(pdf.columns)
+    rows = [
+        tuple(repr(_canon_cell(row[c])) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    rows.sort()
     h = hashlib.sha256()
-    for _, row in pdf[cols].iterrows():
-        for c in cols:
-            h.update(repr(_canon_cell(row[c])).encode())
+    for row in rows:
+        for cell in row:
+            h.update(cell.encode())
             h.update(b"\x1f")
         h.update(b"\x1e")
     return h.hexdigest()
@@ -60,7 +77,9 @@ def main() -> None:
             "err": None,
         }
         try:
-            spdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            assert_driver_safe_schema(sdf.schema, name)
+            spdf = sdf.toPandas()
             rec["spark_rows"] = len(spdf)
             if name in oracles:
                 opdf = run_oracle(oracles[name], sf_dir)

@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as e  # noqa: E402
 from clickhouse_objects_analysis_spark.session import get_spark  # noqa: E402
-from tests.parity import run_oracle  # noqa: E402
+from tests.parity import assert_driver_safe_schema, run_oracle  # noqa: E402
 from tools.local_parity import frame_hash  # noqa: E402
 
 
@@ -30,7 +30,14 @@ def main() -> None:
             failures += 1
             continue
         try:
-            sdf = qs[name](spark, sf_dir).toPandas()
+            df = qs[name](spark, sf_dir)
+            assert_driver_safe_schema(df.schema, name)
+            sdf = df.toPandas()
+            if name not in oracles:
+                # Deliberately non-SQL-expressible op → the driver runs a
+                # weaker rows-only check; mirror it instead of erroring.
+                print(f"{name}: rows-only, {len(sdf)} rows")
+                continue
             odf = run_oracle(oracles[name], sf_dir)
             ok_rows = len(sdf) == len(odf)
             ok_schema = sorted(sdf.columns) == sorted(odf.columns)
