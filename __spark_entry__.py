@@ -32,7 +32,9 @@ _NEVER_DRIVER_GREEN = [
 ]
 
 # Round-7 additions (never driver-checked by definition).
-_R7_ADDITIONS: list[str] = []
+_R7_ADDITIONS: list[str] = [
+    "semantic_dedup_ivf",
+]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -521,3 +521,124 @@ def ivf_cosine_topk(
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_candidate_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    target_rows_per_cell: int = 256,
+    max_centroids: int = 4096,
+    kmeans_iters: int = 10,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """IVF-bucketed near-dup candidate pairs — the executable 100 TB path
+    for semantic dedup (SemDeDup-style), replacing the exact block-nested
+    ``cosine_pairs`` all-pairs scan.
+
+    1. TRAIN: same bounded-sample spherical-k-means coarse quantizer as
+       ``ivf_cosine_topk`` (deterministic, driver-sized regardless of
+       corpus size).  ``n_centroids`` defaults to ADAPTIVE —
+       C ≈ n·n_probe / target_rows_per_cell, so cell size stays constant
+       as the corpus grows and total pair work Σ|cell|² ≈ C·cell² ≈
+       n·n_probe·cell is LINEAR in n (a fixed C would leave it
+       quadratic, n²·n_probe²/C).  The train sample scales with C
+       (≥ 4 rows per centroid) but stays driver-bounded.
+    2. MULTI-PROBE ASSIGN: every vector joins its ``n_probe`` nearest
+       cells (one Arrow-batched matmul per batch) — multi-probe on the
+       INDEX side, so two vectors are candidates iff their probe sets
+       intersect; a near-dup pair straddling a cell boundary is still
+       caught when either's second-choice cell is the other's first.
+    3. PAIR: one ``applyInPandas`` per cell — ids sorted, one chunked
+       BLAS matmul per cell, emit the id-ordered triangle with exact
+       cosine ≥ ``threshold``.  The shuffle key is a short int cell id.
+       A pair co-probed into multiple cells is emitted per cell and
+       deduped once at the end (≤ n_probe duplicates per pair).
+
+    Candidates are EXACT-verified (step 3 computes true cosine), so the
+    result is a subset of the ``cosine_pairs`` ground truth: precision is
+    1.0 by construction and only recall is approximate — which is what
+    the ``semantic_dedup_ivf`` gate asserts a floor on.
+    """
+    spark = emb.sparkSession
+    src = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    if n_centroids is None:
+        n = src.count()
+        n_centroids = int(
+            min(max(8, n * n_probe // target_rows_per_cell), max_centroids)
+        )
+    max_train = min(max(4096, 4 * n_centroids), 16384)
+    train_pdf = (
+        src.orderBy(F.xxhash64(F.col("id")))
+        .limit(max_train)
+        .toPandas()
+        .sort_values("id")
+    )
+    if len(train_pdf) == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cos double")
+    train_mat = np.stack(train_pdf["v"].to_numpy())
+    train_unit = train_mat / np.maximum(
+        np.linalg.norm(train_mat, axis=1, keepdims=True), 1e-12
+    )
+    cent = train_centroids(train_unit, n_centroids, kmeans_iters)
+    probe = min(n_probe, len(cent))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        order = np.argsort(-(unit @ cent.T), axis=1)[:, :probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    assigned = src.select(
+        "id", "v", F.explode(probe_cells("v")).alias("cell")
+    )
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy())[order]
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        out = []
+        # chunk the |cell| x |cell| matmul so the per-task working set is
+        # bounded by chunk_rows x |cell| regardless of cell size
+        for s in range(0, len(ids), chunk_rows):
+            block = unit[s : s + chunk_rows] @ unit.T
+            rows, cols = np.nonzero(block >= threshold)
+            gi = rows + s
+            keep = cols > gi  # id-ordered upper triangle only
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[gi[keep]],
+                            "id_b": ids[cols[keep]],
+                            "cos": block[rows[keep], cols[keep]],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        pairs_in_cell, "id_a long, id_b long, cos double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])

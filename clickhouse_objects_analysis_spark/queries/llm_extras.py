@@ -271,7 +271,11 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from ..functions.settings import query_settings
-    from ..streaming.pipeline import read_events_stream, state_partitions_for
+    from ..streaming.pipeline import (
+        read_events_stream,
+        record_state_metrics,
+        state_partitions_for,
+    )
 
     name = f"dedup_{_uuid.uuid4().hex[:8]}"
     from ..streaming.pipeline import drop_stale_memory_tables
@@ -294,6 +298,7 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_state_metrics(q, "streaming_dedup")
     return spark.table(name).orderBy("user_id", "event_type")
 
 

@@ -23,7 +23,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import connected_components_star
-from ..operators.similarity import cosine_pairs, cosine_topk
+from ..operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_candidate_pairs,
+)
 from .registry import query, tables
 
 #: Stopword set for the Gopher-style rule. The synthetic corpus draws
@@ -359,6 +363,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the (small) non-singleton component map onto the corpus."""
     e = tables(spark, sf_dir)["embeddings"]
     pairs = cosine_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return _dedup_labels(e, pairs)
+
+
+def _dedup_labels(e: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared SemDeDup tail: star-contraction components over a pair
+    set, then one broadcast join of the (small) non-singleton component
+    map onto the corpus for (canonical, cluster_size, keep)."""
     comp = connected_components_star(pairs, "id_a", "id_b")
     lab = e.select("vec_id").join(
         F.broadcast(
@@ -385,4 +396,63 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         )
         .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_ivf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF dedup pipeline end-to-end WITHOUT the exact-baseline
+    comparison — what actually runs at 100 TB, and what the scaling
+    sweep times (the registry's ``semantic_dedup_ivf`` gate query also
+    builds the quadratic exact pair set to assert recall, which would
+    drown the IVF path's exponent in brute-force time)."""
+    e = tables(spark, sf_dir)["embeddings"]
+    pairs = ivf_candidate_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return _dedup_labels(e, pairs)
+
+
+@query(
+    "semantic_dedup_ivf",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS pair_recall_ok,
+           TRUE AS no_false_pairs
+    FROM embeddings
+    """,
+)
+def semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup's 100 TB candidate path, executable (r6 verdict
+    directive #4): the same SemDeDup pair set, generated by the
+    IVF-bucketed ``ivf_candidate_pairs`` (adaptive centroid count →
+    constant cell size → LINEAR total pair work) instead of the exact
+    quadratic block-nested scan.
+
+    The candidate algorithm is not SQL-expressible, but with the seeded
+    deterministic k-means the achieved pair recall is a fixed number, so
+    — exactly like the ann_lsh/ann_ivf recall gates — the output is a
+    deterministic gate row vs the exact ``cosine_pairs`` ground truth:
+    measured recall 1.0 / 1.0 / 0.872 at sf0.001/0.01/0.1 (gate at
+    mean ≥ 0.8), and precision is 1.0 by construction (candidates are
+    exact-verified), asserted as no_false_pairs."""
+    e = tables(spark, sf_dir)["embeddings"]
+    exact = cosine_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    approx = ivf_candidate_pairs(
+        e, "vec_id", "embedding", threshold=0.4
+    ).select("id_a", "id_b")
+    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    false_p = approx.join(exact, ["id_a", "id_b"], "left_anti")
+    return (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(false_p.agg(F.count(F.lit(1)).alias("n_false")))
+        .select(
+            "n_vectors",
+            (
+                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1))
+                >= F.lit(0.8)
+            ).alias("pair_recall_ok"),
+            (F.col("n_false") == 0).alias("no_false_pairs"),
+        )
     )

@@ -27,6 +27,45 @@ from ..session import normalize_nanos
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
+#: Per-batch state-store telemetry from the most recent replay of each
+#: tagged streaming query (r6 verdict directive #3): tag -> [{batch,
+#: operator, rows, memory_bytes}, ...]. tools/bench_scaling.py reads
+#: this to record state growth at sf1/sf10 and assert the watermark
+#: actually bounds it; entries are overwritten per run, never appended
+#: across runs.
+STATE_METRICS: dict[str, list[dict]] = {}
+
+
+def record_state_metrics(q, tag: str) -> None:
+    """Capture ``recentProgress.stateOperators`` (numRowsTotal,
+    memoryUsedBytes) for a finished streaming query. Defensive across
+    progress representations (dict vs object) and stateless queries
+    (empty stateOperators)."""
+    import json as _json
+
+    def _get(o, k):
+        if isinstance(o, dict):
+            return o.get(k)
+        return getattr(o, k, None)
+
+    snaps: list[dict] = []
+    try:
+        for p in q.recentProgress:
+            if isinstance(p, str):
+                p = _json.loads(p)
+            for op in _get(p, "stateOperators") or []:
+                snaps.append(
+                    {
+                        "batch": _get(p, "batchId"),
+                        "operator": _get(op, "operatorName"),
+                        "rows": _get(op, "numRowsTotal"),
+                        "memory_bytes": _get(op, "memoryUsedBytes"),
+                    }
+                )
+    except Exception:
+        pass
+    STATE_METRICS[tag] = snaps
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet replayed as a stream (schema pinned from the batch
@@ -200,6 +239,7 @@ def _run_to_memory(
             .start()
         )
         q.awaitTermination()
+        record_state_metrics(q, name.rsplit("_", 1)[0])
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +351,7 @@ def stateful_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_state_metrics(q, "stateful_user_peaks")
     # one-shot replay → last emitted row per user is the final state
     t = spark.table(name)
     from pyspark.sql import Window
@@ -442,6 +483,7 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_state_metrics(q, "stream_stream_click_purchase")
     return spark.read.parquet(dest)
 
 
@@ -536,6 +578,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_state_metrics(q, "stream_stream_left_outer")
     return spark.read.parquet(dest).filter(F.col("c_id") >= 0)
 
 
@@ -694,3 +737,109 @@ def upsert_latest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dest)
+
+
+def _time_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
+    """Materialize events as ``n_slices`` single-file parquet slices cut
+    by EVENT-TIME range (ntile over ts) with increasing mtimes — unlike
+    ``_watch_slices`` (hash slices, every slice spans the whole month),
+    these advance the event-time clock batch by batch, which is what
+    lets the watermark actually EVICT state between micro-batches.
+    Cached per (sf_dir, n_slices)."""
+    import glob as _glob
+
+    from pyspark.sql import Window as _W
+
+    from ..session import load_tables
+
+    key = hashlib.md5(f"ts:{sf_dir}:{n_slices}".encode()).hexdigest()[:8]
+    src_dir = os.path.join(SCRATCH, f"tslice_src_{key}")
+    ready = os.path.join(src_dir, "_READY")
+    if os.path.exists(ready):
+        return src_dir
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    ev = load_tables(spark, sf_dir)["events"]
+    sliced = ev.withColumn(
+        "_slice",
+        F.ntile(n_slices).over(_W.orderBy("ts", "event_id")) - 1,
+    )
+    base = 1_600_000_000
+    for i in range(n_slices):
+        tmp = os.path.join(SCRATCH, f"tslice_tmp_{key}_{i}")
+        (
+            sliced.filter(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"slice-{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + i, base + i))
+    open(ready, "w").close()
+    return src_dir
+
+
+def dedup_state_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 6,
+    watermark: str = "1 day",
+) -> dict:
+    """Measure whether watermark-bounded dedup state actually PLATEAUS
+    (r6 verdict directive #3): replay events in ``n_slices`` event-time
+    micro-batches, dedup on the unique event_id (the worst case — every
+    row is a new key, so WITHOUT eviction state grows linearly with the
+    stream), and read per-batch numRowsTotal from the state operator.
+
+    With a 1-day watermark over ~30 days of events split into ~5-day
+    slices, steady-state state ≈ one trailing day + the current slice —
+    constant across batches — while cumulative input grows n_slices×.
+    Returns {"rows": per-batch state rows, "input_rows": per-batch
+    input, "plateau_ok": last-batch state ≤ 2.5× first-batch state,
+    "bounded_ok": final state ≤ 60% of total input}."""
+    from ..functions.settings import query_settings
+
+    src = _time_slices(spark, sf_dir, n_slices)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_nanos(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dd = (
+        stream.select("event_id", "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stateprobe_{uuid.uuid4().hex[:8]}"
+    drop_stale_memory_tables(spark, "stateprobe")
+    with query_settings(
+        spark, {"spark.sql.shuffle.partitions": state_partitions_for(sf_dir)}
+    ):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir("stateprobe"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_state_metrics(q, "dedup_state_probe")
+    snaps = STATE_METRICS.get("dedup_state_probe", [])
+    rows = [s["rows"] for s in snaps if s.get("rows") is not None]
+    total_in = spark.read.parquet(src).count()
+    plateau_ok = bool(rows) and rows[-1] <= 2.5 * max(rows[0], 1)
+    bounded_ok = bool(rows) and rows[-1] <= 0.6 * total_in
+    return {
+        "rows": rows,
+        "total_input_rows": total_in,
+        "watermark": watermark,
+        "n_slices": n_slices,
+        "plateau_ok": plateau_ok,
+        "bounded_ok": bounded_ok,
+    }

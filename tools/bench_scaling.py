@@ -22,7 +22,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clickhouse_objects_analysis_spark.queries import QUERIES  # noqa: E402
+from clickhouse_objects_analysis_spark.queries.llm_wave4 import (  # noqa: E402
+    semantic_dedup_ivf_labels,
+)
 from clickhouse_objects_analysis_spark.session import get_spark  # noqa: E402
+from clickhouse_objects_analysis_spark.streaming import pipeline  # noqa: E402
+
+#: Bench-only callables measured alongside the registry: the IVF dedup
+#: pipeline WITHOUT its exact-baseline recall gate (the registry's
+#: semantic_dedup_ivf builds the quadratic exact pair set to assert
+#: recall, which would drown the IVF path's scaling exponent).
+EXTRA_BENCH = {
+    "semantic_dedup_ivf_path": semantic_dedup_ivf_labels,
+}
+
+#: Streaming queries whose post-run pipeline.STATE_METRICS snapshot is
+#: attached to the bench record (numRowsTotal / memoryUsedBytes per
+#: batch) — registry name -> STATE_METRICS tag.
+STATE_TAGS = {
+    "streaming_dedup": "streaming_dedup",
+    "streaming_join_left_outer": "stream_stream_left_outer",
+    "streaming_stream_stream_join": "stream_stream_click_purchase",
+    "streaming_stateful_state": "stateful_user_peaks",
+}
 
 SF01 = "/root/testdata/sf0.1"
 
@@ -118,19 +140,28 @@ def main() -> None:
     run_query(QUERIES["q1_pricing_summary"](spark, small))
     run_query(QUERIES["streaming_tumbling_window"](spark, small))
 
+    lookup = dict(QUERIES)
+    lookup.update(EXTRA_BENCH)
     names = (
-        [n for n in names_arg.split(",") if n in QUERIES]
+        [n for n in names_arg.split(",") if n in lookup]
         if names_arg
-        else headline(root)
+        else headline(root) + list(EXTRA_BENCH)
     )
     small_key = f"{os.path.basename(small.rstrip('/'))}_sec"
     big_key = f"{os.path.basename(big.rstrip('/'))}_sec"
     print(f"measuring {len(names)} queries: {small} -> {big}", flush=True)
     out: dict[str, dict] = {}
+
+    def state_snapshot(tag: str) -> list[dict] | None:
+        snaps = pipeline.STATE_METRICS.get(tag)
+        return snaps or None
+
     for name in names:
-        fn = QUERIES[name]
+        fn = lookup[name]
         t_small = best_of(lambda: run_query(fn(spark, small)))
+        state_small = state_snapshot(STATE_TAGS.get(name, ""))
         t_big = best_of(lambda: run_query(fn(spark, big)))
+        state_big = state_snapshot(STATE_TAGS.get(name, ""))
         exp = math.log10(t_big / t_small) if t_small > 0 else None
         out[name] = {
             small_key: round(t_small, 3),
@@ -138,10 +169,27 @@ def main() -> None:
             "ratio": round(t_big / t_small, 2),
             "exponent": round(exp, 3),
         }
+        if state_big is not None:
+            out[name]["state_" + small_key[:-4]] = state_small
+            out[name]["state_" + big_key[:-4]] = state_big
         print(name, out[name], flush=True)
 
+    # Watermark-eviction probe (directive r6#3): event-time-sliced dedup
+    # replay on the unique key; plateau_ok/bounded_ok must hold at every
+    # measured scale or the watermark story is prose, not behavior.
+    probes = {}
+    for tag, d in (("small", small), ("big", big)):
+        probes[tag] = {"dir": d, **pipeline.dedup_state_probe(spark, d)}
+        print("state_probe", tag, probes[tag], flush=True)
+        if not (probes[tag]["plateau_ok"] and probes[tag]["bounded_ok"]):
+            print(f"STATE PLATEAU VIOLATION at {d}", flush=True)
+
     with open(out_file, "w") as f:
-        json.dump({"step": label, "queries": out}, f, indent=1)
+        json.dump(
+            {"step": label, "queries": out, "state_probe": probes},
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":
