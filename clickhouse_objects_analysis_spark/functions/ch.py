@@ -101,6 +101,23 @@ def _format_readable_size(c: Column) -> Column:
     return out
 
 
+def _format_readable_1000(c: Column, units: list[str], fmt: str) -> Column:
+    """Decimal-unit (1000-based) readable rendering shared by
+    formatReadableDecimalSize ('1.02 KB') and formatReadableQuantity
+    ('1.02 thousand'); two decimals like the CH originals."""
+    b = c.cast("double")
+    out = None
+    last = len(units) - 1
+    for i, unit in enumerate(units):
+        scale = 1000.0**i
+        cond = b < scale * 1000 if i != last else F.lit(True)
+        rendered = F.format_string(fmt, b / F.lit(scale), F.lit(unit))
+        out = F.when(cond, rendered) if out is None else out.when(
+            cond, rendered
+        )
+    return out
+
+
 _BAR_EIGHTHS = " ▏▎▍▌▋▊▉"
 
 
@@ -692,6 +709,33 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "isZeroOrNull": lambda c: F.coalesce(c == 0, F.lit(True)),
     "toNullable": lambda c: c,
     "murmurHash3_32": F.hash,  # same algorithm family, Spark seed 42
+    # --- round-7 wave 9 (translation-table audit fill-ins) ---
+    "addWeeks": lambda c, n: F.date_add(c, n * 7),
+    "subtractWeeks": lambda c, n: F.date_sub(c, n * 7),
+    "trunc": lambda c, n=0: CH_FUNCTIONS["truncate"](c, n),
+    "intExp10": lambda c: F.pow(F.lit(10), c).cast("long"),
+    # CH roundToExp2: 0 for x < 1, else the largest power of two <= x
+    "roundToExp2": lambda c: F.when(c < 1, F.lit(0)).otherwise(
+        F.pow(F.lit(2), F.floor(F.log2(c))).cast("long")
+    ),
+    # CH roundDown(x, arr): largest array element <= x, else arr[1]
+    "roundDown": lambda c, arr: F.coalesce(
+        F.array_max(F.filter(arr, lambda e: e <= c)), F.element_at(arr, 1)
+    ),
+    "leftPadUTF8": F.lpad,  # Spark strings are UTF-16: already safe
+    "rightPadUTF8": F.rpad,
+    "toDecimal64": lambda c, s: c.cast(f"decimal(18,{int(s)})"),
+    "toUnixTimestamp64Milli": F.unix_millis,
+    "fromUnixTimestamp64Milli": F.timestamp_millis,
+    "isNotDistinctFrom": lambda a, b: a.eqNullSafe(b),
+    # decimal-unit (1000) twin of formatReadableSize
+    "formatReadableDecimalSize": lambda c: _format_readable_1000(
+        c, ["B", "KB", "MB", "GB", "TB"], "%.2f %s"
+    ),
+    "formatReadableQuantity": lambda c: _format_readable_1000(
+        c, ["", " thousand", " million", " billion", " trillion"],
+        "%.2f%s",
+    ),
 }
 
 
