@@ -117,7 +117,12 @@ def _scan_plan_json(obj, relations: list[list[str]], cte_names: set[str]) -> Non
     serializes the ENTIRE tree (CTE bodies, expression-level subqueries
     included), so extraction is a pure-Python scan — the previous
     node-by-node Py4J traversal paid hundreds of JVM round trips per DDL
-    (~1 s each; this is ~10 ms)."""
+    (~1 s each; this is ~10 ms).
+
+    INSERT targets are write edges, not read edges (same stance as the
+    regex fallback and the reference), so the ``table`` field of an
+    InsertIntoStatement is skipped — its ``query`` subtree still scans,
+    keeping `INSERT INTO t SELECT … FROM src` → [src]."""
     if isinstance(obj, dict):
         cls = obj.get("class", "")
         if isinstance(cls, str) and cls.endswith(".UnresolvedRelation"):
@@ -132,8 +137,15 @@ def _scan_plan_json(obj, relations: list[list[str]], cte_names: set[str]) -> Non
                 name = cte.get("_1") if isinstance(cte, dict) else None
                 if isinstance(name, str):
                     cte_names.add(name)
-        for v in obj.values():
-            _scan_plan_json(v, relations, cte_names)
+        skip = (
+            {"table"}
+            if isinstance(cls, str)
+            and cls.endswith(".InsertIntoStatement")
+            else ()
+        )
+        for k, v in obj.items():
+            if k not in skip:
+                _scan_plan_json(v, relations, cte_names)
     elif isinstance(obj, list):
         for v in obj:
             _scan_plan_json(v, relations, cte_names)

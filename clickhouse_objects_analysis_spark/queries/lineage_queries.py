@@ -1059,6 +1059,160 @@ CH_DIALECT_DDLS: list[tuple[str, str, str, list[str]]] = [
            SELECT * FROM test.pt WHERE x = {p:UInt32}""",
         ["test.pt"],  # CH parameterized view: {p:UInt32} forces the fallback
     ),
+    # ---- round-7 grammar-family completeness (VERDICT r6 item 5):
+    # one entry per previously-untested DDL-reachable rule family of the
+    # reference grammar (ClickHouseParser.py:1361); the full family →
+    # corpus-id map lives in tests/test_lineage_ch_dialect.py
+    (
+        "test",
+        "t_proj_codec",
+        """CREATE TABLE test.t_proj_codec (
+             k UInt64 CODEC(Delta, ZSTD(3)),
+             v Float64 CODEC(Gorilla),
+             d Date DEFAULT today(),
+             m Float64 MATERIALIZED v * 2,
+             status Enum8('fresh FROM farm' = 1, 'stale' = 2),
+             INDEX idx_v v TYPE minmax GRANULARITY 4,
+             PROJECTION p_agg (SELECT k, sum(v) GROUP BY k),
+             PROJECTION p_ord (SELECT * ORDER BY v)
+           ) ENGINE = MergeTree ORDER BY k""",
+        [],  # projection SELECTs have no FROM; codec/enum args are safe
+    ),
+    (
+        "test",
+        "alter_add_projection",
+        """ALTER TABLE test.parts_t
+           ADD PROJECTION p_by_user (SELECT user, count() GROUP BY user)""",
+        [],  # ALTER target is a write edge; projection body reads itself
+    ),
+    (
+        "test",
+        "mv_ttl_to_volume",
+        """CREATE MATERIALIZED VIEW test.mv_ttl ENGINE = MergeTree
+           ORDER BY day TTL day + INTERVAL 30 DAY TO VOLUME 'cold',
+           day + INTERVAL 90 DAY DELETE
+           POPULATE AS SELECT toDate(ts) AS day, count() AS n
+           FROM test.raw_ttl GROUP BY day""",
+        ["test.raw_ttl"],
+    ),
+    (
+        "test",
+        "t_ttl_group_set",
+        """CREATE TABLE test.t_rollup (d Date, k UInt32, v Float64)
+           ENGINE = MergeTree PRIMARY KEY k ORDER BY (k, d)
+           TTL d + INTERVAL 1 MONTH GROUP BY k SET v = sum(v)""",
+        [],  # ttlSetExpr aggregates the table's own rows
+    ),
+    (
+        "test",
+        "optimize_dedup_by",
+        "OPTIMIZE TABLE test.parts_t PARTITION 202401 FINAL DEDUPLICATE BY k, ts",
+        [],  # maintenance statement: no read edge, like KILL/SYSTEM
+    ),
+    (
+        "test",
+        "t_uuid_cluster_sample_by",
+        """CREATE TABLE test.t_sharded
+           UUID '61f0c404-5cb3-11e7-907b-a6006ad3dba0'
+           ON CLUSTER main (id UInt64, u String)
+           ENGINE = MergeTree ORDER BY (id, cityHash64(u))
+           SAMPLE BY cityHash64(u)""",
+        [],  # uuidClause literal is masked; clusterClause adds no dep
+    ),
+    (
+        "test",
+        "v_top",
+        """CREATE VIEW test.v_top AS
+           SELECT TOP 5 user, count() AS n FROM test.ranked_src
+           GROUP BY user HAVING count() > 10""",
+        ["test.ranked_src"],
+    ),
+    (
+        "test",
+        "v_fill_from_trap",
+        """CREATE VIEW test.v_fill_from_trap AS
+           SELECT d, v FROM test.series
+           ORDER BY d WITH FILL FROM toDate('2024-01-01')
+                        TO toDate('2024-02-01') STEP 1
+           INTERPOLATE (v AS v + 1)""",
+        ["test.series"],  # `WITH FILL FROM toDate(` is a call, not a table
+    ),
+    (
+        "test",
+        "v_sample_ratio_offset",
+        """CREATE VIEW test.v_sample_ratio AS
+           SELECT id FROM test.hits SAMPLE 1/10 OFFSET 1/2 LIMIT 100""",
+        ["test.hits"],  # ratioExpr forms of sampleClause
+    ),
+    (
+        "test",
+        "v_named_window_frame",
+        """CREATE VIEW test.v_named_window_frame AS
+           SELECT user, sum(v) OVER w AS s
+           FROM test.win_src
+           WINDOW w AS (PARTITION BY user ORDER BY ts
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           SETTINGS max_threads = 1""",
+        ["test.win_src"],  # windowExpr/winFrame* under the CH fallback
+    ),
+    (
+        "test",
+        "dict_range_hashed",
+        """CREATE DICTIONARY test.rates_dict
+           (cur String, start Date, end Date, rate Float64)
+           PRIMARY KEY cur
+           SOURCE(CLICKHOUSE(TABLE 'rates' DB 'refdata'))
+           LIFETIME(MIN 300 MAX 600)
+           LAYOUT(RANGE_HASHED())
+           RANGE(MIN start MAX end)
+           SETTINGS(max_threads = 2)""",
+        ["refdata.rates"],  # rangeClause + lifetimeClause + layoutClause
+    ),
+    (
+        "test",
+        "script_check_exists",
+        """SET max_threads = 4;
+           CHECK TABLE test.maybe_broken;
+           EXISTS TABLE test.maybe_missing;
+           SELECT id FROM test.live_src SETTINGS max_threads = 1""",
+        ["test.live_src"],  # check/exists are probes, not read edges
+    ),
+    (
+        "test",
+        "script_ddl_then_watch",
+        """CREATE LIVE VIEW test.lv_script AS
+           SELECT count() FROM test.src_lv;
+           WATCH test.lv_script EVENTS LIMIT 3""",
+        ["test.lv_script", "test.src_lv"],  # watchStmt inside a DDL script
+    ),
+    (
+        "test",
+        "explain_pipeline",
+        "EXPLAIN PIPELINE SELECT id FROM test.q_src",
+        ["test.q_src"],
+    ),
+    (
+        "test",
+        "insert_values_trap",
+        """INSERT INTO test.sink (id, note)
+           VALUES (1, 'copied FROM legacy.t by hand'), (2, 'plain')""",
+        [],  # VALUES literals are masked; INSERT target is a write edge
+    ),
+    (
+        "test",
+        "alter_update_in_partition",
+        """ALTER TABLE test.big_t UPDATE flag = 0 IN PARTITION 202401
+           WHERE id IN (SELECT id FROM test.stale_ids)""",
+        ["test.stale_ids"],  # inPartitionClause around a read subquery
+    ),
+    (
+        "test",
+        "v_columns_except",
+        """CREATE VIEW test.v_columns_except AS
+           SELECT * EXCEPT (secret_col) FROM test.wide_t
+           SETTINGS max_threads = 1""",
+        ["test.wide_t"],  # columnExceptExpr under the CH fallback
+    ),
 ]
 
 CH_DIALECT_EDGES: list[tuple[str, str]] = sorted(

@@ -83,3 +83,106 @@ def test_distributed_regex_agrees(spark, catalog):
     assert sorted((r.view, r.dep) for r in rows) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def _mixed_catalog(n: int, ch_every: int = 3) -> list[tuple[str, str, str]]:
+    """A catalog where every ``ch_every``-th view is CH-only dialect
+    (PREWHERE + SETTINGS → Spark's parser rejects it) — the injected
+    parse-failure storm for the crossover test. The rest stay
+    Spark-parseable."""
+    views = []
+    for i in range(n):
+        if i % ch_every == 0:
+            ddl = (
+                f"CREATE VIEW cat.x_{i:04d} AS "
+                f"SELECT id FROM cat.t_{i % 50} PREWHERE sign > 0 "
+                f"SETTINGS max_threads = 1"
+            )
+            views.append(("cat", f"x_{i:04d}", ddl))
+        else:
+            ddl = (
+                f"CREATE VIEW cat.x_{i:04d} AS "
+                f"SELECT a.id, b.name FROM cat.t_{i % 50} a "
+                f"JOIN cat.dim_{i % 7} b ON a.k = b.k "
+                f"WHERE a.id IN (SELECT id FROM cat.allow_{i % 3})"
+            )
+            views.append(("cat", f"x_{i:04d}", ddl))
+    return views
+
+
+def test_fallback_crossover_degrades_per_view(spark):
+    """VERDICT r6 item 8: under a storm of parse failures (every 3rd
+    view CH-only), the exact path must degrade PER VIEW — rejected DDLs
+    come back with method='regex' and correct edges, while every
+    parseable neighbour keeps its parse-grade 'exact' marker. A
+    wholesale fallback (all-regex) or a dropped view fails here."""
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        view_dependencies_with_method,
+    )
+
+    n = 300
+    edges, errors = view_dependencies_with_method(spark, _mixed_catalog(n))
+    assert errors.count() == 0
+    rows = edges.collect()
+    methods: dict[str, set] = {}
+    deps: dict[str, set] = {}
+    for r in rows:
+        methods.setdefault(r.view, set()).add(r.method)
+        deps.setdefault(r.view, set()).add(r.dep)
+    assert len(methods) == n  # no view dropped
+    for i in range(n):
+        view = f"cat.x_{i:04d}"
+        if i % 3 == 0:
+            assert methods[view] == {"regex"}, (view, methods[view])
+            assert deps[view] == {f"cat.t_{i % 50}"}
+        else:
+            assert methods[view] == {"exact"}, (view, methods[view])
+            assert deps[view] == {
+                f"cat.t_{i % 50}", f"cat.dim_{i % 7}", f"cat.allow_{i % 3}"
+            }
+
+
+def test_1k_mixed_fidelity_ratio_recorded(spark):
+    """Per-edge fidelity ratio for the 1k-view mixed run, recorded to
+    LINEAGE_FIDELITY.json at the repo root (the artifact the directive
+    asks for): with 1/3 of views CH-only, exact edges = 2/3·n·3 and
+    regex edges = 1/3·n·1 → exact ratio 6/7 ≈ 0.857, deterministic."""
+    import json
+    import os
+    import time as _time
+
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        view_dependencies_with_method,
+    )
+
+    import pyspark.sql.functions as F
+
+    n = 1000
+    t0 = _time.perf_counter()
+    edges, errors = view_dependencies_with_method(spark, _mixed_catalog(n))
+    counts = {
+        r["method"]: r["cnt"]
+        for r in edges.groupBy("method")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    elapsed = _time.perf_counter() - t0
+    assert errors.count() == 0
+    exact, regex = counts.get("exact", 0), counts.get("regex", 0)
+    n_ch = len(range(0, n, 3))  # 334 CH-dialect views
+    assert regex == n_ch  # 1 dep each
+    assert exact == (n - n_ch) * 3  # 3 deps each
+    ratio = exact / (exact + regex)
+    assert 0.85 < ratio < 0.87, counts
+    out = {
+        "views": n,
+        "ch_dialect_share": round(1 / 3, 4),
+        "edges_exact": exact,
+        "edges_regex": regex,
+        "edge_fidelity_ratio": round(ratio, 4),
+        "elapsed_sec": round(elapsed, 2),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "LINEAGE_FIDELITY.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    assert elapsed < 30, f"1k-view mixed extraction took {elapsed:.1f}s"
