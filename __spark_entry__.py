@@ -34,6 +34,9 @@ _NEVER_DRIVER_GREEN = [
 # Round-7 additions (never driver-checked by definition).
 _R7_ADDITIONS: list[str] = [
     "semantic_dedup_ivf",
+    "skew_kurt_samp",
+    "covar_pop_matrix",
+    "ch_r7_function_surface",
 ]
 
 

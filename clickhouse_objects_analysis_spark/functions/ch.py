@@ -736,6 +736,60 @@ CH_FUNCTIONS: dict[str, Builder] = {
         c, ["", " thousand", " million", " billion", " trillion"],
         "%.2f%s",
     ),
+    # --- round-7 wave 9b (audit "unclaimed trivial" harvest) ---
+    "positiveModulo": F.pmod,
+    "makeDate": F.make_date,
+    "makeDateTime": lambda y, mo, d, h, mi, s: F.make_timestamp(
+        y, mo, d, h, mi, s
+    ),
+    "monthsBetween": F.months_between,
+    "width_bucket": F.width_bucket,
+    "JSONArrayLength": F.json_array_length,
+    "toJSONString": F.to_json,
+    "arrayUnion": lambda a, b: F.array_union(a, b),
+    "clamp": lambda x, lo, hi: F.greatest(F.least(x, hi), lo),
+    "domainWithoutWWW": lambda c: F.regexp_replace(
+        F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")),
+        r"^www\.", ""
+    ),
+    "cutWWW": lambda c: F.regexp_replace(c, r"//www\.", "//"),
+    "pathFull": lambda c: F.concat(
+        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")),
+        F.coalesce(
+            F.concat(F.lit("?"), F.parse_url(c, F.lit("QUERY"))), F.lit("")
+        ),
+    ),
+    "queryStringAndFragment": lambda c: F.concat(
+        F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")),
+        F.coalesce(
+            F.concat(F.lit("#"), F.parse_url(c, F.lit("REF"))), F.lit("")
+        ),
+    ),
+    "isIPv4String": lambda c: c.rlike(
+        r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+    ),
+    "isIPv6String": lambda c: c.rlike(r"^[0-9A-Fa-f:]+$")
+    & (F.length(c) - F.length(F.replace(c, F.lit(":"), F.lit(""))) >= 2),
+    "firstLine": lambda c: F.element_at(F.split(c, r"\r?\n", 2), 1),
+    "appendTrailingCharIfAbsent": lambda c, ch: F.when(
+        c.endswith(ch), c
+    ).otherwise(F.concat(c, ch if isinstance(ch, Column) else F.lit(ch))),
+    "toBool": lambda c: c.cast("boolean"),
+    "dateSub": lambda unit, n, c: F.timestamp_add(unit, -n, c),
+    "timestampAdd": lambda unit, n, c: F.timestamp_add(unit, n, c),
+    "timestampSub": lambda unit, n, c: F.timestamp_add(unit, -n, c),
+    # unit must be a Python literal (date_trunc's JVM signature)
+    "date_trunc": lambda unit, c: F.date_trunc(_literal_sep(unit), c),
+    "toYYYYMMDDhhmmss": lambda c: F.date_format(
+        c, "yyyyMMddHHmmss"
+    ).cast("long"),
+    # CH default mode: week ends Sunday; idempotent on a Sunday input
+    "toLastDayOfWeek": lambda c: F.next_day(F.date_sub(c, 1), "Sun"),
+    "SHA1": F.sha1,
+    "SHA224": lambda c: F.sha2(c, 224),
+    "SHA512": lambda c: F.sha2(c, 512),
+    "accurateCastOrDefault": lambda c, t, d: F.coalesce(c.try_cast(t), d),
 }
 
 

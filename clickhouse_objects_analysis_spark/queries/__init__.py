@@ -41,5 +41,6 @@ from . import types_surface  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import r6_wave  # noqa: E402,F401
 from . import r6_wave2  # noqa: E402,F401
+from . import r7_wave  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
