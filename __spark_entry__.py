@@ -37,6 +37,7 @@ _R7_ADDITIONS: list[str] = [
     "skew_kurt_samp",
     "covar_pop_matrix",
     "ch_r7_function_surface",
+    "dsir_importance_weights",
 ]
 
 

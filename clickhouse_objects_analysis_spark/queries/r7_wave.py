@@ -289,3 +289,141 @@ def ch_r7_function_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch_expr("toBool", F.col("event_id") % 2).alias("tb"),
         ch_expr("trunc", F.col("value"), 1).alias("tr"),
     ).orderBy("eid")
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tgt AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
+    raw AS (SELECT doc_id, text FROM documents
+            WHERE source NOT IN ('src0','src1')),
+    tw AS (SELECT unnest(string_split(text, ' ')) AS w FROM tgt),
+    rw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM raw),
+    tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS t FROM tw GROUP BY w),
+    rc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM rw GROUP BY w),
+    vocab AS (SELECT w FROM tc UNION SELECT w FROM rc),
+    freq AS (
+        SELECT v.w, COALESCE(tc.t, 0) + 1 AS tp, COALESCE(rc.r, 0) + 1 AS rp
+        FROM vocab v LEFT JOIN tc ON v.w = tc.w LEFT JOIN rc ON v.w = rc.w
+    ),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tw) AS T,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rw) AS R,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS V
+    ),
+    per_doc AS (
+        SELECT rw.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               list_sort(list([f.tp, f.rp])) AS pairs
+        FROM rw JOIN freq f ON rw.w = f.w
+        GROUP BY rw.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, n_words,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(pairs, x -> ln(x[1]) - ln(x[2]))),
+                   (a, b) -> a + b)
+               + n_words * (ln(CAST(R + V AS DOUBLE))
+                            - ln(CAST(T + V AS DOUBLE))) AS w_raw
+        FROM per_doc, tot
+    ),
+    ranked AS (
+        SELECT doc_id, n_words, w_raw,
+               row_number() OVER (ORDER BY w_raw DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, n_words,
+           ROUND(w_raw, 6) AS log_importance,
+           CAST(CASE WHEN rnk <= 50 THEN 1 ELSE 0 END AS INT) AS selected
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    at the unigram-feature baseline: score every raw-pool document by
+    the add-1-smoothed log importance ratio Σ_w [ln p_target(w) −
+    ln p_raw(w)], target = the src0/src1 slice, then deterministically
+    keep the top 50 (the resampling step with a fixed quota instead of
+    Gumbel noise, so both engines agree exactly).
+
+    Float discipline: per-word inputs are the exact integer pairs
+    (t_w+1, r_w+1); each doc folds ln-differences over the
+    lexicographically sorted pair list — identical addition order in
+    both engines (the unigram_logprob_quality convention) — plus one
+    closed-form n_words·(ln(R+V) − ln(T+V)) term.
+
+    100 TB: two map-side-combined word counts, a vocabulary-sized
+    broadcast join onto the exploded word stream, one groupBy(doc_id).
+    The quota rank is the only global stage and it runs on doc-level
+    rows, not words; at real scale it becomes the documented
+    dist_rank/top-k path."""
+    d = tables(spark, sf_dir)["documents"]
+    is_tgt = F.col("source").isin("src0", "src1")
+    tgt_words = d.filter(is_tgt).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    raw_words = d.filter(~is_tgt).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tc = tgt_words.groupBy("w").agg(F.count(F.lit(1)).alias("t"))
+    rc = raw_words.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    freq = (
+        tc.join(rc, "w", "full")
+        .select(
+            "w",
+            (F.coalesce(F.col("t"), F.lit(0)) + 1).alias("tp"),
+            (F.coalesce(F.col("r"), F.lit(0)) + 1).alias("rp"),
+        )
+    )
+    tot = (
+        tgt_words.agg(F.count(F.lit(1)).cast("long").alias("T"))
+        .crossJoin(raw_words.agg(F.count(F.lit(1)).cast("long").alias("R")))
+        .crossJoin(freq.agg(F.count(F.lit(1)).cast("long").alias("V")))
+    )
+    per_doc = (
+        raw_words.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.array_sort(
+                F.collect_list(F.array(F.col("tp"), F.col("rp")))
+            ).alias("pairs"),
+        )
+    )
+    scored = per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_words",
+        (
+            F.aggregate(
+                F.transform(
+                    "pairs",
+                    lambda x: F.log(x[0].cast("double"))
+                    - F.log(x[1].cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.col("n_words")
+            * (
+                F.log((F.col("R") + F.col("V")).cast("double"))
+                - F.log((F.col("T") + F.col("V")).cast("double"))
+            )
+        ).alias("w_raw"),
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("w_raw").desc(), "doc_id")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("w_raw", 6).alias("log_importance"),
+            F.when(F.col("rnk") <= 50, 1).otherwise(0).cast("int")
+            .alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
