@@ -99,11 +99,12 @@ def main() -> None:
     calibration = cal_best(50_000_000, 3)
     # The 50M figure lands at ~0.3-0.6 s, where fresh-process best-of-3
     # still swings ±25% (measured r7: 0.329 / 0.414 / 0.499 across three
-    # JVMs) — too noisy to resolve host factors under ~1.3x. The 400M
-    # variant runs ~8x longer, shrinking relative noise accordingly; use
-    # THIS one for round-over-round normalization from r7 on (the short
-    # one stays for continuity with the r6 record).
-    calibration_long = cal_best(400_000_000, 3)
+    # JVMs) — job-overhead-dominated, too noisy to resolve host factors
+    # under ~1.3x. 8B rows is compute-dominated and measured ±1% within
+    # a JVM (5.571/5.504/5.498); use THIS one for round-over-round
+    # normalization from r7 on (the short one stays for continuity with
+    # the r6 record).
+    calibration_long = cal_best(8_000_000_000, 3)
 
     # Best-of-N per query (default 2): single-shot timings on this host
     # show rare multi-second spikes (JVM GC / virtualization jitter) that
