@@ -38,6 +38,7 @@ _R7_ADDITIONS: list[str] = [
     "covar_pop_matrix",
     "ch_r7_function_surface",
     "dsir_importance_weights",
+    "ch_r7_function_surface_2",
 ]
 
 

@@ -41,6 +41,7 @@ NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
         "uniqCombined64",  # → Spark HLL++
         "quantileTDigest",  # → Spark percentile_approx (KLL-style sketch)
         "murmurHash3_32",  # same algorithm, different seed (Spark 42, CH 0)
+        "URLHash",  # → xxhash64 of the trail-stripped URL
     }
 )
 
@@ -137,6 +138,126 @@ def _bar(x: Column, mn, mx, width) -> Column:
         F.substring(F.lit(_BAR_EIGHTHS), rem + 1, 1)
     )
     return F.concat(F.repeat(F.lit("█"), full), partial)
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Double-typed left fold Σ over an array column."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _l1_norm(c: Column) -> Column:
+    return _fold_sum(F.transform(c, lambda x: F.abs(x.cast("double"))))
+
+
+def _l2_norm(c: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(c, lambda x: x * x)))
+
+
+def _ipv4_string_to_num(c: Column) -> Column:
+    """Dotted-quad → integer; BIGINT holds the full uint32 range exactly
+    (the catalog's earlier 'would overflow-differ' concern only applies
+    to 32-bit signed targets)."""
+    return F.aggregate(
+        F.transform(F.split(c, r"\."), lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 256 + x,
+    )
+
+
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+)
+
+#: One-hot bit masks for long columns, index i = bit i; bit 63 is the
+#: sign-bit mask (Python 1<<63 would overflow a signed-long literal).
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _bit_masks_col() -> Column:
+    return F.array(*[F.lit(m) for m in _BIT_MASKS])
+
+
+def _rot_n(n) -> int:
+    if isinstance(n, Column):
+        raise TypeError("bitRotate amount must be a literal int")
+    return int(n) % 64
+
+
+def _array_reduce(agg_name, arr: Column) -> Column:
+    """ClickHouse ``arrayReduce('agg', arr)``: runtime-named aggregate
+    over an array. The name must be a Python literal; the common
+    aggregate set is dispatched to typed HOF folds (sum/avg run in
+    double like CH's Float64 result for non-integer accumulators)."""
+    name = _literal_sep(agg_name)
+    dispatch: dict[str, Callable[[Column], Column]] = {
+        "sum": _fold_sum,
+        "min": F.array_min,
+        "max": F.array_max,
+        "count": lambda c: F.size(c).cast("long"),
+        "avg": lambda c: _fold_sum(c) / F.size(c),
+        "any": lambda c: F.element_at(c, 1),
+        "anyLast": lambda c: F.element_at(c, -1),
+        "groupArray": lambda c: c,
+        "uniqExact": lambda c: F.size(F.array_distinct(c)).cast("long"),
+    }
+    if name not in dispatch:
+        raise KeyError(
+            f"arrayReduce: unsupported aggregate {name!r}; "
+            f"supported: {sorted(dispatch)}"
+        )
+    return dispatch[name](arr)
+
+
+def _url_hierarchy(c: Column) -> Column:
+    """ClickHouse ``URLHierarchy``: growing URL prefixes cut at path
+    boundaries — ['https://h/', 'https://h/a/', 'https://h/a/b'] for
+    https://h/a/b (intermediate entries keep the trailing slash, the
+    full path does not; query-string steps are not emitted — documented
+    simplification of the CH cut-at-?-too behavior)."""
+    base = F.regexp_extract(c, r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1)
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    parts = F.filter(
+        F.split(F.regexp_replace(path, "^/", ""), "/"),
+        lambda x: x != "",
+    )
+    n = F.size(parts)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            base,
+            F.lit("/"),
+            F.array_join(F.slice(parts, 1, i), "/"),
+            F.when(i < n, F.lit("/")).otherwise(F.lit("")),
+        ),
+    )
+    root = F.array(F.concat(base, F.lit("/")))
+    return (
+        F.when(base == "", F.array().cast("array<string>"))
+        .when(n == 0, root)
+        .otherwise(F.concat(root, prefixes))
+    )
+
+
+def _url_path_hierarchy(c: Column) -> Column:
+    """Path-only twin of ``URLHierarchy``: ['/a/', '/a/b'] for
+    https://h/a/b — no protocol/host, empty array for an empty path."""
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    parts = F.filter(
+        F.split(F.regexp_replace(path, "^/", ""), "/"),
+        lambda x: x != "",
+    )
+    n = F.size(parts)
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.lit("/"),
+                F.array_join(F.slice(parts, 1, i), "/"),
+                F.when(i < n, F.lit("/")).otherwise(F.lit("")),
+            ),
+        )
+    )
 
 
 CH_FUNCTIONS: dict[str, Builder] = {
@@ -790,6 +911,220 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "SHA224": lambda c: F.sha2(c, 224),
     "SHA512": lambda c: F.sha2(c, 512),
     "accurateCastOrDefault": lambda c, t, d: F.coalesce(c.try_cast(t), d),
+    # --- round-7 wave 10: vector norms / distances (scalar forms of the
+    # operators/similarity.py folds; general-p included) ---
+    "L2SquaredNorm": lambda c: _fold_sum(F.transform(c, lambda x: x * x)),
+    "LpNorm": lambda c, p: F.pow(
+        _fold_sum(
+            F.transform(c, lambda x: F.pow(F.abs(x.cast("double")), float(p)))
+        ),
+        1.0 / float(p),
+    ),
+    "LpDistance": lambda a, b, p: CH_FUNCTIONS["LpNorm"](
+        F.zip_with(a, b, lambda x, y: x - y), p
+    ),
+    "L1Normalize": lambda c: F.transform(
+        c, lambda x: x.cast("double") / _l1_norm(c)
+    ),
+    "L2Normalize": lambda c: F.transform(
+        c, lambda x: x.cast("double") / _l2_norm(c)
+    ),
+    # --- round-7 wave 10: IPv4 / MAC / UUID conversions ---
+    "IPv4StringToNum": _ipv4_string_to_num,
+    "IPv4StringToNumOrNull": lambda c: F.when(
+        c.rlike(_IPV4_RE), _ipv4_string_to_num(c)
+    ),
+    "IPv4NumToStringClassC": lambda c: F.concat_ws(
+        ".",
+        F.shiftright(c, 24).bitwiseAND(255).cast("string"),
+        F.shiftright(c, 16).bitwiseAND(255).cast("string"),
+        F.shiftright(c, 8).bitwiseAND(255).cast("string"),
+        F.lit("xxx"),
+    ),
+    # CH returns the IPv6 binary; rendered here as the canonical
+    # IPv4-mapped text form ('::ffff:a.b.c.d') — the string Spark-side
+    # IPv6 story supports (no 128-bit binary type)
+    "IPv4ToIPv6": lambda c: F.concat(
+        F.lit("::ffff:"), CH_FUNCTIONS["IPv4NumToString"](c)
+    ),
+    # (lo, hi) of the prefix-masked block, dotted-quad rendered; exact
+    # long-int mask math, no float
+    "IPv4CIDRToRange": lambda c, p: F.struct(
+        CH_FUNCTIONS["IPv4NumToString"](
+            c.bitwiseAND(F.lit(-(1 << (32 - int(p))) & 0xFFFFFFFF))
+        ).alias("lo"),
+        CH_FUNCTIONS["IPv4NumToString"](
+            c.bitwiseOR(F.lit((1 << (32 - int(p))) - 1))
+        ).alias("hi"),
+    ),
+    "isIPAddressInRange": lambda c, cidr: (
+        lambda ip, pfx: (
+            _ipv4_string_to_num(c).bitwiseAND(
+                F.lit(-(1 << (32 - pfx)) & 0xFFFFFFFF)
+            )
+            == _ipv4_string_to_num(F.lit(ip)).bitwiseAND(
+                F.lit(-(1 << (32 - pfx)) & 0xFFFFFFFF)
+            )
+        )
+    )(*(lambda s: (s[0], int(s[1])))(_literal_sep(cidr).split("/"))),
+    "MACNumToString": lambda c: F.lower(
+        F.concat_ws(
+            ":",
+            *[
+                F.lpad(
+                    F.hex(F.shiftright(c, b).bitwiseAND(255)), 2, "0"
+                )
+                for b in (40, 32, 24, 16, 8, 0)
+            ],
+        )
+    ),
+    "MACStringToNum": lambda c: F.conv(
+        F.replace(c, F.lit(":"), F.lit("")), 16, 10
+    ).cast("long"),
+    "MACStringToOUI": lambda c: F.conv(
+        F.substring(F.replace(c, F.lit(":"), F.lit("")), 1, 6), 16, 10
+    ).cast("long"),
+    "UUIDStringToNum": lambda c: F.unhex(
+        F.replace(c, F.lit("-"), F.lit(""))
+    ),
+    "UUIDNumToString": lambda c: F.lower(
+        F.concat_ws(
+            "-",
+            F.substring(F.hex(c), 1, 8),
+            F.substring(F.hex(c), 9, 4),
+            F.substring(F.hex(c), 13, 4),
+            F.substring(F.hex(c), 17, 4),
+            F.substring(F.hex(c), 21, 12),
+        )
+    ),
+    # --- round-7 wave 10: bit surface ---
+    "bitHammingDistance": lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+    # 64-bit rotates (CH rotates at the input's width; we standardize on
+    # UInt64 — the long cast matters: shifts on int columns wrap at 32)
+    "bitRotateLeft": lambda c, n: F.shiftleft(
+        c.cast("long"), _rot_n(n)
+    ).bitwiseOR(F.shiftrightunsigned(c.cast("long"), (64 - _rot_n(n)) % 64)),
+    "bitRotateRight": lambda c, n: F.shiftrightunsigned(
+        c.cast("long"), _rot_n(n)
+    ).bitwiseOR(F.shiftleft(c.cast("long"), (64 - _rot_n(n)) % 64)),
+    "bitTestAll": lambda c, *pos: F.lit(True)
+    if not pos
+    else F.aggregate(
+        F.array(*[F.lit(int(p)) for p in pos]),
+        F.lit(True),
+        lambda acc, i: acc
+        & (
+            c.bitwiseAND(F.element_at(_bit_masks_col(), i + 1))
+            != 0
+        ),
+    ),
+    "bitTestAny": lambda c, *pos: F.lit(False)
+    if not pos
+    else F.aggregate(
+        F.array(*[F.lit(int(p)) for p in pos]),
+        F.lit(False),
+        lambda acc, i: acc
+        | (
+            c.bitwiseAND(F.element_at(_bit_masks_col(), i + 1))
+            != 0
+        ),
+    ),
+    # set-bit positions ascending; bit 63 tested via the sign-bit mask
+    # (shift amounts can't be Columns in Spark, masks can)
+    "bitPositionsToArray": lambda c: F.filter(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: c.bitwiseAND(F.element_at(_bit_masks_col(), i + 1)) != 0,
+    ),
+    # --- round-7 wave 10: arrays ---
+    "arrayCumSumNonNegative": lambda c: F.slice(
+        F.aggregate(
+            c,
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1)), F.lit(0.0)
+                        )
+                        + x,
+                    )
+                ),
+            ),
+        ),
+        1,
+        F.size(c),
+    ),
+    "arrayLastIndex": lambda f, c: F.coalesce(
+        F.try_element_at(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.size(c), F.lit(1))),
+                lambda i: (i <= F.size(c)) & f(F.element_at(c, i)),
+            ),
+            F.lit(-1),
+        ),
+        F.lit(0),
+    ).cast("long"),
+    # CH contract: first `limit` cells sorted ascending, tail order
+    # unspecified — a full sort satisfies it (documented: we return the
+    # fully sorted array, a legal instance of the unspecified tail)
+    "arrayPartialSort": lambda limit, c: F.sort_array(c),
+    "arrayShiftLeft": lambda c, n, fill=None: F.concat(
+        F.slice(
+            c,
+            F.least(F.lit(int(n)) + 1, F.size(c) + 1),
+            F.greatest(F.size(c) - int(n), F.lit(0)),
+        ),
+        F.array_repeat(
+            F.lit(0) if fill is None else fill,
+            F.least(F.lit(int(n)), F.size(c)),
+        ),
+    ),
+    "arrayShiftRight": lambda c, n, fill=None: F.concat(
+        F.array_repeat(
+            F.lit(0) if fill is None else fill,
+            F.least(F.lit(int(n)), F.size(c)),
+        ),
+        F.slice(c, 1, F.greatest(F.size(c) - int(n), F.lit(0))),
+    ),
+    "arrayReduce": _array_reduce,
+    # nondeterministic on both engines — never route through an oracle
+    "arrayShuffle": F.shuffle,
+    "arrayRandomSample": lambda c, k: F.slice(F.shuffle(c), 1, int(k)),
+    # --- round-7 wave 10: strings / tokens ---
+    "alphaTokens": lambda c: F.filter(
+        F.split(c, "[^A-Za-z]+"), lambda x: x != ""
+    ),
+    # --- round-7 wave 10: JSON (SQL/JSON entry points + UInt widths;
+    # same missing→NULL convention as the existing Extract family,
+    # documented delta vs CH's 0-default) ---
+    "JSON_VALUE": lambda c, p: F.get_json_object(c, _literal_sep(p)),
+    "JSON_QUERY": lambda c, p: F.get_json_object(c, _literal_sep(p)),
+    "JSON_EXISTS": lambda c, p: F.get_json_object(
+        c, _literal_sep(p)
+    ).isNotNull(),
+    # unsigned: negative parses are NOT a UInt → NULL (missing→NULL
+    # convention as above)
+    "JSONExtractUInt": lambda c, k: (
+        lambda v: F.when(v >= 0, v)
+    )(F.get_json_object(c, f"$.{k}").try_cast("long")),
+    "simpleJSONExtractUInt": lambda c, k: CH_FUNCTIONS["JSONExtractUInt"](
+        c, k
+    ),
+    "simpleJSONHas": lambda c, k: F.get_json_object(
+        c, f"$.{k}"
+    ).isNotNull(),
+    # --- round-7 wave 10: URL hierarchy + misc ---
+    "URLHierarchy": _url_hierarchy,
+    "URLPathHierarchy": _url_path_hierarchy,
+    # trailing '/' or '#' stripped then hashed; xxhash64 stands in for
+    # CH's internal hash (NON_BIT_COMPATIBLE)
+    "URLHash": lambda c: F.xxhash64(F.regexp_replace(c, "[/#]$", "")),
+    "UTCTimestamp": lambda: F.current_timestamp(),
+    "accurateCast": lambda c, t: c.cast(_literal_sep(t)),
+    "accurateCastOrNull": lambda c, t: c.try_cast(_literal_sep(t)),
+    "toIPv4": _ipv4_string_to_num,
 }
 
 

@@ -1,0 +1,181 @@
+"""Round-7 wave-10 surface query: the new translation-table names
+(functions/ch.py wave 10 — IPv4/MAC/UUID conversions, 64-bit bit
+surface, array shifts, alphaTokens, SQL/JSON entry points, URL
+hierarchy generators, vector norms) exercised end-to-end over real
+rows against DuckDB construction twins.
+
+Convention (same as ch_r7_function_surface): the oracle CONSTRUCTS the
+expected value from the same base columns with plain arithmetic/string
+SQL — never by re-implementing the function — so the check is a
+two-sided derivation. Array-producing names are rendered through
+array_join before leaving the query (driver-canonicalizer rule:
+no top-level array/map/struct output columns).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.ch import ch_expr
+from .registry import query, tables
+
+
+@query(
+    "ch_r7_function_surface_2",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, value, event_type, props,
+               (user_id % 200) * 16777216 + (event_id % 256) * 65536
+                   + 3 * 256 + 4 AS ipn,
+               md5(CAST(event_id AS VARCHAR)) AS h
+        FROM events WHERE event_id % 20 = 3
+    )
+    SELECT event_id::BIGINT AS eid,
+           (user_id % 256) * 16777216 + (event_id % 256) * 65536
+               + 1 * 256 + 2 AS ip_num,
+           concat(user_id % 200, '.', event_id % 256, '.3.4') AS ip_str,
+           concat(user_id % 200, '.', event_id % 256, '.3.xxx') AS classc,
+           concat(user_id % 200, '.', event_id % 256, '.0.0') AS cidr_lo,
+           concat(user_id % 200, '.', event_id % 256, '.15.255') AS cidr_hi,
+           concat_ws(':', printf('%02x', event_id % 256),
+                     printf('%02x', event_id % 256),
+                     printf('%02x', event_id % 256),
+                     printf('%02x', event_id % 256),
+                     printf('%02x', event_id % 256),
+                     printf('%02x', event_id % 256)) AS mac_str,
+           CAST((event_id % 256) * 1099511627776
+                + (event_id % 256) * 4294967296
+                + (event_id % 256) * 16777216 + (event_id % 256) * 65536
+                + (event_id % 256) * 256 + (event_id % 256)
+                AS BIGINT) AS mac_num,
+           concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                  substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+                  substr(h, 21, 12)) AS uuid_rt,
+           CAST(bit_count(xor(CAST(event_id AS BIGINT),
+                              CAST(user_id AS BIGINT))) AS BIGINT) AS ham,
+           (CAST(event_id AS BIGINT) << 7)
+               | (CAST(event_id AS BIGINT) >> 57) AS rotl,
+           array_to_string(
+               list_filter(generate_series(0, 63),
+                           i -> ((event_id >> i) & 1) = 1), ',') AS bpos,
+           concat(user_id % 5, ',7,0') AS asl,
+           concat(event_type, '|', event_type) AS toks,
+           CASE WHEN CAST(props->>'k' AS BIGINT) >= 0
+                THEN CAST(props->>'k' AS BIGINT) END AS ju,
+           (props->>'k') IS NOT NULL AS je,
+           (props->>'zz') IS NOT NULL AS jm,
+           props->>'k' AS jv,
+           concat('https://ex.org/|https://ex.org/a', user_id % 4,
+                  '/|https://ex.org/a', user_id % 4, '/b',
+                  event_id % 6) AS uh,
+           concat('/a', user_id % 4, '/|/a', user_id % 4, '/b',
+                  event_id % 6) AS uph,
+           ROUND(value * value + (value + 1) * (value + 1), 6) AS l2s,
+           ROUND(POW(POW(ABS(value), 3) + POW(ABS(value + 1), 3),
+                     1.0 / 3), 6) AS lp3,
+           ROUND(ABS(value) + ABS(value), 6) AS lpd1
+    FROM e ORDER BY eid
+    """,
+)
+def ch_r7_function_surface_2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-10 names end-to-end: every array output rendered via
+    array_join, the CIDR struct flattened to lo/hi columns, MAC and
+    UUID names checked as num→string→num round trips so the oracle
+    needs only the seed integers. 100 TB: map-only scalar surface,
+    whole-stage codegen, no Python."""
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 3)
+    octet = (F.col("event_id") % 256).cast("long")
+    ip_str_col = F.concat(
+        (F.col("user_id") % 256).cast("string"), F.lit("."),
+        (F.col("event_id") % 256).cast("string"), F.lit(".1.2"),
+    )
+    ipn = (
+        (F.col("user_id") % 200) * 16777216
+        + (F.col("event_id") % 256) * 65536
+        + 3 * 256 + 4
+    ).cast("long")
+    mac48 = (
+        octet * F.lit(1099511627776)  # << 40
+        + octet * F.lit(4294967296)  # << 32
+        + octet * 16777216 + octet * 65536 + octet * 256 + octet
+    )
+    h = F.md5(F.col("event_id").cast("string"))
+    uuid_str = F.concat(
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4),
+        F.lit("-"), F.substring(h, 21, 12),
+    )
+    url = F.concat(
+        F.lit("https://ex.org/a"), (F.col("user_id") % 4).cast("string"),
+        F.lit("/b"), (F.col("event_id") % 6).cast("string"),
+    )
+    vec = F.array(F.col("value"), F.col("value") + 1)
+    cidr = ch_expr("IPv4CIDRToRange", ipn, 20)
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        ch_expr("IPv4StringToNum", ip_str_col).alias("ip_num"),
+        ch_expr("IPv4NumToString", ipn).alias("ip_str"),
+        ch_expr("IPv4NumToStringClassC", ipn).alias("classc"),
+        cidr.getField("lo").alias("cidr_lo"),
+        cidr.getField("hi").alias("cidr_hi"),
+        ch_expr("MACNumToString", mac48).alias("mac_str"),
+        ch_expr(
+            "MACStringToNum", ch_expr("MACNumToString", mac48)
+        ).alias("mac_num"),
+        ch_expr(
+            "UUIDNumToString", ch_expr("UUIDStringToNum", uuid_str)
+        ).alias("uuid_rt"),
+        ch_expr(
+            "bitHammingDistance",
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+        ).cast("long").alias("ham"),
+        ch_expr("bitRotateLeft", F.col("event_id").cast("long"), 7).alias(
+            "rotl"
+        ),
+        F.array_join(
+            ch_expr(
+                "bitPositionsToArray", F.col("event_id").cast("long")
+            ),
+            ",",
+        ).alias("bpos"),
+        F.array_join(
+            ch_expr(
+                "arrayShiftLeft",
+                F.array(
+                    (F.col("event_id") % 5).cast("long"),
+                    (F.col("user_id") % 5).cast("long"),
+                    F.lit(7).cast("long"),
+                ),
+                1,
+            ).cast("array<string>"),
+            ",",
+        ).alias("asl"),
+        F.array_join(
+            ch_expr(
+                "alphaTokens",
+                F.concat(
+                    F.col("event_type"), F.lit("1"), F.col("event_type")
+                ),
+            ),
+            "|",
+        ).alias("toks"),
+        ch_expr("JSONExtractUInt", F.col("props"), "k").alias("ju"),
+        ch_expr("JSON_EXISTS", F.col("props"), "$.k").alias("je"),
+        ch_expr("JSON_EXISTS", F.col("props"), "$.zz").alias("jm"),
+        ch_expr("JSON_VALUE", F.col("props"), "$.k").alias("jv"),
+        F.array_join(ch_expr("URLHierarchy", url), "|").alias("uh"),
+        F.array_join(ch_expr("URLPathHierarchy", url), "|").alias("uph"),
+        F.round(ch_expr("L2SquaredNorm", vec), 6).alias("l2s"),
+        F.round(ch_expr("LpNorm", vec, 3), 6).alias("lp3"),
+        F.round(
+            ch_expr(
+                "LpDistance",
+                F.array(F.col("value"), F.lit(0.0)),
+                F.array(F.lit(0.0), F.col("value")),
+                1,
+            ),
+            6,
+        ).alias("lpd1"),
+    ).orderBy("eid")
