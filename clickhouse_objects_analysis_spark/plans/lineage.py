@@ -30,6 +30,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .chparse import token_table_dependencies
+
 # --------------------------------------------------------------------------
 # Catalog layer (A1-A3)
 # --------------------------------------------------------------------------
@@ -167,11 +169,28 @@ def parse_table_dependencies(
     return parse_table_dependencies_tagged(spark, sql_text, default_db)[0]
 
 
+def fallback_table_dependencies(
+    sql_text: str, default_db: str = "default"
+) -> tuple[list[str], str]:
+    """The no-parser extraction ladder (pure function — ships to
+    executors): the scope-aware tokenizer walk (plans/chparse.py,
+    fidelity 'token') first, the flat regex scan ('regex') only if
+    tokenization itself fails (unbalanced quotes/parens)."""
+    try:
+        return (
+            token_table_dependencies(sql_text, default_db=default_db),
+            "token",
+        )
+    except Exception:
+        return regex_table_dependencies(sql_text, default_db), "regex"
+
+
 def parse_table_dependencies_tagged(
     spark: SparkSession, sql_text: str, default_db: str = "default"
 ) -> tuple[list[str], str]:
     """Like parse_table_dependencies, plus the fidelity marker of the
-    path taken: 'exact' (Spark parser plan walk) or 'regex' (fallback)."""
+    path taken: 'exact' (Spark parser plan walk), 'token' (scope-aware
+    tokenizer walk) or 'regex' (flat-scan last resort)."""
     import json as _json
 
     relations: list[list[str]] = []
@@ -180,7 +199,7 @@ def parse_table_dependencies_tagged(
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
         _scan_plan_json(_json.loads(plan.toJSON()), relations, cte_names)
     except Exception:
-        return regex_table_dependencies(sql_text, default_db), "regex"
+        return fallback_table_dependencies(sql_text, default_db)
 
     out = set()
     for parts in relations:
@@ -353,11 +372,12 @@ def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list
 def extract_dependencies_distributed(
     views: DataFrame, default_db_col: str = "db_name"
 ) -> DataFrame:
-    """Regex-path extraction as a distributed mapInPandas over a
-    (db_name, obj_name, ddl) DataFrame — for catalogs too large to loop on
-    the driver. Returns (view, dep, method) edge rows; ``method`` is the
-    per-view extraction fidelity marker ('regex' here — executors have no
-    SQL parser; the driver pool below tags 'exact' where Spark's parser
+    """Fallback-path extraction as a distributed mapInPandas over a
+    (db_name, obj_name, ddl) DataFrame — for catalogs too large to loop
+    on the driver. Returns (view, dep, method) edge rows; ``method`` is
+    the per-view fidelity marker ('token' for the scope-aware tokenizer
+    walk, 'regex' where even tokenization failed — executors have no SQL
+    parser; the driver pool below tags 'exact' where Spark's parser
     accepted the DDL), so a mixed-path catalog run records which edges
     carry parse-grade confidence."""
 
@@ -367,8 +387,9 @@ def extract_dependencies_distributed(
             for db, name, ddl in zip(pdf[default_db_col], pdf["obj_name"], pdf["ddl"]):
                 view = f"{db}.{name}"
                 try:
-                    for dep in regex_table_dependencies(ddl or "", db):
-                        rows.append((view, dep, "regex"))
+                    deps, method = fallback_table_dependencies(ddl or "", db)
+                    for dep in deps:
+                        rows.append((view, dep, method))
                 except Exception:
                     pass
             yield pd.DataFrame(rows, columns=["view", "dep", "method"])
@@ -415,7 +436,8 @@ def view_dependencies_with_method(
     max_workers: int = _PARSE_POOL_WORKERS,
 ) -> tuple[DataFrame, DataFrame]:
     """view_dependencies plus the per-edge fidelity marker column
-    ``method`` ('exact' | 'regex') recording which path extracted it."""
+    ``method`` ('exact' | 'token' | 'regex') recording which path
+    extracted it."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(item: tuple[str, str, str]):

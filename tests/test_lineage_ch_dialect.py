@@ -245,3 +245,102 @@ def test_rule_family_coverage_total():
 
 def test_corpus_size_floor():
     assert len(CH_DIALECT_DDLS) >= 115, len(CH_DIALECT_DDLS)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fallback (plans/chparse.py) — the mid-fidelity path between
+# Spark's parser and the flat regex scan. It must agree with the
+# hand-derived corpus everywhere the regex does, AND fix the four
+# structural failure classes the flat scan cannot express.
+# ---------------------------------------------------------------------------
+
+from clickhouse_objects_analysis_spark.plans.chparse import (  # noqa: E402
+    token_table_dependencies,
+)
+from clickhouse_objects_analysis_spark.plans.lineage import (  # noqa: E402
+    fallback_table_dependencies,
+)
+
+
+@pytest.mark.parametrize("name,ddl,expected", CASES, ids=[c[0] for c in CASES])
+def test_token_fallback_extraction(name, ddl, expected):
+    """The tokenizer walk must produce the hand-derived deps on the full
+    corpus — it is now the first no-parser path executors run."""
+    assert token_table_dependencies(ddl, default_db="test") == expected
+
+
+#: (name, ddl, correct deps, what the flat regex scan gets instead) —
+#: the structural cases that motivated the tokenizer. The wrong-regex
+#: column is asserted too: if the regex scan ever starts agreeing, the
+#: case should graduate into CH_DIALECT_DDLS.
+TOKEN_ONLY_CASES = [
+    (
+        "cte_scope_is_subtree_not_global",
+        "SELECT * FROM (WITH x AS (SELECT id FROM test.inner_src) "
+        "SELECT * FROM x) t JOIN x ON t.id = x.id SETTINGS a=1",
+        ["test.inner_src", "test.x"],  # outer x is a real table
+        ["test.inner_src"],
+    ),
+    (
+        "window_clause_is_not_a_cte",
+        "SELECT sum(v) OVER w FROM test.t WINDOW w AS (PARTITION BY id) "
+        "UNION ALL SELECT 1 FROM w SETTINGS a=1",
+        ["test.t", "test.w"],
+        ["test.t"],
+    ),
+    (
+        "comma_list_continues_past_derived_table",
+        "SELECT * FROM test.a, (SELECT 1) s, test.b SETTINGS x=1",
+        ["test.a", "test.b"],
+        ["test.a"],
+    ),
+    (
+        "expression_from_is_not_a_relation",
+        "SELECT EXTRACT(YEAR FROM ts), substring(s FROM 1 FOR 2) "
+        "FROM test.t SETTINGS a=1",
+        ["test.t"],
+        ["test.t", "test.ts"],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,ddl,expected,regex_gets",
+    TOKEN_ONLY_CASES,
+    ids=[c[0] for c in TOKEN_ONLY_CASES],
+)
+def test_token_fixes_regex_failure_classes(name, ddl, expected, regex_gets):
+    assert token_table_dependencies(ddl, default_db="test") == expected
+    assert regex_table_dependencies(ddl, default_db="test") == regex_gets
+    # the production ladder routes these through the tokenizer
+    deps, method = fallback_table_dependencies(ddl, default_db="test")
+    assert (deps, method) == (expected, "token")
+
+
+def test_fallback_ladder_degrades_to_regex():
+    """Unbalanced parens break the paren map — the ladder must still
+    answer, tagged 'regex'."""
+    ddl = "SELECT 1 FROM test.t WHERE f(x > 2 SETTINGS a=1"
+    deps, method = fallback_table_dependencies(ddl, default_db="test")
+    assert method == "regex"
+    assert deps == ["test.t"]
+
+
+def test_token_scalar_subquery_in_with_expression():
+    """CH's expression-WITH (`WITH (SELECT …) AS alias`) carries real
+    dependencies inside the skipped item."""
+    got = token_table_dependencies(
+        "WITH (SELECT max(id) FROM test.m) AS mx "
+        "SELECT mx FROM test.t SETTINGS a=1",
+        default_db="test",
+    )
+    assert got == ["test.m", "test.t"]
+
+
+def test_token_mixed_with_list_registers_late_ctes():
+    got = token_table_dependencies(
+        "WITH 1 AS c, d AS (SELECT id FROM test.src) "
+        "SELECT c FROM d SETTINGS a=1",
+        default_db="test",
+    )
+    assert got == ["test.src"]

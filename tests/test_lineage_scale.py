@@ -64,9 +64,11 @@ def test_pool_matches_sequential(spark, catalog):
     )
 
 
-def test_distributed_regex_agrees(spark, catalog):
-    """The executor-side route (no parser available) must produce the same
-    edge set on this corpus, every edge marked 'regex'."""
+def test_distributed_fallback_agrees(spark, catalog):
+    """The executor-side route (no parser available) must produce the
+    same edge set on this corpus, every edge marked 'token' (the
+    tokenizer walk handles the whole corpus; 'regex' would mean it
+    started failing and silently degrading)."""
     from clickhouse_objects_analysis_spark.plans.lineage import (
         extract_dependencies_distributed,
         view_dependencies,
@@ -78,7 +80,7 @@ def test_distributed_regex_agrees(spark, catalog):
     ).repartition(8)
     dist = extract_dependencies_distributed(views_df)
     rows = dist.collect()
-    assert {r.method for r in rows} == {"regex"}
+    assert {r.method for r in rows} == {"token"}
     exact, _ = view_dependencies(spark, subset)
     assert sorted((r.view, r.dep) for r in rows) == sorted(
         map(tuple, exact.collect())
@@ -113,9 +115,10 @@ def _mixed_catalog(n: int, ch_every: int = 3) -> list[tuple[str, str, str]]:
 def test_fallback_crossover_degrades_per_view(spark):
     """VERDICT r6 item 8: under a storm of parse failures (every 3rd
     view CH-only), the exact path must degrade PER VIEW — rejected DDLs
-    come back with method='regex' and correct edges, while every
-    parseable neighbour keeps its parse-grade 'exact' marker. A
-    wholesale fallback (all-regex) or a dropped view fails here."""
+    come back with method='token' (the tokenizer fallback) and correct
+    edges, while every parseable neighbour keeps its parse-grade
+    'exact' marker. A wholesale fallback (all-token) or a dropped view
+    fails here."""
     from clickhouse_objects_analysis_spark.plans.lineage import (
         view_dependencies_with_method,
     )
@@ -133,7 +136,7 @@ def test_fallback_crossover_degrades_per_view(spark):
     for i in range(n):
         view = f"cat.x_{i:04d}"
         if i % 3 == 0:
-            assert methods[view] == {"regex"}, (view, methods[view])
+            assert methods[view] == {"token"}, (view, methods[view])
             assert deps[view] == {f"cat.t_{i % 50}"}
         else:
             assert methods[view] == {"exact"}, (view, methods[view])
@@ -146,7 +149,7 @@ def test_1k_mixed_fidelity_ratio_recorded(spark):
     """Per-edge fidelity ratio for the 1k-view mixed run, recorded to
     LINEAGE_FIDELITY.json at the repo root (the artifact the directive
     asks for): with 1/3 of views CH-only, exact edges = 2/3·n·3 and
-    regex edges = 1/3·n·1 → exact ratio 6/7 ≈ 0.857, deterministic."""
+    token edges = 1/3·n·1 → exact ratio 6/7 ≈ 0.857, deterministic."""
     import json
     import os
     import time as _time
@@ -168,17 +171,17 @@ def test_1k_mixed_fidelity_ratio_recorded(spark):
     }
     elapsed = _time.perf_counter() - t0
     assert errors.count() == 0
-    exact, regex = counts.get("exact", 0), counts.get("regex", 0)
+    exact, token = counts.get("exact", 0), counts.get("token", 0)
     n_ch = len(range(0, n, 3))  # 334 CH-dialect views
-    assert regex == n_ch  # 1 dep each
+    assert token == n_ch  # 1 dep each
     assert exact == (n - n_ch) * 3  # 3 deps each
-    ratio = exact / (exact + regex)
+    ratio = exact / (exact + token)
     assert 0.85 < ratio < 0.87, counts
     out = {
         "views": n,
         "ch_dialect_share": round(1 / 3, 4),
         "edges_exact": exact,
-        "edges_regex": regex,
+        "edges_token": token,
         "edge_fidelity_ratio": round(ratio, 4),
         "elapsed_sec": round(elapsed, 2),
     }
