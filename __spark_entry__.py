@@ -39,6 +39,9 @@ _R7_ADDITIONS: list[str] = [
     "ch_r7_function_surface",
     "dsir_importance_weights",
     "ch_r7_function_surface_2",
+    "substring_dup_spans",
+    "heaps_law_fit",
+    "char_entropy_filter",
 ]
 
 

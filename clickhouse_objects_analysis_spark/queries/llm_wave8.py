@@ -1,0 +1,297 @@
+"""LLM-pipeline wave 8 (round-7 session 2): substring-level exact
+duplication (the Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better" signal, re-expressed relationally), a Heaps'
+law vocabulary-growth fit, and a character-entropy quality filter.
+
+Cross-engine float discipline (registry convention): every aggregate
+accumulates exact integers; the few float reductions fold over
+VALUE-SORTED lists (array_sort / list_sort both engines) so the IEEE
+addition order is identical, then round to 6 places.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dist_rank import dist_cumsum
+from ..session import widen_scan
+from .registry import query, tables
+
+#: Window width for substring-level dedup. 40 chars ≈ the ~50-token
+#: threshold of the suffix-array work scaled to the synthetic corpus'
+#: short documents; at sf0.01 ~9% of windows participate in a
+#: cross-document duplicate, so the signal is non-degenerate.
+_WIN = 40
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE length(text) >= {_WIN}),
+    w AS (SELECT doc_id, md5(substr(text, CAST(i AS INT), {_WIN})) AS h
+          FROM d, unnest(generate_series(1, length(text) - {_WIN} + 1))
+               AS t(i)),
+    g AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_windows,
+                   CAST(SUM(CASE WHEN h IN (SELECT h FROM g)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+            FROM w GROUP BY doc_id)
+    SELECT doc_id, total_windows, dup_windows,
+           ROUND(CAST(dup_windows AS DOUBLE) / total_windows, 6)
+               AS dup_ratio
+    FROM per ORDER BY doc_id
+    """,
+)
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated character windows across documents: every
+    ``_WIN``-char window is hashed; a window whose hash appears in ≥2
+    distinct documents is a duplicated span. Per document: window count,
+    duplicated-window count, and the duplication ratio — the
+    document-level filter signal of substring-level dedup (the
+    suffix-array method's output, approximated by fixed-width windows,
+    which is exactly how the distributed implementations of that paper
+    shard the problem).
+
+    md5 (not xxhash64) keys the windows so the DuckDB twin computes
+    identical groups; the production note for 100 TB is an 8-byte
+    xxhash64 instead (4× narrower shuffle), plus the standard
+    document-frequency cap on pathological boilerplate hashes (the
+    ngram_jaccard df-cap pattern). Plan: one map-side explode
+    (len−W+1 rows/doc), one hash aggregation to the duplicate set, one
+    shuffle join back, one doc-level aggregation — the gram-pipeline
+    shape that measured ~linear (0.897) in the sf10 sweep."""
+    d = widen_scan(tables(spark, sf_dir)["documents"]).filter(
+        F.length("text") >= _WIN
+    )
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _WIN + 1)
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("i"), _WIN)).alias("h"),
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        w.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("dup_windows"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "total_windows",
+        "dup_windows",
+        F.round(
+            F.col("dup_windows").cast("double") / F.col("total_windows"), 6
+        ).alias("dup_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "heaps_law_fit",
+    oracle="""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+    first_occ AS (SELECT w, MIN(doc_id) AS fd FROM words GROUP BY w),
+    newv AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+             FROM first_occ GROUP BY fd),
+    ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+             FROM words GROUP BY doc_id),
+    per AS (SELECT n.doc_id, n.nt, COALESCE(v.nv, 0) AS nv
+            FROM ntok n LEFT JOIN newv v ON n.doc_id = v.doc_id),
+    cum AS (SELECT doc_id,
+                   CAST(SUM(nt) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cn,
+                   CAST(SUM(nv) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cv
+            FROM per),
+    pts AS (SELECT list_sort(list([cn, cv])) AS pairs,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   MAX(cn) AS nt_total, MAX(cv) AS vocab
+            FROM cum),
+    s AS (SELECT m, nt_total, vocab,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(pairs, p -> ln(p[1]))),
+                     (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(pairs, p -> ln(p[2]))),
+                     (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(pairs, p -> ln(p[1]) * ln(p[1]))),
+                     (a, b) -> a + b) AS sxx,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(pairs, p -> ln(p[1]) * ln(p[2]))),
+                     (a, b) -> a + b) AS sxy
+           FROM pts)
+    SELECT m AS n_checkpoints, nt_total AS total_tokens, vocab,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS beta,
+           ROUND((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
+                 / m, 6) AS log_k
+    FROM s
+    """,
+)
+def heaps_law_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law V(n) ≈ K·n^β fitted over per-document corpus
+    checkpoints: after each document (in doc_id order), n = cumulative
+    tokens and V = cumulative distinct vocabulary. V comes from
+    first-occurrence counting (min doc_id per word → histogram →
+    cumulative sum), so no per-checkpoint distinct scan; both cumsums
+    run through the distributed two-pass dist_cumsum. β/log K are the
+    closed-form least squares over (ln n, ln V), with the four power
+    sums folded over the VALUE-SORTED checkpoint list (n is strictly
+    increasing, so value order IS document order) — identical IEEE
+    trees in both engines.
+
+    100 TB: first-occurrence and token counts are map-side-combined
+    word aggregations; checkpoints are doc-level rows (one per
+    document). At real corpus sizes the fit would subsample
+    checkpoints (every 2^k-th document) — the fold is the only
+    driver-side-sized stage, and it is one array of (n, V) longs."""
+    docs = tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    first_occ = words.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    newv = first_occ.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    ntok = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    per = ntok.join(newv, "doc_id", "left").select(
+        "doc_id",
+        "nt",
+        F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("nv"),
+    )
+    cum = dist_cumsum(per, "doc_id", ["nt", "nv"]).select(
+        F.col("cum_nt").alias("cn"), F.col("cum_nv").alias("cv")
+    )
+    pts = cum.agg(
+        F.array_sort(
+            F.collect_list(F.array(F.col("cn"), F.col("cv")))
+        ).alias("pairs"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("cn").alias("nt_total"),
+        F.max("cv").alias("vocab"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform("pairs", expr), F.lit(0.0), lambda a, b: a + b
+        )
+
+    s = pts.select(
+        "m",
+        "nt_total",
+        "vocab",
+        fold(lambda p: F.log(p[0].cast("double"))).alias("sx"),
+        fold(lambda p: F.log(p[1].cast("double"))).alias("sy"),
+        fold(
+            lambda p: F.log(p[0].cast("double"))
+            * F.log(p[0].cast("double"))
+        ).alias("sxx"),
+        fold(
+            lambda p: F.log(p[0].cast("double"))
+            * F.log(p[1].cast("double"))
+        ).alias("sxy"),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").alias("n_checkpoints"),
+        F.col("nt_total").alias("total_tokens"),
+        "vocab",
+        F.round(beta, 6).alias("beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / F.col("m"), 6).alias(
+            "log_k"
+        ),
+    )
+
+
+@query(
+    "char_entropy_filter",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+    cnts AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM ch GROUP BY doc_id, c),
+    agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+                   list_sort(list(cnt)) AS counts
+            FROM cnts GROUP BY doc_id),
+    h AS (SELECT doc_id, n,
+                 ln(CAST(n AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(counts,
+                                      x -> x * ln(CAST(x AS DOUBLE)))),
+                       (a, b) -> a + b) / n AS ent
+          FROM agg)
+    SELECT doc_id, n AS n_chars,
+           ROUND(ent, 6) AS entropy,
+           CAST(CASE WHEN ent < 2.6 THEN 1 ELSE 0 END AS INT)
+               AS low_entropy
+    FROM h ORDER BY doc_id
+    """,
+)
+def char_entropy_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter: per-document Shannon entropy
+    H = ln N − (Σ c·ln c)/N over exact character counts (the standard
+    low-entropy screen for degenerate/repetitive text; the corpus spans
+    ≈2.55–2.93 nats so the 2.6 threshold flags a real low tail).
+
+    The entropy term folds over the VALUE-SORTED count multiset — the
+    character identities are irrelevant to the sum, so sorting the
+    counts themselves gives both engines the same addition order
+    without struct-sort gymnastics. 100 TB: one map-side-combined
+    (doc, char) count (≤ alphabet-size rows per doc), one doc-level
+    fold; no shuffle wider than doc_id."""
+    docs = tables(spark, sf_dir)["documents"]
+    cnts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", ""), lambda x: x != "")
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.array_sort(F.collect_list("cnt")).alias("counts"),
+    )
+    ent = F.log(F.col("n").cast("double")) - F.aggregate(
+        F.transform(
+            "counts", lambda x: x * F.log(x.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ) / F.col("n")
+    return (
+        agg.select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            F.round(ent, 6).alias("entropy"),
+            F.when(ent < 2.6, 1).otherwise(0).cast("int").alias(
+                "low_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -84,7 +84,15 @@ def ch_r7_function_surface_2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     UUID names checked as num→string→num round trips so the oracle
     needs only the seed integers. 100 TB: map-only scalar surface,
     whole-stage codegen, no Python."""
-    ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 3)
+    # filter first (5% of rows), THEN widen: the per-row expression tree
+    # here (md5 + two hierarchy transforms + ~20 scalar columns) is what
+    # dominates, and the single-row-group testdata would run it in one
+    # task (measured 3.2 s -> ~0.6 s at sf0.1; see session.widen_scan)
+    from ..session import widen_scan
+
+    ev = widen_scan(
+        tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 3)
+    )
     octet = (F.col("event_id") % 256).cast("long")
     ip_str_col = F.concat(
         (F.col("user_id") % 256).cast("string"), F.lit("."),
