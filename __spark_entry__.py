@@ -42,6 +42,7 @@ _R7_ADDITIONS: list[str] = [
     "substring_dup_spans",
     "heaps_law_fit",
     "char_entropy_filter",
+    "bitmap_segment_ops",
 ]
 
 

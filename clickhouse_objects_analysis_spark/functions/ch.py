@@ -1125,6 +1125,92 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "accurateCast": lambda c, t: c.cast(_literal_sep(t)),
     "accurateCastOrNull": lambda c, t: c.try_cast(_literal_sep(t)),
     "toIPv4": _ipv4_string_to_num,
+    # --- round-7 wave 10b: bitmap family over the sorted-distinct
+    # array<long> view. CH's RoaringBitmap is a compressed SET of
+    # uint32s; every documented operation is set algebra, so a sorted
+    # deduplicated array is a faithful (if uncompressed) carrier —
+    # the 100 TB note is that Spark shuffles these as plain arrays, so
+    # bitmap columns should stay per-group small (segments, day sets),
+    # which is also how CH uses them (retention/segment math).
+    "bitmapBuild": lambda c: F.array_sort(F.array_distinct(c)),
+    "bitmapToArray": lambda c: c,
+    "bitmapCardinality": lambda c: F.size(c).cast("long"),
+    "bitmapAnd": lambda a, b: F.array_sort(F.array_intersect(a, b)),
+    "bitmapOr": lambda a, b: F.array_sort(F.array_union(a, b)),
+    "bitmapXor": lambda a, b: F.array_sort(
+        F.array_union(F.array_except(a, b), F.array_except(b, a))
+    ),
+    "bitmapAndnot": lambda a, b: F.array_sort(F.array_except(a, b)),
+    "bitmapAndCardinality": lambda a, b: F.size(
+        F.array_intersect(a, b)
+    ).cast("long"),
+    "bitmapOrCardinality": lambda a, b: F.size(F.array_union(a, b)).cast(
+        "long"
+    ),
+    "bitmapXorCardinality": lambda a, b: (
+        F.size(F.array_except(a, b)) + F.size(F.array_except(b, a))
+    ).cast("long"),
+    "bitmapAndnotCardinality": lambda a, b: F.size(
+        F.array_except(a, b)
+    ).cast("long"),
+    "bitmapContains": lambda b, x: F.array_contains(b, x),
+    "bitmapHasAny": lambda a, b: F.arrays_overlap(a, b),
+    "bitmapHasAll": lambda a, b: F.size(F.array_except(b, a)) == 0,
+    # CH returns UINT32_MAX / 0 on the empty bitmap
+    "bitmapMin": lambda b: F.coalesce(
+        F.array_min(b).cast("long"), F.lit(4294967295)
+    ),
+    "bitmapMax": lambda b: F.coalesce(
+        F.array_max(b).cast("long"), F.lit(0).cast("long")
+    ),
+    # [start, end) value-range subset, like the CH docs' contract
+    "bitmapSubsetInRange": lambda b, s, e: F.filter(
+        b, lambda x: (x >= s) & (x < e)
+    ),
+    # values >= start, capped at `limit` smallest (input is sorted)
+    "bitmapSubsetLimit": lambda b, s, limit: F.slice(
+        F.filter(b, lambda x: x >= s), 1, limit
+    ),
+    # offset/limit page of the sorted value sequence (0-based offset)
+    "subBitmap": lambda b, off, limit: F.slice(b, off + 1, limit),
+    "bitmapTransform": lambda b, frm, to: F.array_sort(
+        F.array_distinct(
+            F.transform(
+                b,
+                lambda x: F.coalesce(
+                    F.element_at(F.map_from_arrays(frm, to), x), x
+                ),
+            )
+        )
+    ),
+    # aggregate forms: groupBitmap returns the CARDINALITY (CH contract);
+    # the And/Or/Xor variants fold bitmap columns set-algebraically.
+    # collect_list is bounded by group count × bitmap width — the same
+    # per-group-small discipline as the scalar ops above.
+    "groupBitmap": lambda c: F.count_distinct(c),
+    "groupBitmapOr": lambda c: F.size(
+        F.array_distinct(F.flatten(F.collect_list(c)))
+    ).cast("long"),
+    "groupBitmapAnd": lambda c: (
+        lambda lst: F.size(
+            F.aggregate(
+                lst,
+                F.element_at(lst, 1),
+                lambda acc, x: F.array_intersect(acc, x),
+            )
+        ).cast("long")
+    )(F.collect_list(c)),
+    "groupBitmapXor": lambda c: (
+        lambda lst: F.size(
+            F.aggregate(
+                lst,
+                F.array().cast("array<long>"),
+                lambda acc, x: F.array_union(
+                    F.array_except(acc, x), F.array_except(x, acc)
+                ),
+            )
+        ).cast("long")
+    )(F.collect_list(c)),
 }
 
 

@@ -187,3 +187,95 @@ def ch_r7_function_surface_2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lpd1"),
     ).orderBy("eid")
+
+
+@query(
+    "bitmap_segment_ops",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 8 AS seg, event_type,
+               CAST(user_id AS BIGINT) AS uid
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    b AS (
+        SELECT seg,
+               list_sort(list(DISTINCT uid)
+                         FILTER (WHERE event_type = 'click')) AS clicks,
+               list_sort(list(DISTINCT uid)
+                         FILTER (WHERE event_type = 'view')) AS views
+        FROM e GROUP BY seg
+    )
+    SELECT seg,
+           CAST(len(clicks) AS BIGINT) AS click_card,
+           CAST(len(list_intersect(clicks, views)) AS BIGINT) AS and_card,
+           CAST(len(list_distinct(list_concat(clicks, views))) AS BIGINT)
+               AS or_card,
+           CAST(len(list_filter(clicks,
+                                x -> NOT list_contains(views, x)))
+                + len(list_filter(views,
+                                  x -> NOT list_contains(clicks, x)))
+                AS BIGINT) AS xor_card,
+           CAST(len(list_filter(clicks,
+                                x -> NOT list_contains(views, x)))
+                AS BIGINT) AS andnot_card,
+           CAST(COALESCE(clicks[1], 4294967295) AS BIGINT) AS min_click,
+           CAST(COALESCE(clicks[-1], 0) AS BIGINT) AS max_click,
+           CAST(len(list_filter(clicks, x -> x >= 100 AND x < 900))
+                AS BIGINT) AS mid_range_card,
+           list_contains(clicks, CAST(seg AS BIGINT)) AS has_own_seg
+    FROM b ORDER BY seg
+    """,
+)
+def bitmap_segment_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse bitmap family (functions/ch.py wave 10b) doing its
+    canonical job — user-segment set algebra: per segment, the clicker
+    and viewer user-id bitmaps, then AND/OR/XOR/ANDNOT cardinalities,
+    min/max, a value-range subset and a membership probe. The DuckDB
+    twin drives the same algebra through list primitives, so the
+    sorted-array bitmap carrier is checked end-to-end.
+
+    100 TB: bitmaps stay per-(segment, type) — collect_set after a
+    map-side distinct, exactly the per-group-small discipline CH
+    bitmaps assume; every downstream op is JVM array algebra, zero
+    Python."""
+    ev = (
+        tables(spark, sf_dir)["events"]
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            (F.col("user_id") % 8).alias("seg"),
+            "event_type",
+            F.col("user_id").cast("long").alias("uid"),
+        )
+    )
+    b = ev.groupBy("seg").agg(
+        ch_expr(
+            "bitmapBuild",
+            F.collect_set(
+                F.when(F.col("event_type") == "click", F.col("uid"))
+            ),
+        ).alias("clicks"),
+        ch_expr(
+            "bitmapBuild",
+            F.collect_set(
+                F.when(F.col("event_type") == "view", F.col("uid"))
+            ),
+        ).alias("views"),
+    )
+    c, v = F.col("clicks"), F.col("views")
+    return b.select(
+        "seg",
+        ch_expr("bitmapCardinality", c).alias("click_card"),
+        ch_expr("bitmapAndCardinality", c, v).alias("and_card"),
+        ch_expr("bitmapOrCardinality", c, v).alias("or_card"),
+        ch_expr("bitmapXorCardinality", c, v).alias("xor_card"),
+        ch_expr("bitmapAndnotCardinality", c, v).alias("andnot_card"),
+        ch_expr("bitmapMin", c).alias("min_click"),
+        ch_expr("bitmapMax", c).alias("max_click"),
+        ch_expr(
+            "bitmapCardinality",
+            ch_expr("bitmapSubsetInRange", c, F.lit(100), F.lit(900)),
+        ).alias("mid_range_card"),
+        ch_expr("bitmapContains", c, F.col("seg").cast("long")).alias(
+            "has_own_seg"
+        ),
+    ).orderBy("seg")

@@ -234,3 +234,71 @@ def test_w10_norms_json_url(spark):
 
 def test_w10_urlhash_marked_non_bit_compatible():
     assert "URLHash" in NON_BIT_COMPATIBLE
+
+
+def test_w10b_bitmap_family(spark):
+    """Bitmap set algebra over the sorted-distinct array<long> carrier:
+    hand-computed expectations incl. the CH empty-bitmap min/max
+    sentinels (UINT32_MAX / 0)."""
+    A = F.array(*[F.lit(x).cast("long") for x in (5, 1, 3, 1)])
+    B = F.array(*[F.lit(x).cast("long") for x in (3, 4, 5)])
+    E = F.array().cast("array<long>")
+    a, b = ch_expr("bitmapBuild", A), ch_expr("bitmapBuild", B)
+    r = (
+        spark.range(1)
+        .select(
+            a.alias("a"),
+            ch_expr("bitmapCardinality", a).alias("card"),
+            ch_expr("bitmapAnd", a, b).alias("and_"),
+            ch_expr("bitmapOr", a, b).alias("or_"),
+            ch_expr("bitmapXor", a, b).alias("xor_"),
+            ch_expr("bitmapAndnot", a, b).alias("andnot"),
+            ch_expr("bitmapXorCardinality", a, b).alias("xc"),
+            ch_expr("bitmapContains", a, F.lit(3).cast("long")).alias(
+                "ct"
+            ),
+            ch_expr("bitmapHasAny", a, b).alias("ha"),
+            ch_expr("bitmapHasAll", a, b).alias("hall"),
+            ch_expr("bitmapMin", E).alias("mnE"),
+            ch_expr("bitmapMax", E).alias("mxE"),
+            ch_expr(
+                "bitmapSubsetInRange", a, F.lit(2), F.lit(5)
+            ).alias("sir"),
+            ch_expr("bitmapSubsetLimit", a, F.lit(2), 2).alias("sl"),
+            ch_expr("subBitmap", a, F.lit(1), 2).alias("sb"),
+            ch_expr(
+                "bitmapTransform",
+                a,
+                F.array(F.lit(3).cast("long")),
+                F.array(F.lit(9).cast("long")),
+            ).alias("tr"),
+        )
+        .collect()[0]
+    )
+    assert r.a == [1, 3, 5] and r.card == 3
+    assert r.and_ == [3, 5] and r.or_ == [1, 3, 4, 5]
+    assert r.xor_ == [1, 4] and r.andnot == [1] and r.xc == 2
+    assert r.ct is True and r.ha is True and r.hall is False
+    assert r.mnE == 4294967295 and r.mxE == 0
+    assert r.sir == [3] and r.sl == [3, 5] and r.sb == [3, 5]
+    assert r.tr == [1, 5, 9]
+
+
+def test_w10b_group_bitmap_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [2, 3, 4]), (1, [2, 5, 3])],
+        "g int, b array<bigint>",
+    )
+    r = (
+        df.groupBy("g")
+        .agg(
+            ch_expr("groupBitmapOr", F.col("b")).alias("o"),
+            ch_expr("groupBitmapAnd", F.col("b")).alias("a"),
+            ch_expr("groupBitmapXor", F.col("b")).alias("x"),
+        )
+        .collect()[0]
+    )
+    assert r.o == 5  # |{1..5}|
+    assert r.a == 2  # |{2,3}|
+    # fold: {1,2,3}^{2,3,4}={1,4}; {1,4}^{2,5,3}={1,2,3,4,5}
+    assert r.x == 5
