@@ -43,6 +43,7 @@ _R7_ADDITIONS: list[str] = [
     "heaps_law_fit",
     "char_entropy_filter",
     "bitmap_segment_ops",
+    "ch_r7_function_surface_3",
 ]
 
 

@@ -17,6 +17,7 @@ Spark builder via ``translate_name``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -258,6 +259,91 @@ def _url_path_hierarchy(c: Column) -> Column:
             ),
         )
     )
+
+
+#: ClickHouse/MySQL formatDateTime specifier → Java SimpleDateFormat
+#: pattern (the subset CH documents and Spark can express; %w skipped —
+#: Java has no Sunday=0 day number).
+_MYSQL_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "M": "MMMM", "b": "MMM", "j": "DDD", "a": "EEE",
+    "W": "EEEE", "p": "a", "T": "HH:mm:ss", "D": "MM/dd/yy",
+    "F": "yyyy-MM-dd", "n": "\n", "t": "\t", "%": "%",
+}
+
+
+def _mysql_datetime_format(fmt) -> str:
+    """Translate a ClickHouse/MySQL %-specifier format string to the
+    Java pattern Spark's date_format/to_timestamp speak. Literal runs
+    are single-quoted (Java treats bare letters as pattern atoms);
+    unknown specifiers raise rather than silently formatting wrong."""
+    fmt = _literal_sep(fmt)
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            text = "".join(lit).replace("'", "''")
+            out.append(f"'{text}'" if any(
+                ch.isalpha() for ch in text
+            ) else text)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec not in _MYSQL_FMT:
+                raise KeyError(
+                    f"formatDateTime: unsupported specifier %{spec}"
+                )
+            flush()
+            out.append(_MYSQL_FMT[spec])
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _gcd(a: Column, b: Column) -> Column:
+    """Exact 64-bit gcd as a FIXED-DEPTH Euclid fold: the worst case for
+    64-bit inputs is 91 steps (consecutive Fibonacci numbers), so 92
+    data-independent iterations of (a,b) → (b, a mod b) always reach
+    (g, 0). No loop, no UDF — one codegen'd aggregate over a constant
+    sequence."""
+    pair = F.aggregate(
+        F.sequence(F.lit(1), F.lit(92)),
+        F.struct(
+            F.abs(a.cast("long")).alias("x"), F.abs(b.cast("long")).alias("y")
+        ),
+        lambda acc, _: F.when(
+            acc["y"] == 0, acc
+        ).otherwise(
+            F.struct(
+                acc["y"].alias("x"), F.pmod(acc["x"], acc["y"]).alias("y")
+            )
+        ),
+    )
+    return pair["x"]
+
+
+def _like_to_rlike(pat) -> str:
+    """SQL LIKE pattern → anchored Java regex (% → .*, _ → ., the rest
+    quoted)."""
+    pat = _literal_sep(pat)
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
 
 
 CH_FUNCTIONS: dict[str, Builder] = {
@@ -1211,6 +1297,134 @@ CH_FUNCTIONS: dict[str, Builder] = {
             )
         ).cast("long")
     )(F.collect_list(c)),
+    # --- round-7 wave 11: datetime formats in the MySQL %-dialect CH
+    # actually speaks (the earlier formatDateTime passthrough took Java
+    # patterns — a silent dialect mismatch, now translated) ---
+    "formatDateTime": lambda c, fmt: F.date_format(
+        c, _mysql_datetime_format(fmt)
+    ),
+    "parseDateTime": lambda c, fmt: F.to_timestamp(
+        c, _mysql_datetime_format(fmt)
+    ),
+    "parseDateTimeOrNull": lambda c, fmt: F.try_to_timestamp(
+        c, F.lit(_mysql_datetime_format(fmt))
+    ),
+    # --- round-7 wave 11: integer math ---
+    "gcd": _gcd,
+    "lcm": lambda a, b: F.when(
+        (a == 0) | (b == 0), F.lit(0).cast("long")
+    ).otherwise(
+        (F.abs(a.cast("long")) / _gcd(a, b)).cast("long")
+        * F.abs(b.cast("long"))
+    ),
+    # exact up to 20! like CH (both engines overflow past int64 there).
+    # The c < 1 guard matters twice over: 0! = 1, and Spark's
+    # sequence(1, 0) silently DESCENDS ([1, 0] — step defaults to -1
+    # when start > stop), which would multiply in a zero.
+    "factorial": lambda c: F.when(
+        c < 1, F.lit(1).cast("long")
+    ).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), c.cast("long")),
+            F.lit(1).cast("long"),
+            lambda acc, x: acc * x,
+        )
+    ),
+    "intDivOrZero": lambda a, b: F.when(b == 0, F.lit(0)).otherwise(
+        (a - F.pmod(a, b)) / b
+    ).cast("long"),
+    "moduloOrZero": lambda a, b: F.when(b == 0, F.lit(0)).otherwise(
+        a % b
+    ),
+    "max2": lambda a, b: F.greatest(a, b),
+    "min2": lambda a, b: F.least(a, b),
+    # 64-bit byte reverse: eight masked byte moves, all literal shifts
+    "byteSwap": lambda c: sum(
+        (
+            F.shiftleft(
+                F.shiftrightunsigned(c.cast("long"), 8 * i).bitwiseAND(255),
+                8 * (7 - i),
+            )
+            for i in range(1, 8)
+        ),
+        F.shiftleft(c.cast("long").bitwiseAND(255), 56),
+    ),
+    # --- round-7 wave 11: strings / search ---
+    # subsequence (gappy) containment; needle must be a literal
+    "hasSubsequence": lambda c, needle: c.rlike(
+        ".*".join(re.escape(ch) for ch in _literal_sep(needle))
+    ),
+    # contiguous array subsequence: some window of a equals b
+    "hasSubstr": lambda a, b: F.when(F.size(b) == 0, F.lit(True)).otherwise(
+        F.exists(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(a) - F.size(b) + 1, F.lit(1))
+            ),
+            lambda i: (F.size(a) >= F.size(b))
+            & (F.slice(a, i, F.size(b)) == b),
+        )
+    ),
+    "hasToken": lambda c, tok: c.rlike(
+        r"(^|[^A-Za-z0-9_])"
+        + re.escape(_literal_sep(tok))
+        + r"($|[^A-Za-z0-9_])"
+    ),
+    # --- round-7 wave 11: URL parameter utilities ---
+    "extractURLParameterNames": lambda c: F.transform(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
+            lambda kv: kv != "",
+        ),
+        lambda kv: F.element_at(F.split(kv, "=", 2), 1),
+    ),
+    "extractURLParameters": lambda c: F.filter(
+        F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
+        lambda kv: kv != "",
+    ),
+    "cutURLParameter": lambda c, name: F.regexp_replace(
+        F.regexp_replace(
+            c, rf"(?<=[?&]){re.escape(_literal_sep(name))}=[^&#]*&", ""
+        ),
+        rf"[?&]{re.escape(_literal_sep(name))}=[^&#]*",
+        "",
+    ),
+    # regexp_extract yields '' when no port → try_cast NULL → default
+    "port": lambda c, default=0: F.coalesce(
+        F.regexp_extract(
+            c, r"^[a-z][a-z0-9+.\-]*://[^/?#]*?:(\d+)", 1
+        ).try_cast("long"),
+        F.lit(int(default)).cast("long"),
+    ),
+    "netloc": lambda c: F.regexp_extract(
+        c, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1
+    ),
+    # --- round-7 wave 11: map predicates over LIKE patterns ---
+    "mapContainsKeyLike": lambda m, pat: F.size(
+        F.filter(
+            F.map_keys(m), lambda k: k.rlike(_like_to_rlike(pat))
+        )
+    )
+    > 0,
+    "mapExtractKeyLike": lambda m, pat: F.map_filter(
+        m, lambda k, _v: k.rlike(_like_to_rlike(pat))
+    ),
+    "mapExists": lambda f, m: F.size(F.map_filter(m, f)) > 0,
+    "mapAll": lambda f, m: F.size(F.map_filter(m, f)) == F.size(m),
+    # --- round-7 wave 11: misc ---
+    "emptyArrayUInt64": lambda: F.array().cast("array<long>"),
+    "quantileGK": lambda c, q=0.5: F.percentile_approx(c, q),
+    "dateName": lambda part, c: {
+        "year": lambda x: F.year(x).cast("string"),
+        "quarter": lambda x: F.quarter(x).cast("string"),
+        "month": lambda x: F.date_format(x, "MMMM"),
+        "week": lambda x: F.weekofyear(x).cast("string"),
+        "dayofyear": lambda x: F.dayofyear(x).cast("string"),
+        "day": lambda x: F.dayofmonth(x).cast("string"),
+        "weekday": lambda x: F.date_format(x, "EEEE"),
+        "hour": lambda x: F.hour(x).cast("string"),
+        "minute": lambda x: F.minute(x).cast("string"),
+        "second": lambda x: F.second(x).cast("string"),
+    }[_literal_sep(part).lower()](c),
 }
 
 

@@ -279,3 +279,95 @@ def bitmap_segment_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_own_seg"
         ),
     ).orderBy("seg")
+
+
+@query(
+    "ch_r7_function_surface_3",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               concat('https://h', user_id % 5, '.org:', 8000 + user_id % 9,
+                      '/p?a=', event_id % 4, '&bb=', user_id % 4,
+                      '&c=', event_id % 3, '#z') AS url
+        FROM events WHERE event_id % 20 = 7
+    )
+    SELECT event_id::BIGINT AS eid,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS fdt,
+           strftime(ts, '%A %d %B %y') AS fdt_name,
+           strptime(concat(lpad(CAST(1 + event_id % 28 AS VARCHAR), 2, '0'),
+                           '/', lpad(CAST(1 + event_id % 12 AS VARCHAR), 2,
+                                     '0'), '/2026'),
+                    '%d/%m/%Y')::VARCHAR AS pdt,
+           CAST(gcd(1 + event_id % 1000, 1 + user_id % 100) AS BIGINT)
+               AS g,
+           CAST(lcm(1 + event_id % 12, 1 + user_id % 8) AS BIGINT) AS l,
+           CAST(factorial(CAST(event_id % 11 AS INT)) AS BIGINT) AS fact,
+           CAST(CASE WHEN user_id % 7 = 0 THEN 0
+                     ELSE (event_id - ((event_id % (user_id % 7)) + (user_id % 7)) % (user_id % 7))
+                          / (user_id % 7) END AS BIGINT) AS idz,
+           contains(event_type, 'ie') OR regexp_matches(event_type, 'i.*e')
+               AS hs,
+           concat('a,bb,c') AS pnames,
+           concat('https://h', user_id % 5, '.org:', 8000 + user_id % 9,
+                  '/p?a=', event_id % 4, '&c=', event_id % 3, '#z')
+               AS cuturl,
+           CAST(8000 + user_id % 9 AS BIGINT) AS prt,
+           concat('h', user_id % 5, '.org:', 8000 + user_id % 9) AS nl
+    FROM e ORDER BY eid
+    """,
+)
+def ch_r7_function_surface_3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-11 names end-to-end: formatDateTime/parseDateTime in the
+    MySQL %-dialect vs DuckDB strftime/strptime (two independent
+    %-dialect implementations agreeing through real timestamps), the
+    fixed-depth Euclid gcd / lcm / factorial vs DuckDB's builtins,
+    intDivOrZero's zero guard, hasSubsequence as a regex derivation,
+    and the URL parameter utilities against oracle-constructed strings.
+    100 TB: map-only scalar surface."""
+    from ..session import widen_scan
+
+    ev = widen_scan(
+        tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 7)
+    )
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".org:"), (8000 + F.col("user_id") % 9).cast("string"),
+        F.lit("/p?a="), (F.col("event_id") % 4).cast("string"),
+        F.lit("&bb="), (F.col("user_id") % 4).cast("string"),
+        F.lit("&c="), (F.col("event_id") % 3).cast("string"), F.lit("#z"),
+    )
+    date_text = F.concat(
+        F.lpad((1 + F.col("event_id") % 28).cast("string"), 2, "0"),
+        F.lit("/"),
+        F.lpad((1 + F.col("event_id") % 12).cast("string"), 2, "0"),
+        F.lit("/2026"),
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        ch_expr("formatDateTime", F.col("ts"), "%Y-%m-%d %H:%i:%s").alias(
+            "fdt"
+        ),
+        ch_expr("formatDateTime", F.col("ts"), "%W %d %M %y").alias(
+            "fdt_name"
+        ),
+        ch_expr("parseDateTime", date_text, "%d/%m/%Y")
+        .cast("string")
+        .alias("pdt"),
+        ch_expr(
+            "gcd", 1 + F.col("event_id") % 1000, 1 + F.col("user_id") % 100
+        ).alias("g"),
+        ch_expr(
+            "lcm", 1 + F.col("event_id") % 12, 1 + F.col("user_id") % 8
+        ).alias("l"),
+        ch_expr("factorial", F.col("event_id") % 11).alias("fact"),
+        ch_expr(
+            "intDivOrZero", F.col("event_id"), F.col("user_id") % 7
+        ).alias("idz"),
+        ch_expr("hasSubsequence", F.col("event_type"), "ie").alias("hs"),
+        F.array_join(
+            ch_expr("extractURLParameterNames", url), ","
+        ).alias("pnames"),
+        ch_expr("cutURLParameter", url, "bb").alias("cuturl"),
+        ch_expr("port", url).alias("prt"),
+        ch_expr("netloc", url).alias("nl"),
+    ).orderBy("eid")

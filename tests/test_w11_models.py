@@ -1,0 +1,160 @@
+"""Round-7 wave 11: MySQL-%-dialect datetime formats (the dialect CH
+actually speaks — the old formatDateTime passthrough took Java
+patterns), fixed-depth Euclid gcd/lcm, factorial, OrZero arithmetic,
+byteSwap, sequence/token search, URL parameter utilities, map LIKE
+predicates, and dateName. All expectations hand-computed; the oracled
+end-to-end slice is `ch_r7_function_surface_3`."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickhouse_objects_analysis_spark.functions.ch import (
+    _mysql_datetime_format,
+    ch_expr,
+)
+
+
+def test_w11_mysql_format_translation():
+    assert _mysql_datetime_format("%Y-%m-%d %H:%i:%s") == (
+        "yyyy-MM-dd HH:mm:ss"
+    )
+    assert _mysql_datetime_format("%d/%b/%Y at %T") == (
+        "dd/MMM/yyyy' at 'HH:mm:ss"
+    )
+    assert _mysql_datetime_format("100%%") == "100%"
+    with pytest.raises(KeyError):
+        _mysql_datetime_format("%Q")
+
+
+def test_w11_datetime_and_math(spark):
+    ts = F.lit("2026-08-14 16:45:31").cast("timestamp")
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("formatDateTime", ts, "%Y-%m-%d %H:%i:%s").alias(
+                "fdt"
+            ),
+            ch_expr("formatDateTime", ts, "%W %d %M %y").alias("fdt2"),
+            ch_expr(
+                "parseDateTime",
+                F.lit("14/08/2026 16:45:31"),
+                "%d/%m/%Y %H:%i:%s",
+            ).cast("string").alias("pdt"),
+            ch_expr("parseDateTimeOrNull", F.lit("xx"), "%Y").alias(
+                "pdtn"
+            ),
+            ch_expr("dateName", "weekday", ts).alias("dn"),
+            ch_expr("dateName", "month", ts).alias("dnm"),
+            ch_expr("gcd", F.lit(252), F.lit(105)).alias("g"),
+            ch_expr("gcd", F.lit(0), F.lit(7)).alias("g0"),
+            ch_expr("lcm", F.lit(4), F.lit(6)).alias("l"),
+            ch_expr("lcm", F.lit(0), F.lit(6)).alias("l0"),
+            ch_expr("factorial", F.lit(20)).alias("fact"),
+            ch_expr("intDivOrZero", F.lit(7), F.lit(0)).alias("idz"),
+            ch_expr("moduloOrZero", F.lit(7), F.lit(0)).alias("mz"),
+            ch_expr("max2", F.lit(3), F.lit(5)).alias("mx"),
+            ch_expr("min2", F.lit(3), F.lit(5)).alias("mn"),
+            ch_expr("byteSwap", F.lit(1)).alias("bs"),
+            ch_expr(
+                "byteSwap", ch_expr("byteSwap", F.lit(123456789))
+            ).alias("bs2"),
+            ch_expr("quantileGK", F.lit(5.0)).alias("qgk"),
+        )
+        .collect()[0]
+    )
+    assert r.fdt == "2026-08-14 16:45:31"
+    assert r.fdt2 == "Friday 14 August 26"
+    assert r.pdt == "2026-08-14 16:45:31" and r.pdtn is None
+    assert r.dn == "Friday" and r.dnm == "August"
+    assert r.g == 21 and r.g0 == 7  # worst-case fold depth covers 64-bit
+    assert r.l == 12 and r.l0 == 0
+    assert r.fact == 2432902008176640000  # 20! — the CH overflow edge
+    assert r.idz == 0 and r.mz == 0
+    assert r.mx == 5 and r.mn == 3
+    assert r.bs == 1 << 56 and r.bs2 == 123456789  # involution
+    assert abs(r.qgk - 5.0) < 1e-9
+
+
+def test_w11_search_url_map(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("hasSubsequence", F.lit("hello world"), "hwd").alias(
+                "hs"
+            ),
+            ch_expr("hasSubsequence", F.lit("hello world"), "dwh").alias(
+                "hsF"
+            ),
+            ch_expr(
+                "hasSubstr",
+                F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+                F.array(F.lit(2), F.lit(3)),
+            ).alias("hsub"),
+            ch_expr(
+                "hasSubstr",
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                F.array(F.lit(3), F.lit(2)),
+            ).alias("hsubF"),
+            ch_expr(
+                "hasToken", F.lit("a quick_brown fox"), "quick_brown"
+            ).alias("ht"),
+            ch_expr("hasToken", F.lit("aquickb"), "quick").alias("htF"),
+            ch_expr(
+                "extractURLParameterNames",
+                F.lit("http://e.com/p?a=1&bb=2#f"),
+            ).alias("names"),
+            ch_expr(
+                "extractURLParameters", F.lit("http://e.com/p?a=1&bb=2")
+            ).alias("params"),
+            ch_expr(
+                "cutURLParameter",
+                F.lit("http://e.com/p?a=1&bb=2&c=3#f"),
+                "bb",
+            ).alias("cut1"),
+            ch_expr(
+                "cutURLParameter", F.lit("http://e.com/p?bb=2"), "bb"
+            ).alias("cut2"),
+            ch_expr("port", F.lit("https://e.com:8443/p")).alias("port"),
+            ch_expr("port", F.lit("https://e.com/p")).alias("port0"),
+            ch_expr("netloc", F.lit("https://u:p@e.com:8443/p?q")).alias(
+                "nl"
+            ),
+            ch_expr(
+                "mapContainsKeyLike",
+                F.create_map(
+                    F.lit("abc"), F.lit(1), F.lit("xy"), F.lit(2)
+                ),
+                "a%",
+            ).alias("mckl"),
+            ch_expr(
+                "mapExtractKeyLike",
+                F.create_map(
+                    F.lit("abc"), F.lit(1), F.lit("xy"), F.lit(2)
+                ),
+                "_y",
+            ).alias("mekl"),
+            ch_expr(
+                "mapExists",
+                lambda k, v: v > 1,
+                F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)),
+            ).alias("me"),
+            ch_expr(
+                "mapAll",
+                lambda k, v: v > 0,
+                F.create_map(F.lit("a"), F.lit(1)),
+            ).alias("ma"),
+        )
+        .collect()[0]
+    )
+    assert r.hs is True and r.hsF is False
+    assert r.hsub is True and r.hsubF is False
+    assert r.ht is True and r.htF is False
+    assert r.names == ["a", "bb"] and r.params == ["a=1", "bb=2"]
+    assert r.cut1 == "http://e.com/p?a=1&c=3#f"
+    assert r.cut2 == "http://e.com/p"
+    assert r.port == 8443 and r.port0 == 0
+    assert r.nl == "u:p@e.com:8443"
+    assert r.mckl is True and dict(r.mekl) == {"xy": 2}
+    assert r.me is True and r.ma is True
