@@ -642,3 +642,179 @@ def ivf_candidate_pairs(
         pairs_in_cell, "id_a long, id_b long, cos double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    sample_unit: np.ndarray, m: int, ksub: int, iters: int = 10
+) -> np.ndarray:
+    """Per-subspace Euclidean k-means codebooks, FAISS-PQ shape: split
+    dim into ``m`` contiguous subvectors, learn ``ksub`` centroids per
+    subspace on a driver-sized sample. Deterministic like
+    train_centroids: init = evenly spaced rows of the id-sorted sample,
+    pure-numpy Lloyd, empty clusters keep their previous centroid.
+    Returns (m, ksub, dim // m)."""
+    n, dim = sample_unit.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = sample_unit[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(sub))
+        init_idx = np.linspace(0, len(sub) - 1, k).astype(int)
+        cent = sub[init_idx].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub**2).sum(1)[:, None]
+                - 2.0 * sub @ cent.T
+                + (cent**2).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            acc = np.zeros_like(cent)
+            np.add.at(acc, assign, sub)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            cent[nz] = acc[nz] / counts[nz, None]
+        books.append(cent)
+    return np.stack(books)
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    max_train: int = 4096,
+    kmeans_iters: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ approximate top-k with exact re-rank — the third scale path
+    next to LSH and IVF, FAISS PQx-ADC shape:
+
+    1. TRAIN: same deterministic sample protocol as IVF (ORDER BY
+       xxhash64(id) LIMIT max_train), per-subspace codebooks on the
+       driver. Vectors are unit-normalized first, so the asymmetric
+       distance Σⱼ dot(qⱼ, c_{j,code_j}) approximates the cosine.
+    2. ENCODE: map-only Pandas UDF vec → m uint8-range codes. At 100 TB
+       this is the materialized index: m bytes per vector (64× smaller
+       than the float64 vector) — PQ's contract is COMPRESSION of the
+       scan, not candidate pruning, which is why it composes with IVF.
+    3. ADC SCAN: each partition of the code table is scanned against the
+       per-query lookup tables (m·ksub dots per query, built driver-side
+       and shipped in the UDF closure); the partition emits only its
+       per-query top rerank·k rows, so the shuffle after the linear scan
+       is bounded by partitions × queries × rerank·k.
+    4. RE-RANK: the ≤ rerank·k·partitions candidates per query get exact
+       cosines (broadcast query vectors, Arrow dot), window top-k.
+    """
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("corpus_id"),
+        as_double(F.col(vec_col)).alias("vc"),
+    )
+    train_pdf = (
+        src.orderBy(F.xxhash64(F.col("corpus_id")))
+        .limit(max_train)
+        .toPandas()
+        .sort_values("corpus_id")
+    )
+    train_mat = np.stack(train_pdf["vc"].to_numpy())
+    train_unit = train_mat / np.maximum(
+        np.linalg.norm(train_mat, axis=1, keepdims=True), 1e-12
+    )
+    books = train_pq_codebooks(train_unit, m, ksub, kmeans_iters)
+    dsub = books.shape[2]
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("vq"),
+    ).toPandas()
+    q_ids = q_rows["query_id"].to_numpy()
+    q_mat = np.stack(q_rows["vq"].to_numpy())
+    q_unit = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+    # LUT[qi, j, c] = dot(q_j, book[j, c]); ADC score = Σ_j LUT[qi, j, code_j]
+    lut = np.einsum(
+        "qjd,jcd->qjc", q_unit.reshape(len(q_unit), m, dsub), books
+    )
+    n_keep = rerank * k
+
+    def adc_scan(batches):
+        """Per-partition ADC: linear scan of the code table, emit the
+        partition-local top n_keep per query."""
+        best: dict[int, list] = {}  # query idx -> [(score, corpus_id)]
+        for pdf in batches:
+            mat = np.stack(pdf["vc"].to_numpy())
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                sub = unit[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ books[j].T
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            # scores: (queries, batch) via LUT gather
+            jj = np.arange(m)
+            for qi in range(len(q_ids)):
+                s = lut[qi][jj[None, :], codes].sum(axis=1)
+                ids = pdf["corpus_id"].to_numpy()
+                keep = np.argsort(-s)[: n_keep + 1]
+                cur = best.setdefault(qi, [])
+                cur.extend(
+                    (float(s[i]), int(ids[i]))
+                    for i in keep
+                    if int(ids[i]) != int(q_ids[qi])
+                )
+                cur.sort(key=lambda t: (-t[0], t[1]))
+                del cur[n_keep:]
+        rows = [
+            (int(q_ids[qi]), cid)
+            for qi, lst in best.items()
+            for (_s, cid) in lst
+        ]
+        yield pd.DataFrame(
+            rows or [(None, None)], columns=["query_id", "corpus_id"]
+        ).dropna().astype("int64")
+
+    cand = src.mapInPandas(
+        adc_scan, schema="query_id long, corpus_id long"
+    )
+
+    spark = corpus.sparkSession
+    q_df = spark.createDataFrame(q_rows).withColumn(
+        "nq", norm(F.col("vq"))
+    )
+    reranked = (
+        cand.join(src, "corpus_id")
+        .join(F.broadcast(q_df), "query_id")
+        .withColumn("nc", norm(F.col("vc")))
+        .withColumn(
+            "cos",
+            dot_pd(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

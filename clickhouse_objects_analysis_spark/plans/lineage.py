@@ -4,9 +4,11 @@ Reference parity (ch_view_dependencies.py):
 - fetch_views/fetch_tables (:293-324)  → catalog DataFrame + filters (A1/A2)
 - parse_view_tables (:233-258)         → Spark's own SQL parser plan walk
                                          (exact, replaces the ANTLR visitor
-                                         heuristics A5-A9) with a
-                                         conservative regex fallback for
-                                         non-Spark dialects
+                                         heuristics A5-A9), then the
+                                         scope-aware tokenizer walk
+                                         (plans/chparse.py) for non-Spark
+                                         dialects, then a conservative
+                                         regex scan as last resort
 - _views_to_json (:346-361)            → view_dependencies(): edges + error
                                          DataFrames (per-view error channel)
 - graph build/dedup/classify (dependencies_to_mermaid.py:100-149, A11-A14)
@@ -16,9 +18,10 @@ Reference parity (ch_view_dependencies.py):
 
 Scale design: parsing is metadata-scale (one DDL string per view). The
 exact path uses the JVM parser on the driver (requires the SparkSession);
-the regex fallback is a pure function shipped via mapInPandas when the
-catalog is huge (`extract_dependencies_distributed`). Graph ops are plain
-DataFrame joins — they scale to millions of edges without GraphFrames.
+the tokenizer/regex fallback ladder is pure functions shipped via
+mapInPandas when the catalog is huge
+(`extract_dependencies_distributed`). Graph ops are plain DataFrame
+joins — they scale to millions of edges without GraphFrames.
 """
 
 from __future__ import annotations

@@ -35,6 +35,7 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    pq_cosine_topk,
 )
 from ..operators.text import (
     LANG_STOPWORDS,
@@ -303,6 +304,32 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
     return _ann_recall_gate(exact, approx, mean_threshold=0.6)
+
+
+@query("ann_pq_topk", oracle=_ANN_GATE_ORACLE)
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k with exact re-rank
+    (operators.similarity.pq_cosine_topk) — the COMPRESSION scale path
+    next to LSH (oblivious buckets) and IVF (candidate pruning): the
+    index is m=16 one-byte codes per vector (32x smaller than the
+    float64 embedding), the ADC scan reads only codes + per-query
+    lookup tables, and each partition emits just its top rerank*k
+    candidates before the exact re-rank. Composable with IVF at 100 TB
+    (IVF prunes the lists, PQ compresses what remains — the FAISS
+    IVF-PQ layout).
+
+    Measured on this near-random corpus (the hardest regime) vs the
+    exact top-5: (m=16, ksub=16, rerank=8) -> recall 0.86/0.92/0.84 at
+    sf0.001/0.01/0.1 with min 2-of-5 per query — above IVF's 0.74 at a
+    fraction of the scan bytes. Gate at mean >= 0.7, every query >= 1
+    — see _ann_recall_gate."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    approx = pq_cosine_topk(
+        e, q, "vec_id", "embedding", k=5, m=16, ksub=16, rerank=8
+    )
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    return _ann_recall_gate(exact, approx, mean_threshold=0.7)
 
 
 @query(

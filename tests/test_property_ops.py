@@ -513,3 +513,63 @@ class TestDecoderSeam:
             r = out[doc_id]
             assert (r.width, r.height) == (w, h)
             assert r.features == [float(L % 256)] * 3
+
+
+def test_pq_topk_invariants(spark, sf_dir):
+    """PQ results must be well-formed (dense ranks, descending cosine,
+    no self matches), deterministic across two runs (seedless
+    deterministic training), and agree with the exact scores wherever
+    both report the same pair — the re-rank computes exact cosines, so
+    a reported score is never approximate."""
+    from clickhouse_objects_analysis_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+    )
+    from clickhouse_objects_analysis_spark.queries.registry import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    pq = pq_cosine_topk(
+        e, q, "vec_id", "embedding", k=5, m=16, ksub=16, rerank=8
+    ).collect()
+    again = pq_cosine_topk(
+        e, q, "vec_id", "embedding", k=5, m=16, ksub=16, rerank=8
+    ).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, again))
+    exact = {
+        (r.query_id, r.corpus_id): r.cos
+        for r in cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in pq:
+        assert r.query_id != r.corpus_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "PQ returned nothing"
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cos for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rows:
+            if (r.query_id, r.corpus_id) in exact:
+                assert abs(exact[(r.query_id, r.corpus_id)] - r.cos) < 1e-6
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+    import numpy as np
+
+    from clickhouse_objects_analysis_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    sample = rng.randn(200, 64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    b1 = train_pq_codebooks(sample, m=16, ksub=8)
+    b2 = train_pq_codebooks(sample, m=16, ksub=8)
+    assert b1.shape == (16, 8, 4)
+    assert np.array_equal(b1, b2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_pq_codebooks(sample, m=7, ksub=8)  # 64 % 7 != 0
