@@ -41,7 +41,6 @@ _R7_ADDITIONS: list[str] = [
     "ch_r7_function_surface_2",
     "substring_dup_spans",
     "heaps_law_fit",
-    "char_entropy_filter",
     "bitmap_segment_ops",
     "ch_r7_function_surface_3",
     "ann_pq_topk",

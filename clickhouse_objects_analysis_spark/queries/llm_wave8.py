@@ -1,7 +1,9 @@
 """LLM-pipeline wave 8 (round-7 session 2): substring-level exact
 duplication (the Lee et al. 2022 "Deduplicating Training Data Makes
-Language Models Better" signal, re-expressed relationally), a Heaps'
-law vocabulary-growth fit, and a character-entropy quality filter.
+Language Models Better" signal, re-expressed relationally) and a
+Heaps' law vocabulary-growth fit. (A char-entropy filter was drafted
+here too, then dropped: llm_wave3's char_entropy_quality already
+covers it — same formula, same value-sorted fold.)
 
 Cross-engine float discipline (registry convention): every aggregate
 accumulates exact integers; the few float reductions fold over
@@ -223,75 +225,4 @@ def heaps_law_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - beta * F.col("sx")) / F.col("m"), 6).alias(
             "log_k"
         ),
-    )
-
-
-@query(
-    "char_entropy_filter",
-    oracle="""
-    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
-                FROM documents),
-    cnts AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM ch GROUP BY doc_id, c),
-    agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
-                   list_sort(list(cnt)) AS counts
-            FROM cnts GROUP BY doc_id),
-    h AS (SELECT doc_id, n,
-                 ln(CAST(n AS DOUBLE))
-                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(counts,
-                                      x -> x * ln(CAST(x AS DOUBLE)))),
-                       (a, b) -> a + b) / n AS ent
-          FROM agg)
-    SELECT doc_id, n AS n_chars,
-           ROUND(ent, 6) AS entropy,
-           CAST(CASE WHEN ent < 2.6 THEN 1 ELSE 0 END AS INT)
-               AS low_entropy
-    FROM h ORDER BY doc_id
-    """,
-)
-def char_entropy_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-entropy quality filter: per-document Shannon entropy
-    H = ln N − (Σ c·ln c)/N over exact character counts (the standard
-    low-entropy screen for degenerate/repetitive text; the corpus spans
-    ≈2.55–2.93 nats so the 2.6 threshold flags a real low tail).
-
-    The entropy term folds over the VALUE-SORTED count multiset — the
-    character identities are irrelevant to the sum, so sorting the
-    counts themselves gives both engines the same addition order
-    without struct-sort gymnastics. 100 TB: one map-side-combined
-    (doc, char) count (≤ alphabet-size rows per doc), one doc-level
-    fold; no shuffle wider than doc_id."""
-    docs = tables(spark, sf_dir)["documents"]
-    cnts = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.filter(F.split("text", ""), lambda x: x != "")
-            ).alias("c"),
-        )
-        .groupBy("doc_id", "c")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    agg = cnts.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.array_sort(F.collect_list("cnt")).alias("counts"),
-    )
-    ent = F.log(F.col("n").cast("double")) - F.aggregate(
-        F.transform(
-            "counts", lambda x: x * F.log(x.cast("double"))
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    ) / F.col("n")
-    return (
-        agg.select(
-            "doc_id",
-            F.col("n").alias("n_chars"),
-            F.round(ent, 6).alias("entropy"),
-            F.when(ent < 2.6, 1).otherwise(0).cast("int").alias(
-                "low_entropy"
-            ),
-        )
-        .orderBy("doc_id")
     )

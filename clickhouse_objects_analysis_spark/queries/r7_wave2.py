@@ -232,7 +232,11 @@ def bitmap_segment_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and viewer user-id bitmaps, then AND/OR/XOR/ANDNOT cardinalities,
     min/max, a value-range subset and a membership probe. The DuckDB
     twin drives the same algebra through list primitives, so the
-    sorted-array bitmap carrier is checked end-to-end.
+    sorted-array bitmap carrier is checked end-to-end. Complementary
+    to ch_aggregates_w6's bitmap_set_cardinalities, which expresses the
+    same audience algebra RELATIONALLY (membership flags + conditional
+    counts, the plan roaring bitmaps accelerate) — this query drives
+    the scalar function surface itself.
 
     100 TB: bitmaps stay per-(segment, type) — collect_set after a
     map-side distinct, exactly the per-group-small discipline CH
