@@ -44,6 +44,7 @@ _R7_ADDITIONS: list[str] = [
     "bitmap_segment_ops",
     "ch_r7_function_surface_3",
     "ann_pq_topk",
+    "lineage_cycle_detection",
 ]
 
 

@@ -1412,6 +1412,41 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "mapAll": lambda f, m: F.size(F.map_filter(m, f)) == F.size(m),
     # --- round-7 wave 11: misc ---
     "emptyArrayUInt64": lambda: F.array().cast("array<long>"),
+    # scalar twins of the operator-level text.py tokenizers (the dedup
+    # stack keeps its own shingle pipeline; these are the CH names).
+    # CH's default tokenizer splits on non-alphanumeric ASCII —
+    # underscore IS a separator there, unlike \\w.
+    "tokens": lambda c: F.filter(
+        F.split(c, "[^A-Za-z0-9]+"), lambda x: x != ""
+    ),
+    # character n-grams, CH ngrams(s, n); n must be a literal. The
+    # short-string guard is load-bearing: sequence(1, 0) DESCENDS in
+    # Spark (default step -1), which would emit two bogus grams.
+    "ngrams": lambda c, n: F.when(
+        F.length(c) < int(n), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - int(n) + 1),
+            lambda i: F.substring(c, i, int(n)),
+        )
+    ),
+    # all regex matches, each as its capture-group array; the group
+    # count is read from the LITERAL pattern (unescaped, non-(?:) open
+    # parens), so the shape is static like Spark wants
+    "extractAllGroupsVertical": lambda c, pat: (
+        lambda p, ng: F.transform(
+            F.regexp_extract_all(c, F.lit(p), 0),
+            lambda mtext: F.array(
+                *[
+                    F.regexp_extract(mtext, p, g + 1)
+                    for g in range(ng)
+                ]
+            ),
+        )
+    )(
+        _literal_sep(pat),
+        len(re.findall(r"(?<!\\)\((?!\?)", _literal_sep(pat))),
+    ),
     "quantileGK": lambda c, q=0.5: F.percentile_approx(c, q),
     "dateName": lambda part, c: {
         "year": lambda x: F.year(x).cast("string"),

@@ -225,6 +225,61 @@ def lineage_transitive_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(edges).orderBy("view", "dep")
 
 
+#: Three synthetic views wired into a reference cycle (a real CH failure
+#: mode: circular MV/view chains error at CREATE time — the lineage tool
+#: must SURFACE them, not loop). Appended to the acyclic EXPECTED_EDGES
+#: for the cycle-detection query only.
+CYCLE_EDGES = [
+    ("test.cyc_a", "test.cyc_b"),
+    ("test.cyc_b", "test.cyc_c"),
+    ("test.cyc_c", "test.cyc_a"),
+    ("test.cyc_c", "test.raw_events"),  # cycle members also read real deps
+]
+
+
+@query(
+    "lineage_cycle_detection",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT view, dep
+        FROM {_values_sql(EXPECTED_EDGES + CYCLE_EDGES, ["view", "dep"])}
+    ),
+    c AS (
+        SELECT view, dep FROM e
+        UNION
+        SELECT c.view, e.dep FROM c JOIN e ON c.dep = e.view
+    )
+    SELECT view, CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(MAX(CASE WHEN dep = view THEN 1 ELSE 0 END) AS INT)
+               AS in_cycle
+    FROM c GROUP BY view ORDER BY view
+    """,
+)
+def lineage_cycle_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-dependency detection over the closure: a view is in a
+    cycle iff the transitive closure contains (v, v). ClickHouse rejects
+    circular view chains at CREATE time; a lineage tool pointed at a
+    broken catalog must surface the cycle set rather than diverge — the
+    semi-naive closure terminates on cycles by construction (each round
+    anti-joins pairs already known). Output per view: reachable-set
+    size + cycle flag. 100 TB: same narrow (node, node) shuffles as
+    lineage_transitive_closure."""
+    edges = spark.createDataFrame(
+        EXPECTED_EDGES + CYCLE_EDGES, "view string, dep string"
+    )
+    closure = transitive_closure(edges)
+    return (
+        closure.groupBy("view")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.max(
+                (F.col("dep") == F.col("view")).cast("int")
+            ).alias("in_cycle"),
+        )
+        .orderBy("view")
+    )
+
+
 # --------------------------------------------------------------------------
 # ClickHouse-dialect DDL corpus — genuinely Spark-unparseable statements
 # (ENGINE/POPULATE clauses, PREWHERE, SAMPLE, ANY/ASOF/GLOBAL JOIN,

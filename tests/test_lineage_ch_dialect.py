@@ -344,3 +344,44 @@ def test_token_mixed_with_list_registers_late_ctes():
         default_db="test",
     )
     assert got == ["test.src"]
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: the fallback ladder must answer on ANY input — tokenizer result
+# or regex result, never an unhandled exception, never a hang.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SQLISH = st.lists(
+    st.sampled_from(
+        list("abcXY_019 \t\n.,()'`\"\\/*-%;=#?&")
+        + ["FROM ", "JOIN ", "WITH ", "SELECT ", "AS ", "--", "/*", "*/"]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@given(sql=_SQLISH)
+@settings(max_examples=300, deadline=None)
+def test_fallback_ladder_total(sql):
+    deps, method = fallback_table_dependencies(sql, default_db="test")
+    assert method in ("token", "regex")
+    assert deps == sorted(deps)
+    assert len(deps) == len(set(deps))
+    for d in deps:
+        assert d  # never an empty name
+
+
+@given(sql=_SQLISH)
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_is_total_or_valueerror(sql):
+    from clickhouse_objects_analysis_spark.plans.chparse import tokenize
+
+    toks = tokenize(sql)  # must never raise or hang
+    assert all(isinstance(t, tuple) and len(t) == 2 for t in toks)
+    try:
+        token_table_dependencies(sql, default_db="test")
+    except ValueError:
+        pass  # unbalanced parens — the ladder's regex cue

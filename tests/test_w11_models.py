@@ -158,3 +158,24 @@ def test_w11_search_url_map(spark):
     assert r.nl == "u:p@e.com:8443"
     assert r.mckl is True and dict(r.mekl) == {"xy": 2}
     assert r.me is True and r.ma is True
+
+
+def test_w11_tokens_ngrams_groups(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("tokens", F.lit("a_b 12,cd!")).alias("t"),
+            ch_expr("ngrams", F.lit("abcd"), 3).alias("n"),
+            # the short-string guard: sequence(1,0) would DESCEND
+            ch_expr("ngrams", F.lit("ab"), 3).alias("n0"),
+            ch_expr(
+                "extractAllGroupsVertical",
+                F.lit("k1=v1, k2=v2"),
+                r"(\w+)=(\w+)",
+            ).alias("gv"),
+        )
+        .collect()[0]
+    )
+    assert r.t == ["a", "b", "12", "cd"]  # '_' separates, per CH docs
+    assert r.n == ["abc", "bcd"] and r.n0 == []
+    assert r.gv == [["k1", "v1"], ["k2", "v2"]]
