@@ -1412,6 +1412,52 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "mapAll": lambda f, m: F.size(F.map_filter(m, f)) == F.size(m),
     # --- round-7 wave 11: misc ---
     "emptyArrayUInt64": lambda: F.array().cast("array<long>"),
+    # char-set Jaccard of two strings (the scalar sibling of
+    # arrayJaccardIndex / the operator-level ngram pipelines)
+    "stringJaccardIndex": lambda a, b: (
+        lambda ca, cb: F.when(
+            (F.length(a) == 0) & (F.length(b) == 0), F.lit(0.0)
+        ).otherwise(
+            F.size(F.array_intersect(ca, cb))
+            / F.size(F.array_union(ca, cb)).cast("double")
+        )
+    )(
+        F.filter(F.split(a, ""), lambda x: x != ""),
+        F.filter(F.split(b, ""), lambda x: x != ""),
+    ),
+    "regexpQuoteMeta": lambda c: F.regexp_replace(
+        c, r"([\\.$^*+?()\[\]{}|\-])", r"\\$1"
+    ),
+    # CH roundDuration: legacy fixed bucket set {0,1,10,30,60,120,180,
+    # 240,300,600,1200,1800,3600,7200,18000,36000}
+    "roundDuration": lambda c: F.coalesce(
+        F.array_max(
+            F.filter(
+                F.array(
+                    *[
+                        F.lit(v)
+                        for v in (0, 1, 10, 30, 60, 120, 180, 240, 300,
+                                  600, 1200, 1800, 3600, 7200, 18000,
+                                  36000)
+                    ]
+                ),
+                lambda e: e <= c,
+            )
+        ),
+        F.lit(0),
+    ),
+    # CH roundAge: {0,18,25,35,45,55} with <1 -> 0, 1..17 -> 17
+    "roundAge": lambda c: F.when(c < 1, F.lit(0))
+    .when(c < 18, F.lit(17))
+    .otherwise(
+        F.array_max(
+            F.filter(
+                F.array(*[F.lit(v) for v in (18, 25, 35, 45, 55)]),
+                lambda e: e <= c,
+            )
+        )
+    ),
+    "translateUTF8": F.translate,  # Spark strings are UTF-16 already
     # scalar twins of the operator-level text.py tokenizers (the dedup
     # stack keeps its own shingle pipeline; these are the CH names).
     # CH's default tokenizer splits on non-alphanumeric ASCII —

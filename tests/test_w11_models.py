@@ -179,3 +179,32 @@ def test_w11_tokens_ngrams_groups(spark):
     assert r.t == ["a", "b", "12", "cd"]  # '_' separates, per CH docs
     assert r.n == ["abc", "bcd"] and r.n0 == []
     assert r.gv == [["k1", "v1"], ["k2", "v2"]]
+
+
+def test_w11_jaccard_quote_buckets(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr(
+                "stringJaccardIndex", F.lit("abc"), F.lit("bcd")
+            ).alias("j"),
+            ch_expr("stringJaccardIndex", F.lit(""), F.lit("")).alias(
+                "j0"
+            ),
+            ch_expr("regexpQuoteMeta", F.lit("a.b*c")).alias("q"),
+            ch_expr("roundDuration", F.lit(250)).alias("rd"),
+            ch_expr("roundDuration", F.lit(0)).alias("rd0"),
+            ch_expr("roundAge", F.lit(42)).alias("ra"),
+            ch_expr("roundAge", F.lit(12)).alias("ra2"),
+            ch_expr("translateUTF8", F.lit("abc"), "ab", "xy").alias(
+                "tr"
+            ),
+        )
+        .collect()[0]
+    )
+    assert abs(r.j - 0.5) < 1e-12  # {b,c} over {a,b,c,d}
+    assert r.j0 == 0.0
+    assert r.q == r"a\.b\*c"
+    assert r.rd == 240 and r.rd0 == 0  # legacy Metrica buckets
+    assert r.ra == 35 and r.ra2 == 17
+    assert r.tr == "xyc"
