@@ -346,6 +346,48 @@ def _like_to_rlike(pat) -> str:
     return "^" + "".join(out) + "$"
 
 
+#: Magic-number bit-spread masks (Morton/Z-order): value & mask after
+#: each doubling shift; all literals fit a signed long.
+_MORTON_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _morton_spread(c: Column) -> Column:
+    """uint32 → its bits at the even positions of a 64-bit word (the
+    classic five-step magic-number spread; literal shifts only)."""
+    v = c.cast("long").bitwiseAND(0xFFFFFFFF)
+    for shift, mask in _MORTON_MASKS:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _morton_compact(c: Column) -> Column:
+    """Inverse of _morton_spread: gather the even bits back to a
+    uint32 (unsigned right shifts — bit 63 may be set)."""
+    v = c.cast("long").bitwiseAND(F.lit(0x5555555555555555))
+    v = v.bitwiseOR(F.shiftrightunsigned(v, 1)).bitwiseAND(
+        F.lit(0x3333333333333333)
+    )
+    v = v.bitwiseOR(F.shiftrightunsigned(v, 2)).bitwiseAND(
+        F.lit(0x0F0F0F0F0F0F0F0F)
+    )
+    v = v.bitwiseOR(F.shiftrightunsigned(v, 4)).bitwiseAND(
+        F.lit(0x00FF00FF00FF00FF)
+    )
+    v = v.bitwiseOR(F.shiftrightunsigned(v, 8)).bitwiseAND(
+        F.lit(0x0000FFFF0000FFFF)
+    )
+    v = v.bitwiseOR(F.shiftrightunsigned(v, 16)).bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+    return v
+
+
 CH_FUNCTIONS: dict[str, Builder] = {
     # --- string ---
     "lower": F.lower,
@@ -1458,6 +1500,17 @@ CH_FUNCTIONS: dict[str, Builder] = {
         )
     ),
     "translateUTF8": F.translate,  # Spark strings are UTF-16 already
+    # Z-order curve (the layout CH's mortonEncode serves and Spark's
+    # ZORDER OPTIMIZE uses internally): 2-D interleave of two uint32s
+    "mortonEncode": lambda x, y: _morton_spread(x).bitwiseOR(
+        F.shiftleft(_morton_spread(y), 1)
+    ),
+    "mortonDecode": lambda code: F.struct(
+        _morton_compact(code).alias("x"),
+        _morton_compact(
+            F.shiftrightunsigned(code.cast("long"), 1)
+        ).alias("y"),
+    ),
     # scalar twins of the operator-level text.py tokenizers (the dedup
     # stack keeps its own shingle pipeline; these are the CH names).
     # CH's default tokenizer splits on non-alphanumeric ASCII —

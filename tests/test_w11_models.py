@@ -208,3 +208,36 @@ def test_w11_jaccard_quote_buckets(spark):
     assert r.rd == 240 and r.rd0 == 0  # legacy Metrica buckets
     assert r.ra == 35 and r.ra2 == 17
     assert r.tr == "xyc"
+
+
+def test_w11_morton_roundtrip(spark):
+    def spread(x):
+        r = 0
+        for i in range(32):
+            r |= ((x >> i) & 1) << (2 * i)
+        return r
+
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("mortonEncode", F.lit(5), F.lit(3)).alias("m"),
+            ch_expr(
+                "mortonDecode",
+                ch_expr("mortonEncode", F.lit(123456), F.lit(987654)),
+            ).alias("d"),
+            ch_expr(
+                "mortonDecode",
+                ch_expr(
+                    "mortonEncode",
+                    F.lit(0xFFFFFFFF),
+                    F.lit(0xFFFFFFFF),
+                ),
+            ).alias("dmax"),  # y's top bit lands on bit 63 (sign)
+            ch_expr("mortonEncode", F.lit(0), F.lit(1)).alias("m01"),
+        )
+        .collect()[0]
+    )
+    assert r.m == (spread(5) | (spread(3) << 1))
+    assert (r.d.x, r.d.y) == (123456, 987654)
+    assert (r.dmax.x, r.dmax.y) == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert r.m01 == 2  # y occupies the odd bit positions
