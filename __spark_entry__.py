@@ -45,6 +45,7 @@ _R7_ADDITIONS: list[str] = [
     "ch_r7_function_surface_3",
     "ann_pq_topk",
     "lineage_cycle_detection",
+    "morton_zorder_locality",
 ]
 
 

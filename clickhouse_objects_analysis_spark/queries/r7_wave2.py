@@ -375,3 +375,61 @@ def ch_r7_function_surface_3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch_expr("port", url).alias("prt"),
         ch_expr("netloc", url).alias("nl"),
     ).orderBy("eid")
+
+
+@query(
+    "morton_zorder_locality",
+    oracle="""
+    WITH b AS (
+        SELECT user_id % 256 AS x, event_id % 256 AS y
+        FROM events
+    ),
+    m AS (
+        SELECT x, y,
+               ( ((x >> 0) & 1) * 1     + ((x >> 1) & 1) * 4
+               + ((x >> 2) & 1) * 16    + ((x >> 3) & 1) * 64
+               + ((x >> 4) & 1) * 256   + ((x >> 5) & 1) * 1024
+               + ((x >> 6) & 1) * 4096  + ((x >> 7) & 1) * 16384
+               + (((y >> 0) & 1) * 1    + ((y >> 1) & 1) * 4
+               +  ((y >> 2) & 1) * 16   + ((y >> 3) & 1) * 64
+               +  ((y >> 4) & 1) * 256  + ((y >> 5) & 1) * 1024
+               +  ((y >> 6) & 1) * 4096 + ((y >> 7) & 1) * 16384) * 2
+               ) AS code
+        FROM b
+    )
+    SELECT CAST(code >> 8 AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+           CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+    FROM m GROUP BY cell ORDER BY cell
+    """,
+)
+def morton_zorder_locality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout demonstration over mortonEncode: events mapped to
+    an (x=user bucket, y=id bucket) 256×256 grid, Morton-coded, grouped
+    by the 8-bit code prefix. Each prefix cell covers a CONTIGUOUS
+    16×16 rectangle (x_span, y_span ≤ 15 by construction) — the
+    locality property that makes Z-order file clustering prune
+    multi-dimensional range predicates: a sorted-by-code layout puts
+    both dimensions' neighborhoods in the same files. The DuckDB twin
+    derives the interleave arithmetically (Σ bit·4^i), so the
+    magic-number spread is cross-checked bit-for-bit over all rows.
+    100 TB: map-only expression + one 256-group aggregate."""
+    ev = tables(spark, sf_dir)["events"]
+    code = ch_expr(
+        "mortonEncode", F.col("user_id") % 256, F.col("event_id") % 256
+    )
+    return (
+        ev.select(
+            (F.col("user_id") % 256).alias("x"),
+            (F.col("event_id") % 256).alias("y"),
+            F.shiftrightunsigned(code, 8).alias("cell"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+            (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+        )
+        .orderBy("cell")
+    )
