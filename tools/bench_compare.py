@@ -33,9 +33,17 @@ def main() -> None:
     )
     old = json.load(open(old_path))
     new = json.load(open(new_path))
-    cal_old, cal_new = old["calibration_sec"], new["calibration_sec"]
+    # r7+ policy (SCALE.md): normalize by the LONG calibration when both
+    # sides carry it — the short 50M figure swings ±25% across JVMs, the
+    # 8B one repeats within ~1%.
+    key = (
+        "calibration_long_sec"
+        if "calibration_long_sec" in old and "calibration_long_sec" in new
+        else "calibration_sec"
+    )
+    cal_old, cal_new = old[key], new[key]
     print(
-        f"calibration: old={cal_old}s new={cal_new}s "
+        f"calibration ({key}): old={cal_old}s new={cal_new}s "
         f"(host factor {cal_new / cal_old:.3f})"
     )
     common = sorted(set(old["queries"]) & set(new["queries"]))
