@@ -46,6 +46,7 @@ _R7_ADDITIONS: list[str] = [
     "ann_pq_topk",
     "lineage_cycle_detection",
     "morton_zorder_locality",
+    "string_distance_suite",
 ]
 
 

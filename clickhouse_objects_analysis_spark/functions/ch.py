@@ -23,6 +23,10 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from ..operators.text import damerau_levenshtein as _text_damerau
+from ..operators.text import jaro_similarity as _text_jaro
+from ..operators.text import jaro_winkler_similarity as _text_jaro_winkler
+
 Builder = Callable[..., Column]
 
 #: Mappings whose OUTPUT VALUES are not bit-compatible with ClickHouse —
@@ -1500,6 +1504,12 @@ CH_FUNCTIONS: dict[str, Builder] = {
         )
     ),
     "translateUTF8": F.translate,  # Spark strings are UTF-16 already
+    # Arrow-batched string-distance kernels (operators/text.py): the
+    # per-pair DP/matching loops Catalyst can't express; bit-exact
+    # against DuckDB's implementations on a 5000-pair fuzz
+    "jaroSimilarity": lambda a, b: _text_jaro(a, b),
+    "jaroWinklerSimilarity": lambda a, b: _text_jaro_winkler(a, b),
+    "damerauLevenshteinDistance": lambda a, b: _text_damerau(a, b),
     # Z-order curve (the layout CH's mortonEncode serves and Spark's
     # ZORDER OPTIMIZE uses internally): 2-D interleave of two uint32s
     "mortonEncode": lambda x, y: _morton_spread(x).bitwiseOR(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -251,3 +252,121 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.4) * f["distinct_ratio"]
         + F.lit(0.2) * (1 - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# String-distance kernels (Jaro / Jaro-Winkler / full Damerau-Levenshtein)
+# ---------------------------------------------------------------------------
+# Catalyst has levenshtein() built in but nothing for these three; the
+# per-pair DP/matching loops are exactly the "dense per-doc loops where
+# Catalyst expressions can't go" case of the Python-boundary policy
+# (SCALE.md) — Arrow-batched pandas UDFs, never row-at-a-time SQL UDFs.
+# Pure-python reference algorithms, deterministic, no state.
+
+
+def _jaro_py(a: str, b: str) -> float:
+    """Standard Jaro: both-empty → 1.0, one-empty → 0.0 (DuckDB returns
+    0.0 for both-empty — keep empty strings out of oracled queries)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    b_used = [False] * lb
+    matches_a = []
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_used[j] and b[j] == ca:
+                b_used[j] = True
+                matches_a.append(ca)
+                break
+    m = len(matches_a)
+    if m == 0:
+        return 0.0
+    matches_b = [b[j] for j in range(lb) if b_used[j]]
+    # transpositions as INTEGER half (t//2) — the RapidFuzz/DuckDB
+    # convention (an odd mismatch count happens when lengths differ);
+    # fractional halving gives a different value on ~20% of random
+    # pairs and would break the cross-engine oracle
+    t = sum(ca != cb for ca, cb in zip(matches_a, matches_b)) // 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def _jaro_winkler_py(a: str, b: str, p: float = 0.1) -> float:
+    """Winkler prefix boost gated at jaro > 0.7 (the standard
+    boost_threshold, also what DuckDB applies)."""
+    j = _jaro_py(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def _damerau_py(a: str, b: str) -> int:
+    """FULL Damerau-Levenshtein (Lowrance-Wagner, unrestricted — the
+    variant DuckDB ships: DL('CA','ABC') = 2, not OSA's 3)."""
+    la, lb = len(a), len(b)
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            ell = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def jaro_similarity(a: Column, b: Column) -> Column:
+    @F.pandas_udf("double")
+    def k(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_py(x or "", y or "") for x, y in zip(s1, s2)]
+        )
+
+    return k(a, b)
+
+
+def jaro_winkler_similarity(a: Column, b: Column) -> Column:
+    @F.pandas_udf("double")
+    def k(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(x or "", y or "") for x, y in zip(s1, s2)]
+        )
+
+    return k(a, b)
+
+
+def damerau_levenshtein(a: Column, b: Column) -> Column:
+    @F.pandas_udf("long")
+    def k(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_damerau_py(x or "", y or "") for x, y in zip(s1, s2)]
+        )
+
+    return k(a, b)

@@ -433,3 +433,45 @@ def morton_zorder_locality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "string_distance_suite",
+    oracle="""
+    WITH p AS (
+        SELECT event_id,
+               event_type AS a,
+               concat(reverse(event_type),
+                      CAST(event_id % 7 AS VARCHAR)) AS b
+        FROM events WHERE event_id % 25 = 11
+    )
+    SELECT event_id::BIGINT AS eid,
+           levenshtein(a, b) AS lev,
+           CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl,
+           jaro_similarity(a, b) AS j,
+           jaro_winkler_similarity(a, b) AS jw
+    FROM p ORDER BY eid
+    """,
+)
+def string_distance_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-distance family end-to-end against DuckDB's native
+    implementations: builtin levenshtein plus the three Arrow-batched
+    kernels (operators/text.py) — full Damerau-Levenshtein
+    (Lowrance-Wagner, transposition-aware), Jaro with the
+    integer-halved transposition convention, Jaro-Winkler with the 0.7
+    boost threshold. The doubles are emitted UNROUNDED: the kernels are
+    bit-exact against DuckDB (5000-pair fuzz), so rounding would only
+    hide a real divergence. 100 TB: map-only Arrow batches, the
+    sanctioned Python-boundary shape for per-pair DP loops."""
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") % 25 == 11)
+    a = F.col("event_type")
+    b = F.concat(
+        F.reverse(F.col("event_type")), (F.col("event_id") % 7).cast("string")
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.levenshtein(a, b).alias("lev"),
+        ch_expr("damerauLevenshteinDistance", a, b).alias("dl"),
+        ch_expr("jaroSimilarity", a, b).alias("j"),
+        ch_expr("jaroWinklerSimilarity", a, b).alias("jw"),
+    ).orderBy("eid")

@@ -241,3 +241,42 @@ def test_w11_morton_roundtrip(spark):
     assert (r.d.x, r.d.y) == (123456, 987654)
     assert (r.dmax.x, r.dmax.y) == (0xFFFFFFFF, 0xFFFFFFFF)
     assert r.m01 == 2  # y occupies the odd bit positions
+
+
+def test_w11_string_distance_kernels(spark):
+    """Hand-checked classics + the two conventions that make the
+    kernels DuckDB-bit-exact: integer-halved Jaro transpositions and
+    the 0.7 Jaro-Winkler boost threshold. Full (not OSA) Damerau:
+    DL('CA','ABC') = 2."""
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr(
+                "jaroSimilarity", F.lit("MARTHA"), F.lit("MARHTA")
+            ).alias("j"),
+            ch_expr(
+                "jaroWinklerSimilarity", F.lit("MARTHA"), F.lit("MARHTA")
+            ).alias("jw"),
+            ch_expr(
+                "jaroWinklerSimilarity", F.lit("abcdxx"), F.lit("xaybzc")
+            ).alias("jw_low"),
+            ch_expr("jaroSimilarity", F.lit("abcdxx"), F.lit("xaybzc"))
+            .alias("j_low"),
+            ch_expr(
+                "damerauLevenshteinDistance", F.lit("CA"), F.lit("ABC")
+            ).alias("dl_full"),
+            ch_expr(
+                "damerauLevenshteinDistance", F.lit("ab"), F.lit("ba")
+            ).alias("dl_swap"),
+            ch_expr("jaroSimilarity", F.lit(""), F.lit("")).alias("j00"),
+            ch_expr("jaroSimilarity", F.lit("x"), F.lit("")).alias("j10"),
+        )
+        .collect()[0]
+    )
+    assert abs(r.j - 0.9444444444444445) < 1e-15
+    assert abs(r.jw - 0.9611111111111111) < 1e-15
+    assert r.jw_low == r.j_low  # below 0.7: no prefix boost
+    assert r.dl_full == 2 and r.dl_swap == 1
+    # standard convention (delta vs DuckDB's 0.0 for both-empty is
+    # documented; oracled queries keep empties out)
+    assert r.j00 == 1.0 and r.j10 == 0.0
