@@ -1510,6 +1510,43 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "jaroSimilarity": lambda a, b: _text_jaro(a, b),
     "jaroWinklerSimilarity": lambda a, b: _text_jaro_winkler(a, b),
     "damerauLevenshteinDistance": lambda a, b: _text_damerau(a, b),
+    # multi-needle position variants (multiSearchAny itself is the
+    # registry's keyword-tagging query): 1-based positions, 0 = absent,
+    # index/first-position over the needle array order
+    "multiSearchAllPositions": lambda c, needles: F.transform(
+        needles, lambda n: F.instr(c, n).cast("long")
+    ),
+    "multiSearchAny": lambda c, needles: F.exists(
+        needles, lambda n: F.instr(c, n) > 0
+    ),
+    "multiSearchFirstIndex": lambda c, needles: F.coalesce(
+        F.array_position(
+            F.transform(needles, lambda n: F.instr(c, n) > 0), F.lit(True)
+        ),
+        F.lit(0),
+    ).cast("long"),
+    "multiSearchFirstPosition": lambda c, needles: F.coalesce(
+        F.array_min(
+            F.filter(
+                F.transform(needles, lambda n: F.instr(c, n)),
+                lambda p: p > 0,
+            )
+        ),
+        F.lit(0),
+    ).cast("long"),
+    # transpose of extractAllGroupsVertical: one array per capture
+    # group, each holding that group across all matches
+    "extractAllGroupsHorizontal": lambda c, pat: (
+        lambda p, ng: F.array(
+            *[
+                F.regexp_extract_all(c, F.lit(p), g + 1)
+                for g in range(ng)
+            ]
+        )
+    )(
+        _literal_sep(pat),
+        len(re.findall(r"(?<!\\)\((?!\?)", _literal_sep(pat))),
+    ),
     # Z-order curve (the layout CH's mortonEncode serves and Spark's
     # ZORDER OPTIMIZE uses internally): 2-D interleave of two uint32s
     "mortonEncode": lambda x, y: _morton_spread(x).bitwiseOR(

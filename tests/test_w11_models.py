@@ -280,3 +280,37 @@ def test_w11_string_distance_kernels(spark):
     # standard convention (delta vs DuckDB's 0.0 for both-empty is
     # documented; oracled queries keep empties out)
     assert r.j00 == 1.0 and r.j10 == 0.0
+
+
+def test_w11_multisearch_variants(spark):
+    needles = F.array(F.lit("xy"), F.lit("lo"), F.lit("el"))
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr(
+                "multiSearchAllPositions", F.lit("hello"), needles
+            ).alias("ap"),
+            ch_expr("multiSearchAny", F.lit("hello"), needles).alias(
+                "any"
+            ),
+            ch_expr("multiSearchFirstIndex", F.lit("hello"), needles)
+            .alias("fi"),
+            ch_expr(
+                "multiSearchFirstPosition", F.lit("hello"), needles
+            ).alias("fp"),
+            ch_expr("multiSearchFirstIndex", F.lit("zzz"), needles)
+            .alias("fi0"),
+            ch_expr(
+                "extractAllGroupsHorizontal",
+                F.lit("k1=v1, k2=v2"),
+                r"(\w+)=(\w+)",
+            ).alias("gh"),
+        )
+        .collect()[0]
+    )
+    assert r.ap == [0, 4, 2]  # 1-based, 0 = absent
+    assert r.any is True
+    assert r.fi == 2  # first matching needle in needle order
+    assert r.fp == 2  # leftmost occurrence across needles
+    assert r.fi0 == 0
+    assert r.gh == [["k1", "k2"], ["v1", "v2"]]  # per-group arrays
