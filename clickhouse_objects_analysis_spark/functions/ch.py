@@ -1534,6 +1534,48 @@ CH_FUNCTIONS: dict[str, Builder] = {
         ),
         F.lit(0),
     ).cast("long"),
+    # ISO 8601 year = the year of the Thursday of c's ISO week
+    # (weekday() is Monday=0, so Thursday = c + (3 - weekday))
+    "toISOYear": lambda c: F.year(F.date_add(c, 3 - F.weekday(c))),
+    # first Monday of the ISO year = Jan 4 rolled back to its Monday
+    "toStartOfISOYear": lambda c: (
+        lambda j4: F.date_sub(j4, F.weekday(j4))
+    )(
+        F.make_date(
+            F.year(F.date_add(c, 3 - F.weekday(c))), F.lit(1), F.lit(4)
+        )
+    ),
+    # UUIDs are strings in the rebuild (UUIDStringToNum is the binary
+    # view); toUUID family = validated lowering
+    "toUUID": lambda c: F.lower(c),
+    "toUUIDOrNull": lambda c: F.when(
+        c.rlike(
+            "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+        ),
+        F.lower(c),
+    ),
+    "toUUIDOrZero": lambda c: F.coalesce(
+        CH_FUNCTIONS["toUUIDOrNull"](c),
+        F.lit("00000000-0000-0000-0000-000000000000"),
+    ),
+    "tryBase64Decode": lambda c: F.unbase64(c).cast("string"),
+    # CH toRelative*Num family: ordinals "from a fixed point in the
+    # past" — the documented anchors (epoch seconds; year*12+month;
+    # weeks Monday-aligned: 1970-01-01 was a Thursday, so shifting by
+    # +3 days puts the 604800 s boundaries exactly on Monday 00:00)
+    "toRelativeYearNum": F.year,
+    "toRelativeQuarterNum": lambda c: F.year(c) * 4 + F.quarter(c) - 1,
+    "toRelativeMonthNum": lambda c: F.year(c) * 12 + F.month(c) - 1,
+    "toRelativeWeekNum": lambda c: F.floor(
+        (F.unix_timestamp(c) + 259200) / 604800
+    ),
+    "toRelativeDayNum": lambda c: F.datediff(
+        c.cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long"),
+    "toRelativeHourNum": lambda c: F.floor(F.unix_timestamp(c) / 3600),
+    "toRelativeMinuteNum": lambda c: F.floor(F.unix_timestamp(c) / 60),
+    "toRelativeSecondNum": lambda c: F.unix_timestamp(c),
     # transpose of extractAllGroupsVertical: one array per capture
     # group, each holding that group across all matches
     "extractAllGroupsHorizontal": lambda c, pat: (

@@ -314,3 +314,57 @@ def test_w11_multisearch_variants(spark):
     assert r.fp == 2  # leftmost occurrence across needles
     assert r.fi0 == 0
     assert r.gh == [["k1", "k2"], ["v1", "v2"]]  # per-group arrays
+
+
+def test_w11_iso_uuid_relative(spark):
+    r = (
+        spark.range(1)
+        .select(
+            # 2027-01-01 is a Friday in ISO week 53 of 2026;
+            # 2024-12-30 is the Monday of ISO 2025 week 1
+            ch_expr("toISOYear", F.lit("2027-01-01").cast("date")).alias(
+                "iy1"
+            ),
+            ch_expr("toISOYear", F.lit("2024-12-30").cast("date")).alias(
+                "iy2"
+            ),
+            ch_expr(
+                "toStartOfISOYear", F.lit("2026-08-14").cast("date")
+            ).cast("string").alias("sy"),
+            ch_expr(
+                "toUUID", F.lit("61F0C404-5CB3-11E7-907B-A6006AD3DBA0")
+            ).alias("u"),
+            ch_expr("toUUIDOrNull", F.lit("nope")).alias("un"),
+            ch_expr("toUUIDOrZero", F.lit("nope")).alias("uz"),
+            ch_expr("tryBase64Decode", F.lit("aGk=")).alias("b"),
+            ch_expr(
+                "toRelativeMonthNum", F.lit("1970-02-01").cast("date")
+            ).alias("rm"),
+            ch_expr(
+                "toRelativeDayNum", F.lit("1970-01-03").cast("date")
+            ).alias("rd"),
+            # Monday boundary: Jan 5 1970 begins relative week 1
+            ch_expr(
+                "toRelativeWeekNum",
+                F.lit("1970-01-05").cast("timestamp"),
+            ).alias("rw"),
+            ch_expr(
+                "toRelativeWeekNum",
+                F.lit("1970-01-04").cast("timestamp"),
+            ).alias("rw0"),
+            ch_expr(
+                "toRelativeSecondNum",
+                F.lit("1970-01-01 00:01:40").cast("timestamp"),
+            ).alias("rs"),
+        )
+        .collect()[0]
+    )
+    assert r.iy1 == 2026 and r.iy2 == 2025
+    assert r.sy == "2025-12-29"  # ISO 2026 starts Monday Dec 29 2025
+    assert r.u == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert r.un is None
+    assert r.uz == "00000000-0000-0000-0000-000000000000"
+    assert r.b == "hi"
+    assert r.rm == 1970 * 12 + 1 and r.rd == 2
+    assert (r.rw, r.rw0) == (1, 0)
+    assert r.rs == 100
