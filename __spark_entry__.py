@@ -47,6 +47,7 @@ _R7_ADDITIONS: list[str] = [
     "lineage_cycle_detection",
     "morton_zorder_locality",
     "string_distance_suite",
+    "ch_r7_function_surface_4",
 ]
 
 

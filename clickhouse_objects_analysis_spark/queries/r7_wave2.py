@@ -475,3 +475,79 @@ def string_distance_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch_expr("jaroSimilarity", a, b).alias("j"),
         ch_expr("jaroWinklerSimilarity", a, b).alias("jw"),
     ).orderBy("eid")
+
+
+@query(
+    "ch_r7_function_surface_4",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               (ts::DATE + CAST(event_id % 400 AS INT)) AS d,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_id % 20 = 13
+    )
+    SELECT event_id::BIGINT AS eid,
+           CAST(isoyear(d) AS INT) AS iso_y,
+           strftime(date_trunc('week',
+                    make_date(CAST(isoyear(d) AS INT), 1, 4)),
+                    '%Y-%m-%d') AS iso_start,
+           concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                  substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+                  substr(h, 21, 12)) AS uu,
+           concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                  substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+                  substr(h, 21, 12)) AS u_null,
+           CAST(year(d) * 12 + month(d) - 1 AS INT) AS rel_m,
+           CAST(year(d) * 4 + quarter(d) - 1 AS INT) AS rel_q,
+           CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS rel_d,
+           CAST(floor((epoch(ts) + 259200) / 604800) AS BIGINT) AS rel_w,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS rel_h,
+           decode(from_base64(to_base64(CAST(concat('p', event_id % 9)
+                                             AS BLOB)))) AS b64rt
+    FROM e ORDER BY eid
+    """,
+)
+def ch_r7_function_surface_4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-11b names end-to-end: toISOYear vs DuckDB's native
+    isoyear() (two independent ISO-8601 implementations), the
+    ISO-year-start Monday derivation, the toRelative*Num ordinal
+    anchors (month/quarter/day/hour arithmetic twins; the week anchor's
+    +3-day Monday alignment checked over real timestamps), the UUID
+    validated-lowering family over md5-built strings, and a
+    base64 round trip through tryBase64Decode. 100 TB: map-only."""
+    from ..session import widen_scan
+
+    ev = widen_scan(
+        tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 13)
+    )
+    d = F.date_add(F.col("ts").cast("date"), (F.col("event_id") % 400).cast("int"))
+    h = F.md5(F.col("user_id").cast("string"))
+    uuid_str = F.concat(
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4),
+        F.lit("-"), F.substring(h, 21, 12),
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        ch_expr("toISOYear", d).alias("iso_y"),
+        ch_expr("toStartOfISOYear", d).cast("string").alias("iso_start"),
+        ch_expr("toUUID", uuid_str).alias("uu"),
+        ch_expr("toUUIDOrNull", uuid_str).alias("u_null"),
+        ch_expr("toRelativeMonthNum", d).alias("rel_m"),
+        ch_expr("toRelativeQuarterNum", d).alias("rel_q"),
+        ch_expr("toRelativeDayNum", d).alias("rel_d"),
+        ch_expr("toRelativeWeekNum", F.col("ts")).cast("long").alias(
+            "rel_w"
+        ),
+        ch_expr("toRelativeHourNum", F.col("ts")).cast("long").alias(
+            "rel_h"
+        ),
+        ch_expr(
+            "tryBase64Decode",
+            F.base64(
+                F.concat(
+                    F.lit("p"), (F.col("event_id") % 9).cast("string")
+                ).cast("binary")
+            ),
+        ).alias("b64rt"),
+    ).orderBy("eid")
