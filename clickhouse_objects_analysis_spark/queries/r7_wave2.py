@@ -1,8 +1,12 @@
-"""Round-7 wave-10 surface query: the new translation-table names
-(functions/ch.py wave 10 — IPv4/MAC/UUID conversions, 64-bit bit
-surface, array shifts, alphaTokens, SQL/JSON entry points, URL
-hierarchy generators, vector norms) exercised end-to-end over real
-rows against DuckDB construction twins.
+"""Round-7 session-2 surface queries: the wave-10/10b/11/11b
+translation-table names exercised end-to-end over real rows against
+DuckDB construction twins — ch_r7_function_surface_2 (IPv4/MAC/UUID,
+bit surface, array shifts, SQL/JSON, URL hierarchies, norms),
+bitmap_segment_ops (the bitmap family's audience algebra),
+ch_r7_function_surface_3 (MySQL-dialect datetime, Euclid-fold gcd/lcm,
+URL parameters), morton_zorder_locality (Z-order locality property),
+string_distance_suite (Jaro/Jaro-Winkler/Damerau kernels), and
+ch_r7_function_surface_4 (ISO-year, relative-num anchors, UUID casts).
 
 Convention (same as ch_r7_function_surface): the oracle CONSTRUCTS the
 expected value from the same base columns with plain arithmetic/string
