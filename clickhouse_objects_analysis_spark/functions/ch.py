@@ -289,8 +289,11 @@ def _mysql_datetime_format(fmt) -> str:
     def flush():
         if lit:
             text = "".join(lit).replace("'", "''")
+            # quote runs containing letters OR Java's reserved pattern
+            # punctuation ([ ] # { } are optional-section/reserved
+            # markers in DateTimeFormatter and throw unquoted)
             out.append(f"'{text}'" if any(
-                ch.isalpha() for ch in text
+                ch.isalpha() or ch in "[]#{}" for ch in text
             ) else text)
             lit.clear()
 
@@ -465,7 +468,12 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "bitTest": lambda c, pos: F.bit_get(c, pos),
     # (a - a%b)/b truncates toward zero (Spark % follows the dividend's
     # sign); cast keeps the CH integral return type instead of DOUBLE.
-    "intDiv": lambda a, b: ((a - a % b) / b).cast("long"),
+    # exact integer division: (a - a%b) is divisible by b, and the
+    # decimal(38,0) division keeps it exact where a long/long double
+    # division would round above 2^53
+    "intDiv": lambda a, b: (
+        (a - a % b).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("long"),
     "modulo": lambda a, b: a % b,
     "plus": lambda a, b: a + b,
     "minus": lambda a, b: a - b,
@@ -520,7 +528,6 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "dateAdd": lambda unit, n, c: F.timestamp_add(unit, n, c),
     "addDays": lambda c, n: F.date_add(c, n),
     "subtractDays": lambda c, n: F.date_sub(c, n),
-    "formatDateTime": F.date_format,
     # --- arrays (ClickHouse is 1-indexed; element_at matches) ---
     "arrayElement": F.element_at,
     "has": F.array_contains,
@@ -1055,11 +1062,18 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "LpDistance": lambda a, b, p: CH_FUNCTIONS["LpNorm"](
         F.zip_with(a, b, lambda x, y: x - y), p
     ),
-    "L1Normalize": lambda c: F.transform(
-        c, lambda x: x.cast("double") / _l1_norm(c)
+    # the norm rides in via zip_with against array_repeat so it is
+    # evaluated ONCE per row — a plain transform lambda would re-fold
+    # the O(n) norm for every element (O(n²) per 1024-dim embedding)
+    "L1Normalize": lambda c: F.zip_with(
+        c,
+        F.array_repeat(_l1_norm(c), F.size(c)),
+        lambda x, nrm: x.cast("double") / nrm,
     ),
-    "L2Normalize": lambda c: F.transform(
-        c, lambda x: x.cast("double") / _l2_norm(c)
+    "L2Normalize": lambda c: F.zip_with(
+        c,
+        F.array_repeat(_l2_norm(c), F.size(c)),
+        lambda x, nrm: x.cast("double") / nrm,
     ),
     # --- round-7 wave 10: IPv4 / MAC / UUID conversions ---
     "IPv4StringToNum": _ipv4_string_to_num,
@@ -1202,23 +1216,34 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # unspecified — a full sort satisfies it (documented: we return the
     # fully sorted array, a legal instance of the unspecified tail)
     "arrayPartialSort": lambda limit, c: F.sort_array(c),
-    "arrayShiftLeft": lambda c, n, fill=None: F.concat(
-        F.slice(
-            c,
-            F.least(F.lit(int(n)) + 1, F.size(c) + 1),
-            F.greatest(F.size(c) - int(n), F.lit(0)),
-        ),
-        F.array_repeat(
-            F.lit(0) if fill is None else fill,
-            F.least(F.lit(int(n)), F.size(c)),
-        ),
+    # CH defines a NEGATIVE shift as shifting the other direction —
+    # dispatch on the literal's sign (a raw negative n would feed
+    # slice() a 0 start, which throws at runtime)
+    "arrayShiftLeft": lambda c, n, fill=None: (
+        CH_FUNCTIONS["arrayShiftRight"](c, -int(n), fill)
+        if int(n) < 0
+        else F.concat(
+            F.slice(
+                c,
+                F.least(F.lit(int(n)) + 1, F.size(c) + 1),
+                F.greatest(F.size(c) - int(n), F.lit(0)),
+            ),
+            F.array_repeat(
+                F.lit(0) if fill is None else fill,
+                F.least(F.lit(int(n)), F.size(c)),
+            ),
+        )
     ),
-    "arrayShiftRight": lambda c, n, fill=None: F.concat(
-        F.array_repeat(
-            F.lit(0) if fill is None else fill,
-            F.least(F.lit(int(n)), F.size(c)),
-        ),
-        F.slice(c, 1, F.greatest(F.size(c) - int(n), F.lit(0))),
+    "arrayShiftRight": lambda c, n, fill=None: (
+        CH_FUNCTIONS["arrayShiftLeft"](c, -int(n), fill)
+        if int(n) < 0
+        else F.concat(
+            F.array_repeat(
+                F.lit(0) if fill is None else fill,
+                F.least(F.lit(int(n)), F.size(c)),
+            ),
+            F.slice(c, 1, F.greatest(F.size(c) - int(n), F.lit(0))),
+        )
     ),
     "arrayReduce": _array_reduce,
     # nondeterministic on both engines — never route through an oracle
@@ -1357,10 +1382,15 @@ CH_FUNCTIONS: dict[str, Builder] = {
     ),
     # --- round-7 wave 11: integer math ---
     "gcd": _gcd,
+    # |a|/g via exact decimal division (g divides |a|; a double
+    # long/long division rounds above 2^53), then one long multiply
     "lcm": lambda a, b: F.when(
         (a == 0) | (b == 0), F.lit(0).cast("long")
     ).otherwise(
-        (F.abs(a.cast("long")) / _gcd(a, b)).cast("long")
+        (
+            F.abs(a.cast("long")).cast("decimal(38,0)")
+            / _gcd(a, b).cast("decimal(38,0)")
+        ).cast("long")
         * F.abs(b.cast("long"))
     ),
     # exact up to 20! like CH (both engines overflow past int64 there).
@@ -1376,8 +1406,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
             lambda acc, x: acc * x,
         )
     ),
+    # zero-guarded twin of intDiv (same exact-decimal division; pmod is
+    # CH's floored-remainder division convention)
     "intDivOrZero": lambda a, b: F.when(b == 0, F.lit(0)).otherwise(
-        (a - F.pmod(a, b)) / b
+        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
     ).cast("long"),
     "moduloOrZero": lambda a, b: F.when(b == 0, F.lit(0)).otherwise(
         a % b
@@ -1471,8 +1503,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
         F.filter(F.split(a, ""), lambda x: x != ""),
         F.filter(F.split(b, ""), lambda x: x != ""),
     ),
+    # CH's documented escape set: \0 \ | ( ) ^ $ . [ ] ? * + { : -
+    # (note: '{' yes, '}' no, ':' yes)
     "regexpQuoteMeta": lambda c: F.regexp_replace(
-        c, r"([\\.$^*+?()\[\]{}|\-])", r"\\$1"
+        c, r"([\\.$^*+?()\[\]{|:\-])", r"\\$1"
     ),
     # CH roundDuration: legacy fixed bucket set {0,1,10,30,60,120,180,
     # 240,300,600,1200,1800,3600,7200,18000,36000}
@@ -1573,7 +1607,6 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toRelativeDayNum": lambda c: F.datediff(
         c.cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long"),
-    "toRelativeHourNum": lambda c: F.floor(F.unix_timestamp(c) / 3600),
     "toRelativeMinuteNum": lambda c: F.floor(F.unix_timestamp(c) / 60),
     "toRelativeSecondNum": lambda c: F.unix_timestamp(c),
     # transpose of extractAllGroupsVertical: one array per capture

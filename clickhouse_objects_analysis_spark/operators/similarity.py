@@ -765,12 +765,16 @@ def pq_cosine_topk(
                     + (books[j] ** 2).sum(1)[None, :]
                 )
                 codes[:, j] = d2.argmin(1)
-            # scores: (queries, batch) via LUT gather
+            # scores: (queries, batch) via LUT gather; ids hoisted out
+            # of the query loop, argpartition instead of a full sort
+            # (only the top n_keep matter)
             jj = np.arange(m)
+            ids = pdf["corpus_id"].to_numpy()
             for qi in range(len(q_ids)):
                 s = lut[qi][jj[None, :], codes].sum(axis=1)
-                ids = pdf["corpus_id"].to_numpy()
-                keep = np.argsort(-s)[: n_keep + 1]
+                k_eff = min(n_keep + 1, len(s))
+                part = np.argpartition(-s, k_eff - 1)[:k_eff]
+                keep = part[np.argsort(-s[part])]
                 cur = best.setdefault(qi, [])
                 cur.extend(
                     (float(s[i]), int(ids[i]))

@@ -220,9 +220,23 @@ def token_table_dependencies(
                 return i
             kind, text = toks[i]
             if kind == "PUNCT" and text == "(":
-                # derived table / parenthesized join: recurse as a scope
-                walk(i + 1, match[i], set(scope), True)
-                i = match[i] + 1
+                body_start, body_end = i + 1, match[i]
+                first = toks[body_start] if body_start < body_end else None
+                starts_query = first is not None and (
+                    _is_kw(first, "SELECT") or _is_kw(first, "WITH")
+                )
+                if starts_query or first is None:
+                    # derived table: recurse as a query scope
+                    walk(body_start, body_end, set(scope), True)
+                else:
+                    # parenthesized JOIN / comma list: the body IS a
+                    # relation list — its leading relation has no FROM
+                    # of its own, so a plain walk would drop it; parse
+                    # the head relations here, then walk for the JOIN
+                    # targets and nested structure
+                    relation_list(body_start, body_end, set(scope), True)
+                    walk(body_start, body_end, set(scope), True)
+                i = body_end + 1
             else:
                 q = qualified_at(i)
                 if q is None:
@@ -310,6 +324,11 @@ def token_table_dependencies(
             if up in ("FROM", "JOIN") and relational:
                 if up == "JOIN" and i > 0 and _is_kw(toks[i - 1], "ARRAY"):
                     i += 1  # ARRAY JOIN explodes a column, not a relation
+                    continue
+                if up == "FROM" and i > 0 and _is_kw(toks[i - 1], "FILL"):
+                    # ORDER BY … WITH FILL FROM lo TO hi — the FROM
+                    # bound is an expression, not a relation
+                    i += 1
                     continue
                 i = relation_list(i + 1, end, scope, comma=(up == "FROM"))
                 continue

@@ -203,10 +203,15 @@ def ch_r7_function_surface_2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT seg,
-               list_sort(list(DISTINCT uid)
-                         FILTER (WHERE event_type = 'click')) AS clicks,
-               list_sort(list(DISTINCT uid)
-                         FILTER (WHERE event_type = 'view')) AS views
+               -- COALESCE: a segment with zero clicks yields NULL from
+               -- the FILTERed list() while Spark's collect_set gives [],
+               -- which would NULL-poison every downstream cardinality
+               COALESCE(list_sort(list(DISTINCT uid)
+                        FILTER (WHERE event_type = 'click')),
+                        CAST([] AS BIGINT[])) AS clicks,
+               COALESCE(list_sort(list(DISTINCT uid)
+                        FILTER (WHERE event_type = 'view')),
+                        CAST([] AS BIGINT[])) AS views
         FROM e GROUP BY seg
     )
     SELECT seg,

@@ -385,3 +385,27 @@ def test_tokenizer_is_total_or_valueerror(sql):
         token_table_dependencies(sql, default_db="test")
     except ValueError:
         pass  # unbalanced parens — the ladder's regex cue
+
+
+def test_token_parenthesized_join_keeps_leading_relation():
+    """Code-review regression: the body of a parenthesized join is a
+    relation LIST — its head has no FROM of its own and was dropped."""
+    assert token_table_dependencies(
+        "SELECT * FROM (t1 JOIN t2 USING (id))", default_db="d"
+    ) == ["d.t1", "d.t2"]
+    assert token_table_dependencies(
+        "SELECT * FROM (t1, t2)", default_db="d"
+    ) == ["d.t1", "d.t2"]
+    assert token_table_dependencies(
+        "SELECT * FROM ((a JOIN b ON a.x = b.x) JOIN c ON 1 = 1)",
+        default_db="d",
+    ) == ["d.a", "d.b", "d.c"]
+
+
+def test_token_with_fill_from_bound_is_not_a_relation():
+    """Code-review regression: ORDER BY … WITH FILL FROM <expr> — the
+    bound after FILL's FROM is expression syntax."""
+    assert token_table_dependencies(
+        "SELECT d FROM t ORDER BY d WITH FILL FROM mn TO mx",
+        default_db="d",
+    ) == ["d.t"]

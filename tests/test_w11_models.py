@@ -368,3 +368,45 @@ def test_w11_iso_uuid_relative(spark):
     assert r.rm == 1970 * 12 + 1 and r.rd == 2
     assert (r.rw, r.rw0) == (1, 0)
     assert r.rs == 100
+
+
+def test_w11_review_fixes(spark):
+    """Code-review regressions: exact 64-bit lcm/intDiv (the double
+    round-trip corrupted values above 2^53), negative array shifts
+    dispatch to the opposite direction, reserved Java punctuation is
+    quoted in datetime formats, regexpQuoteMeta matches CH's set
+    ('{' and ':' escaped, '}' not), and the normalize rewrite still
+    produces the same values."""
+    big = (1 << 62) - 1
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("lcm", F.lit(big), F.lit(2)).alias("lcm_big"),
+            ch_expr("intDiv", F.lit(big), F.lit(1)).alias("idiv_big"),
+            ch_expr(
+                "intDivOrZero", F.lit(big), F.lit(1)
+            ).alias("idz_big"),
+            ch_expr(
+                "arrayShiftLeft",
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                -1,
+                F.lit(9),
+            ).alias("neg_shift"),
+            ch_expr(
+                "formatDateTime",
+                F.lit("2026-08-14 10:00:00").cast("timestamp"),
+                "%Y[%m]#%d",
+            ).alias("fmt_brackets"),
+            ch_expr("regexpQuoteMeta", F.lit("a:b}c{d")).alias("qm"),
+            ch_expr("L2Normalize", F.array(F.lit(3.0), F.lit(4.0))).alias(
+                "l2n"
+            ),
+        )
+        .collect()[0]
+    )
+    assert r.lcm_big == 2 * big  # 9223372036854775806, exact
+    assert r.idiv_big == big and r.idz_big == big
+    assert r.neg_shift == [9, 1, 2]  # left by -1 == right by 1
+    assert r.fmt_brackets == "2026[08]#14"
+    assert r.qm == "a\\:b}c\\{d"
+    assert r.l2n == [0.6, 0.8]
