@@ -48,6 +48,7 @@ _R7_ADDITIONS: list[str] = [
     "morton_zorder_locality",
     "string_distance_suite",
     "ch_r7_function_surface_4",
+    "ch_r7_function_surface_5",
 ]
 
 

@@ -124,6 +124,55 @@ def _format_readable_1000(c: Column, units: list[str], fmt: str) -> Column:
     return out
 
 
+#: formatReadableTimeDelta unit ladder — CH's documented sizes: a year
+#: is 365 days, a month 30.5 days (ref docs; the remainders are chained
+#: stepwise, NOT independent mods, because 2635200 does not divide
+#: 31536000).
+_FRTD_UNITS = (
+    ("year", 31536000),
+    ("month", 2635200),
+    ("day", 86400),
+    ("hour", 3600),
+    ("minute", 60),
+    ("second", 1),
+)
+
+
+def _format_readable_time_delta(c: Column) -> Column:
+    """ClickHouse ``formatReadableTimeDelta``: '2 hours, 2 minutes and
+    2 seconds' — nonzero units joined with ', ' and a final ' and ',
+    singular forms at 1, '0 seconds' for zero. Non-negative inputs
+    below 2^53 seconds (the double-exact integer range; a time delta)."""
+    rem = c.cast("long")
+    parts = []
+    for unit, size in _FRTD_UNITS:
+        n = F.floor(rem / F.lit(size)).cast("long")
+        rem = rem - n * F.lit(size)
+        parts.append(
+            F.when(
+                n > 0,
+                F.concat(
+                    n.cast("string"),
+                    F.lit(" " + unit),
+                    F.when(n == 1, F.lit("")).otherwise(F.lit("s")),
+                ),
+            )
+        )
+    arr = F.filter(F.array(*parts), lambda x: x.isNotNull())
+    sz = F.size(arr)
+    return (
+        F.when(sz == 0, F.lit("0 seconds"))
+        .when(sz == 1, F.element_at(arr, 1))
+        .otherwise(
+            F.concat(
+                F.array_join(F.slice(arr, 1, sz - 1), ", "),
+                F.lit(" and "),
+                F.element_at(arr, -1),
+            )
+        )
+    )
+
+
 _BAR_EIGHTHS = " ▏▎▍▌▋▊▉"
 
 
@@ -1669,6 +1718,95 @@ CH_FUNCTIONS: dict[str, Builder] = {
         len(re.findall(r"(?<!\\)\((?!\?)", _literal_sep(pat))),
     ),
     "quantileGK": lambda c, q=0.5: F.percentile_approx(c, q),
+    # --- round-7 wave 12 (final audit "unclaimed" harvest) ---
+    # Spark strings are UTF-16 codepoints already; reverse is safe
+    "reverseUTF8": F.reverse,
+    # first-occurrence literal replace: instr + overlay (Spark's
+    # replace/regexp_replace are replace-ALL). Empty needles are
+    # undefined (CH inserts nothing; instr('x','')=1 would insert).
+    "replaceOne": lambda s, needle, repl: (
+        lambda nd, rp: F.when(F.instr(s, nd) == 0, s).otherwise(
+            F.overlay(s, rp, F.instr(s, nd), F.length(nd))
+        )
+    )(
+        needle if isinstance(needle, Column) else F.lit(needle),
+        repl if isinstance(repl, Column) else F.lit(repl),
+    ),
+    # first-occurrence regex replace: split at the end of the first
+    # match and regexp_replace ONLY the prefix — leftmost-match
+    # semantics guarantee the prefix holds exactly one match, so
+    # backreferences ($1) keep working. Known limit: lookaheads that
+    # peek past the first match's end see the cut (document, don't
+    # pretend); pattern/replacement are literals (regexp_extract's
+    # JVM signature).
+    "replaceRegexpOne": lambda s, pat, repl: (
+        lambda p, r: (
+            lambda pos, mlen: F.when(pos == 0, s).otherwise(
+                F.concat(
+                    F.regexp_replace(
+                        F.substring(s, 1, pos + mlen - 1), p, r
+                    ),
+                    F.substring(s, pos + mlen, F.length(s)),
+                )
+            )
+        )(
+            F.regexp_instr(s, F.lit(p)),
+            F.length(F.regexp_extract(s, p, 0)),
+        )
+    )(_literal_sep(pat), _literal_sep(repl)),
+    # the five XML named entities, '&' first so entities don't
+    # double-escape
+    "encodeXMLComponent": lambda c: F.replace(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(c, F.lit("&"), F.lit("&amp;")),
+                    F.lit("<"),
+                    F.lit("&lt;"),
+                ),
+                F.lit(">"),
+                F.lit("&gt;"),
+            ),
+            F.lit('"'),
+            F.lit("&quot;"),
+        ),
+        F.lit("'"),
+        F.lit("&apos;"),
+    ),
+    "formatReadableTimeDelta": _format_readable_time_delta,
+    # bit-text -> characters: left-pad the FIRST group to a byte like
+    # CH, then fold 8-bit chunks through conv(,2,10) -> char. The
+    # empty-input guard is load-bearing (sequence(0,-1) DESCENDS).
+    "unbin": lambda c: F.when(
+        F.length(c) == 0, F.lit("")
+    ).otherwise(
+        (
+            lambda padded: F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), (F.length(padded) / 8).cast("int") - 1
+                    ),
+                    lambda i: F.char(
+                        F.conv(
+                            F.substring(padded, i * 8 + 1, 8), 2, 10
+                        ).cast("int")
+                    ),
+                ),
+                "",
+            )
+        )(
+            # pad the first group to a byte; substring-with-Column-len
+            # because lpad's Python signature wants an int literal
+            F.concat(
+                F.substring(
+                    F.lit("0000000"),
+                    1,
+                    (8 - F.pmod(F.length(c), F.lit(8))) % 8,
+                ),
+                c,
+            )
+        )
+    ),
     "dateName": lambda part, c: {
         "year": lambda x: F.year(x).cast("string"),
         "quarter": lambda x: F.quarter(x).cast("string"),

@@ -560,3 +560,115 @@ def ch_r7_function_surface_4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("b64rt"),
     ).orderBy("eid")
+
+
+@query(
+    "ch_r7_function_surface_5",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               (CAST(event_id AS BIGINT) * 7919) % 40000000 AS s1,
+               CAST(event_id AS BIGINT) % 120 AS s2
+        FROM events WHERE event_id % 20 = 7
+    ),
+    u AS (
+        SELECT *,
+               s1 // 31536000 AS y1,
+               (s1 % 31536000) // 2635200 AS mo1,
+               ((s1 % 31536000) % 2635200) // 86400 AS d1,
+               (((s1 % 31536000) % 2635200) % 86400) // 3600 AS h1,
+               ((((s1 % 31536000) % 2635200) % 86400) % 3600) // 60 AS mi1,
+               ((((s1 % 31536000) % 2635200) % 86400) % 3600) % 60 AS se1,
+               s2 // 60 AS mi2, s2 % 60 AS se2
+        FROM e
+    ),
+    p AS (
+        SELECT *,
+               list_filter([
+                 CASE WHEN y1 > 0 THEN y1 || ' year'
+                      || (CASE WHEN y1 = 1 THEN '' ELSE 's' END) END,
+                 CASE WHEN mo1 > 0 THEN mo1 || ' month'
+                      || (CASE WHEN mo1 = 1 THEN '' ELSE 's' END) END,
+                 CASE WHEN d1 > 0 THEN d1 || ' day'
+                      || (CASE WHEN d1 = 1 THEN '' ELSE 's' END) END,
+                 CASE WHEN h1 > 0 THEN h1 || ' hour'
+                      || (CASE WHEN h1 = 1 THEN '' ELSE 's' END) END,
+                 CASE WHEN mi1 > 0 THEN mi1 || ' minute'
+                      || (CASE WHEN mi1 = 1 THEN '' ELSE 's' END) END,
+                 CASE WHEN se1 > 0 THEN se1 || ' second'
+                      || (CASE WHEN se1 = 1 THEN '' ELSE 's' END) END
+               ], x -> x IS NOT NULL) AS parts1,
+               list_filter([
+                 CASE WHEN mi2 > 0 THEN mi2 || ' minute'
+                      || (CASE WHEN mi2 = 1 THEN '' ELSE 's' END) END,
+                 CASE WHEN se2 > 0 THEN se2 || ' second'
+                      || (CASE WHEN se2 = 1 THEN '' ELSE 's' END) END
+               ], x -> x IS NOT NULL) AS parts2
+        FROM u
+    )
+    SELECT event_id::BIGINT AS eid,
+           regexp_replace(event_type, 'e', '*') AS r_one,
+           regexp_replace(event_type, '[aeiou]', '#') AS rr_one,
+           regexp_replace(event_type, '([aeiou])(.)', '\\2\\1') AS rr_swap,
+           replace(replace(replace(replace(replace(
+               '<' || event_type || '="a&b">',
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+               '"', '&quot;'), '''', '&apos;') AS xml,
+           reverse(event_type) AS rev,
+           CASE WHEN len(parts1) = 0 THEN '0 seconds'
+                WHEN len(parts1) = 1 THEN parts1[1]
+                ELSE array_to_string(
+                         list_slice(parts1, 1, len(parts1) - 1), ', ')
+                     || ' and ' || parts1[len(parts1)] END AS frtd,
+           CASE WHEN len(parts2) = 0 THEN '0 seconds'
+                WHEN len(parts2) = 1 THEN parts2[1]
+                ELSE array_to_string(
+                         list_slice(parts2, 1, len(parts2) - 1), ', ')
+                     || ' and ' || parts2[len(parts2)] END AS frtd_small,
+           chr(65 + CAST(event_id % 26 AS INT)) AS ub1,
+           chr(65 + CAST(user_id % 26 AS INT))
+               || chr(97 + CAST(event_id % 26 AS INT)) AS ub2
+    FROM p ORDER BY eid
+    """,
+)
+def ch_r7_function_surface_5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-12 names end-to-end (the audit's last "unclaimed" scalar
+    harvest): replaceOne / replaceRegexpOne checked against DuckDB's
+    native first-occurrence regexp_replace (two independent
+    implementations, backreference swap included), encodeXMLComponent
+    against an explicit entity replace chain, reverseUTF8, unbin
+    round-tripped bin(code) -> chr(code) both one-chunk (7-bit, pad
+    path) and two-chunk (16-bit), and formatReadableTimeDelta derived
+    stepwise (year/365d, month/30.5d, chained remainders) on both
+    sides — large deltas exercise the plural 'and' joins, event_id mod
+    120 the singular/zero edge ('0 seconds'). 100 TB: map-only scalar
+    surface, whole-stage codegen, no Python."""
+    from ..session import widen_scan
+
+    ev = widen_scan(
+        tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 7)
+    )
+    et = F.col("event_type")
+    s1 = (F.col("event_id").cast("long") * 7919) % 40000000
+    s2 = F.col("event_id").cast("long") % 120
+    c1 = (F.lit(65) + F.col("user_id") % 26).cast("long")
+    c2 = (F.lit(97) + F.col("event_id") % 26).cast("long")
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        ch_expr("replaceOne", et, "e", "*").alias("r_one"),
+        ch_expr("replaceRegexpOne", et, "[aeiou]", "#").alias("rr_one"),
+        ch_expr("replaceRegexpOne", et, "([aeiou])(.)", "$2$1").alias(
+            "rr_swap"
+        ),
+        ch_expr(
+            "encodeXMLComponent",
+            F.concat(F.lit("<"), et, F.lit('="a&b">')),
+        ).alias("xml"),
+        ch_expr("reverseUTF8", et).alias("rev"),
+        ch_expr("formatReadableTimeDelta", s1).alias("frtd"),
+        ch_expr("formatReadableTimeDelta", s2).alias("frtd_small"),
+        ch_expr(
+            "unbin", F.bin((F.lit(65) + F.col("event_id") % 26).cast("long"))
+        ).alias("ub1"),
+        ch_expr("unbin", F.bin(c1 * 256 + c2)).alias("ub2"),
+    ).orderBy("eid")

@@ -1,0 +1,118 @@
+"""Round-7 wave 12: the audit's final "unclaimed" scalar harvest —
+first-occurrence replaces (literal + regex, with backreferences),
+XML-entity encoding, codepoint-safe reverse, formatReadableTimeDelta's
+English duration rendering, and unbin's bit-text decode. All
+expectations hand-computed against the documented ClickHouse behavior;
+the oracled end-to-end slice is `ch_r7_function_surface_5`."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+
+def test_w12_first_occurrence_replaces(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("replaceOne", F.lit("aXbXc"), "X", "_").alias("r1"),
+            ch_expr("replaceOne", F.lit("abc"), "Z", "_").alias("r1_miss"),
+            ch_expr("replaceOne", F.lit("XX"), "X", "YY").alias("r1_grow"),
+            ch_expr("replaceRegexpOne", F.lit("a1b22c"), r"\d+", "#").alias(
+                "rr"
+            ),
+            ch_expr(
+                "replaceRegexpOne", F.lit("a1b22c"), r"(\d+)b", "[$1]"
+            ).alias("rr_backref"),
+            ch_expr("replaceRegexpOne", F.lit("abc"), r"x+", "#").alias(
+                "rr_miss"
+            ),
+            # zero-length first match inserts at the front, like Java's
+            # replaceFirst
+            ch_expr("replaceRegexpOne", F.lit("abc"), r"z*", "#").alias(
+                "rr_empty"
+            ),
+            # $-anchored pattern: the prefix cut preserves the anchor
+            # position (prefix ends exactly at the match end)
+            ch_expr("replaceRegexpOne", F.lit("aba"), r"a$", "#").alias(
+                "rr_anchor"
+            ),
+        )
+        .first()
+    )
+    assert r.r1 == "a_bXc"
+    assert r.r1_miss == "abc"
+    assert r.r1_grow == "YYX"
+    assert r.rr == "a#b22c"
+    assert r.rr_backref == "a[1]22c"
+    assert r.rr_miss == "abc"
+    assert r.rr_empty == "#abc"
+    assert r.rr_anchor == "ab#"
+
+
+def test_w12_xml_reverse(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr(
+                "encodeXMLComponent", F.lit("<a href=\"x\">&'y'</a>")
+            ).alias("xml"),
+            # '&' escapes first — no double-escape of produced entities
+            ch_expr("encodeXMLComponent", F.lit("&lt;")).alias("amp_first"),
+            ch_expr("reverseUTF8", F.lit("abc")).alias("rev"),
+        )
+        .first()
+    )
+    assert r.xml == (
+        "&lt;a href=&quot;x&quot;&gt;&amp;&apos;y&apos;&lt;/a&gt;"
+    )
+    assert r.amp_first == "&amp;lt;"
+    assert r.rev == "cba"
+
+
+def test_w12_format_readable_time_delta(spark):
+    year, month = 31536000, 2635200
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("formatReadableTimeDelta", F.lit(7322)).alias("hms"),
+            ch_expr("formatReadableTimeDelta", F.lit(1)).alias("one"),
+            ch_expr("formatReadableTimeDelta", F.lit(0)).alias("zero"),
+            ch_expr("formatReadableTimeDelta", F.lit(61)).alias("ms"),
+            ch_expr("formatReadableTimeDelta", F.lit(120)).alias("flat"),
+            ch_expr(
+                "formatReadableTimeDelta",
+                F.lit(year + month + 86400 + 3661),
+            ).alias("full"),
+        )
+        .first()
+    )
+    assert r.hms == "2 hours, 2 minutes and 2 seconds"
+    assert r.one == "1 second"
+    assert r.zero == "0 seconds"
+    assert r.ms == "1 minute and 1 second"
+    assert r.flat == "2 minutes"
+    assert r.full == (
+        "1 year, 1 month, 1 day, 1 hour, 1 minute and 1 second"
+    )
+
+
+def test_w12_unbin(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch_expr("unbin", F.lit("01000001")).alias("u1"),
+            # 7-bit input: first group left-pads to a byte
+            ch_expr("unbin", F.lit("1000010")).alias("u2"),
+            ch_expr("unbin", F.lit("0100000101000010")).alias("u3"),
+            ch_expr("unbin", F.lit("")).alias("u4"),
+            ch_expr("unbin", F.bin(F.lit(16706))).alias("u5"),
+        )
+        .first()
+    )
+    assert r.u1 == "A"
+    assert r.u2 == "B"
+    assert r.u3 == "AB"
+    assert r.u4 == ""
+    assert r.u5 == "AB"
