@@ -49,6 +49,7 @@ _R7_ADDITIONS: list[str] = [
     "string_distance_suite",
     "ch_r7_function_surface_4",
     "ch_r7_function_surface_5",
+    "gd_logistic_regression",
 ]
 
 

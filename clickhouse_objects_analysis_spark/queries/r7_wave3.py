@@ -1,0 +1,149 @@
+"""Round-7 wave 13: session-3 registry additions.
+
+gd_logistic_regression — ClickHouse ``stochasticLogisticRegression``
+(the last "unclaimed" name in the translation-table audit's backlog),
+re-expressed like its sibling ``gd_linear_regression``
+(r6_wave2.py): full-batch deterministic gradient descent in integer
+fixed point, so the whole trajectory — and therefore the driver's
+value hash — is bit-identical in the DuckDB replay.
+
+The logistic link is the softsign sigmoid p = 1/2 + z/(2(1+|z|)),
+not exp-based 1/(1+e^-z): e^x is the one sub-expression whose last
+ulp is NOT pinned down by IEEE-754 across engines (JVM Math.exp vs
+DuckDB's libm may differ), and a last-ulp difference under a floor()
+poisons the integer trajectory. Softsign needs only *,+,/,abs —
+all correctly-rounded IEEE ops that are deterministic given identical
+inputs — and keeps the logistic shape (monotone, (0,1), p(0)=1/2).
+The docstring-level contract mirrors ClickHouse's: a learned (w, b)
+for P(label | feature), trained by gradient steps; the exact link
+function is an implementation detail CH also leaves tunable
+(its ``stochasticLogisticRegression`` takes method parameters).
+
+Reference parity target: clickhouse_objects_analysis is an analysis
+repo (ch_view_dependencies.py); the ML-aggregate names come from the
+ClickHouse function surface its DDL corpus can reference.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query, tables
+
+
+def _gdl_step(fact: DataFrame, state: DataFrame) -> DataFrame:
+    """One full-batch logistic gradient step in integer micro-units.
+
+    state is a 1-row (w, b) frame broadcast into the fact scan. Per
+    row: z = w·x + b (micro), p = 500000 + sign(z)·floor(500000·|z| /
+    (1000000 + |z|)) — the softsign sigmoid quantized to micro-units
+    entirely from integer inputs, so the float divide sees identical
+    operands in both engines. Gradient sums are exact DECIMAL(38,0)
+    (order-independent, map-side combinable); the lr update reuses the
+    SIGN·FLOOR(ABS/d) truncating-division recipe with d = 64·n. At
+    100 TB: cache the two-column projection once; each step is one
+    map-side-combined aggregation, shuffling only partial sums."""
+    z = F.col("w") * F.col("x") + F.col("b")
+    az = F.abs(z)
+    p = F.lit(500000).cast("long") + (
+        F.signum(z.cast("double")).cast("long")
+        * F.floor(
+            (F.lit(500000.0) * az.cast("double"))
+            / (F.lit(1000000) + az).cast("double")
+        ).cast("long")
+    )
+    r = p - F.col("ymicro")
+    grads = fact.join(F.broadcast(state)).agg(
+        F.sum((r * F.col("x")).cast("decimal(38,0)")).alias("gw"),
+        F.sum(r.cast("decimal(38,0)")).alias("gb"),
+        F.count("*").alias("n"),
+        F.first("w").alias("w"),
+        F.first("b").alias("b"),
+    )
+    div = 64 * F.col("n")
+
+    def upd(pcol: str, g: str):
+        q = F.signum(F.col(g).cast("double")) * F.floor(
+            F.abs(F.col(g)).cast("double") / div
+        )
+        return (F.col(pcol) - q).cast("long").alias(pcol)
+
+    return grads.select(upd("w", "gw"), upd("b", "gb"), "n")
+
+
+_GDL_ORACLE_STEP = """
+    {out} AS (
+        SELECT CAST({prev}.w - SIGN(CAST(g.gw AS DOUBLE))
+                    * FLOOR(ABS(CAST(g.gw AS DOUBLE)) / (64 * g.n))
+                    AS BIGINT) AS w,
+               CAST({prev}.b - SIGN(CAST(g.gb AS DOUBLE))
+                    * FLOOR(ABS(CAST(g.gb AS DOUBLE)) / (64 * g.n))
+                    AS BIGINT) AS b,
+               g.n AS n
+        FROM (SELECT SUM(CAST((q.p - q.ymicro) * q.x
+                              AS DECIMAL(38,0))) AS gw,
+                     SUM(CAST(q.p - q.ymicro AS DECIMAL(38,0))) AS gb,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT f.x, f.ymicro,
+                           500000 + CAST(SIGN(CAST({prev}.w * f.x
+                                      + {prev}.b AS DOUBLE)) AS BIGINT)
+                             * CAST(FLOOR(
+                                 (500000.0 * CAST(ABS({prev}.w * f.x
+                                      + {prev}.b) AS DOUBLE))
+                                 / CAST(1000000 + ABS({prev}.w * f.x
+                                      + {prev}.b) AS DOUBLE))
+                               AS BIGINT) AS p
+                    FROM fact f CROSS JOIN {prev}) q) g
+             CROSS JOIN {prev}
+    )"""
+
+
+@query(
+    "gd_logistic_regression",
+    oracle=(
+        """
+    WITH fact AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1000000
+                         ELSE 0 END AS BIGINT) AS ymicro
+        FROM lineitem
+    ),
+    s0 AS (SELECT CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS b),
+    """
+        + _GDL_ORACLE_STEP.format(out="s1", prev="s0")
+        + ","
+        + _GDL_ORACLE_STEP.format(out="s2", prev="s1")
+        + ","
+        + _GDL_ORACLE_STEP.format(out="s3", prev="s2")
+        + """
+    SELECT w AS w_micros, b AS b_micros, n AS n_rows FROM s3
+    """
+    ),
+)
+def gd_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse stochasticLogisticRegression as its deterministic
+    distributed twin: three full-batch gradient steps (lr=1/64)
+    fitting P(l_returnflag = 'R') ≈ sigmoid(w·l_quantity + b) in
+    integer micro-units with the softsign link (module docstring: why
+    not exp). Same execution contract as gd_linear_regression — each
+    step one map-side-combined aggregation, 1-row state broadcast back
+    into the next scan."""
+    li = tables(spark, sf_dir)["lineitem"]
+    fact = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ymicro"),
+    )
+    state = spark.range(1).select(
+        F.lit(0).cast("long").alias("w"), F.lit(0).cast("long").alias("b")
+    )
+    for _ in range(3):
+        state = _gdl_step(fact, state)
+    return state.select(
+        F.col("w").alias("w_micros"),
+        F.col("b").alias("b_micros"),
+        F.col("n").alias("n_rows"),
+    )

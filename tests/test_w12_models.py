@@ -116,3 +116,19 @@ def test_w12_unbin(spark):
     assert r.u3 == "AB"
     assert r.u4 == ""
     assert r.u5 == "AB"
+
+
+def test_w12_gd_logistic_step(spark):
+    """One hand-computed softsign-logistic gradient step: rows
+    (x=1, y=1), (x=2, y=0) from w=b=0 give p=500000 each, residuals
+    ∓500000, gw=+500000, gb=0, so w ← 0 − floor(500000/128) = −3906."""
+    from clickhouse_objects_analysis_spark.queries.r7_wave3 import _gdl_step
+
+    fact = spark.createDataFrame(
+        [(1, 1000000), (2, 0)], "x long, ymicro long"
+    )
+    state = spark.range(1).select(
+        F.lit(0).cast("long").alias("w"), F.lit(0).cast("long").alias("b")
+    )
+    r = _gdl_step(fact, state).first()
+    assert (r.w, r.b, r.n) == (-3906, 0, 2)
