@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .registry import query, tables
+from .sources_queries import _sf_key
 
 
 def _gdl_step(fact: DataFrame, state: DataFrame) -> DataFrame:
@@ -146,4 +147,113 @@ def gd_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("w_micros"),
         F.col("b").alias("b_micros"),
         F.col("n").alias("n_rows"),
+    )
+
+
+@query(
+    "parts_storage_stats",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+           CAST(1 AS BIGINT) AS parts,
+           CAST(COUNT(*) AS BIGINT) AS part_rows,
+           CAST(1 AS BIGINT) AS row_groups,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def parts_storage_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``system.parts`` introspection, Spark-shaped: snapshot
+    orders into a month-partitioned parquet layout (MergeTree's
+    classic ``toYYYYMM`` partitioning,
+    ch_view_dependencies.py's system-table stance applied to parts),
+    then read back ONLY the parquet footers — per-part row counts, row
+    group counts, and the o_orderkey min/max zone stats the planner
+    prunes on. The oracle re-derives every number from the table
+    itself (GROUP BY month, COUNT/MIN/MAX), so the check proves the
+    footer metadata agrees with the data — the same invariant that
+    makes partition pruning sound.
+
+    100 TB: the repartition("part_month") before the write pins one
+    file per part (hash-colocated, dynamic partition write); the
+    footer scan ships only paths to executors and reads ~KB footers
+    via pyarrow in mapInPandas — never row data. A petabyte table's
+    million files parallelize across the path DataFrame; the driver
+    glob below would become a distributed file-index read."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    from ..sources.io import scratch_path
+
+    o = tables(spark, sf_dir)["orders"]
+    dest = scratch_path("parts", _sf_key(sf_dir), "orders_parts")
+    (
+        o.withColumn(
+            "part_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .repartition("part_month")
+        .write.partitionBy("part_month")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    paths = sorted(
+        _glob.glob(_os.path.join(dest, "part_month=*", "*.parquet"))
+    )
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(32, max(1, len(paths))))
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                names = md.schema.to_arrow_schema().names
+                ok_idx = names.index("o_orderkey")
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ok_idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                part = [
+                    seg.split("=", 1)[1]
+                    for seg in path.split(_os.sep)
+                    if seg.startswith("part_month=")
+                ][0]
+                rows.append(
+                    {
+                        "part_month": part,
+                        "file_rows": md.num_rows,
+                        "row_groups": md.num_row_groups,
+                        "min_ok": min(mins),
+                        "max_ok": max(maxs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "part_month", "file_rows", "row_groups",
+                    "min_ok", "max_ok",
+                ],
+            )
+
+    stats = files.mapInPandas(
+        read_footers,
+        "part_month string, file_rows long, row_groups long, "
+        "min_ok long, max_ok long",
+    )
+    return (
+        stats.groupBy("part_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("parts"),
+            F.sum("file_rows").cast("long").alias("part_rows"),
+            F.sum("row_groups").cast("long").alias("row_groups"),
+            F.min("min_ok").cast("long").alias("min_orderkey"),
+            F.max("max_ok").cast("long").alias("max_orderkey"),
+        )
+        .orderBy("part_month")
     )
