@@ -51,6 +51,7 @@ _R7_ADDITIONS: list[str] = [
     "ch_r7_function_surface_5",
     "gd_logistic_regression",
     "parts_storage_stats",
+    "bm25_retrieval",
 ]
 
 

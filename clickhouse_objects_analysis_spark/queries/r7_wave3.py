@@ -257,3 +257,124 @@ def parts_storage_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_month")
     )
+
+
+@query(
+    "bm25_retrieval",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      unnest(list_filter(
+                          string_split_regex(trim(text), '\\s+'),
+                          x -> length(x) > 0)) AS w
+               FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
+           FROM w GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dlen) AS BIGINT) AS total_len
+              FROM dl),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY w),
+    qt AS (SELECT w, df FROM (
+               SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS r
+               FROM (SELECT w, df FROM dfreq
+                     ORDER BY df DESC, w LIMIT 30))
+           WHERE r IN (10, 20, 30)),
+    cand AS (SELECT t.doc_id, t.tf, q.df, d.dlen, s.n_docs, s.total_len
+             FROM tf t JOIN qt q ON t.w = q.w
+                       JOIN dl d ON t.doc_id = d.doc_id
+             CROSS JOIN stats s),
+    sc AS (SELECT doc_id,
+                  CAST(FLOOR(
+                    ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                       / (df + 0.5) + 1.0)
+                    * ((tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 *
+                            (CAST(dlen AS DOUBLE)
+                             / (CAST(total_len AS DOUBLE) / n_docs)))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+           FROM cand)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS matched_terms,
+           CAST(SUM(s_micro) AS BIGINT) AS score_micro
+    FROM sc GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (k1=1.2, b=0.75) over the documents
+    table — the keyword-retrieval complement to the embedding-side ANN
+    stack (similarity.py) and the scoring sibling of tfidf_top_terms.
+    The three query terms are data-derived (document-frequency ranks
+    10/20/30 — mid-frequency terms, not stopword salad) so both
+    engines pick identical queries with no literal baked in.
+
+    Inverted-index shape, never all-pairs: tf is the one full
+    (doc, term) shuffle (map-side combined); the 3-term query table
+    broadcasts into it, shrinking the stream to candidate postings
+    before the doc-length join. Per-(doc, term) scores quantize to
+    integer micro-units BEFORE the per-doc sum (the llm_wave7 recipe:
+    double addition is order-dependent, integer addition is not), so
+    the driver's exact hash survives any partitioning. 100 TB: the
+    posting-list join scales with matched postings, not corpus size;
+    df/query tables are vocabulary-bounded broadcasts."""
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir)["documents"]
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dlen")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dlen").cast("long").alias("total_len"),
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = (
+        dfreq.orderBy(F.desc("df"), "w")
+        .limit(30)
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("df"), "w"))
+        )
+        .filter(F.col("r").isin(10, 20, 30))
+        .select("w", "df")
+    )
+    cand = (
+        tf.join(F.broadcast(qt), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    avgl = F.col("total_len").cast("double") / F.col("n_docs")
+    norm = F.lit(0.25) + F.lit(0.75) * (
+        F.col("dlen").cast("double") / avgl
+    )
+    s = idf * (
+        (F.col("tf") * F.lit(2.2)) / (F.col("tf") + F.lit(1.2) * norm)
+    )
+    s_micro = F.floor(s * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        cand.select("doc_id", s_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+            F.sum("s_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(10)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "matched_terms",
+            "score_micro",
+        )
+    )
