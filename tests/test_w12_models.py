@@ -132,3 +132,144 @@ def test_w12_gd_logistic_step(spark):
     )
     r = _gdl_step(fact, state).first()
     assert (r.w, r.b, r.n) == (-3906, 0, 2)
+
+
+def test_w12_replace_regexp_one_fuzz(spark):
+    """Seeded fuzz of replaceRegexpOne against Python's
+    re.sub(count=1) over a Java/Python-common pattern subset (literals,
+    classes, quantifiers, groups, alternation, anchors) — 300 random
+    strings x 8 pattern shapes in one Spark job."""
+    import random
+    import re as _re
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    # (pattern, java_repl, python_repl)
+    shapes = [
+        ("a", "#", "#"),
+        ("b+", "<>", "<>"),
+        ("[ab]c", "#", "#"),
+        ("(a)(b)", "$2$1", r"\2\1"),
+        ("a|cb", "#", "#"),
+        ("c*", "#", "#"),
+        ("ab$", "#", "#"),
+        ("^a", "#", "#"),
+    ]
+    rng = random.Random(1207)
+    strings = [
+        "".join(rng.choice("abc") for _ in range(rng.randrange(0, 9)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    cols = [
+        ch_expr("replaceRegexpOne", F.col("s"), pat, jrepl).alias(f"c{i}")
+        for i, (pat, jrepl, _) in enumerate(shapes)
+    ]
+    rows = df.select("s", *cols).collect()
+    for r in rows:
+        for i, (pat, _, prepl) in enumerate(shapes):
+            want = _re.sub(pat, prepl, r.s, count=1)
+            assert r[f"c{i}"] == want, (r.s, pat, r[f"c{i}"], want)
+
+
+def test_w12_replace_one_fuzz(spark):
+    """replaceOne against str.replace(..., 1) on random needles."""
+    import random
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    rng = random.Random(11)
+    cases = []
+    for _ in range(300):
+        s = "".join(rng.choice("abxy") for _ in range(rng.randrange(0, 10)))
+        needle = "".join(
+            rng.choice("abxy") for _ in range(rng.randrange(1, 4))
+        )
+        cases.append((s, needle))
+    df = spark.createDataFrame(cases, "s string, nd string")
+    rows = df.select(
+        "s",
+        "nd",
+        ch_expr("replaceOne", F.col("s"), F.col("nd"), F.lit("+Z+")).alias(
+            "got"
+        ),
+    ).collect()
+    for r in rows:
+        assert r.got == r.s.replace(r.nd, "+Z+", 1), (r.s, r.nd, r.got)
+
+
+def _py_frtd(sec: int) -> str:
+    parts = []
+    rem = sec
+    for unit, size in (
+        ("year", 31536000),
+        ("month", 2635200),
+        ("day", 86400),
+        ("hour", 3600),
+        ("minute", 60),
+        ("second", 1),
+    ):
+        n, rem = divmod(rem, size)
+        if n > 0:
+            parts.append(f"{n} {unit}" + ("" if n == 1 else "s"))
+    if not parts:
+        return "0 seconds"
+    if len(parts) == 1:
+        return parts[0]
+    return ", ".join(parts[:-1]) + " and " + parts[-1]
+
+
+def test_w12_frtd_fuzz(spark):
+    """formatReadableTimeDelta against the Python ladder reference on
+    random + boundary-adjacent second counts."""
+    import random
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    rng = random.Random(99)
+    vals = sorted(
+        {rng.randrange(0, 200_000_000) for _ in range(200)}
+        | {0, 1, 59, 60, 61, 3599, 3600, 86399, 86400,
+           2635199, 2635200, 31535999, 31536000}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v", ch_expr("formatReadableTimeDelta", F.col("v")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == _py_frtd(r.v), (r.v, r.got)
+
+
+def test_w12_unbin_fuzz(spark):
+    """unbin against the Python chunk-and-chr reference on random bit
+    strings (1-3 bytes, leading zeros sometimes stripped to exercise
+    the first-group pad)."""
+    import random
+
+    from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+    def py_unbin(bits: str) -> str:
+        if not bits:
+            return ""
+        pad = (-len(bits)) % 8
+        bits = "0" * pad + bits
+        return "".join(
+            chr(int(bits[i : i + 8], 2)) for i in range(0, len(bits), 8)
+        )
+
+    rng = random.Random(5)
+    cases = set()
+    for _ in range(250):
+        nb = rng.randrange(1, 4)
+        bits = "".join(
+            format(rng.randrange(32, 127), "08b") for _ in range(nb)
+        )
+        if rng.random() < 0.5:
+            bits = bits.lstrip("0")
+        cases.add(bits)
+    df = spark.createDataFrame([(b,) for b in sorted(cases)], "b string")
+    rows = df.select(
+        "b", ch_expr("unbin", F.col("b")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == py_unbin(r.b), (r.b, r.got)
