@@ -52,6 +52,7 @@ _R7_ADDITIONS: list[str] = [
     "gd_logistic_regression",
     "parts_storage_stats",
     "bm25_retrieval",
+    "incremental_minhash_dedup",
 ]
 
 

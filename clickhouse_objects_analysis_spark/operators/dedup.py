@@ -143,6 +143,31 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, h0..h{n-1}) signatures → (id, band_id, band_key) LSH bucket
+    rows: one native multi-arg xxhash64 over each band's r = n/bands
+    signature columns, exploded for the bucket join. Shared by the batch
+    self-join pipeline (minhash_lsh_pairs) and the incremental
+    band-index path (streaming.pipeline.incremental_minhash_dedup)."""
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * r + j}") for j in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -161,7 +186,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
 
     # Checkpoint the shingle front once: the signature path, the verify
     # count() and the verify collect()/join all consume `sets` — without
@@ -170,25 +194,7 @@ def minhash_lsh_pairs(
     # materializes it.
     sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sig = minhash_signatures(sets, num_hashes)
-
-    # Band keys: one native multi-arg xxhash64 over each band's r signature
-    # columns; explode to (id, band_id, band_key) for the bucket self-join.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * r + j}") for j in range(r)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_key")
+    banded = band_rows(sig, num_hashes, bands)
 
     candidates = (
         banded.alias("a")

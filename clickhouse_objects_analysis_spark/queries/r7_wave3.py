@@ -217,8 +217,11 @@ def parts_storage_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mins, maxs = [], []
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(ok_idx).statistics
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    # A writer may omit statistics, and an all-null row
+                    # group carries none even when enabled.
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
                 part = [
                     seg.split("=", 1)[1]
                     for seg in path.split(_os.sep)
@@ -229,8 +232,8 @@ def parts_storage_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "part_month": part,
                         "file_rows": md.num_rows,
                         "row_groups": md.num_row_groups,
-                        "min_ok": min(mins),
-                        "max_ok": max(maxs),
+                        "min_ok": min(mins) if mins else None,
+                        "max_ok": max(maxs) if maxs else None,
                     }
                 )
             yield pd.DataFrame(

@@ -843,3 +843,163 @@ def dedup_state_probe(
         "plateau_ok": plateau_ok,
         "bounded_ok": bounded_ok,
     }
+
+
+def _doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
+    """Materialize documents as ``n_slices`` single-file parquet slices
+    cut by doc_id ntile with increasing mtimes — the ingest-order replay
+    source for the incremental dedup path (doc_id is the arrival clock,
+    so every slice's ids are strictly greater than all earlier slices').
+    Cached per (sf_dir, n_slices) like the events slicers above."""
+    import glob as _glob
+
+    from pyspark.sql import Window as _W
+
+    from ..session import load_tables
+
+    key = hashlib.md5(f"doc:{sf_dir}:{n_slices}".encode()).hexdigest()[:8]
+    src_dir = os.path.join(SCRATCH, f"docslice_src_{key}")
+    ready = os.path.join(src_dir, "_READY")
+    if os.path.exists(ready):
+        return src_dir
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sliced = docs.withColumn(
+        "_slice", F.ntile(n_slices).over(_W.orderBy("doc_id")) - 1
+    )
+    base = 1_600_000_000
+    for i in range(n_slices):
+        tmp = os.path.join(SCRATCH, f"docslice_tmp_{key}_{i}")
+        (
+            sliced.filter(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"slice-{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + i, base + i))
+    open(ready, "w").close()
+    return src_dir
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """INCREMENTAL near-duplicate dedup — the ingest-time twin of the
+    batch minhash_lsh_pairs: documents arrive as a Structured Streaming
+    replay (one micro-batch per doc_id slice) and each batch is checked
+    against a PERSISTED LSH band index of everything seen so far, never
+    against raw earlier text. Per-batch cost is O(batch bands) + an
+    equi-join against the index on (band_id, band_key) — at 100 TB the
+    index is the only state that grows, it's 16 longs per doc, and the
+    join prunes to colliding buckets; the corpus itself is never
+    rescanned.
+
+    Every batch: shingle → minhash(32) → 16 band keys; candidates =
+    (index ⋈ batch) ∪ (batch ⋈ batch, id_a < id_b); exact-Jaccard verify
+    against the persisted shingle store (only candidate ids are fetched —
+    the equi-join prunes the store scan); then the batch's bands and
+    shingle sets are appended to the index. Because ALL arriving docs are
+    indexed (duplicates too), a doc's candidate set is complete in its
+    arrival batch, so the final answer is independent of slice
+    boundaries — which is exactly what the batch oracle checks. The LSH
+    miss bound is the batch path's: (1 − 0.8²)¹⁶ ≈ 1e-7 at s = 0.8, and
+    verification kills false positives.
+
+    Returns one row per detected duplicate: (doc_id, rep_id, rep_jacc)
+    where rep_id = the LOWEST earlier doc within threshold (first-seen
+    representative) and rep_jacc its exact Jaccard."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.dedup import (
+        _verify_jaccard,
+        band_rows,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    src_dir = _doc_slices(spark, sf_dir, n_slices)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    run_dir = os.path.join(SCRATCH, f"incdedup_{uuid.uuid4().hex[:8]}")
+    idx_bands = os.path.join(run_dir, "band_index")
+    idx_sets = os.path.join(run_dir, "shingle_store")
+    out_dir = os.path.join(run_dir, "dups")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir, exist_ok=True)
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        s = bdf.sparkSession
+        sets = shingle_sets(bdf, "doc_id", "text", k).localCheckpoint(
+            eager=False
+        )
+        banded = band_rows(
+            minhash_signatures(sets, num_hashes), num_hashes, bands
+        ).localCheckpoint(eager=False)
+        cand_in = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band_id", "band_key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+        )
+        store = sets
+        cands = cand_in
+        if os.path.exists(idx_bands):
+            idx = s.read.parquet(idx_bands)
+            # every indexed id precedes every batch id (doc_id slicing),
+            # so the index side is always id_a
+            cand_old = (
+                idx.alias("a")
+                .join(banded.alias("b"), ["band_id", "band_key"])
+                .where(F.col("a.id") < F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                )
+            )
+            cands = cand_old.unionByName(cand_in)
+            store = s.read.parquet(idx_sets).unionByName(sets)
+        verified = _verify_jaccard(
+            cands.dropDuplicates(["id_a", "id_b"]), store, threshold
+        )
+        verified.write.mode("append").parquet(out_dir)
+        banded.write.mode("append").parquet(idx_bands)
+        sets.write.mode("append").parquet(idx_sets)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir("incdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dups = spark.read.parquet(out_dir)
+    w = _W.partitionBy("id_b").orderBy("id_a")
+    return (
+        dups.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("rep_id"),
+            F.col("jacc").alias("rep_jacc"),
+        )
+    )

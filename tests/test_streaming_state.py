@@ -57,3 +57,29 @@ def test_left_outer_join_flushes_state(spark, sf_dir):
         f"outer-join state did not flush: {final_rows} rows retained "
         f"of {n_events} input events"
     )
+
+
+def test_incremental_minhash_dedup_slice_invariant(spark, sf_dir):
+    """The incremental near-dup answer must not depend on how the ingest
+    stream is sliced: every arriving doc is indexed (duplicates too), so
+    a doc's candidate set is complete in its arrival batch regardless of
+    where the batch boundaries fall. 2-slice and 5-slice replays must
+    produce identical (doc_id, rep_id, rep_jacc) sets."""
+    a = sorted(
+        map(
+            tuple,
+            pipeline.incremental_minhash_dedup(
+                spark, sf_dir, n_slices=2
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pipeline.incremental_minhash_dedup(
+                spark, sf_dir, n_slices=5
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0, "expected near-dup docs in the test corpus"
