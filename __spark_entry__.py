@@ -53,6 +53,7 @@ _R7_ADDITIONS: list[str] = [
     "parts_storage_stats",
     "bm25_retrieval",
     "incremental_minhash_dedup",
+    "bpe_merge_training",
 ]
 
 

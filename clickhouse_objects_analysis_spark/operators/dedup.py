@@ -211,7 +211,8 @@ def minhash_lsh_pairs(
 
 
 def _verify_jaccard(
-    pairs: DataFrame, sets: DataFrame, threshold: float
+    pairs: DataFrame, sets: DataFrame, threshold: float,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
@@ -228,9 +229,17 @@ def _verify_jaccard(
       worker — with prefix+length filtering the candidate stream is near
       output size, so this is the 100 TB path. (An 8× corpus replication
       measured the dict broadcast at ~80 MB turning verification into the
-      bottleneck — hence the switch.)"""
-    n_docs = sets.count()
-    if n_docs <= _DICT_VERIFY_MAX_DOCS:
+      bottleneck — hence the switch.)
+
+    ``strategy`` pins a path: "auto" gates on the doc count (one count
+    job); "join" skips the gate entirely — callers that run verification
+    once per micro-batch (incremental_minhash_dedup) use it to avoid
+    paying a count + collect + broadcast per batch."""
+    if strategy == "auto":
+        strategy = (
+            "dict" if sets.count() <= _DICT_VERIFY_MAX_DOCS else "join"
+        )
+    if strategy == "dict":
         rows = sets.collect()
         bc = sets.sparkSession.sparkContext.broadcast(
             {r["id"]: frozenset(r["shingles"]) for r in rows}

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.bpe import bpe_oracle_sql, bpe_train
 from ..streaming.pipeline import incremental_minhash_dedup
 from .llm import _SCORED_CTE, _SHINGLE_CTE
 from .registry import query, tables
@@ -49,3 +50,16 @@ def incremental_minhash_dedup_q(
     return incremental_minhash_dedup(spark, sf_dir, n_slices=4).orderBy(
         "doc_id"
     )
+
+
+@query("bpe_merge_training", oracle=bpe_oracle_sql(8))
+def bpe_merge_training_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 8 merge
+    rounds over the (distinct word, frequency) vocab of the documents
+    table — pair counting is a map-side-combined aggregate over the
+    vocab (never the corpus), merge application a narrow fold, each
+    round's winner a 1-row collect. Integer counts + lexicographic
+    tie-breaks make the whole trajectory bit-reproducible against the
+    hand-unrolled DuckDB rounds."""
+    d = tables(spark, sf_dir)["documents"]
+    return bpe_train(spark, d, "text", merges=8)

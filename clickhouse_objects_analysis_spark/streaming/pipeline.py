@@ -946,13 +946,15 @@ def incremental_minhash_dedup(
     os.makedirs(run_dir, exist_ok=True)
 
     def process(bdf: DataFrame, bid: int) -> None:
+        # persist(), not localCheckpoint(): each intermediate feeds 2-3
+        # consumers within the batch, and a cache keeps them inside
+        # codegen without the RDD-conversion overhead a checkpoint pays
+        # (measured ~0.3 s per checkpoint on KB-scale batches).
         s = bdf.sparkSession
-        sets = shingle_sets(bdf, "doc_id", "text", k).localCheckpoint(
-            eager=False
-        )
+        sets = shingle_sets(bdf, "doc_id", "text", k).persist()
         banded = band_rows(
             minhash_signatures(sets, num_hashes), num_hashes, bands
-        ).localCheckpoint(eager=False)
+        ).persist()
         cand_in = (
             banded.alias("a")
             .join(banded.alias("b"), ["band_id", "band_key"])
@@ -978,20 +980,34 @@ def incremental_minhash_dedup(
             )
             cands = cand_old.unionByName(cand_in)
             store = s.read.parquet(idx_sets).unionByName(sets)
-        verified = _verify_jaccard(
-            cands.dropDuplicates(["id_a", "id_b"]), store, threshold
-        )
+        # Pinned join-strategy verification: ONE job per batch (the
+        # candidate pairs broadcast against the shingle store and score
+        # in Arrow batches) instead of the auto gate's count + collect +
+        # broadcast. Duplicate candidate pairs (multi-band collisions)
+        # are NOT deduped first: verifying a pair twice is cheaper than
+        # the extra shuffle, and the final min-per-doc pick is
+        # insensitive to repeats. (A production deployment would bucket
+        # the store by id so this join never rescans it; see docstring.)
+        verified = _verify_jaccard(cands, store, threshold, strategy="join")
         verified.write.mode("append").parquet(out_dir)
         banded.write.mode("append").parquet(idx_bands)
         sets.write.mode("append").parquet(idx_sets)
+        banded.unpersist()
+        sets.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir("incdedup"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..functions.settings import query_settings
+
+    # Micro-batches are KB-scale here; 8 shuffle partitions keep the
+    # per-batch join stages from paying 32-64 task dispatches each. At
+    # production scale this is the state_partitions_for-style knob.
+    with query_settings(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt_dir("incdedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     dups = spark.read.parquet(out_dir)
     w = _W.partitionBy("id_b").orderBy("id_a")
     return (
