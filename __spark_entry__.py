@@ -54,6 +54,7 @@ _R7_ADDITIONS: list[str] = [
     "bm25_retrieval",
     "incremental_minhash_dedup",
     "bpe_merge_training",
+    "sequence_match_time_gap",
 ]
 
 

@@ -63,3 +63,76 @@ def bpe_merge_training_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-unrolled DuckDB rounds."""
     d = tables(spark, sf_dir)["documents"]
     return bpe_train(spark, d, "text", merges=8)
+
+
+@query(
+    "sequence_match_time_gap",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events WHERE event_type IN ('signup', 'purchase')),
+    l AS (SELECT user_id, event_type, t,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(t) OVER w AS prev_t
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    per_user AS (SELECT user_id,
+                        MAX(CASE WHEN event_type = 'purchase'
+                                  AND prev_type = 'signup'
+                                  AND t - prev_t <= 3600000000
+                                 THEN 1 ELSE 0 END) AS matched
+                 FROM l GROUP BY user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(SUM(COALESCE(matched, 0)) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(COALESCE(matched, 0)) AS DOUBLE) / COUNT(*), 6)
+               AS rate
+    FROM u LEFT JOIN per_user USING (user_id)
+    """,
+)
+def sequence_match_time_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)')(ts, signup,
+    purchase)`` — the time-CONSTRAINED adjacency form the plain
+    sequence_match / sequence_count_agg siblings don't cover: a purchase
+    must DIRECTLY follow a signup (no relevant event between, per the
+    same condition-subsequence interpretation as sequence_count_agg at
+    ch_aggregates.py:915) and within one hour. One lag() pass over the
+    (user, time) sort — single shuffle on user_id, no self-join; the
+    oracle is the identical window restated in DuckDB."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    e = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagged = e.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("t").over(w).alias("prev_t"),
+    )
+    hit = (
+        (F.col("event_type") == "purchase")
+        & (F.col("prev_type") == "signup")
+        & (F.col("t") - F.col("prev_t") <= 3_600_000_000)
+    )
+    per_user = lagged.groupBy("user_id").agg(
+        F.max(F.when(hit, 1).otherwise(0)).alias("matched")
+    )
+    levels = (
+        ev.select("user_id")
+        .distinct()
+        .join(per_user, "user_id", "left")
+        .select(F.coalesce("matched", F.lit(0)).alias("matched"))
+    )
+    return levels.agg(
+        F.sum("matched").cast("long").alias("n_matched"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum("matched").cast("double") / F.count(F.lit(1)), 6
+        ).alias("rate"),
+    )
