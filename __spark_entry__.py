@@ -55,6 +55,7 @@ _R7_ADDITIONS: list[str] = [
     "incremental_minhash_dedup",
     "bpe_merge_training",
     "sequence_match_time_gap",
+    "html_text_extraction",
 ]
 
 

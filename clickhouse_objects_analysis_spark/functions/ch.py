@@ -1788,6 +1788,34 @@ CH_FUNCTIONS: dict[str, Builder] = {
         F.lit("&apos;"),
     ),
     "formatReadableTimeDelta": _format_readable_time_delta,
+    # Simplified deterministic twin of CH's HTML text extractor
+    # (reference grammar reaches it as a plain function name): drop
+    # script/style subtrees, comments, then tags; collapse whitespace.
+    # CH's C++ parser additionally handles CDATA and entity edge cases;
+    # the regex chain is documented as the portable subset and is
+    # identical in Java regex and RE2, so the DuckDB oracle reproduces
+    # it byte-for-byte (registry: html_text_extraction).
+    "extractTextFromHTML": lambda c: F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            c, r"(?is)<script[^>]*>.*?</script>", " "
+                        ),
+                        r"(?is)<style[^>]*>.*?</style>",
+                        " ",
+                    ),
+                    r"(?s)<!--.*?-->",
+                    " ",
+                ),
+                r"<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    ),
     # bit-text -> characters: left-pad the FIRST group to a byte like
     # CH, then fold 8-bit chunks through conv(,2,10) -> char. The
     # empty-input guard is load-bearing (sequence(0,-1) DESCENDS).

@@ -136,3 +136,70 @@ def sequence_match_time_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("matched").cast("double") / F.count(F.lit(1)), 6
         ).alias("rate"),
     )
+
+
+@query(
+    "html_text_extraction",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               '<html><head><script>var a=1;</script><style>p{color:red}'
+               || '</style></head><body><h1>' || source || '</h1><p>'
+               || text || '</p><!-- trailer --></body></html>' AS html,
+               text
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(html,
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g'),
+                    '\\s+', ' ', 'g')) AS extracted,
+               text
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(length(extracted) AS BIGINT) AS n_extracted,
+           substring(extracted, 1, 40) AS head,
+           CASE WHEN position(
+                    trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                    IN extracted) > 0
+                THEN 1 ELSE 0 END AS body_preserved
+    FROM x ORDER BY doc_id
+    """,
+)
+def html_text_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``extractTextFromHTML`` (functions/ch.py): documents
+    are rendered into a deterministic HTML wrapper (script + style +
+    comment + tag noise around the real text), extracted back, and
+    checked to preserve the whitespace-collapsed body — the HTML→text
+    step an LLM ingestion pipeline runs before quality filtering. Pure
+    map-side regex chain, byte-identical across Java regex and RE2."""
+    import pyspark.sql.functions as F
+
+    from ..functions.ch import CH_FUNCTIONS
+
+    d = tables(spark, sf_dir)["documents"]
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var a=1;</script><style>p{color:red}"
+            "</style></head><body><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- trailer --></body></html>"),
+    )
+    extracted = CH_FUNCTIONS["extractTextFromHTML"](html)
+    norm_body = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_extracted"),
+        F.substring(extracted, 1, 40).alias("head"),
+        F.when(F.instr(extracted, norm_body) > 0, 1)
+        .otherwise(0)
+        .alias("body_preserved"),
+    ).orderBy("doc_id")
