@@ -56,6 +56,7 @@ _R7_ADDITIONS: list[str] = [
     "bpe_merge_training",
     "sequence_match_time_gap",
     "html_text_extraction",
+    "audio_wav_decode",
 ]
 
 

@@ -203,3 +203,36 @@ def html_text_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("body_preserved"),
     ).orderBy("doc_id")
+
+
+@query(
+    "audio_wav_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L
+               FROM documents),
+    p AS (SELECT doc_id, 64 + L % 256 AS ns, 1 + L % 7 AS k FROM b),
+    s AS (SELECT doc_id, ns, k,
+                 list_transform(range(0, ns),
+                                i -> abs((i * k) % 200 - 100) * 100) AS a
+          FROM p)
+    SELECT doc_id,
+           ns::BIGINT                AS n_samples,
+           CAST(8000 AS BIGINT)      AS sample_rate,
+           CAST(1 AS BIGINT)         AS n_channels,
+           CAST(list_max(a) AS BIGINT)  AS peak,
+           CAST(list_sum(a) AS BIGINT)  AS sum_abs
+    FROM s ORDER BY doc_id
+    """,
+)
+def audio_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (operators/multimodal.py WAV path):
+    synthesize a valid 16-bit mono PCM RIFF/WAVE file per document, then
+    parse it back with the dependency-free chunk-walking decoder —
+    extending the multimodal contract (real stdlib decode, arithmetic
+    oracle) from images to audio. The oracle replays the sawtooth
+    arithmetic: n = 64 + L%256 samples of ((i·k)%200−100)·100."""
+    from ..operators.multimodal import decode_wav_features, encode_wav_payload
+
+    d = tables(spark, sf_dir)["documents"]
+    wav = encode_wav_payload(d, "doc_id", "text")
+    return decode_wav_features(wav).orderBy("doc_id")

@@ -573,3 +573,66 @@ def test_pq_codebooks_deterministic_and_shaped():
 
     with pytest.raises(ValueError):
         train_pq_codebooks(sample, m=7, ksub=8)  # 64 % 7 != 0
+
+
+class TestWavDecode:
+    """Dependency-free RIFF/WAVE parser (operators/multimodal.py): the
+    chunk walk must survive extra chunks and word-alignment padding, and
+    reject the malformed shapes a strict decoder should refuse."""
+
+    def _wav(self, samples, extra_chunk=b"", rate=8000):
+        import struct
+
+        data = struct.pack("<%dh" % len(samples), *samples)
+        body = (
+            b"WAVE"
+            + extra_chunk
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_roundtrip_stats(self):
+        from clickhouse_objects_analysis_spark.operators.multimodal import (
+            _decode_wav,
+        )
+
+        ns, rate, ch, peak, sabs = _decode_wav(self._wav([-300, 0, 200]))
+        assert (ns, rate, ch, peak, sabs) == (3, 8000, 1, 300, 500)
+
+    def test_skips_unknown_chunk_with_odd_padding(self):
+        import struct
+
+        from clickhouse_objects_analysis_spark.operators.multimodal import (
+            _decode_wav,
+        )
+
+        # a 3-byte LIST chunk must be skipped with its pad byte
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        ns, rate, ch, peak, sabs = _decode_wav(
+            self._wav([100], extra_chunk=extra)
+        )
+        assert (ns, peak) == (1, 100)
+
+    def test_rejects_malformed(self):
+        import pytest
+
+        from clickhouse_objects_analysis_spark.operators.multimodal import (
+            _decode_wav,
+        )
+
+        with pytest.raises(ValueError, match="RIFF/WAVE"):
+            _decode_wav(b"OggS" + b"\x00" * 32)
+        with pytest.raises(ValueError, match="size field"):
+            _decode_wav(self._wav([1, 2]) + b"trailing-junk")
+        import struct
+
+        # truncate the data chunk but keep the RIFF size consistent, so
+        # the failure is the chunk walk's, not the outer size check's
+        cut = self._wav([1, 2, 3])[:-2]
+        cut = b"RIFF" + struct.pack("<I", len(cut) - 8) + cut[8:]
+        with pytest.raises(ValueError, match="truncated"):
+            _decode_wav(cut)
