@@ -57,6 +57,7 @@ _R7_ADDITIONS: list[str] = [
     "sequence_match_time_gap",
     "html_text_extraction",
     "audio_wav_decode",
+    "video_avi_frame_sample",
 ]
 
 

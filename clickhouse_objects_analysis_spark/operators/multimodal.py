@@ -481,3 +481,179 @@ def decode_wav_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(extract, schema=WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: RIFF/AVI with uncompressed DIB frames. Completes the trio —
+# image (PPM/BMP), audio (WAV), video (AVI) all synthesize REAL files
+# and parse them back with dependency-free chunk walkers; production
+# swaps ffmpeg/pyav into the same mapInPandas seam.
+
+#: Output schema of the AVI synthesis step.
+AVI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _avi_geometry(n: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) from the utf-8 byte length — width kept
+    a multiple of 4 so DIB rows need no stride padding."""
+    return 4 + 4 * (n % 4), 2 + n % 3, 3 + n % 5
+
+
+def encode_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize a REAL uncompressed AVI per document: RIFF('AVI ') with
+    a hdrl LIST (avih main header + one 'vids'/DIB stream with strh/strf)
+    and a movi LIST of '00db' frames, 25 fps, frame i solid-filled with
+    (L+i)%256. Every header field is consistent (sizes, frame counts,
+    geometry), so the decode is a genuine container parse with an
+    arithmetic oracle."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("raw"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            return (
+                fourcc
+                + struct.pack("<I", len(body))
+                + body
+                + (b"\x00" if len(body) & 1 else b"")
+            )
+
+        def lst(form: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", form + body)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+                n = len(bytes(raw))
+                w, h, nf = _avi_geometry(n)
+                fsize = w * h * 3
+                avih = struct.pack(
+                    "<14I",
+                    40000, fsize * 25, 0, 0, nf, 0, 1, fsize, w, h,
+                    0, 0, 0, 0,
+                )
+                strh = (
+                    b"vids" + b"DIB "
+                    + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 25, 0,
+                                  nf, fsize, 0, 0)
+                    + struct.pack("<4H", 0, 0, w, h)
+                )
+                strf = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0
+                )
+                hdrl = lst(
+                    b"hdrl",
+                    chunk(b"avih", avih)
+                    + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+                )
+                movi = lst(
+                    b"movi",
+                    b"".join(
+                        chunk(b"00db", bytes([(n + i) % 256]) * fsize)
+                        for i in range(nf)
+                    ),
+                )
+                payload = chunk(b"RIFF", b"AVI " + hdrl + movi)
+                rows.append((int(doc_id), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(build, schema=AVI_SCHEMA)
+
+
+def _riff_children(body: bytes) -> list[tuple[bytes, bytes]]:
+    """(fourcc, data) pairs of the chunks inside a RIFF/LIST body,
+    honoring word alignment; raises on truncation."""
+    import struct
+
+    out, pos = [], 0
+    while pos + 8 <= len(body):
+        cid = body[pos : pos + 4]
+        size = struct.unpack("<I", body[pos + 4 : pos + 8])[0]
+        data = body[pos + 8 : pos + 8 + size]
+        if len(data) != size:
+            raise ValueError("truncated chunk " + repr(cid))
+        out.append((cid, data))
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _decode_avi(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Dependency-free AVI decode: walk RIFF('AVI ') → hdrl(avih, strh)
+    and movi, cross-check the main header's frame count/geometry against
+    the stream header and the actual movi chunks. Returns (n_frames,
+    width, height, us_per_frame, total_frame_bytes)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    size = struct.unpack("<I", payload[4:8])[0]
+    if size != len(payload) - 8:
+        raise ValueError("RIFF size field disagrees with payload length")
+    avih = strh = None
+    frames: list[bytes] = []
+    for cid, data in _riff_children(payload[12:]):
+        if cid != b"LIST":
+            continue
+        form, body = data[:4], data[4:]
+        if form == b"hdrl":
+            for c2, d2 in _riff_children(body):
+                if c2 == b"avih":
+                    avih = struct.unpack("<14I", d2[:56])
+                elif c2 == b"LIST" and d2[:4] == b"strl":
+                    for c3, d3 in _riff_children(d2[4:]):
+                        if c3 == b"strh":
+                            strh = d3
+        elif form == b"movi":
+            frames = [
+                d2 for c2, d2 in _riff_children(body)
+                if c2[2:] in (b"db", b"dc")
+            ]
+    if avih is None or strh is None:
+        raise ValueError("missing avih/strh header")
+    us_per_frame, n_frames, w, h = avih[0], avih[4], avih[8], avih[9]
+    if strh[:4] != b"vids":
+        raise ValueError("first stream is not video")
+    strh_len = struct.unpack("<I", strh[32:36])[0]
+    if n_frames != strh_len or n_frames != len(frames):
+        raise ValueError("frame count disagrees across headers and movi")
+    return n_frames, w, h, us_per_frame, sum(len(f) for f in frames)
+
+
+def decode_avi_features(payloads: DataFrame, every_n: int = 2) -> DataFrame:
+    """(doc_id, payload) → container stats + sampled-frame count via the
+    stdlib AVI parser — the real-parse upgrade of sample_frames (which
+    models the payload as a raw frame stream)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nf, w, h, uspf, tot = _decode_avi(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id), nf, w, h, uspf, tot,
+                        len(range(0, nf, every_n)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "us_per_frame", "total_frame_bytes", "n_sampled",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        extract,
+        schema="doc_id long, n_frames long, width long, height long, "
+        "us_per_frame long, total_frame_bytes long, n_sampled long",
+    )

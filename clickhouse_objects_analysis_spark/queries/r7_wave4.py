@@ -236,3 +236,37 @@ def audio_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     wav = encode_wav_payload(d, "doc_id", "text")
     return decode_wav_features(wav).orderBy("doc_id")
+
+
+@query(
+    "video_avi_frame_sample",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L
+               FROM documents),
+    g AS (SELECT doc_id,
+                 4 + 4 * (L % 4) AS w,
+                 2 + L % 3       AS h,
+                 3 + L % 5       AS nf
+          FROM b)
+    SELECT doc_id,
+           nf::BIGINT                    AS n_frames,
+           w::BIGINT                     AS width,
+           h::BIGINT                     AS height,
+           CAST(40000 AS BIGINT)         AS us_per_frame,
+           (nf * w * h * 3)::BIGINT      AS total_frame_bytes,
+           ((nf + 1) // 2)::BIGINT       AS n_sampled
+    FROM g ORDER BY doc_id
+    """,
+)
+def video_avi_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode end-to-end: synthesize a valid
+    uncompressed AVI per document (RIFF hdrl/strl/movi, consistent
+    headers), parse it back with the dependency-free chunk walker, and
+    sample every 2nd frame — completing the multimodal trio (PPM/BMP
+    image, WAV audio, AVI video) with genuine parses. The oracle replays
+    the geometry arithmetic from the text byte length."""
+    from ..operators.multimodal import decode_avi_features, encode_avi_payload
+
+    d = tables(spark, sf_dir)["documents"]
+    avi = encode_avi_payload(d, "doc_id", "text")
+    return decode_avi_features(avi, every_n=2).orderBy("doc_id")

@@ -636,3 +636,49 @@ class TestWavDecode:
         cut = b"RIFF" + struct.pack("<I", len(cut) - 8) + cut[8:]
         with pytest.raises(ValueError, match="truncated"):
             _decode_wav(cut)
+
+
+class TestAviDecode:
+    """RIFF/AVI container parser: header cross-checks and rejection of
+    inconsistent frame counts."""
+
+    def test_roundtrip_via_encoder(self, spark):
+        from clickhouse_objects_analysis_spark.operators.multimodal import (
+            _avi_geometry,
+            _decode_avi,
+            encode_avi_payload,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "x" * 100)], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: bytes(r["payload"])
+            for r in encode_avi_payload(docs, "doc_id", "text").collect()
+        }
+        for doc_id, text_len in ((1, 11), (2, 100)):
+            w, h, nf = _avi_geometry(text_len)
+            got = _decode_avi(rows[doc_id])
+            assert got == (nf, w, h, 40000, nf * w * h * 3)
+
+    def test_rejects_frame_count_mismatch(self, spark):
+        import pytest
+
+        from clickhouse_objects_analysis_spark.operators.multimodal import (
+            _decode_avi,
+            encode_avi_payload,
+        )
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        payload = bytearray(
+            bytes(
+                encode_avi_payload(docs, "doc_id", "text").collect()[0][
+                    "payload"
+                ]
+            )
+        )
+        # corrupt avih dwTotalFrames (offset: RIFF(12) + LIST hdr(12)
+        # + 'avih' chunk hdr(8) + 4*4 bytes into the struct)
+        payload[12 + 12 + 8 + 16] ^= 0xFF
+        with pytest.raises(ValueError, match="frame count disagrees"):
+            _decode_avi(bytes(payload))
