@@ -58,6 +58,7 @@ _R7_ADDITIONS: list[str] = [
     "html_text_extraction",
     "audio_wav_decode",
     "video_avi_frame_sample",
+    "generate_series_source",
 ]
 
 

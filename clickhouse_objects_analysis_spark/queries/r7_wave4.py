@@ -270,3 +270,42 @@ def video_avi_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     avi = encode_avi_payload(d, "doc_id", "text")
     return decode_avi_features(avi, every_n=2).orderBy("doc_id")
+
+
+@query(
+    "generate_series_source",
+    oracle="""
+    SELECT CAST(v % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS total
+    FROM generate_series(0, 99999, 7) AS t(v)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def generate_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generate_series TABLE FUNCTION exposed through Spark 4's
+    Python DataSource API (sources/pyds.py): a registered
+    ``spark.read.format("generate_series")`` source with partitioned
+    parallel reads — the pluggable-source seam a production integration
+    uses, not a driver-side spark.range rewrite. Aggregated mod-5 to
+    check every generated value exactly once."""
+    import pyspark.sql.functions as F
+
+    from ..sources.pyds import register
+
+    register(spark)
+    s = (
+        spark.read.format("generate_series")
+        .option("start", 0)
+        .option("stop", 99999)
+        .option("step", 7)
+        .load()
+    )
+    return (
+        s.groupBy((F.col("value") % 5).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").cast("long").alias("total"),
+        )
+        .orderBy("bucket")
+    )

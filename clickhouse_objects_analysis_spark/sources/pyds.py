@@ -1,0 +1,78 @@
+"""Python DataSource (Spark 4 DataSource V2 Python API): the
+``generate_series`` table function as a REGISTERED source with
+partitioned parallel reads.
+
+The existing table functions (sources/io.py) rewrite to ``spark.range``
+driver-side; this module exposes the same semantics through the engine's
+own pluggable-source seam — ``spark.read.format("generate_series")`` —
+the way a production integration would surface a ClickHouse table
+function to every Spark user (SQL included) without helper imports.
+
+Scale shape: the reader splits the closed interval into one
+InputPartition per ~1M values (capped at 64); each partition yields
+Arrow-friendly tuples independently on its executor, so generation
+parallelism follows the cluster, not the driver. Predicate pushdown is
+irrelevant (the source IS the predicate); column pruning is trivial
+(single column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import LongType, StructField, StructType
+
+_PER_PARTITION = 1_000_000
+_MAX_PARTITIONS = 64
+
+
+class _SeriesPartition(InputPartition):
+    def __init__(self, start: int, end: int, step: int):
+        self.start, self.end, self.step = start, end, step
+
+
+class _SeriesReader(DataSourceReader):
+    def __init__(self, options):
+        self.start = int(options.get("start", 0))
+        self.stop = int(options.get("stop", 0))  # inclusive, CH-style
+        self.step = int(options.get("step", 1))
+        if self.step <= 0:
+            raise ValueError("generate_series step must be positive")
+
+    def partitions(self):
+        n = max(0, (self.stop - self.start) // self.step + 1)
+        per = max(
+            _PER_PARTITION, -(-n // _MAX_PARTITIONS)
+        )  # >=1M values each, <=64 splits
+        parts = []
+        i = self.start
+        while i <= self.stop:
+            hi = min(self.stop, i + (per - 1) * self.step)
+            parts.append(_SeriesPartition(i, hi, self.step))
+            i = hi + self.step
+        return parts or [_SeriesPartition(self.start, self.start - 1, 1)]
+
+    def read(self, partition):
+        for v in range(partition.start, partition.end + 1, partition.step):
+            yield (v,)
+
+
+class GenerateSeriesDataSource(DataSource):
+    """``spark.read.format("generate_series").option("start", a)
+    .option("stop", b).option("step", s)`` → one ``value`` column, the
+    ClickHouse/Postgres generate_series(a, b, s) contract (inclusive
+    stop; empty when a > b)."""
+
+    @classmethod
+    def name(cls):
+        return "generate_series"
+
+    def schema(self):
+        return StructType([StructField("value", LongType())])
+
+    def reader(self, schema):
+        return _SeriesReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the Python data source."""
+    spark.dataSource.register(GenerateSeriesDataSource)
