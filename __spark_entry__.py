@@ -59,6 +59,7 @@ _R7_ADDITIONS: list[str] = [
     "audio_wav_decode",
     "video_avi_frame_sample",
     "generate_series_source",
+    "udtf_sentence_split",
 ]
 
 

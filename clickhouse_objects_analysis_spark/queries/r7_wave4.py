@@ -309,3 +309,57 @@ def generate_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH p AS (SELECT doc_id,
+                      regexp_replace(text,
+                          '((?:\\S+\\s+){7}\\S+)\\s+', '\\1. ',
+                          'g') AS t
+               FROM documents),
+    a AS (SELECT doc_id,
+                 list_filter(
+                     list_transform(
+                         regexp_extract_all(t, '[^.!?]+[.!?]*'),
+                         x -> trim(x)),
+                     x -> length(x) > 0) AS s
+          FROM p),
+    e AS (SELECT doc_id,
+                 unnest(range(1, len(s) + 1)) AS i, s
+          FROM a)
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS sent_idx,
+           substring(s[i], 1, 20) AS head,
+           CAST(len(list_filter(string_split_regex(s[i], '\\s+'),
+                                x -> length(x) > 0)) AS BIGINT) AS n_words
+    FROM e ORDER BY doc_id, sent_idx
+    """,
+)
+def udtf_sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Python UDTF in SQL (functions/udtfs.py): LATERAL
+    split_sentences(text) over documents — the SQL-visible table-function
+    seam, one output row per sentence with order-stable indices. Runs as
+    a real spark.sql statement, not a DataFrame helper."""
+    import pyspark.sql.functions as F
+
+    from ..functions.udtfs import register_udtfs
+
+    tables(spark, sf_dir)
+    register_udtfs(spark)
+    # the synthetic corpus carries no punctuation — inject a period
+    # after every 8th word (same regex both engines) so the split is
+    # a real explode, then hand the UDTF the punctuated text
+    out = spark.sql(
+        r"SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
+        r"FROM (SELECT doc_id, regexp_replace(text, "
+        r"'((?:\\S+\\s+){7}\\S+)\\s+', '$1. ') AS t "
+        r"FROM documents) d, LATERAL split_sentences(d.t) s"
+    )
+    return out.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.substring("sentence", 1, 20).alias("head"),
+        F.col("n_words").cast("long").alias("n_words"),
+    ).orderBy("doc_id", "sent_idx")
