@@ -897,6 +897,8 @@ def incremental_minhash_dedup(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    run_dir: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-duplicate dedup — the ingest-time twin of the
     batch minhash_lsh_pairs: documents arrive as a Structured Streaming
@@ -921,7 +923,16 @@ def incremental_minhash_dedup(
 
     Returns one row per detected duplicate: (doc_id, rep_id, rep_jacc)
     where rep_id = the LOWEST earlier doc within threshold (first-seen
-    representative) and rep_jacc its exact Jaccard."""
+    representative) and rep_jacc its exact Jaccard.
+
+    ``run_dir`` pins the checkpoint + index + sink locations so a second
+    call RESUMES from the offset log instead of starting over — the
+    restart path tests/test_streaming_state.py crashes mid-replay (via
+    ``fail_after_batches``, which raises before the batch writes
+    anything) and then completes; committed batches are not reprocessed.
+    The injected crash lands on a batch boundary; a production deployment
+    gets atomic batch commits from a transactional sink (Delta/Iceberg),
+    which slots into the same foreachBatch."""
     from pyspark.sql import Window as _W
 
     from ..operators.dedup import (
@@ -938,14 +949,24 @@ def incremental_minhash_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    run_dir = os.path.join(SCRATCH, f"incdedup_{uuid.uuid4().hex[:8]}")
+    resuming = run_dir is not None
+    if run_dir is None:
+        run_dir = os.path.join(SCRATCH, f"incdedup_{uuid.uuid4().hex[:8]}")
     idx_bands = os.path.join(run_dir, "band_index")
     idx_sets = os.path.join(run_dir, "shingle_store")
     out_dir = os.path.join(run_dir, "dups")
-    shutil.rmtree(run_dir, ignore_errors=True)
+    if not resuming:
+        shutil.rmtree(run_dir, ignore_errors=True)
     os.makedirs(run_dir, exist_ok=True)
+    seen_batches = [0]
 
     def process(bdf: DataFrame, bid: int) -> None:
+        if (
+            fail_after_batches is not None
+            and seen_batches[0] >= fail_after_batches
+        ):
+            raise RuntimeError("injected crash before batch writes")
+        seen_batches[0] += 1
         # persist(), not localCheckpoint(): each intermediate feeds 2-3
         # consumers within the batch, and a cache keeps them inside
         # codegen without the RDD-conversion overhead a checkpoint pays
@@ -1000,10 +1021,13 @@ def incremental_minhash_dedup(
     # Micro-batches are KB-scale here; 8 shuffle partitions keep the
     # per-batch join stages from paying 32-64 task dispatches each. At
     # production scale this is the state_partitions_for-style knob.
+    ckpt = (
+        os.path.join(run_dir, "ckpt") if resuming else ckpt_dir("incdedup")
+    )
     with query_settings(spark, {"spark.sql.shuffle.partitions": "8"}):
         q = (
             stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt_dir("incdedup"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -83,3 +83,44 @@ def test_incremental_minhash_dedup_slice_invariant(spark, sf_dir):
     )
     assert a == b
     assert len(a) > 0, "expected near-dup docs in the test corpus"
+
+
+def test_incremental_minhash_dedup_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Crash-and-resume: kill the incremental dedup replay after 2 of 4
+    micro-batches (the injected crash raises before the batch writes),
+    then rerun against the SAME run_dir/checkpoint. The offset log must
+    skip the committed batches (no duplicate index/output appends) and
+    the final answer must equal a fresh uninterrupted run."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    run_dir = str(tmp_path / "incdedup_restart")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        pipeline.incremental_minhash_dedup(
+            spark, sf_dir, n_slices=4, run_dir=run_dir, fail_after_batches=2
+        ).collect()
+    resumed = sorted(
+        map(
+            tuple,
+            pipeline.incremental_minhash_dedup(
+                spark, sf_dir, n_slices=4, run_dir=run_dir
+            ).collect(),
+        )
+    )
+    fresh_dir = str(tmp_path / "incdedup_fresh")
+    fresh = sorted(
+        map(
+            tuple,
+            pipeline.incremental_minhash_dedup(
+                spark, sf_dir, n_slices=4, run_dir=fresh_dir
+            ).collect(),
+        )
+    )
+    assert resumed == fresh
+    assert len(resumed) > 0
+    # exactly-once: committed batches were NOT reprocessed on resume —
+    # a from-scratch rerun would have appended every doc's shingle row a
+    # second time (min-per-doc output masks that; the index size doesn't)
+    n_restart = spark.read.parquet(run_dir + "/shingle_store").count()
+    n_fresh = spark.read.parquet(fresh_dir + "/shingle_store").count()
+    assert n_restart == n_fresh
