@@ -380,6 +380,27 @@ WAV_FEATURE_SCHEMA = StructType(
 )
 
 
+def _build_wav(n: int) -> bytes:
+    """Deterministic WAV bytes for a document of utf-8 length ``n`` —
+    the pure kernel behind encode_wav_payload, fuzzable without Spark."""
+    import struct
+
+    ns, k = 64 + n % 256, 1 + n % 7
+    data = struct.pack(
+        "<%dh" % ns, *(((i * k) % 200 - 100) * 100 for i in range(ns))
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def encode_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Synthesize a REAL 16-bit mono 8 kHz PCM RIFF/WAVE file per
     document: from the utf-8 byte length L, n = 64 + L%256 samples of a
@@ -393,28 +414,11 @@ def encode_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
-            rows = []
-            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
-                n = len(bytes(raw))
-                ns, k = 64 + n % 256, 1 + n % 7
-                data = struct.pack(
-                    "<%dh" % ns,
-                    *(((i * k) % 200 - 100) * 100 for i in range(ns)),
-                )
-                payload = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                    + data
-                )
-                rows.append((int(doc_id), payload))
+            rows = [
+                (int(doc_id), _build_wav(len(bytes(raw))))
+                for doc_id, raw in zip(pdf["doc_id"], pdf["raw"])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return src.mapInPandas(build, schema=WAV_SCHEMA)
@@ -504,6 +508,47 @@ def _avi_geometry(n: int) -> tuple[int, int, int]:
     return 4 + 4 * (n % 4), 2 + n % 3, 3 + n % 5
 
 
+def _build_avi(n: int) -> bytes:
+    """Deterministic AVI bytes for a document of utf-8 length ``n`` —
+    the pure kernel behind encode_avi_payload, fuzzable without Spark."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    w, h, nf = _avi_geometry(n)
+    fsize = w * h * 3
+    avih = struct.pack(
+        "<14I", 40000, fsize * 25, 0, 0, nf, 0, 1, fsize, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 25, 0, nf, fsize, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(b"00db", bytes([(n + i) % 256]) * fsize) for i in range(nf)
+        ),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def encode_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Synthesize a REAL uncompressed AVI per document: RIFF('AVI ') with
     a hdrl LIST (avih main header + one 'vids'/DIB stream with strh/strf)
@@ -517,53 +562,11 @@ def encode_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        def chunk(fourcc: bytes, body: bytes) -> bytes:
-            return (
-                fourcc
-                + struct.pack("<I", len(body))
-                + body
-                + (b"\x00" if len(body) & 1 else b"")
-            )
-
-        def lst(form: bytes, body: bytes) -> bytes:
-            return chunk(b"LIST", form + body)
-
         for pdf in batches:
-            rows = []
-            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
-                n = len(bytes(raw))
-                w, h, nf = _avi_geometry(n)
-                fsize = w * h * 3
-                avih = struct.pack(
-                    "<14I",
-                    40000, fsize * 25, 0, 0, nf, 0, 1, fsize, w, h,
-                    0, 0, 0, 0,
-                )
-                strh = (
-                    b"vids" + b"DIB "
-                    + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 25, 0,
-                                  nf, fsize, 0, 0)
-                    + struct.pack("<4H", 0, 0, w, h)
-                )
-                strf = struct.pack(
-                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0
-                )
-                hdrl = lst(
-                    b"hdrl",
-                    chunk(b"avih", avih)
-                    + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-                )
-                movi = lst(
-                    b"movi",
-                    b"".join(
-                        chunk(b"00db", bytes([(n + i) % 256]) * fsize)
-                        for i in range(nf)
-                    ),
-                )
-                payload = chunk(b"RIFF", b"AVI " + hdrl + movi)
-                rows.append((int(doc_id), payload))
+            rows = [
+                (int(doc_id), _build_avi(len(bytes(raw))))
+                for doc_id, raw in zip(pdf["doc_id"], pdf["raw"])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return src.mapInPandas(build, schema=AVI_SCHEMA)

@@ -195,3 +195,44 @@ def test_scrub_invariants(spark, docs):
         if not any(tuple(ws[j:j + 5]) in frequent
                    for j in range(len(ws) - 4)):
             assert out == ws  # untouched when no frequent span
+
+
+# ---------------------------------------------------------------------------
+# Multimodal codec kernels (pure Python — the mapInPandas plumbing is
+# covered by the oracle parity queries; here the encode/decode pair is
+# fuzzed over arbitrary document lengths).
+
+@given(st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_fuzz(text):
+    from clickhouse_objects_analysis_spark.operators.multimodal import (
+        _build_wav,
+        _decode_wav,
+    )
+
+    n = len(text.encode("utf-8"))
+    ns, k = 64 + n % 256, 1 + n % 7
+    vals = [((i * k) % 200 - 100) * 100 for i in range(ns)]
+    got = _decode_wav(_build_wav(n))
+    assert got == (
+        ns, 8000, 1,
+        max(abs(v) for v in vals), sum(abs(v) for v in vals),
+    )
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_fuzz(text):
+    """Every synthesized AVI must decode to the geometry arithmetic —
+    the parser cross-checks avih, strh, and the movi chunk count on
+    every example, so any header inconsistency the builder could emit
+    becomes a failure here."""
+    from clickhouse_objects_analysis_spark.operators.multimodal import (
+        _avi_geometry,
+        _build_avi,
+        _decode_avi,
+    )
+
+    n = len(text.encode("utf-8"))
+    w, h, nf = _avi_geometry(n)
+    assert _decode_avi(_build_avi(n)) == (nf, w, h, 40000, nf * w * h * 3)
