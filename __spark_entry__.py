@@ -60,6 +60,7 @@ _R7_ADDITIONS: list[str] = [
     "video_avi_frame_sample",
     "generate_series_source",
     "udtf_sentence_split",
+    "streaming_series_source",
 ]
 
 

@@ -363,3 +363,67 @@ def udtf_sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("sentence", 1, 20).alias("head"),
         F.col("n_words").cast("long").alias("n_words"),
     ).orderBy("doc_id", "sent_idx")
+
+
+@query(
+    "streaming_series_source",
+    oracle="""
+    SELECT CAST(v % 3 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS total
+    FROM generate_series(0, 4999, 1) AS t(v)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (sources/pyds.py SeriesStream): a
+    registered offset-tracked source replayed as micro-batches into a
+    complete-mode aggregation; the query waits for the stream to drain
+    (total count = interval size) and returns the final state — which is
+    batch-timing-independent, so the batch oracle checks it exactly.
+    Together with generate_series (batch) and split_sentences (UDTF)
+    this covers Spark 4's Python extension-point surface."""
+    import time
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from ..sources.pyds import register_streaming
+    from ..streaming.pipeline import ckpt_dir, drop_stale_memory_tables
+
+    register_streaming(spark)
+    stream = (
+        spark.readStream.format("series_stream")
+        .option("start", 0)
+        .option("stop", 4999)
+        .option("chunk", 500)
+        .load()
+    )
+    agg = stream.groupBy(
+        (F.col("value") % 3).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("total"),
+    )
+    name = f"series_stream_{_uuid.uuid4().hex[:8]}"
+    drop_stale_memory_tables(spark, "series_stream")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt_dir("seriesstream"))
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT SUM(n) AS t FROM {name}").collect()
+            if rows and rows[0]["t"] == 5000:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError("series_stream did not drain in 120 s")
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("bucket")

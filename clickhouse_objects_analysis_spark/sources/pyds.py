@@ -18,7 +18,12 @@ irrelevant (the source IS the predicate); column pruning is trivial
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 _PER_PARTITION = 1_000_000
@@ -76,3 +81,52 @@ class GenerateSeriesDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the Python data source."""
     spark.dataSource.register(GenerateSeriesDataSource)
+
+
+class _SeriesStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked finite counter stream: each micro-batch emits the
+    next ``chunk`` values of [start, stop]; past ``stop`` the offset
+    stops advancing (an idle, fully-drained stream). readBetweenOffsets
+    makes recovery replays exact — the same closed-form range."""
+
+    def __init__(self, options):
+        self.start = int(options.get("start", 0))
+        self.stop = int(options.get("stop", 0))
+        self.chunk = int(options.get("chunk", 1000))
+        if self.chunk <= 0:
+            raise ValueError("series_stream chunk must be positive")
+
+    def initialOffset(self):
+        return {"pos": self.start}
+
+    def read(self, start):
+        pos = start["pos"]
+        if pos > self.stop:
+            return iter([]), {"pos": pos}
+        hi = min(self.stop, pos + self.chunk - 1)
+        return iter([(v,) for v in range(pos, hi + 1)]), {"pos": hi + 1}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([(v,) for v in range(start["pos"], end["pos"])])
+
+
+class SeriesStreamDataSource(DataSource):
+    """``spark.readStream.format("series_stream")`` — the STREAMING half
+    of the Python DataSource surface (generate_series is the batch
+    half): a deterministic finite counter source whose end state is the
+    full closed interval regardless of micro-batch timing."""
+
+    @classmethod
+    def name(cls):
+        return "series_stream"
+
+    def schema(self):
+        return StructType([StructField("value", LongType())])
+
+    def simpleStreamReader(self, schema):
+        return _SeriesStreamReader(self.options)
+
+
+def register_streaming(spark) -> None:
+    """Idempotent registration of the streaming Python data source."""
+    spark.dataSource.register(SeriesStreamDataSource)

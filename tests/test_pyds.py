@@ -49,3 +49,32 @@ def test_registered_source_reads(spark):
     assert [r["value"] for r in df.orderBy("value").collect()] == [
         10, 15, 20, 25, 30,
     ]
+
+
+def test_series_stream_reader_offsets():
+    from clickhouse_objects_analysis_spark.sources.pyds import (
+        _SeriesStreamReader,
+    )
+
+    r = _SeriesStreamReader({"start": "0", "stop": "24", "chunk": "10"})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(5):
+        rows, off = r.read(off)
+        seen.extend(v for (v,) in rows)
+    assert seen == list(range(25))  # drained; further reads are empty
+    assert off == {"pos": 25}
+    # recovery replay between offsets is the same closed-form range
+    replay = [v for (v,) in r.readBetweenOffsets({"pos": 10}, {"pos": 20})]
+    assert replay == list(range(10, 20))
+
+
+def test_series_stream_chunk_validation():
+    import pytest
+
+    from clickhouse_objects_analysis_spark.sources.pyds import (
+        _SeriesStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="chunk"):
+        _SeriesStreamReader({"start": "0", "stop": "9", "chunk": "0"})
