@@ -392,11 +392,17 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import ckpt_dir, drop_stale_memory_tables
 
     register_streaming(spark)
+    # chunk sizing: each Python-source micro-batch carries ~1 s of fixed
+    # cost (worker round trip + complete-mode restate), so the replay
+    # uses 2 data batches; drain semantics are chunk-count independent
+    # (the whole point the oracle checks). availableNow is NOT usable
+    # here: with a SimpleDataSourceStreamReader it processes only the
+    # one prefetched batch (measured), hence the drain poll below.
     stream = (
         spark.readStream.format("series_stream")
         .option("start", 0)
         .option("stop", 4999)
-        .option("chunk", 500)
+        .option("chunk", 2500)
         .load()
     )
     agg = stream.groupBy(
@@ -412,7 +418,7 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .option("checkpointLocation", ckpt_dir("seriesstream"))
         .outputMode("complete")
-        .trigger(processingTime="200 milliseconds")
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
     try:
@@ -421,7 +427,7 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = spark.sql(f"SELECT SUM(n) AS t FROM {name}").collect()
             if rows and rows[0]["t"] == 5000:
                 break
-            time.sleep(0.25)
+            time.sleep(0.2)
         else:
             raise TimeoutError("series_stream did not drain in 120 s")
     finally:
