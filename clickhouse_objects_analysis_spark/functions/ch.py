@@ -1793,8 +1793,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # script/style subtrees, comments, then tags; collapse whitespace.
     # CH's C++ parser additionally handles CDATA and entity edge cases;
     # the regex chain is documented as the portable subset and is
-    # identical in Java regex and RE2, so the DuckDB oracle reproduces
-    # it byte-for-byte (registry: html_text_extraction).
+    # identical in Java regex and RE2 — the whitespace collapse uses an
+    # EXPLICIT class because the engines' \s disagree on \x0B (Java
+    # includes it, RE2 does not) — so the DuckDB oracle reproduces it
+    # byte-for-byte (registry: html_text_extraction).
     "extractTextFromHTML": lambda c: F.trim(
         F.regexp_replace(
             F.regexp_replace(
@@ -1812,7 +1814,7 @@ CH_FUNCTIONS: dict[str, Builder] = {
                 r"<[^>]*>",
                 " ",
             ),
-            r"\s+",
+            r"[ \t\n\f\r]+",
             " ",
         )
     ),

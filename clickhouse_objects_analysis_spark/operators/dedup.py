@@ -149,6 +149,8 @@ def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     signature columns, exploded for the bucket join. Shared by the batch
     self-join pipeline (minhash_lsh_pairs) and the incremental
     band-index path (streaming.pipeline.incremental_minhash_dedup)."""
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     return sig.select(
         "id",

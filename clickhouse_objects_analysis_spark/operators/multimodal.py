@@ -408,6 +408,14 @@ def encode_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     L%7``. Valid WAV (RIFF size, fmt block, data chunk all correct) —
     the decode downstream exercises a genuine chunk walk while staying
     exactly reproducible in SQL."""
+    return _encode_payload(df, id_col, text_col, _build_wav, WAV_SCHEMA)
+
+
+def _encode_payload(
+    df: DataFrame, id_col: str, text_col: str, kernel, schema
+) -> DataFrame:
+    """Shared synthesis plumbing: (id, text) → (doc_id, payload) via an
+    Arrow-batched 1→1 mapInPandas calling ``kernel(utf8_byte_length)``."""
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.encode(F.col(text_col), "utf-8").alias("raw"),
@@ -416,12 +424,12 @@ def encode_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (int(doc_id), _build_wav(len(bytes(raw))))
+                (int(doc_id), kernel(len(bytes(raw))))
                 for doc_id, raw in zip(pdf["doc_id"], pdf["raw"])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return src.mapInPandas(build, schema=WAV_SCHEMA)
+    return src.mapInPandas(build, schema=schema)
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
@@ -444,6 +452,8 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
         if len(body) != size:
             raise ValueError("truncated chunk " + repr(cid))
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -453,6 +463,8 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError("only 16-bit PCM supported")
+    if n_channels <= 0 or block_align <= 0:
+        raise ValueError("non-positive channel count / block align")
     if len(data) % block_align:
         raise ValueError("data chunk not block-aligned")
     samples = struct.unpack("<%dh" % (len(data) // 2), data)
@@ -556,20 +568,7 @@ def encode_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (L+i)%256. Every header field is consistent (sizes, frame counts,
     geometry), so the decode is a genuine container parse with an
     arithmetic oracle."""
-    src = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.encode(F.col(text_col), "utf-8").alias("raw"),
-    )
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (int(doc_id), _build_avi(len(bytes(raw))))
-                for doc_id, raw in zip(pdf["doc_id"], pdf["raw"])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    return src.mapInPandas(build, schema=AVI_SCHEMA)
+    return _encode_payload(df, id_col, text_col, _build_avi, AVI_SCHEMA)
 
 
 def _riff_children(body: bytes) -> list[tuple[bytes, bytes]]:

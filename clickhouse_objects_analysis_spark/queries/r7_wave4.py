@@ -157,7 +157,7 @@ def sequence_match_time_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                     '(?s)<!--.*?-->', ' ', 'g'),
                     '<[^>]*>', ' ', 'g'),
-                    '\\s+', ' ', 'g')) AS extracted,
+                    '[ \\t\\n\\f\\r]+', ' ', 'g')) AS extracted,
                text
         FROM h
     )
@@ -165,7 +165,7 @@ def sequence_match_time_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(extracted) AS BIGINT) AS n_extracted,
            substring(extracted, 1, 40) AS head,
            CASE WHEN position(
-                    trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                    trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))
                     IN extracted) > 0
                 THEN 1 ELSE 0 END AS body_preserved
     FROM x ORDER BY doc_id
@@ -194,7 +194,7 @@ def html_text_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p><!-- trailer --></body></html>"),
     )
     extracted = CH_FUNCTIONS["extractTextFromHTML"](html)
-    norm_body = F.trim(F.regexp_replace("text", r"\s+", " "))
+    norm_body = F.trim(F.regexp_replace("text", r"[ \t\n\f\r]+", " "))
     return d.select(
         "doc_id",
         F.length(extracted).cast("long").alias("n_extracted"),
@@ -316,14 +316,16 @@ def generate_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (SELECT doc_id,
                       regexp_replace(text,
-                          '((?:\\S+\\s+){7}\\S+)\\s+', '\\1. ',
-                          'g') AS t
+                          '((?:[^ \\t\\n\\f\\r]+[ \\t\\n\\f\\r]+){7}'
+                          || '[^ \\t\\n\\f\\r]+)[ \\t\\n\\f\\r]+',
+                          '\\1. ', 'g') AS t
                FROM documents),
     a AS (SELECT doc_id,
                  list_filter(
                      list_transform(
                          regexp_extract_all(t, '[^.!?]+[.!?]*'),
-                         x -> trim(x)),
+                         x -> trim(x, ' ' || chr(9) || chr(10)
+                                      || chr(12) || chr(13))),
                      x -> length(x) > 0) AS s
           FROM p),
     e AS (SELECT doc_id,
@@ -332,8 +334,9 @@ def generate_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(i - 1 AS BIGINT) AS sent_idx,
            substring(s[i], 1, 20) AS head,
-           CAST(len(list_filter(string_split_regex(s[i], '\\s+'),
-                                x -> length(x) > 0)) AS BIGINT) AS n_words
+           CAST(len(list_filter(
+                    string_split_regex(s[i], '[ \\t\\n\\f\\r]+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_words
     FROM e ORDER BY doc_id, sent_idx
     """,
 )
@@ -354,7 +357,8 @@ def udtf_sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(
         r"SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
         r"FROM (SELECT doc_id, regexp_replace(text, "
-        r"'((?:\\S+\\s+){7}\\S+)\\s+', '$1. ') AS t "
+        r"'((?:[^ \\t\\n\\f\\r]+[ \\t\\n\\f\\r]+){7}"
+        r"[^ \\t\\n\\f\\r]+)[ \\t\\n\\f\\r]+', '$1. ') AS t "
         r"FROM documents) d, LATERAL split_sentences(d.t) s"
     )
     return out.select(

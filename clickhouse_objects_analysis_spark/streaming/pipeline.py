@@ -845,6 +845,39 @@ def dedup_state_probe(
     }
 
 
+#: Run dirs created by THIS process — exempt from the reaper (same
+#: contract as _SESSION_CKPTS for checkpoints).
+_SESSION_RUN_DIRS: set[str] = set()
+
+
+def _reap_run_dirs(prefix: str, max_age_s: int = 3600) -> None:
+    """Best-effort cleanup of finished runs' scratch dirs (band index +
+    shingle store + dup sink are corpus-scale state — without this every
+    bench/parity invocation leaks one copy into SCRATCH). Age is taken
+    from the NEWEST mtime inside the dir so a concurrent session's live
+    run is never reaped mid-query."""
+    import time as _time
+
+    try:
+        for name in os.listdir(SCRATCH):
+            if not name.startswith(prefix):
+                continue
+            p = os.path.join(SCRATCH, name)
+            if p in _SESSION_RUN_DIRS or not os.path.isdir(p):
+                continue
+            try:
+                newest = max(
+                    [os.path.getmtime(p)]
+                    + [e.stat().st_mtime for e in os.scandir(p)]
+                )
+            except OSError:
+                continue
+            if _time.time() - newest > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
     """Materialize documents as ``n_slices`` single-file parquet slices
     cut by doc_id ntile with increasing mtimes — the ingest-order replay
@@ -951,7 +984,9 @@ def incremental_minhash_dedup(
     )
     resuming = run_dir is not None
     if run_dir is None:
+        _reap_run_dirs("incdedup_")
         run_dir = os.path.join(SCRATCH, f"incdedup_{uuid.uuid4().hex[:8]}")
+        _SESSION_RUN_DIRS.add(run_dir)
     idx_bands = os.path.join(run_dir, "band_index")
     idx_sets = os.path.join(run_dir, "shingle_store")
     out_dir = os.path.join(run_dir, "dups")
