@@ -61,6 +61,7 @@ _R7_ADDITIONS: list[str] = [
     "generate_series_source",
     "udtf_sentence_split",
     "streaming_series_source",
+    "ch_r7_function_surface_6",
 ]
 
 

@@ -454,6 +454,105 @@ def _morton_compact(c: Column) -> Column:
     return v
 
 
+#: Lanczos g=7 coefficients (public-domain constants; the standard
+#: 9-term approximation, ~1e-13 relative accuracy for x > 0).
+_LANCZOS_G7 = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+
+
+def _lgamma(c: Column) -> Column:
+    """log Γ(x) for x > 0 via the Lanczos(g=7) series — pure Column
+    arithmetic, agrees with DuckDB's native lgamma to ~1e-12 (two
+    independent implementations; the oracle uses the native one)."""
+    import math
+
+    z = c.cast("double") - F.lit(1.0)
+    a = F.lit(_LANCZOS_G7[0])
+    for i in range(1, 9):
+        a = a + F.lit(_LANCZOS_G7[i]) / (z + F.lit(float(i)))
+    t = z + F.lit(7.5)
+    return (
+        F.lit(0.5 * math.log(2 * math.pi))
+        + (z + F.lit(0.5)) * F.log(t)
+        - t
+        + F.log(a)
+    )
+
+
+def _erf(c: Column) -> Column:
+    """erf via Abramowitz–Stegun 7.1.26 (max abs error 1.5e-7; CH
+    computes the exact function — documented approximation, and the
+    DuckDB oracle replays the identical formula)."""
+    x = F.abs(c.cast("double"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return F.signum(c) * (F.lit(1.0) - poly * F.exp(-x * x))
+
+
+def _java_hash_u32(c: Column) -> Column:
+    """Java String.hashCode() polynomial with 32-bit wraparound, as an
+    UNSIGNED value in [0, 2^32) — fold over character codes with an
+    explicit pmod (Spark longs don't wrap; ASCII/UTF-16 code points up
+    to 0xFFFF supported via ascii()). Empty string hashes to 0; the
+    sequence guard matters because sequence(1, 0) DESCENDS."""
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.pmod(
+            acc * F.lit(31) + F.ascii(F.substr(c, i, F.lit(1))),
+            F.lit(4294967296),
+        ),
+    )
+    return F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(fold)
+
+
+def _java_hash(c: Column) -> Column:
+    u = _java_hash_u32(c)
+    return F.when(
+        u >= F.lit(2147483648), u - F.lit(4294967296)
+    ).otherwise(u).cast("long")
+
+
+#: Literal array of the 63 non-negative int64 powers of two (bit-test
+#: table — SQL shiftleft takes a foldable shift, so the per-bit lambda
+#: form can't build these on the fly).
+def _pow2_array() -> Column:
+    return F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+
+
+def _byte_hamming(a: Column, b: Column) -> Column:
+    """ClickHouse byteHammingDistance: differing positions over the
+    common prefix + the length difference (ASCII-safe; Spark strings
+    are UTF-16 so multi-byte code points count per char, documented)."""
+    la, lb = F.length(a), F.length(b)
+    m = F.least(la, lb)
+    diffs = F.size(
+        F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: F.substr(a, i, F.lit(1)) != F.substr(b, i, F.lit(1)),
+        )
+    )
+    return (
+        F.when(m == 0, F.lit(0)).otherwise(diffs)
+        + F.abs(la - lb)
+    ).cast("long")
+
+
 CH_FUNCTIONS: dict[str, Builder] = {
     # --- string ---
     "lower": F.lower,
@@ -1788,6 +1887,54 @@ CH_FUNCTIONS: dict[str, Builder] = {
         F.lit("&apos;"),
     ),
     "formatReadableTimeDelta": _format_readable_time_delta,
+    # --- wave 13: bit decompose, special functions, JVM compat hashes,
+    # byte distance, XML named-entity decode ---
+    "bitmaskToArray": lambda c: F.filter(
+        _pow2_array(), lambda p: c.cast("long").bitwiseAND(p) != 0
+    ),
+    "bitmaskToList": lambda c: F.array_join(
+        F.transform(
+            F.filter(
+                _pow2_array(),
+                lambda p: c.cast("long").bitwiseAND(p) != 0,
+            ),
+            lambda p: p.cast("string"),
+        ),
+        ",",
+    ),
+    "lgamma": _lgamma,
+    # Γ(x) for x > 0; precision degrades with magnitude as exp(lgamma),
+    # fine for the |Γ| < 1e6 range the surface query exercises
+    "tgamma": lambda c: F.exp(_lgamma(c)),
+    "erf": _erf,
+    "erfc": lambda c: F.lit(1.0) - _erf(c),
+    "javaHash": _java_hash,
+    # hiveHash = javaHash with the sign bit cleared (CH docs): the
+    # unsigned 32-bit value mod 2^31
+    "hiveHash": lambda c: F.pmod(_java_hash_u32(c), F.lit(2147483648)),
+    "byteHammingDistance": _byte_hamming,
+    # inverse of encodeXMLComponent for the five NAMED entities; numeric
+    # character references (&#NNN; / &#xHH;) are NOT decoded — Spark SQL
+    # has no replace-with-callback, and the named five cover the
+    # encode-side round trip ('&amp;' last so '&amp;lt;' decodes to
+    # '&lt;', matching CH's single-pass scan)
+    "decodeXMLComponent": lambda c: F.replace(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(c, F.lit("&lt;"), F.lit("<")),
+                    F.lit("&gt;"),
+                    F.lit(">"),
+                ),
+                F.lit("&quot;"),
+                F.lit('"'),
+            ),
+            F.lit("&apos;"),
+            F.lit("'"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    ),
     # Simplified deterministic twin of CH's HTML text extractor
     # (reference grammar reaches it as a plain function name): drop
     # script/style subtrees, comments, then tags; collapse whitespace.

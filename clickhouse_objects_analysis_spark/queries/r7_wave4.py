@@ -437,3 +437,91 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("bucket")
+
+
+@query(
+    "ch_r7_function_surface_6",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               (CAST(event_id AS BIGINT) * 7919 + 123) % 100000 AS n,
+               0.5 + (event_id % 80) / 10.0 AS x,
+               (event_id % 41 - 20) / 5.0 AS y,
+               event_type || '-' || CAST(user_id AS VARCHAR) AS hs
+        FROM events WHERE event_id % 20 = 11
+    ),
+    f AS (
+        SELECT *,
+               1.0 / (1.0 + 0.3275911 * abs(y)) AS t,
+               list_reduce(
+                   list_prepend('0',
+                       [hs[i] for i in range(1, len(hs) + 1)]),
+                   (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c))
+                                    % 4294967296 AS VARCHAR)
+               )::BIGINT AS ju
+        FROM e
+    )
+    SELECT event_id::BIGINT AS eid,
+           array_to_string(
+               list_filter(list_transform(range(0, 63),
+                                          i -> (1::BIGINT << i)),
+                           p -> (n & p) != 0), ',') AS bml,
+           round(lgamma(x), 6) AS lg,
+           round(gamma(x), 4) AS tg,
+           round(sign(y) * (1 - (0.254829592*t - 0.284496736*t*t
+                 + 1.421413741*t*t*t - 1.453152027*t*t*t*t
+                 + 1.061405429*t*t*t*t*t) * exp(-abs(y)*abs(y))), 6) AS e_rf,
+           round(1 - sign(y) * (1 - (0.254829592*t - 0.284496736*t*t
+                 + 1.421413741*t*t*t - 1.453152027*t*t*t*t
+                 + 1.061405429*t*t*t*t*t) * exp(-abs(y)*abs(y))), 6) AS e_rfc,
+           CASE WHEN ju >= 2147483648 THEN ju - 4294967296
+                ELSE ju END AS jh,
+           ju % 2147483648 AS hh,
+           CAST(len(list_filter(range(1, least(length(event_type),
+                                               length(reverse(event_type)))
+                                         + 1),
+                    i -> event_type[i] != reverse(event_type)[i]))
+                AS BIGINT) AS bhd,
+           '<' || event_type || '="a&b">' AS xml_rt
+    FROM f ORDER BY eid
+    """,
+)
+def ch_r7_function_surface_6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-13 names end-to-end: bitmaskToList against a DuckDB
+    shift-table decompose, lgamma/tgamma (Lanczos g=7 Column series)
+    against DuckDB's NATIVE lgamma/gamma — two independent
+    implementations agreeing at 6/4 dp — erf/erfc (A&S 7.1.26, same
+    formula both engines), javaHash/hiveHash against an independent
+    DuckDB fold of the Java polynomial, byteHammingDistance vs the
+    reversed string (palindromic prefix arithmetic; equal lengths so
+    the length term drops), and decodeXMLComponent round-tripping its
+    encode twin back to the original markup. 100 TB: map-only scalar
+    surface, whole-stage codegen, no Python."""
+    import pyspark.sql.functions as F
+
+    from ..functions.ch import ch_expr
+    from ..session import widen_scan
+
+    ev = widen_scan(
+        tables(spark, sf_dir)["events"].filter(F.col("event_id") % 20 == 11)
+    )
+    et = F.col("event_type")
+    n = (F.col("event_id").cast("long") * 7919 + 123) % 100000
+    x = F.lit(0.5) + (F.col("event_id") % 80) / F.lit(10.0)
+    y = (F.col("event_id") % 41 - 20) / F.lit(5.0)
+    hs = F.concat(et, F.lit("-"), F.col("user_id").cast("string"))
+    xml = F.concat(F.lit("<"), et, F.lit('="a&b">'))
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        ch_expr("bitmaskToList", n).alias("bml"),
+        F.round(ch_expr("lgamma", x), 6).alias("lg"),
+        F.round(ch_expr("tgamma", x), 4).alias("tg"),
+        F.round(ch_expr("erf", y), 6).alias("e_rf"),
+        F.round(ch_expr("erfc", y), 6).alias("e_rfc"),
+        ch_expr("javaHash", hs).alias("jh"),
+        ch_expr("hiveHash", hs).alias("hh"),
+        ch_expr("byteHammingDistance", et, F.reverse(et)).alias("bhd"),
+        ch_expr(
+            "decodeXMLComponent", ch_expr("encodeXMLComponent", xml)
+        ).alias("xml_rt"),
+    ).orderBy("eid")
