@@ -62,6 +62,7 @@ _R7_ADDITIONS: list[str] = [
     "udtf_sentence_split",
     "streaming_series_source",
     "ch_r7_function_surface_6",
+    "image_resize_real",
 ]
 
 

@@ -659,3 +659,89 @@ def decode_avi_features(payloads: DataFrame, every_n: int = 2) -> DataFrame:
         schema="doc_id long, n_frames long, width long, height long, "
         "us_per_frame long, total_frame_bytes long, n_sampled long",
     )
+
+
+def _resize_ppm_nn(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resample of a P6 PPM: decode header+pixels,
+    map target pixel (x, y) to source ((x·w)//tw, (y·h)//th), re-encode
+    a valid P6. Raises ValueError on non-PPM input (callers fall back)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    px = payload[pos + 1 : pos + 1 + w * h * 3]
+    if len(px) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    out = bytearray()
+    for y in range(th):
+        sy = (y * h) // th
+        for x in range(tw):
+            sx = (x * w) // tw
+            o = (sy * w + sx) * 3
+            out += px[o : o + 3]
+    return b"P6\n%d %d\n%d\n" % (tw, th, maxval) + bytes(out)
+
+
+def resize_images_real(
+    multimodal: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """REAL image resize (upgrade of the resize_images stub): decode the
+    P6 PPM payload, nearest-neighbor resample to (target_w, target_h),
+    re-encode — the output is a valid viewable PPM whose every pixel is
+    arithmetically determined by the source, so the DuckDB oracle can
+    replay per-channel stats. Same mapInPandas seam as the stub; PIL's
+    Image.resize slots into the same inner loop for other formats."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                _, ow, oh, _ = _decode_ppm(b)
+                rows.append(
+                    (
+                        int(doc_id), ow, oh, target_w, target_h,
+                        _resize_ppm_nn(b, target_w, target_h),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "orig_w", "orig_h", "w", "h", "payload"],
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        resize,
+        schema="doc_id long, orig_w long, orig_h long, w long, h long, "
+        "payload binary",
+    )
+
+
+def _build_ppm_gradient(n: int) -> bytes:
+    """Gradient P6 PPM for a document of utf-8 length ``n`` — pixel
+    (x, y) channel c = (7x + 13y + 29c + n) % 256, so a resample's
+    output is position-dependent (a solid fill would make any resize
+    look correct)."""
+    w, h = 8 + n % 16, 8 + (n // 16) % 16
+    px = bytes(
+        (7 * x + 13 * y + 29 * c + n) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    return b"P6\n%d %d\n255\n" % (w, h) + px
+
+
+def encode_ppm_gradient(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gradient-filled PPM synthesis (resize-test source image)."""
+    return _encode_payload(df, id_col, text_col, _build_ppm_gradient, PPM_SCHEMA)

@@ -525,3 +525,58 @@ def ch_r7_function_surface_6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decodeXMLComponent", ch_expr("encodeXMLComponent", xml)
         ).alias("xml_rt"),
     ).orderBy("eid")
+
+
+@query(
+    "image_resize_real",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L
+               FROM documents),
+    g AS (SELECT doc_id, L, 8 + L % 16 AS w, 8 + (L // 16) % 16 AS h
+          FROM b),
+    m AS (SELECT doc_id, w, h,
+                 [round(list_sum(flatten(
+                      [[CAST((7 * ((x * w) // 8) + 13 * ((y * h) // 8)
+                              + 29 * c + L) % 256 AS DOUBLE)
+                        for x in range(0, 8)]
+                       for y in range(0, 8)])) / 64.0, 4)
+                  for c in range(0, 3)] AS means
+          FROM g)
+    SELECT doc_id,
+           w::BIGINT AS orig_w, h::BIGINT AS orig_h,
+           means[1] AS mean_r, means[2] AS mean_g, means[3] AS mean_b
+    FROM m ORDER BY doc_id
+    """,
+)
+def image_resize_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (operators/multimodal.py
+    resize_images_real — the upgrade of the byte-truncation stub):
+    gradient P6 PPMs are decoded, nearest-neighbor resampled to 8x8,
+    re-encoded as valid PPMs, and decoded AGAIN for per-channel means.
+    The gradient fill makes the check position-sensitive — the oracle
+    replays the exact (x*w)//8 index map, so a wrong resample (e.g. the
+    old byte truncation) cannot hash-match."""
+    import pyspark.sql.functions as F
+
+    from ..operators.multimodal import (
+        decode_features,
+        encode_ppm_gradient,
+        resize_images_real,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    src = encode_ppm_gradient(d, "doc_id", "text")
+    resized = resize_images_real(src, 8, 8)
+    feats = decode_features(
+        resized.select("doc_id", "payload"), strict=True
+    ).select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 4).alias("mean_r"),
+        F.round(F.element_at("features", 2), 4).alias("mean_g"),
+        F.round(F.element_at("features", 3), 4).alias("mean_b"),
+    )
+    return (
+        resized.select("doc_id", "orig_w", "orig_h")
+        .join(feats, "doc_id")
+        .orderBy("doc_id")
+    )

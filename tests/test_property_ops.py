@@ -682,3 +682,25 @@ class TestAviDecode:
         payload[12 + 12 + 8 + 16] ^= 0xFF
         with pytest.raises(ValueError, match="frame count disagrees"):
             _decode_avi(bytes(payload))
+
+
+def test_ppm_nn_resize_kernel():
+    """The NN resample must pick source pixel ((x*w)//tw, (y*h)//th) —
+    checked against a hand-computed 4x2 -> 2x2 case, and the output must
+    re-decode as a valid PPM."""
+    from clickhouse_objects_analysis_spark.operators.multimodal import (
+        _decode_ppm,
+        _resize_ppm_nn,
+    )
+
+    # 4x2 image, pixel value = 10*x + y in every channel
+    w, h = 4, 2
+    px = bytes(10 * x + y for y in range(h) for x in range(w) for c in range(3))
+    src = b"P6\n4 2\n255\n" + px
+    out = _resize_ppm_nn(src, 2, 2)
+    n_bytes, ow, oh, _ = _decode_ppm(out)
+    assert (ow, oh) == (2, 2)
+    body = out.split(b"\n255\n", 1)[1]
+    # targets: (0,0)->src(0,0)=0, (1,0)->src(2,0)=20, (0,1)->src(0,1)=1,
+    # (1,1)->src(2,1)=21
+    assert list(body[0::3]) == [0, 20, 1, 21]
