@@ -63,6 +63,7 @@ _R7_ADDITIONS: list[str] = [
     "streaming_series_source",
     "ch_r7_function_surface_6",
     "image_resize_real",
+    "export_sharded_dataset",
 ]
 
 

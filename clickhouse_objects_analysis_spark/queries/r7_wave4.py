@@ -580,3 +580,94 @@ def image_resize_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(feats, "doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "export_sharded_dataset",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id % 4 AS shard, doc_id, n_chars
+        FROM documents
+    ),
+    g AS (
+        SELECT shard,
+               COUNT(*) AS n_rows,
+               CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id,
+               SUM(n_chars) AS total_chars,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS id_digest
+        FROM s GROUP BY shard
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_rows AS BIGINT) AS n_rows, n_files,
+           CAST(min_id AS BIGINT) AS min_id,
+           CAST(max_id AS BIGINT) AS max_id,
+           CAST(total_chars AS BIGINT) AS total_chars, id_digest
+    FROM g ORDER BY shard
+    """,
+)
+def export_sharded_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline TAIL step: export the curated corpus as
+    size-bounded shards (partitionBy(shard) + maxRecordsPerFile=100,
+    rows sorted within partitions so file splits are deterministic) and
+    build a verifiable MANIFEST from what actually landed on disk — per
+    shard: row/file counts read back from the written parquet, id range,
+    payload bytes, and an order-independent-made-deterministic md5 over
+    the sorted id list. The oracle recomputes every manifest field from
+    the source table, so a dropped row, duplicated file, or misrouted
+    shard cannot hash-match. 100 TB: shard = hash bucket (here id%4 for
+    determinism), maxRecordsPerFile bounds file sizes for downstream
+    loaders, manifest scan is footer/metadata-scale."""
+    import glob as _glob
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from ..sources.io import scratch_path
+
+    d = tables(spark, sf_dir)["documents"]
+    sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    dest = scratch_path("export", sf_key, "shards")
+    (
+        d.select(
+            "doc_id", "n_chars", (F.col("doc_id") % 4).alias("shard")
+        )
+        .repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("shard")
+        .option("maxRecordsPerFile", 100)
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    files = spark.createDataFrame(
+        [
+            (int(p.split("shard=")[1].split(_os.sep)[0]),)
+            for p in _glob.glob(_os.path.join(dest, "shard=*", "*.parquet"))
+        ],
+        "shard long",
+    ).groupBy("shard").agg(F.count(F.lit(1)).alias("n_files"))
+    manifest = (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+            ).alias("id_digest"),
+        )
+        .join(files, "shard")
+    )
+    return manifest.select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_rows",
+        "n_files",
+        "min_id",
+        "max_id",
+        "total_chars",
+        "id_digest",
+    ).orderBy("shard")
