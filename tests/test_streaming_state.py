@@ -124,3 +124,29 @@ def test_incremental_minhash_dedup_checkpoint_restart(spark, sf_dir, tmp_path):
     n_restart = spark.read.parquet(run_dir + "/shingle_store").count()
     n_fresh = spark.read.parquet(fresh_dir + "/shingle_store").count()
     assert n_restart == n_fresh
+
+
+def test_incdedup_run_dir_reaper(tmp_path, monkeypatch):
+    """_reap_run_dirs must delete stale incdedup_* scratch (newest-mtime
+    age) while leaving fresh dirs and this session's own dirs alone."""
+    import os
+    import time
+
+    monkeypatch.setattr(pipeline, "SCRATCH", str(tmp_path))
+    old = tmp_path / "incdedup_old"
+    fresh = tmp_path / "incdedup_fresh"
+    mine = tmp_path / "incdedup_mine"
+    other = tmp_path / "docslice_src_x"  # different prefix: untouched
+    for d in (old, fresh, mine, other):
+        d.mkdir()
+        (d / "part.parquet").write_bytes(b"x")
+    stale = time.time() - 7200
+    for p in (old, old / "part.parquet", other, other / "part.parquet"):
+        os.utime(p, (stale, stale))
+    pipeline._SESSION_RUN_DIRS.add(str(mine))
+    try:
+        pipeline._reap_run_dirs("incdedup_")
+    finally:
+        pipeline._SESSION_RUN_DIRS.discard(str(mine))
+    assert not old.exists()
+    assert fresh.exists() and mine.exists() and other.exists()
