@@ -535,6 +535,19 @@ def _pow2_array() -> Column:
     return F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
 
 
+def _bitmask_terms(c: Column) -> Column:
+    """Power-of-two decomposition of an int64, lowest bit first. A
+    negative input has the sign bit set; CH emits it as its
+    two's-complement value (Int64 min) so the terms still sum to the
+    input — append it after the 62 positive bit tests."""
+    v = c.cast("long")
+    lo = F.filter(_pow2_array(), lambda p: v.bitwiseAND(p) != 0)
+    return F.when(
+        v < 0,
+        F.concat(lo, F.array(F.lit(-9223372036854775808).cast("long"))),
+    ).otherwise(lo)
+
+
 def _byte_hamming(a: Column, b: Column) -> Column:
     """ClickHouse byteHammingDistance: differing positions over the
     common prefix + the length difference (ASCII-safe; Spark strings
@@ -1889,17 +1902,9 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "formatReadableTimeDelta": _format_readable_time_delta,
     # --- wave 13: bit decompose, special functions, JVM compat hashes,
     # byte distance, XML named-entity decode ---
-    "bitmaskToArray": lambda c: F.filter(
-        _pow2_array(), lambda p: c.cast("long").bitwiseAND(p) != 0
-    ),
+    "bitmaskToArray": _bitmask_terms,
     "bitmaskToList": lambda c: F.array_join(
-        F.transform(
-            F.filter(
-                _pow2_array(),
-                lambda p: c.cast("long").bitwiseAND(p) != 0,
-            ),
-            lambda p: p.cast("string"),
-        ),
+        F.transform(_bitmask_terms(c), lambda p: p.cast("string")),
         ",",
     ),
     "lgamma": _lgamma,

@@ -156,14 +156,14 @@ def _pil_decoder():
     return decode
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Dependency-free netpbm decode (P6 binary / P3 ascii RGB): parse the
-    whitespace/comment-tolerant header, then per-channel pixel means."""
+def _parse_ppm_header(payload: bytes) -> tuple[bool, int, int, int, int]:
+    """Tokenize a netpbm header: magic, width, height, maxval (comments
+    `#..\\n` can appear between tokens). Returns ``(binary, w, h,
+    maxval, pos)`` with ``pos`` at the whitespace byte terminating
+    maxval. Shared by decode and resample so the two paths cannot
+    drift."""
     if payload[:2] not in (b"P6", b"P3"):
         raise ValueError("not a PPM payload")
-    binary = payload[:2] == b"P6"
-    # tokenize the header: magic, width, height, maxval (comments `#..\n`
-    # can appear between tokens)
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -175,8 +175,17 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
         start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
         fields.append(int(payload[start:pos]))
-    w, h, _maxval = fields
+    w, h, maxval = fields
+    return payload[:2] == b"P6", w, h, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Dependency-free netpbm decode (P6 binary / P3 ascii RGB): parse the
+    whitespace/comment-tolerant header, then per-channel pixel means."""
+    binary, w, h, _maxval, pos = _parse_ppm_header(payload)
     if binary:
         px = payload[pos + 1 : pos + 1 + w * h * 3]  # single ws after maxval
     else:
@@ -664,22 +673,17 @@ def decode_avi_features(payloads: DataFrame, every_n: int = 2) -> DataFrame:
 def _resize_ppm_nn(payload: bytes, tw: int, th: int) -> bytes:
     """REAL nearest-neighbor resample of a P6 PPM: decode header+pixels,
     map target pixel (x, y) to source ((x·w)//tw, (y·h)//th), re-encode
-    a valid P6. Raises ValueError on non-PPM input (callers fall back)."""
-    if payload[:2] != b"P6":
+    a valid P6. Raises ValueError on non-P6, multi-byte-sample
+    (maxval > 255), or truncated input — resize_images_real is strict
+    by design, like decode_features(strict=True): one bad payload fails
+    the task rather than emitting corrupt pixels."""
+    binary, w, h, maxval, pos = _parse_ppm_header(payload)
+    if not binary:
         raise ValueError("not a binary PPM payload")
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":
-            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
-    w, h, maxval = fields
+    if maxval > 255:
+        # 2-byte samples would alias as 1-byte pixels and pass the
+        # length check below while producing garbage — reject instead
+        raise ValueError("multi-byte PPM samples unsupported")
     px = payload[pos + 1 : pos + 1 + w * h * 3]
     if len(px) != w * h * 3:
         raise ValueError("truncated PPM pixel data")
@@ -708,7 +712,7 @@ def resize_images_real(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                _, ow, oh, _ = _decode_ppm(b)
+                _, ow, oh, _mx, _pos = _parse_ppm_header(b)
                 rows.append(
                     (
                         int(doc_id), ow, oh, target_w, target_h,

@@ -566,7 +566,11 @@ def image_resize_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables(spark, sf_dir)["documents"]
     src = encode_ppm_gradient(d, "doc_id", "text")
-    resized = resize_images_real(src, 8, 8)
+    # pin the expensive encode→resample lineage: both join branches
+    # below read `resized`, and without the checkpoint each branch
+    # would re-run the per-pixel Python work (same pattern as
+    # operators/dist_rank.py)
+    resized = resize_images_real(src, 8, 8).localCheckpoint()
     feats = decode_features(
         resized.select("doc_id", "payload"), strict=True
     ).select(

@@ -704,3 +704,18 @@ def test_ppm_nn_resize_kernel():
     # targets: (0,0)->src(0,0)=0, (1,0)->src(2,0)=20, (0,1)->src(0,1)=1,
     # (1,1)->src(2,1)=21
     assert list(body[0::3]) == [0, 20, 1, 21]
+
+
+def test_ppm_nn_resize_rejects_multibyte_samples():
+    """A 16-bit P6 (maxval > 255) has 2-byte samples that would alias as
+    1-byte pixels and silently pass the length check — the kernel must
+    reject it instead of emitting garbage."""
+    from clickhouse_objects_analysis_spark.operators.multimodal import (
+        _resize_ppm_nn,
+    )
+
+    src = b"P6\n2 2\n65535\n" + bytes(range(24))  # 2x2x3 2-byte samples
+    with pytest.raises(ValueError, match="multi-byte"):
+        _resize_ppm_nn(src, 2, 2)
+    with pytest.raises(ValueError, match="binary PPM"):
+        _resize_ppm_nn(b"P3\n1 1\n255\n0 0 0\n", 1, 1)

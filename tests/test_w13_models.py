@@ -47,9 +47,9 @@ def test_java_hive_hash_match_reference(spark):
 
 
 def test_bitmask_decompose_reconstructs(spark):
-    vals = [0, 1, 137, 2**31 - 1, 2**62 - 1] + [
+    vals = [0, 1, 137, 2**31 - 1, 2**62 - 1, -1, -2, -(2**63)] + [
         _rng.randrange(0, 2**62) for _ in range(40)
-    ]
+    ] + [-_rng.randrange(1, 2**62) for _ in range(10)]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, n long")
     got = {
         r["i"]: (r["back"], r["lst"])
@@ -65,20 +65,27 @@ def test_bitmask_decompose_reconstructs(spark):
     }
     for i, v in enumerate(vals):
         back, lst = got[i]
+        # two's-complement wrap: terms sum to v modulo 2^64 (the sign
+        # bit appears as Int64 min, so the plain sum matches exactly)
         assert back == v
         parts = [int(x) for x in lst.split(",")] if lst else []
-        assert parts == sorted(parts) and sum(parts) == v
+        assert sum(parts) == v
+        # ascending by bit position: positives ascending, then the
+        # (negative) sign-bit term last for v < 0
+        pos_parts = [p for p in parts if p > 0]
+        assert pos_parts == sorted(pos_parts)
+        assert bool(parts and parts[-1] < 0) == (v < 0)
 
 
 def test_lgamma_tgamma_erf_vs_math(spark):
     xs = [0.5, 1.0, 1.5, 4.7, 8.0, 12.5] + [
         0.5 + _rng.random() * 12 for _ in range(30)
     ]
-    ys = [-3.0, -0.5, 0.0, 0.5, 2.5] + [
+    ys = [-3.0, -0.5, 0.0, 0.5, 2.5, -1.25] + [
         (_rng.random() - 0.5) * 8 for _ in range(30)
     ]
     df = spark.createDataFrame(
-        [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys, strict=True))],
         "i long, x double, y double",
     )
     got = {
@@ -91,7 +98,7 @@ def test_lgamma_tgamma_erf_vs_math(spark):
             ch_expr("erfc", F.col("y")).alias("ec"),
         ).collect()
     }
-    for i, (x, y) in enumerate(zip(xs, ys)):
+    for i, (x, y) in enumerate(zip(xs, ys, strict=True)):
         r = got[i]
         assert abs(r["lg"] - math.lgamma(x)) < 1e-10 * max(1, abs(math.lgamma(x)))
         assert abs(r["tg"] - math.gamma(x)) < 1e-9 * math.gamma(x)
