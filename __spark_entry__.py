@@ -64,6 +64,7 @@ _R7_ADDITIONS: list[str] = [
     "ch_r7_function_surface_6",
     "image_resize_real",
     "export_sharded_dataset",
+    "record_linkage_fuzzy_join",
 ]
 
 

@@ -46,5 +46,6 @@ from . import r7_wave2  # noqa: E402,F401
 from . import llm_wave8  # noqa: E402,F401
 from . import r7_wave3  # noqa: E402,F401
 from . import r7_wave4  # noqa: E402,F401
+from . import r7_wave5  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
