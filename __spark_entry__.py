@@ -65,6 +65,9 @@ _R7_ADDITIONS: list[str] = [
     "image_resize_real",
     "export_sharded_dataset",
     "record_linkage_fuzzy_join",
+    "association_rules",
+    "tukey_outlier_fences",
+    "dominant_period_autocorr",
 ]
 
 

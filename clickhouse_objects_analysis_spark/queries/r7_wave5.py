@@ -82,3 +82,222 @@ def record_linkage_fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.filter(F.col("jw") >= 0.93).orderBy("id_a", "id_b")
+
+
+@query(
+    "association_rules",
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, d)) AS n_baskets FROM bi),
+    item AS (SELECT event_type, COUNT(*) AS n_item FROM bi
+             GROUP BY event_type),
+    pair AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               COUNT(*) AS n_pair
+        FROM bi a JOIN bi b
+          ON a.user_id = b.user_id AND a.d = b.d
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b,
+           ROUND(n_pair / n_baskets, 4)               AS support,
+           ROUND(n_pair / ia.n_item, 4)               AS conf_a_b,
+           ROUND(n_pair / ib.n_item, 4)               AS conf_b_a,
+           ROUND((n_pair * n_baskets * 1.0)
+                 / (ia.n_item * ib.n_item), 4)        AS lift
+    FROM pair
+    CROSS JOIN n
+    JOIN item ia ON ia.event_type = item_a
+    JOIN item ib ON ib.event_type = item_b
+    ORDER BY item_a, item_b
+    """,
+)
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over behavioral events: baskets
+    are (user, day), items the distinct event types seen in the basket;
+    emit support, both directed confidences, and lift per co-occurring
+    pair. The shape is the scalable one — distinct (basket, item) rows,
+    a self-equi-join ON the basket key to count pairs (never a cross
+    join), then two broadcast joins against the tiny per-item counts.
+    100 TB: pair fan-out per basket is bounded by items-per-basket², the
+    classic a-priori bound, and every join key is a plain shuffle key."""
+    ev = tables(spark, sf_dir)["events"]
+    bi = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    n_baskets = bi.select("user_id", "d").distinct().count()
+    item = bi.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    pair = (
+        bi.alias("a")
+        .join(bi.alias("b"), ["user_id", "d"])
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("item_a"), F.col("n_item").alias("na")
+    )
+    ib = item.select(
+        F.col("event_type").alias("item_b"), F.col("n_item").alias("nb")
+    )
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.round(F.col("n_pair") / F.lit(n_baskets), 4).alias("support"),
+            F.round(F.col("n_pair") / F.col("na"), 4).alias("conf_a_b"),
+            F.round(F.col("n_pair") / F.col("nb"), 4).alias("conf_b_a"),
+            F.round(
+                (F.col("n_pair") * F.lit(n_baskets))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+@query(
+    "tukey_outlier_fences",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(q.q1, 4) AS q1, ROUND(q.q3, 4) AS q3,
+           ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence,
+           COUNT(*) FILTER (WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                               OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))
+               AS n_outliers,
+           ROUND(MAX(e.value), 4) AS max_val
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.q1, q.q3
+    ORDER BY event_type
+    """,
+)
+def tukey_outlier_fences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group (the relational form of CH
+    seriesOutliersDetectTukey): exact interpolated quartiles per
+    event_type, 1.5·IQR fences, and the outlier census from a second
+    pass joined against the 5-row fence table — broadcast, so the data
+    is scanned exactly twice and never shuffled on anything but the
+    group key. 100 TB: percentile → percentile_approx is the documented
+    knob when groups are huge; the fence join stays broadcast."""
+    ev = tables(spark, sf_dir)["events"]
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * iqr).alias("lo"),
+        (F.col("q3") + 1.5 * iqr).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count_if(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("n_outliers"),
+            F.round(F.max("value"), 4).alias("max_val"),
+        )
+        .select(
+            "event_type",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round("lo", 4).alias("lo_fence"),
+            F.round("hi", 4).alias("hi_fence"),
+            "n_outliers",
+            "max_val",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dominant_period_autocorr",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT a.event_type, k.k,
+               corr(a.c, b.c) AS r, COUNT(*) AS n_pts
+        FROM s a
+        JOIN (SELECT unnest(range(1, 11)) AS k) k ON TRUE
+        JOIN s b ON b.event_type = a.event_type AND b.d = a.d + k.k
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT event_type, k, r,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY r DESC, k) AS rn
+        FROM l WHERE n_pts >= 10
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS best_lag,
+           ROUND(r, 4) AS best_corr
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def dominant_period_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per series (the relational stand-in for
+    CH seriesPeriodDetectFFT): build the daily count series, compute the
+    lag-k autocorrelation for k = 1..10 as corr(cₜ, cₜ₊ₖ) via a shifted
+    self-equi-join on (series, day + k), and keep the argmax lag
+    (smallest-lag tie-break, lags with < 10 overlap points dropped).
+    O(K · |series|) join rows — the series is aggregated BEFORE the lag
+    join, so the raw events are scanned once. 100 TB: the joined frame
+    is |days| × K per series, independent of event volume."""
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").alias("c"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    lagged = (
+        s.alias("a")
+        .crossJoin(F.broadcast(ks))
+        .join(
+            s.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("k")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(
+            F.corr(F.col("a.c"), F.col("b.c")).alias("r"),
+            F.count("*").alias("n_pts"),
+        )
+        .where(F.col("n_pts") >= 10)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("r"), F.asc("k"))
+    return (
+        lagged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("best_lag"),
+            F.round("r", 4).alias("best_corr"),
+        )
+        .orderBy("event_type")
+    )
