@@ -68,6 +68,9 @@ _R7_ADDITIONS: list[str] = [
     "association_rules",
     "tukey_outlier_fences",
     "dominant_period_autocorr",
+    "cusum_changepoint",
+    "theil_sen_slope",
+    "holt_linear_smoothing",
 ]
 
 

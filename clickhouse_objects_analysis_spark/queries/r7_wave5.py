@@ -301,3 +301,229 @@ def dominant_period_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, AVG(c) AS mu, COUNT(*) AS n_days
+          FROM s GROUP BY 1),
+    cu AS (
+        SELECT s.event_type, s.d, m.n_days,
+               SUM(s.c - m.mu) OVER (PARTITION BY s.event_type
+                                     ORDER BY s.d) AS cusum
+        FROM s JOIN m USING (event_type)
+    ),
+    best AS (
+        SELECT event_type, d, cusum, n_days,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, d) AS rn
+        FROM cu
+    )
+    SELECT event_type, CAST(d AS BIGINT) AS cp_day,
+           ROUND(cusum, 4) AS cusum_at_cp,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: center the daily count
+    series on its mean, take the running cumulative sum (one window
+    scan), and report the day where |CUSUM| peaks — the classic
+    level-shift locator. Two shuffles total (daily agg, then the
+    per-series window sort); the mean joins back via a broadcast of one
+    row per series. Deterministic tie-break on the earliest day."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    m = s.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.count("*").alias("n_days")
+    )
+    cu = s.join(F.broadcast(m), "event_type").withColumn(
+        "cusum",
+        F.sum(F.col("c") - F.col("mu")).over(
+            Window.partitionBy("event_type")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("d")
+    )
+    return (
+        cu.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("long").alias("cp_day"),
+            F.round("cusum", 4).alias("cusum_at_cp"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "theil_sen_slope",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT a.event_type,
+               (b.c - a.c) / (b.d - a.d) AS slope
+        FROM s a JOIN s b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(slope, 0.5) AS m_slope
+        FROM sl GROUP BY event_type
+    )
+    SELECT s.event_type,
+           ROUND(med.m_slope, 4) AS slope,
+           ROUND(quantile_cont(s.c - med.m_slope * s.d, 0.5), 4)
+               AS intercept
+    FROM s JOIN med USING (event_type)
+    GROUP BY s.event_type, med.m_slope
+    ORDER BY event_type
+    """,
+)
+def theil_sen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per series: median of all pairwise slopes
+    of the DAILY series (O(days²) per series — bounded by series length,
+    never by event volume), intercept = median residual at the chosen
+    slope. Outlier-immune where OLS (linear_regression_agg) is not; the
+    pair join is an equi-join on the series key and the medians are
+    exact interpolated percentiles."""
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    sl = (
+        s.alias("a")
+        .join(s.alias("b"), "event_type")
+        .where(F.col("a.d") < F.col("b.d"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d"))
+            ).alias("slope"),
+        )
+    )
+    med = sl.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("m_slope")
+    )
+    return (
+        s.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m_slope")
+        .agg(
+            F.percentile(
+                F.col("c") - F.col("m_slope") * F.col("d"), F.lit(0.5)
+            ).alias("res_med")
+        )
+        .select(
+            "event_type",
+            F.round("m_slope", 4).alias("slope"),
+            F.round("res_med", 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY d) AS rn
+        FROM base
+    ),
+    n AS (SELECT event_type, MAX(rn) AS nmax FROM s GROUP BY 1),
+    rec AS (
+        SELECT s1.event_type, 1 AS rn, s1.c AS l, s2.c - s1.c AS b
+        FROM s s1 JOIN s s2
+          ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+        UNION ALL
+        SELECT r.event_type, r.rn + 1,
+               0.5 * s.c + 0.5 * (r.l + r.b),
+               0.3 * ((0.5 * s.c + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        FROM rec r JOIN s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT r.event_type,
+           ROUND(r.l, 4) AS level, ROUND(r.b, 4) AS trend,
+           ROUND(r.l + r.b, 4) AS fc_1, ROUND(r.l + 3 * r.b, 4) AS fc_3
+    FROM rec r JOIN n USING (event_type)
+    WHERE r.rn = n.nmax ORDER BY event_type
+    """,
+)
+def holt_linear_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.5 γ=0.3)
+    per series — the canonical ORDERED RECURRENCE that neither window
+    functions nor Catalyst expressions can express without building a
+    2^k tree: each series' daily counts run through an applyInPandas
+    scan (init l₁=y₁, b₁=y₂−y₁; lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ =
+    γ(lₜ−lₜ₋₁) + (1−γ)bₜ₋₁), emitting the final state and 1-/3-step
+    forecasts. The oracle replays the identical recurrence as a DuckDB
+    RECURSIVE CTE — same operation order, so doubles agree to well
+    under the 4-dp rounding. 100 TB: the recurrence is per-SERIES
+    sequential but across-series parallel (one Arrow batch per group);
+    event volume only affects the upstream daily agg, which is a plain
+    codegen groupBy. Gaps in the day grid are treated as consecutive
+    samples (documented; densify with WITH FILL upstream if unwanted)."""
+    import pandas as pd
+
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").cast("double").alias("c"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        y = [float(v) for v in pdf["c"]]
+        et = pdf["event_type"].iloc[0]
+        if len(y) < 2:
+            l, b = (y[0] if y else 0.0), 0.0
+        else:
+            l, b = y[0], y[1] - y[0]
+            for t in range(1, len(y)):
+                l_new = 0.5 * y[t] + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+        return pd.DataFrame(
+            [[et, round(l, 4), round(b, 4),
+              round(l + b, 4), round(l + 3 * b, 4)]],
+            columns=["event_type", "level", "trend", "fc_1", "fc_3"],
+        )
+
+    return (
+        s.groupBy("event_type")
+        .applyInPandas(
+            holt,
+            schema="event_type string, level double, trend double, "
+            "fc_1 double, fc_3 double",
+        )
+        .orderBy("event_type")
+    )
