@@ -71,6 +71,9 @@ _R7_ADDITIONS: list[str] = [
     "cusum_changepoint",
     "theil_sen_slope",
     "holt_linear_smoothing",
+    "psi_drift",
+    "benford_digit_audit",
+    "seasonal_decompose_weekday",
 ]
 
 

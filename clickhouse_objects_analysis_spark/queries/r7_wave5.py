@@ -527,3 +527,218 @@ def holt_linear_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "psi_drift",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, value,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    edges AS (
+        SELECT event_type,
+               [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+                quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+                quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+                quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+                quantile_cont(value, 0.9)] AS e
+        FROM ev WHERE d < 15 GROUP BY event_type
+    ),
+    b AS (
+        SELECT ev.event_type, ev.d >= 15 AS cur,
+               len(list_filter(edges.e, x -> ev.value > x)) AS bucket
+        FROM ev JOIN edges USING (event_type)
+    ),
+    f AS (
+        SELECT event_type, bucket,
+               COUNT(*) FILTER (WHERE NOT cur) AS n_ref,
+               COUNT(*) FILTER (WHERE cur) AS n_cur
+        FROM b GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type,
+               SUM(n_ref) OVER (PARTITION BY event_type) AS tr,
+               SUM(n_cur) OVER (PARTITION BY event_type) AS tc,
+               n_ref, n_cur
+        FROM f
+    )
+    SELECT event_type,
+           ROUND(SUM((CAST(n_cur AS DOUBLE) / tc
+                      - CAST(n_ref AS DOUBLE) / tr)
+                     * ln((CAST(n_cur AS DOUBLE) / tc + 1e-6)
+                          / (CAST(n_ref AS DOUBLE) / tr + 1e-6))), 4)
+               AS psi,
+           CAST(MAX(tr) AS BIGINT) AS n_ref,
+           CAST(MAX(tc) AS BIGINT) AS n_cur
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — THE standard
+    production check that a feature's distribution has not moved between
+    a reference window (days 0-14) and the current window (days 15+):
+    decile edges from the reference via exact interpolated percentiles,
+    both windows bucketed by size(filter(edges, e -> v > e)) (a codegen
+    array expression, no UDF), then PSI = Σ (p_cur − p_ref)·ln(p_cur/
+    p_ref) with 1e-6 smoothing. The 9-edge array per series rides along
+    a broadcast join; buckets shuffle once on (series, bucket). 100 TB:
+    reference edges are tiny state, the scan is one pass per window."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_type",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    )
+    edges = (
+        ev.where(F.col("d") < 15)
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value",
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            ).alias("e")
+        )
+    )
+    b = ev.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        (F.col("d") >= 15).alias("cur"),
+        F.size(
+            F.filter(F.col("e"), lambda x: F.col("value") > x)
+        ).alias("bucket"),
+    )
+    f = b.groupBy("event_type", "bucket").agg(
+        F.count_if(~F.col("cur")).alias("n_ref"),
+        F.count_if(F.col("cur")).alias("n_cur"),
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    t = f.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wt).alias("tr"),
+        F.sum("n_cur").over(wt).alias("tc"),
+    )
+    pc = F.col("n_cur").cast("double") / F.col("tc")
+    pr = F.col("n_ref").cast("double") / F.col("tr")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((pc - pr) * F.log((pc + 1e-6) / (pr + 1e-6))), 4
+            ).alias("psi"),
+            F.max("tr").cast("long").alias("n_ref"),
+            F.max("tc").cast("long").alias("n_cur"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    f AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM f)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 4) AS pct,
+           ROUND(log10(1.0 + 1.0 / digit), 4) AS benford_pct,
+           ROUND(POWER(CAST(n AS DOUBLE) / total
+                       - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM f CROSS JOIN t ORDER BY digit
+    """,
+)
+def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over prices — the classic synthetic-vs-
+    organic data forensic: leading-digit frequencies against the
+    log10(1+1/d) expectation with per-digit χ² contributions. One
+    codegen scan + a 9-row aggregate; the total joins back as a 1-row
+    broadcast. (TPC-H prices are formula-generated, so the audit
+    correctly reports a non-Benford profile — the point is the metric,
+    deterministically checkable.)"""
+    li = tables(spark, sf_dir)["lineitem"]
+    d = li.where(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    f = d.groupBy("digit").agg(F.count("*").alias("n"))
+    total = f.agg(F.sum("n").alias("total"))
+    pct = F.col("n").cast("double") / F.col("total")
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        f.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(pct, 4).alias("pct"),
+            F.round(bp, 4).alias("benford_pct"),
+            F.round(F.pow(pct - bp, F.lit(2)) / bp, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "seasonal_decompose_weekday",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT event_type,
+               regr_slope(c, d) AS sl, regr_intercept(c, d) AS ic
+        FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, s.d % 7 AS dow,
+           ROUND(AVG(s.c - (fit.ic + fit.sl * s.d)), 4) AS seasonal,
+           COUNT(*) AS n_days
+    FROM s JOIN fit USING (event_type)
+    GROUP BY s.event_type, s.d % 7
+    ORDER BY event_type, dow
+    """,
+)
+def seasonal_decompose_weekday_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STL-lite seasonal decomposition (the relational sibling of CH
+    seriesDecomposeSTL): OLS-detrend each daily series (regr_slope /
+    regr_intercept — single-pass codegen aggregates), then the weekly
+    seasonal profile = mean residual per day-of-week (day-index mod 7,
+    identical on both engines). Trend state is 2 doubles per series
+    riding a broadcast join; everything else is one groupBy each way."""
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    fit = s.groupBy("event_type").agg(
+        F.regr_slope("c", "d").alias("sl"),
+        F.regr_intercept("c", "d").alias("ic"),
+    )
+    return (
+        s.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type", (F.col("d") % 7).alias("dow"))
+        .agg(
+            F.round(
+                F.avg(
+                    F.col("c") - (F.col("ic") + F.col("sl") * F.col("d"))
+                ),
+                4,
+            ).alias("seasonal"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type", "dow")
+    )
