@@ -505,13 +505,22 @@ def holt_linear_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = [float(v) for v in pdf["c"]]
         et = pdf["event_type"].iloc[0]
         if len(y) < 2:
-            l, b = (y[0] if y else 0.0), 0.0
-        else:
-            l, b = y[0], y[1] - y[0]
-            for t in range(1, len(y)):
-                l_new = 0.5 * y[t] + 0.5 * (l + b)
-                b = 0.3 * (l_new - l) + 0.7 * b
-                l = l_new
+            # the oracle's init join (rn=1 x rn=2) drops 1-point
+            # series; emit nothing so both sides agree on any data
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "level": pd.Series(dtype="float64"),
+                    "trend": pd.Series(dtype="float64"),
+                    "fc_1": pd.Series(dtype="float64"),
+                    "fc_3": pd.Series(dtype="float64"),
+                }
+            )
+        l, b = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
         return pd.DataFrame(
             [[et, round(l, 4), round(b, 4),
               round(l + b, 4), round(l + 3 * b, 4)]],
