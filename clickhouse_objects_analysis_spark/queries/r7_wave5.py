@@ -339,35 +339,20 @@ def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-shift locator. Two shuffles total (daily agg, then the
     per-series window sort); the mean joins back via a broadcast of one
     row per series. Deterministic tie-break on the earliest day."""
-    from pyspark.sql import Window
+    from ..operators.timeseries import cusum_changepoint
 
     ev = tables(spark, sf_dir)["events"]
     s = ev.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
     ).agg(F.count("*").cast("double").alias("c"))
-    m = s.groupBy("event_type").agg(
-        F.avg("c").alias("mu"), F.count("*").alias("n_days")
-    )
-    cu = s.join(F.broadcast(m), "event_type").withColumn(
-        "cusum",
-        F.sum(F.col("c") - F.col("mu")).over(
-            Window.partitionBy("event_type")
-            .orderBy("d")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("cusum")).desc(), F.asc("d")
-    )
     return (
-        cu.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        cusum_changepoint(s, "event_type", "d", "c")
         .select(
             "event_type",
-            F.col("d").cast("long").alias("cp_day"),
-            F.round("cusum", 4).alias("cusum_at_cp"),
-            F.col("n_days").cast("long").alias("n_days"),
+            F.col("cp_d").alias("cp_day"),
+            "cusum_at_cp",
+            F.col("n_points").alias("n_days"),
         )
         .orderBy("event_type")
     )
@@ -408,40 +393,14 @@ def theil_sen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope. Outlier-immune where OLS (linear_regression_agg) is not; the
     pair join is an equi-join on the series key and the medians are
     exact interpolated percentiles."""
+    from ..operators.timeseries import theil_sen
+
     ev = tables(spark, sf_dir)["events"]
     s = ev.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
     ).agg(F.count("*").cast("double").alias("c"))
-    sl = (
-        s.alias("a")
-        .join(s.alias("b"), "event_type")
-        .where(F.col("a.d") < F.col("b.d"))
-        .select(
-            "event_type",
-            (
-                (F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d"))
-            ).alias("slope"),
-        )
-    )
-    med = sl.groupBy("event_type").agg(
-        F.percentile("slope", F.lit(0.5)).alias("m_slope")
-    )
-    return (
-        s.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "m_slope")
-        .agg(
-            F.percentile(
-                F.col("c") - F.col("m_slope") * F.col("d"), F.lit(0.5)
-            ).alias("res_med")
-        )
-        .select(
-            "event_type",
-            F.round("m_slope", 4).alias("slope"),
-            F.round("res_med", 4).alias("intercept"),
-        )
-        .orderBy("event_type")
-    )
+    return theil_sen(s, "event_type", "d", "c").orderBy("event_type")
 
 
 @query(
@@ -492,50 +451,14 @@ def holt_linear_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     event volume only affects the upstream daily agg, which is a plain
     codegen groupBy. Gaps in the day grid are treated as consecutive
     samples (documented; densify with WITH FILL upstream if unwanted)."""
-    import pandas as pd
+    from ..operators.timeseries import holt_smooth
 
     ev = tables(spark, sf_dir)["events"]
     s = ev.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
     ).agg(F.count("*").cast("double").alias("c"))
-
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("d")
-        y = [float(v) for v in pdf["c"]]
-        et = pdf["event_type"].iloc[0]
-        if len(y) < 2:
-            # the oracle's init join (rn=1 x rn=2) drops 1-point
-            # series; emit nothing so both sides agree on any data
-            return pd.DataFrame(
-                {
-                    "event_type": pd.Series(dtype="object"),
-                    "level": pd.Series(dtype="float64"),
-                    "trend": pd.Series(dtype="float64"),
-                    "fc_1": pd.Series(dtype="float64"),
-                    "fc_3": pd.Series(dtype="float64"),
-                }
-            )
-        l, b = y[0], y[1] - y[0]
-        for t in range(1, len(y)):
-            l_new = 0.5 * y[t] + 0.5 * (l + b)
-            b = 0.3 * (l_new - l) + 0.7 * b
-            l = l_new
-        return pd.DataFrame(
-            [[et, round(l, 4), round(b, 4),
-              round(l + b, 4), round(l + 3 * b, 4)]],
-            columns=["event_type", "level", "trend", "fc_1", "fc_3"],
-        )
-
-    return (
-        s.groupBy("event_type")
-        .applyInPandas(
-            holt,
-            schema="event_type string, level double, trend double, "
-            "fc_1 double, fc_3 double",
-        )
-        .orderBy("event_type")
-    )
+    return holt_smooth(s, "event_type", "d", "c").orderBy("event_type")
 
 
 @query(
@@ -594,55 +517,16 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_ref) with 1e-6 smoothing. The 9-edge array per series rides along
     a broadcast join; buckets shuffle once on (series, bucket). 100 TB:
     reference edges are tiny state, the scan is one pass per window."""
+    from ..operators.timeseries import psi_between
+
     ev = tables(spark, sf_dir)["events"].select(
         "event_type",
         "value",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
     )
-    edges = (
-        ev.where(F.col("d") < 15)
-        .groupBy("event_type")
-        .agg(
-            F.percentile(
-                "value",
-                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
-            ).alias("e")
-        )
-    )
-    b = ev.join(F.broadcast(edges), "event_type").select(
-        "event_type",
-        (F.col("d") >= 15).alias("cur"),
-        F.size(
-            F.filter(F.col("e"), lambda x: F.col("value") > x)
-        ).alias("bucket"),
-    )
-    f = b.groupBy("event_type", "bucket").agg(
-        F.count_if(~F.col("cur")).alias("n_ref"),
-        F.count_if(F.col("cur")).alias("n_cur"),
-    )
-    from pyspark.sql import Window
-
-    wt = Window.partitionBy("event_type")
-    t = f.select(
-        "event_type",
-        "n_ref",
-        "n_cur",
-        F.sum("n_ref").over(wt).alias("tr"),
-        F.sum("n_cur").over(wt).alias("tc"),
-    )
-    pc = F.col("n_cur").cast("double") / F.col("tc")
-    pr = F.col("n_ref").cast("double") / F.col("tr")
-    return (
-        t.groupBy("event_type")
-        .agg(
-            F.round(
-                F.sum((pc - pr) * F.log((pc + 1e-6) / (pr + 1e-6))), 4
-            ).alias("psi"),
-            F.max("tr").cast("long").alias("n_ref"),
-            F.max("tc").cast("long").alias("n_cur"),
-        )
-        .orderBy("event_type")
-    )
+    return psi_between(
+        ev, "event_type", "value", F.col("d") >= 15
+    ).orderBy("event_type")
 
 
 @query(
