@@ -74,6 +74,9 @@ _R7_ADDITIONS: list[str] = [
     "psi_drift",
     "benford_digit_audit",
     "seasonal_decompose_weekday",
+    "mann_kendall_trend",
+    "benjamini_hochberg_fdr",
+    "gini_source_concentration",
 ]
 
 

@@ -635,3 +635,293 @@ def seasonal_decompose_weekday_q(
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stat AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM s a JOIN s b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY 1
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1),
+    ties AS (
+        SELECT event_type,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_adj
+        FROM (SELECT event_type, c, COUNT(*) AS t FROM s
+              GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        GROUP BY 1
+    )
+    SELECT stat.event_type, stat.s_stat,
+           ROUND((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_adj)
+                 / 18.0, 4) AS var_s,
+           ROUND(CASE
+               WHEN stat.s_stat > 0 THEN (stat.s_stat - 1)
+                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                           - ties.tie_adj) / 18.0)
+               WHEN stat.s_stat < 0 THEN (stat.s_stat + 1)
+                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                           - ties.tie_adj) / 18.0)
+               ELSE 0.0 END, 4) AS z
+    FROM stat JOIN n USING (event_type)
+    JOIN ties USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test per series, WITH the tie
+    correction (daily counts tie often): S = Σ_{i<j} sign(yⱼ−yᵢ) via the
+    same bounded pair join as theil_sen, Var(S) = [n(n−1)(2n+5) −
+    Σₜ t(t−1)(2t+5)]/18 over tie groups, z with the ±1 continuity
+    correction. The rank-based complement to theil_sen_slope: the pair
+    says *whether* a monotone trend exists, Theil–Sen *how steep*."""
+    ev = tables(spark, sf_dir)["events"]
+    s = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    stat = (
+        s.alias("a")
+        .join(s.alias("b"), "event_type")
+        .where(F.col("a.d") < F.col("b.d"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = s.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        s.groupBy("event_type", "c")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_adj")
+        )
+    )
+    j = (
+        stat.join(F.broadcast(n), "event_type")
+        .join(F.broadcast(ties), "event_type", "left")
+        .na.fill({"tie_adj": 0})
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_adj")
+    ) / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)
+        )
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "s_stat",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z"),
+    ).orderBy("event_type")
+
+
+#: Abramowitz & Stegun 7.1.26 erf polynomial — written ONCE as SQL text
+#: and once as the Column twin below with the identical operation order,
+#: so Spark and DuckDB produce bit-comparable p-values (|err| < 1.5e-7,
+#: far under the 4-dp rounding).
+_ERF_SQL = (
+    "(1.0 - (((((1.061405429 * (1.0/(1.0+0.3275911*{x})) - 1.453152027)"
+    " * (1.0/(1.0+0.3275911*{x})) + 1.421413741)"
+    " * (1.0/(1.0+0.3275911*{x})) - 0.284496736)"
+    " * (1.0/(1.0+0.3275911*{x})) + 0.254829592)"
+    " * (1.0/(1.0+0.3275911*{x}))) * exp(-({x})*({x})))"
+)
+
+
+def _erf_col(x: Column) -> Column:
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    return F.lit(1.0) - poly * F.exp(-x * x)
+
+
+@query(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, AVG(value) AS m, stddev_samp(value) AS sd,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT AVG(value) AS mu FROM events),
+    z AS (
+        SELECT event_type,
+               abs((m - tot.mu) / (sd / sqrt(n))) AS az
+        FROM g CROSS JOIN tot
+    ),
+    p AS (
+        SELECT event_type,
+               1.0 - {_ERF_SQL.format(x="az / sqrt(2.0)")} AS pval
+        FROM z
+    ),
+    r AS (
+        SELECT event_type, pval,
+               row_number() OVER (ORDER BY pval, event_type) AS rk,
+               COUNT(*) OVER () AS m
+        FROM p
+    )
+    SELECT event_type,
+           ROUND(pval, 4) AS p_raw,
+           CAST(rk AS BIGINT) AS rank,
+           ROUND(LEAST(1.0,
+               MIN(pval * m / rk)
+                   OVER (ORDER BY rk DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)), 4) AS p_adj
+    FROM r ORDER BY event_type
+    """,
+)
+def benjamini_hochberg_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction end-to-end: one z-test p-value
+    per series (mean vs the global mean, normal tail via the A&S 7.1.26
+    erf polynomial — the SAME closed form evaluated in the same order on
+    both engines), then the BH step-up: rank p ascending, p_adj(i) =
+    min_{j≥i}(pⱼ·m/j) capped at 1, computed as a running MIN over the
+    reverse-rank window. The multiple-testing step every metrics
+    pipeline needs once it fans tests across thousands of segments; m
+    here is 5, the window is one tiny sorted frame."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    g = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    tot = ev.agg(F.avg("value").alias("mu"))
+    az = F.abs(
+        (F.col("m") - F.col("mu")) / (F.col("sd") / F.sqrt(F.col("n")))
+    )
+    p = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        (
+            F.lit(1.0) - _erf_col(az / F.sqrt(F.lit(2.0)))
+        ).alias("pval"),
+    )
+    r = p.select(
+        "event_type",
+        "pval",
+        F.row_number()
+        .over(Window.orderBy("pval", "event_type"))
+        .alias("rk"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m_tests"),
+    )
+    adj = F.least(
+        F.lit(1.0),
+        F.min(F.col("pval") * F.col("m_tests") / F.col("rk")).over(
+            Window.orderBy(F.desc("rk")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return r.select(
+        "event_type",
+        F.round("pval", 4).alias("p_raw"),
+        F.col("rk").cast("long").alias("rank"),
+        F.round(adj, 4).alias("p_adj"),
+    ).orderBy("event_type")
+
+
+@query(
+    "gini_source_concentration",
+    oracle="""
+    WITH x AS (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    rk AS (
+        SELECT n_docs,
+               row_number() OVER (ORDER BY n_docs, source) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(n_docs) OVER () AS tot
+        FROM x
+    )
+    SELECT ROUND(2.0 * SUM(i * n_docs) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 4) AS gini,
+           CAST(MAX(n) AS BIGINT) AS n_sources,
+           ROUND(MAX(n_docs) / MAX(tot), 4) AS top_share
+    FROM rk
+    """,
+)
+def gini_source_concentration_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of corpus concentration across sources — the
+    dataset-card inequality number (0 = every source contributes
+    equally, →1 = one source dominates): rank sources by contribution,
+    Gini = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n. One groupBy + one |sources|-sized
+    window — at 100 TB the window frame is the source list, not the
+    corpus. Emits the max single-source share alongside."""
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir)["documents"]
+    x = d.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    rk = x.select(
+        "n_docs",
+        F.row_number()
+        .over(Window.orderBy("n_docs", "source"))
+        .alias("i"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+        F.sum("n_docs")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    return rk.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n_docs"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_sources"),
+        F.round(F.max("n_docs") / F.max("tot"), 4).alias("top_share"),
+    )
