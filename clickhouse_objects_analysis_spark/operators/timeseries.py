@@ -63,9 +63,10 @@ def holt_smooth(
             columns=[series_col, "level", "trend", "fc_1", "fc_3"],
         )
 
+    key_type = df.schema[series_col].dataType.simpleString()
     return df.groupBy(series_col).applyInPandas(
         holt,
-        schema=f"{series_col} string, level double, trend double, "
+        schema=f"{series_col} {key_type}, level double, trend double, "
         "fc_1 double, fc_3 double",
     )
 

@@ -84,6 +84,17 @@ def record_linkage_fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("jw") >= 0.93).orderBy("id_a", "id_b")
 
 
+def _daily_series(ev: DataFrame) -> DataFrame:
+    """One row per (event_type, day index, double count) — the shared
+    series frame the time-series queries aggregate BEFORE any pair
+    join, window, or recurrence (raw event volume never reaches those
+    steps). Day 0 anchors at the fixture epoch 2024-01-01."""
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).agg(F.count("*").cast("double").alias("c"))
+
+
 @query(
     "association_rules",
     oracle="""
@@ -128,7 +139,11 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = ev.select(
         "user_id", F.to_date("ts").alias("d"), "event_type"
     ).distinct()
-    n_baskets = bi.select("user_id", "d").distinct().count()
+    nb_df = (
+        bi.select("user_id", "d")
+        .distinct()
+        .agg(F.count("*").alias("n_baskets"))
+    )
     item = bi.groupBy("event_type").agg(F.count("*").alias("n_item"))
     pair = (
         bi.alias("a")
@@ -149,14 +164,16 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb_df))
         .select(
             "item_a",
             "item_b",
-            F.round(F.col("n_pair") / F.lit(n_baskets), 4).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_baskets"), 4)
+            .alias("support"),
             F.round(F.col("n_pair") / F.col("na"), 4).alias("conf_a_b"),
             F.round(F.col("n_pair") / F.col("nb"), 4).alias("conf_b_a"),
             F.round(
-                (F.col("n_pair") * F.lit(n_baskets))
+                (F.col("n_pair") * F.col("n_baskets"))
                 / (F.col("na") * F.col("nb")),
                 4,
             ).alias("lift"),
@@ -268,10 +285,7 @@ def dominant_period_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so the raw events are scanned once. 100 TB: the joined frame
     is |days| × K per series, independent of event volume."""
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
-    ).agg(F.count("*").alias("c"))
+    s = _daily_series(ev)
     ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
     lagged = (
         s.alias("a")
@@ -342,10 +356,7 @@ def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import cusum_changepoint
 
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    s = _daily_series(ev)
     return (
         cusum_changepoint(s, "event_type", "d", "c")
         .select(
@@ -396,10 +407,7 @@ def theil_sen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import theil_sen
 
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    s = _daily_series(ev)
     return theil_sen(s, "event_type", "d", "c").orderBy("event_type")
 
 
@@ -454,10 +462,7 @@ def holt_linear_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import holt_smooth
 
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    s = _daily_series(ev)
     return holt_smooth(s, "event_type", "d", "c").orderBy("event_type")
 
 
@@ -613,10 +618,7 @@ def seasonal_decompose_weekday_q(
     identical on both engines). Trend state is 2 doubles per series
     riding a broadcast join; everything else is one groupBy each way."""
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    s = _daily_series(ev)
     fit = s.groupBy("event_type").agg(
         F.regr_slope("c", "d").alias("sl"),
         F.regr_intercept("c", "d").alias("ic"),
@@ -662,21 +664,23 @@ def seasonal_decompose_weekday_q(
         FROM (SELECT event_type, c, COUNT(*) AS t FROM s
               GROUP BY 1, 2 HAVING COUNT(*) > 1)
         GROUP BY 1
+    ),
+    j AS (
+        SELECT stat.event_type, stat.s_stat, n.n,
+               COALESCE(ties.tie_adj, 0) AS tie_adj
+        FROM stat JOIN n USING (event_type)
+        LEFT JOIN ties USING (event_type)
     )
-    SELECT stat.event_type, stat.s_stat,
-           ROUND((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_adj)
-                 / 18.0, 4) AS var_s,
+    SELECT event_type, s_stat,
+           ROUND((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0, 4)
+               AS var_s,
            ROUND(CASE
-               WHEN stat.s_stat > 0 THEN (stat.s_stat - 1)
-                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
-                           - ties.tie_adj) / 18.0)
-               WHEN stat.s_stat < 0 THEN (stat.s_stat + 1)
-                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
-                           - ties.tie_adj) / 18.0)
+               WHEN s_stat > 0 THEN (s_stat - 1)
+                   / sqrt((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0)
+               WHEN s_stat < 0 THEN (s_stat + 1)
+                   / sqrt((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0)
                ELSE 0.0 END, 4) AS z
-    FROM stat JOIN n USING (event_type)
-    JOIN ties USING (event_type)
-    ORDER BY event_type
+    FROM j ORDER BY event_type
     """,
 )
 def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,10 +691,7 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction. The rank-based complement to theil_sen_slope: the pair
     says *whether* a monotone trend exists, Theil–Sen *how steep*."""
     ev = tables(spark, sf_dir)["events"]
-    s = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    s = _daily_series(ev)
     stat = (
         s.alias("a")
         .join(s.alias("b"), "event_type")
@@ -738,39 +739,9 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-#: Abramowitz & Stegun 7.1.26 erf polynomial — written ONCE as SQL text
-#: and once as the Column twin below with the identical operation order,
-#: so Spark and DuckDB produce bit-comparable p-values (|err| < 1.5e-7,
-#: far under the 4-dp rounding).
-_ERF_SQL = (
-    "(1.0 - (((((1.061405429 * (1.0/(1.0+0.3275911*{x})) - 1.453152027)"
-    " * (1.0/(1.0+0.3275911*{x})) + 1.421413741)"
-    " * (1.0/(1.0+0.3275911*{x})) - 0.284496736)"
-    " * (1.0/(1.0+0.3275911*{x})) + 0.254829592)"
-    " * (1.0/(1.0+0.3275911*{x}))) * exp(-({x})*({x})))"
-)
-
-
-def _erf_col(x: Column) -> Column:
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
-    poly = (
-        (
-            (
-                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
-                + F.lit(1.421413741)
-            )
-            * t
-            - F.lit(0.284496736)
-        )
-        * t
-        + F.lit(0.254829592)
-    ) * t
-    return F.lit(1.0) - poly * F.exp(-x * x)
-
-
 @query(
     "benjamini_hochberg_fdr",
-    oracle=f"""
+    oracle="""
     WITH g AS (
         SELECT event_type, AVG(value) AS m, stddev_samp(value) AS sd,
                COUNT(*) AS n
@@ -782,10 +753,20 @@ def _erf_col(x: Column) -> Column:
                abs((m - tot.mu) / (sd / sqrt(n))) AS az
         FROM g CROSS JOIN tot
     ),
+    -- erfc(az/sqrt(2)) via the SAME A&S 7.1.26 expanded-powers form the
+    -- repo's ch_expr('erfc') uses (proven at 6 dp in r7_wave4's surface)
+    xt AS (
+        SELECT event_type, az / sqrt(2.0) AS x,
+               1.0 / (1.0 + 0.3275911 * abs(az / sqrt(2.0))) AS t
+        FROM z
+    ),
     p AS (
         SELECT event_type,
-               1.0 - {_ERF_SQL.format(x="az / sqrt(2.0)")} AS pval
-        FROM z
+               1.0 - sign(x) * (1.0 - (0.254829592*t - 0.284496736*t*t
+                     + 1.421413741*t*t*t - 1.453152027*t*t*t*t
+                     + 1.061405429*t*t*t*t*t) * exp(-abs(x)*abs(x)))
+                   AS pval
+        FROM xt
     ),
     r AS (
         SELECT event_type, pval,
@@ -827,9 +808,7 @@ def benjamini_hochberg_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = g.crossJoin(F.broadcast(tot)).select(
         "event_type",
-        (
-            F.lit(1.0) - _erf_col(az / F.sqrt(F.lit(2.0)))
-        ).alias("pval"),
+        ch_expr("erfc", az / F.sqrt(F.lit(2.0))).alias("pval"),
     )
     r = p.select(
         "event_type",
