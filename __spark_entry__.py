@@ -77,6 +77,9 @@ _R7_ADDITIONS: list[str] = [
     "mann_kendall_trend",
     "benjamini_hochberg_fdr",
     "gini_source_concentration",
+    "bigram_lm_cross_entropy",
+    "hard_negative_mining",
+    "containment_overlap_pairs",
 ]
 
 

@@ -364,6 +364,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional containment C(A→B) = |A∩B| / |A| over distinct word
+    k-gram shingle sets — the asymmetric cousin of Jaccard that catches
+    quote/subset duplication (a short doc embedded inside a longer one),
+    which symmetric Jaccard misses because the union is dominated by the
+    container.
+
+    Emits one row per ordered pair with C ≥ threshold:
+    (contained_id, container_id, containment). Both directions of every
+    co-occurring unordered pair are evaluated from ONE intersection
+    count — the inverted-index pair join runs once with id_a < id_b,
+    then the two directional ratios inter/|A| and inter/|B| are filtered
+    independently, so the pair stream is never doubled.
+
+    Scale shape is identical to ngram_jaccard_pairs (same inverted
+    index, same Σ C(df,2) bound, same optional ``max_df`` stop-shingle
+    cap making reported containment a documented lower bound); the extra
+    work over Jaccard is two codegen projections."""
+    sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sizes = sets.select("id", F.size("shingles").alias("sz"))
+    inv = sets.select("id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        stop = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
+    inter = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
+    b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
+    both = inter.join(F.broadcast(a_sz), "id_a").join(
+        F.broadcast(b_sz), "id_b"
+    )
+    fwd = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("inter") / F.col("sza")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("inter") / F.col("szb")).alias("containment"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round("containment", 4).alias("containment"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash fingerprint per document: each word's hash votes
     ±1 on every bit position; the sign of each bit-sum sets the bit.
