@@ -80,6 +80,11 @@ _R7_ADDITIONS: list[str] = [
     "bigram_lm_cross_entropy",
     "hard_negative_mining",
     "containment_overlap_pairs",
+    "rrf_hybrid_retrieval",
+    "dedup_survivorship",
+    "triangle_count_suppliers",
+    "uniq_upto_agg",
+    "unpivot_lineitem_metrics",
 ]
 
 
