@@ -85,6 +85,9 @@ _R7_ADDITIONS: list[str] = [
     "triangle_count_suppliers",
     "uniq_upto_agg",
     "unpivot_lineitem_metrics",
+    "holt_winters_weekday",
+    "weighted_reservoir_sample",
+    "flesch_reading_ease",
 ]
 
 

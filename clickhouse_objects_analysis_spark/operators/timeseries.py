@@ -202,3 +202,84 @@ def psi_between(
         F.max("__tr").cast("long").alias("n_ref"),
         F.max("__tc").cast("long").alias("n_cur"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt–Winters (level + trend + length-``period`` season)
+    per series — the seasonal extension of holt_smooth, same ordered
+    recurrence shape Catalyst cannot express.
+
+    Init from the first two seasons (requires >= 2*period points;
+    shorter series are dropped, mirroring the oracle's WHERE):
+    l = mean(season 1), b = (mean(season 2) − mean(season 1)) / period,
+    s_j = y_j − l. Then for t > period (0-based idx = t−1 mod period):
+        lₜ = α(yₜ − s_idx) + (1−α)(l + b)
+        bₜ = β(lₜ − l) + (1−β)b
+        s_idx ← γ(yₜ − lₜ) + (1−γ)s_idx
+    Seasonal position is the sample POSITION mod period, not the
+    calendar slot — gaps shift the grid; densify upstream (WITH FILL)
+    if unwanted (same contract as holt_smooth).
+
+    Float parity: the season means are LEFT FOLDS over the
+    position-ordered values (functools.reduce here, list_reduce in the
+    DuckDB oracle) and every recurrence step is one fixed expression
+    tree, so both engines execute identical double ops in identical
+    order. Emits (series, level, trend, season_next, fc_1) at 4dp where
+    fc_1 = l + b + s_{next position}.
+
+    100 TB: per-series sequential, across-series parallel — one Arrow
+    batch per series; raw volume is reduced by the caller's codegen
+    groupBy before the recurrence ever runs."""
+    import functools
+    import operator as op
+
+    import pandas as pd
+
+    a, b_, g, p = float(alpha), float(beta), float(gamma), int(period)
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                series_col: pd.Series(dtype="object"),
+                "level": pd.Series(dtype="float64"),
+                "trend": pd.Series(dtype="float64"),
+                "season_next": pd.Series(dtype="float64"),
+                "fc_1": pd.Series(dtype="float64"),
+            }
+        )
+        pdf = pdf.sort_values(order_col)
+        y = [float(v) for v in pdf[value_col]]
+        if len(y) < 2 * p:
+            return empty
+        m1 = functools.reduce(op.add, y[0:p]) / p
+        m2 = functools.reduce(op.add, y[p : 2 * p]) / p
+        l, b = m1, (m2 - m1) / p
+        s = [y[j] - m1 for j in range(p)]
+        for t in range(p, len(y)):
+            idx = t % p
+            l_new = a * (y[t] - s[idx]) + (1 - a) * (l + b)
+            b = b_ * (l_new - l) + (1 - b_) * b
+            s[idx] = g * (y[t] - l_new) + (1 - g) * s[idx]
+            l = l_new
+        nxt = s[len(y) % p]
+        return pd.DataFrame(
+            [[pdf[series_col].iloc[0], round(l, 4), round(b, 4),
+              round(nxt, 4), round(l + b + nxt, 4)]],
+            columns=[series_col, "level", "trend", "season_next", "fc_1"],
+        )
+
+    key_type = df.schema[series_col].dataType.simpleString()
+    return df.groupBy(series_col).applyInPandas(
+        hw,
+        schema=f"{series_col} {key_type}, level double, trend double, "
+        "season_next double, fc_1 double",
+    )
