@@ -88,6 +88,9 @@ _R7_ADDITIONS: list[str] = [
     "holt_winters_weekday",
     "weighted_reservoir_sample",
     "flesch_reading_ease",
+    "mmr_diversified_rerank",
+    "rolling_median_7d",
+    "funnel_conversion_time",
 ]
 
 
