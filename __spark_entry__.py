@@ -91,6 +91,9 @@ _R7_ADDITIONS: list[str] = [
     "mmr_diversified_rerank",
     "rolling_median_7d",
     "funnel_conversion_time",
+    "rate_spike_zscore",
+    "source_schema_evolution",
+    "quantile_deterministic",
 ]
 
 
