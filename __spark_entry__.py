@@ -94,6 +94,10 @@ _R7_ADDITIONS: list[str] = [
     "rate_spike_zscore",
     "source_schema_evolution",
     "quantile_deterministic",
+    "bigram_pmi_top",
+    "rolling_7d_active_users",
+    "stratified_weighted_sample",
+    "bloom_semijoin_prune",
 ]
 
 
