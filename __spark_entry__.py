@@ -98,6 +98,11 @@ _R7_ADDITIONS: list[str] = [
     "rolling_7d_active_users",
     "stratified_weighted_sample",
     "bloom_semijoin_prune",
+    "dict_has_or_default",
+    "mad_robust_scale",
+    "trimmed_mean_value",
+    "first_touch_attribution",
+    "event_transition_matrix",
 ]
 
 
