@@ -103,6 +103,9 @@ _R7_ADDITIONS: list[str] = [
     "trimmed_mean_value",
     "first_touch_attribution",
     "event_transition_matrix",
+    "embedding_centroid_drift",
+    "table_profile_orders",
+    "ch_url_form_surface",
 ]
 
 

@@ -958,8 +958,19 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toInt64OrNull": lambda c: c.try_cast("long"),
     "toFloat64OrNull": lambda c: c.try_cast("double"),
     # --- round-6 breadth: URL ---
-    "encodeURLComponent": F.url_encode,
-    "decodeURLComponent": F.url_decode,
+    # CH's encodeURLComponent is PERCENT-style (space -> %20, '+' is a
+    # literal that must encode to %2B and survive decode); Spark's
+    # url_encode/url_decode are Java URLEncoder/URLDecoder, i.e. the
+    # FORM variant (space <-> '+'). Percent names post/pre-process the
+    # '+' handling; the CH *Form* names map to the Java behavior 1:1.
+    "encodeURLComponent": lambda c: F.regexp_replace(
+        F.url_encode(c), r"\+", "%20"
+    ),
+    "decodeURLComponent": lambda c: F.url_decode(
+        F.regexp_replace(c, r"\+", "%2B")
+    ),
+    "encodeURLFormComponent": F.url_encode,
+    "decodeURLFormComponent": F.url_decode,
     "topLevelDomain": lambda c: F.element_at(
         F.split(F.parse_url(c, F.lit("HOST")), r"\."), -1
     ),

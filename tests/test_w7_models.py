@@ -519,7 +519,8 @@ def test_r6_ch_function_builders(spark):
     assert r.rh == 25  # 25 full hours since the epoch
     assert r.mf == {"b": 2} and r.ma == {"A": 10}
     assert r.bad_int is None and r.ok_int == 12 and r.f64 == 2.5
-    assert r.enc == "a+b%26c" and r.dec == "a b&c" and r.tld == "org"
+    # percent-style CH semantics: space -> %20, '+' survives decode
+    assert r.enc == "a%20b%26c" and r.dec == "a b&c" and r.tld == "org"
     assert r.crc == 907060870  # zlib.crc32(b"hello")
 
 
