@@ -106,6 +106,9 @@ _R7_ADDITIONS: list[str] = [
     "embedding_centroid_drift",
     "table_profile_orders",
     "ch_url_form_surface",
+    "rake_keyword_extraction",
+    "scd2_dimension_merge",
+    "lateral_view_surface",
 ]
 
 
