@@ -109,6 +109,9 @@ _R7_ADDITIONS: list[str] = [
     "rake_keyword_extraction",
     "scd2_dimension_merge",
     "lateral_view_surface",
+    "char_ngram_jaccard_pairs",
+    "k_anonymity_audit",
+    "embedding_label_outliers",
 ]
 
 

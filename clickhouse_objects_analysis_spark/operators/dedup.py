@@ -295,6 +295,39 @@ def _verify_jaccard(
     return out.select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
 
 
+def char_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, shingles) with distinct CHARACTER k-grams over the raw text
+    — the whitespace-robust twin of the word-gram shingle_sets: char
+    shingles survive reflowed spacing, hyphenation, and concatenated
+    tokens that word grams miss. Same contract (first-occurrence
+    distinct, docs under k chars excluded, Arrow-batched slicing)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                if len(t) < k:
+                    continue
+                grams = dict.fromkeys(
+                    t[j : j + k] for j in range(len(t) - k + 1)
+                )
+                ids.append(i)
+                shs.append(list(grams))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "shingles": pd.Series(shs, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
+        gen, schema="id long, shingles array<string>"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -331,6 +364,35 @@ def ngram_jaccard_pairs(
     # attach joins) and the inverted index both read it — without this
     # the Arrow shingle pass recomputes up to 3x.
     sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
+    return jaccard_pairs_from_sets(sets, threshold, max_df)
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs over CHARACTER k-gram sets — same inverted
+    index, Σ C(df,2) bound, and max_df stop-shingle semantics as
+    ngram_jaccard_pairs (reported Jaccard is a documented lower bound
+    under the cap), but robust to whitespace reflow / token gluing the
+    word-gram sets cannot see. Char grams have much higher df than word
+    trigrams, so max_df is effectively mandatory at any real scale."""
+    sets = char_shingle_sets(df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    return jaccard_pairs_from_sets(sets, threshold, max_df)
+
+
+def jaccard_pairs_from_sets(
+    sets: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Shared Jaccard tail over a (id, shingles) frame (caller
+    checkpoints it): inverted-index pair co-occurrence, optional df cap,
+    size-attach joins — see ngram_jaccard_pairs for the scale contract."""
     sizes = sets.select("id", F.size("shingles").alias("sz"))
     inv = sets.select("id", F.explode("shingles").alias("sh"))
     if max_df is not None:
