@@ -474,3 +474,57 @@ class TestR6Session2Plans:
         explodes (the other reads the shingle-array SIZE)."""
         plan = plan_of(QUERIES["ngram_novelty"](spark, sf_dir), "simple")
         assert plan.count("Generate explode") == 1
+
+
+class TestR7SessionPlans:
+    """Plan shapes for the round-7 session additions: the scale claims
+    in each docstring made checkable."""
+
+    def test_unpivot_is_expand_with_pruned_scan(self, spark, sf_dir):
+        plan = plan_of(QUERIES["unpivot_lineitem_metrics"](spark, sf_dir))
+        assert "Expand" in plan  # one-scan melt, not a 4-way self-union
+        read = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "l_orderkey" not in read  # only the 5 referenced columns
+
+    def test_bloom_probe_is_broadcast(self, spark, sf_dir):
+        plan = plan_of(QUERIES["bloom_semijoin_prune"](spark, sf_dir))
+        # the <=2048-row filter table broadcasts to the probe side; the
+        # lineitem stream must never sort-merge against it
+        assert "BroadcastHashJoin" in plan
+
+    def test_rrf_fusion_uses_take_ordered(self, spark, sf_dir):
+        plan = plan_of(QUERIES["rrf_hybrid_retrieval"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+
+    def test_pmi_broadcasts_vocab_tables(self, spark, sf_dir):
+        plan = plan_of(QUERIES["bigram_pmi_top"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2  # u1 + u2 probes
+
+    def test_hard_negatives_broadcast_queries_never_shuffle_corpus(
+        self, spark, sf_dir
+    ):
+        plan = plan_of(QUERIES["hard_negative_mining"](spark, sf_dir))
+        # 10-row query side broadcast as a nested-loop against the
+        # label-mismatch predicate; the corpus streams map-side
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_survivorship_scan_prunes_to_id_and_quality(self, spark, sf_dir):
+        plan = plan_of(QUERIES["dedup_survivorship"](spark, sf_dir))
+        # the singleton-completion LEFT join reads only (doc_id, n_chars)
+        # from the corpus; the component side is statically unsized (a
+        # localCheckpoint), so the broadcast decision is AQE's at runtime
+        # — the static guarantee asserted here is the column pruning.
+        read = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "doc_id" in read and "n_chars" in read
+        assert "lang" not in read and "source" not in read
+
+    def test_k_anonymity_raw_volume_stops_at_first_aggregate(
+        self, spark, sf_dir
+    ):
+        plan = plan_of(QUERIES["k_anonymity_audit"](spark, sf_dir))
+        # the k-sweep cross join must ride on the aggregated group
+        # histogram, not the raw customer scan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        read = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "c_acctbal" not in read  # scan pruned to the two quasi-IDs
