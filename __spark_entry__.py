@@ -82,7 +82,7 @@ _R7_ADDITIONS: list[str] = [
     "containment_overlap_pairs",
     "rrf_hybrid_retrieval",
     "dedup_survivorship",
-    "triangle_count_suppliers",
+    "neardup_graph_triangles",
     "uniq_upto_agg",
     "unpivot_lineitem_metrics",
     "holt_winters_weekday",

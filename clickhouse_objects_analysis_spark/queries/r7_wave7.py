@@ -14,10 +14,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.dedup import connected_components_auto, minhash_lsh_pairs
+from ..operators.dedup import (
+    connected_components_auto,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 from ..operators.graph import triangle_stats
 from ..operators.similarity import as_double
-from .llm import _SCORED_CTE, _SHINGLE_CTE
+from .llm import _SCORED_CTE, _SHINGLE_CTE  # noqa: F401
 from .registry import query, tables
 
 
@@ -267,12 +271,13 @@ def dedup_survivorship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "triangle_count_suppliers",
-    oracle="""
-    WITH pairs AS (
-      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    "neardup_graph_triangles",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_SCORED_CTE},
+    pairs AS (
+      SELECT id_a AS u, id_b AS v FROM scored
+      WHERE inter / (la + lb - inter) >= 0.5),
     deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
               SELECT u AS n FROM pairs
               UNION ALL SELECT v FROM pairs) GROUP BY n),
@@ -289,27 +294,27 @@ def dedup_survivorship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deg
     """,
 )
-def triangle_count_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
-    supplier co-order graph (edge = two suppliers fulfilling the same
-    order). Spark side runs the degree-ORIENTED algorithm
-    (operators/graph.py): every wedge is generated only at its
-    minimum-(degree,id) apex and closed with one join, bounding the
-    candidate stream by O(m^1.5) regardless of skew; the oracle
-    recomputes via the naive a<b<c triple join, so the two engines
-    agree only if the orientation logic counts every triangle exactly
-    once. The clustering coefficient is one double division of two
-    exact integers — no accumulation-order exposure."""
-    li = tables(spark, sf_dir)["lineitem"]
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    return triangle_stats(edges, "u", "v")
+    near-duplicate similarity graph (edge = word-trigram Jaccard ≥ 0.5)
+    — the transitivity audit of the dedup stack: clustering near 1
+    means "A~B and B~C implies A~C" holds and connected components are
+    safe as dedup clusters; low clustering warns that the threshold
+    chains unlike documents together. Spark side runs the
+    degree-ORIENTED algorithm (operators/graph.py): every wedge is
+    generated only at its minimum-(degree,id) apex and closed with one
+    join, bounding the candidate stream by O(m^1.5) regardless of skew;
+    the oracle recomputes via the naive a<b<c triple join, so the two
+    engines agree only if the orientation logic counts every triangle
+    exactly once. (An earlier revision ran this on the supplier
+    co-order graph — 90% dense on the testdata, making EXACT triangle
+    counting inherently ~|V|³ work with nothing to optimize; the
+    similarity graph is the sparse, semantically-motivated instance.)
+    The clustering coefficient is one double division of two exact
+    integers — no accumulation-order exposure."""
+    d = tables(spark, sf_dir)["documents"]
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return triangle_stats(edges, "id_a", "id_b")
 
 
 @query(
