@@ -112,6 +112,9 @@ _R7_ADDITIONS: list[str] = [
     "char_ngram_jaccard_pairs",
     "k_anonymity_audit",
     "embedding_label_outliers",
+    "knn_eval_metrics",
+    "dup_cluster_size_histogram",
+    "ship_latency_by_priority",
 ]
 
 
