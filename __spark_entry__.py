@@ -115,6 +115,8 @@ _R7_ADDITIONS: list[str] = [
     "knn_eval_metrics",
     "dup_cluster_size_histogram",
     "ship_latency_by_priority",
+    "sql_udf_surface",
+    "variant_json_surface",
 ]
 
 
