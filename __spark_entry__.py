@@ -117,6 +117,9 @@ _R7_ADDITIONS: list[str] = [
     "ship_latency_by_priority",
     "sql_udf_surface",
     "variant_json_surface",
+    "deletion_vector_read",
+    "dynamic_partition_pruning_join",
+    "linear_touch_attribution",
 ]
 
 
