@@ -120,6 +120,8 @@ _R7_ADDITIONS: list[str] = [
     "deletion_vector_read",
     "dynamic_partition_pruning_join",
     "linear_touch_attribution",
+    "quality_threshold_sweep",
+    "embedding_dimension_stats",
 ]
 
 
