@@ -122,6 +122,9 @@ _R7_ADDITIONS: list[str] = [
     "linear_touch_attribution",
     "quality_threshold_sweep",
     "embedding_dimension_stats",
+    "snapshot_diff_report",
+    "referential_integrity_audit",
+    "functional_dependency_audit",
 ]
 
 
