@@ -194,7 +194,10 @@ def functional_dependency_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
     (natural keys, denormalization invariants) made measurable. The
     fourth rule is a deliberately FALSE dependency (users emit many
     event types), so the audit demonstrably reports violations rather
-    than rubber-stamping. Each rule is one map-side-combinable
+    than rubber-stamping — and writing it surfaced a real testdata
+    property: the synthetic lineitem's (l_orderkey, l_linenumber) is
+    NOT unique (unlike real TPC-H), which the audit reports instead of
+    assuming. Each rule is one map-side-combinable
     groupBy + HAVING; nothing leaves the aggregate but violating-key
     counts."""
     t = tables(spark, sf_dir)

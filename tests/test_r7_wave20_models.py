@@ -58,10 +58,18 @@ def test_referential_integrity_clean_on_testdata(spark):
 def test_functional_dependencies_true_and_false_cases(spark):
     got = {r["fd"]: r["n_violating_keys"] for r in functional_dependency_audit_q(spark, SF_SMALL).collect()}
     ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
-    # true dependencies / keys hold
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    # true dependencies hold
     assert got["orders: o_orderkey -> o_custkey"] == 0
-    assert got["lineitem: (l_orderkey,l_linenumber) unique"] == 0
     assert got["nation: n_nationkey -> n_regionkey"] == 0
+    # the audit SURFACED a real testdata property: (l_orderkey,
+    # l_linenumber) is NOT unique in the synthetic lineitem — pin the
+    # violating-key count against a pandas recount
+    dup_keys = int(
+        (li.groupby(["l_orderkey", "l_linenumber"]).size() > 1).sum()
+    )
+    assert got["lineitem: (l_orderkey,l_linenumber) unique"] == dup_keys
+    assert dup_keys > 0
     # the deliberately false rule must report real violations
     expected = int(
         (ev.groupby("user_id").event_type.nunique() > 1).sum()
