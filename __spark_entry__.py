@@ -125,6 +125,8 @@ _R7_ADDITIONS: list[str] = [
     "snapshot_diff_report",
     "referential_integrity_audit",
     "functional_dependency_audit",
+    "dedup_method_overlap",
+    "bootstrap_mean_ci",
 ]
 
 
