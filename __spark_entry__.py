@@ -127,6 +127,8 @@ _R7_ADDITIONS: list[str] = [
     "functional_dependency_audit",
     "dedup_method_overlap",
     "bootstrap_mean_ci",
+    "top_event_paths",
+    "kaplan_meier_survival",
 ]
 
 

@@ -63,5 +63,6 @@ from . import r7_wave18  # noqa: E402,F401
 from . import r7_wave19  # noqa: E402,F401
 from . import r7_wave20  # noqa: E402,F401
 from . import r7_wave21  # noqa: E402,F401
+from . import r7_wave22  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
