@@ -129,6 +129,8 @@ _R7_ADDITIONS: list[str] = [
     "bootstrap_mean_ci",
     "top_event_paths",
     "kaplan_meier_survival",
+    "longest_event_streak",
+    "seasonal_naive_backtest",
 ]
 
 
