@@ -192,6 +192,12 @@ def main() -> None:
         # round-7: IVF dedup path + moments/DSIR additions
         "semantic_dedup_ivf", "dsir_importance_weights",
         "skew_kurt_samp", "covar_pop_matrix",
+        # round-7 sessions 6-23: retrieval/dedup/graph/audit additions
+        "bigram_lm_cross_entropy", "rrf_hybrid_retrieval",
+        "dedup_survivorship", "neardup_graph_triangles",
+        "char_ngram_jaccard_pairs", "rake_keyword_extraction",
+        "bloom_semijoin_prune", "bootstrap_mean_ci",
+        "dynamic_partition_pruning_join", "kaplan_meier_survival",
     ]
     compact = {
         "metric": "total_query_set_runtime",
