@@ -45,7 +45,10 @@ def test_spark_parser_rejects_regex_designates():
     # Deliberately Spark-parseable entries: these exercise the EXACT
     # path's semantics (insert_values_trap pins the InsertIntoStatement
     # write-edge exclusion in _scan_plan_json) rather than the fallback.
-    spark_parseable = {"insert_values_trap"}
+    # v_shadow_inner_cte: Spark's parser accepts it by reading ANY as a
+    # table alias, so the pipeline test runs the exact path — the regex
+    # test still pins the fallback on the same statement.
+    spark_parseable = {"insert_values_trap", "v_shadow_inner_cte"}
     must_fail = [
         (name, ddl)
         for _db, name, ddl, _deps in CH_DIALECT_DDLS
