@@ -140,33 +140,49 @@ def bigram_pmi_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_7d_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU-by-day) per event type — the
-    windowed DISTINCT aggregate: distinct users over a trailing RANGE
-    frame on the day value (calendar-aware: a gap day shrinks the
-    window, unlike a ROWS frame). Spark has no distinct-over-window,
-    so the rewrite is collect_set-size over the frame after the
-    (type, day, user) triple dedup — the triple dedup is the key move
-    at 100 TB: the window never sees raw event volume, only one row
-    per (type, day, user), and the per-frame set is bounded by
-    7 × daily-actives. DuckDB runs its native windowed
-    COUNT(DISTINCT) over the same triples."""
+    windowed DISTINCT aggregate with RANGE-frame semantics (a gap day
+    shrinks the window). Spark has no distinct-over-window, and the
+    naive rewrite (collect_set over a sliding frame) REBUILDS the set
+    per row — O(rows x frame) inside at most |event_type| window
+    partitions, which this round's sf10 sweep caught grinding a single
+    task for minutes. The linear rewrite used here: each presence day
+    (type, dp, user) CONTRIBUTES to output days dp..dp+6 (a 7x
+    map-side explode), distinct over the contributions collapses a
+    user's overlapping presences, one count per (type, day), and a
+    semi-join keeps only days that really occur (preserving the RANGE
+    frame's gap semantics exactly). Every step is a plain shuffle —
+    no per-row set state anywhere. DuckDB runs its native windowed
+    COUNT(DISTINCT) over the raw triples, so a contribution-window
+    mistake cannot hash-match."""
     ev = tables(spark, sf_dir)["events"]
     triples = ev.select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
         "user_id",
     ).distinct()
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return (
+    contrib = (
         triples.select(
             "event_type",
-            F.col("d").cast("long").alias("d"),
-            F.size(F.collect_set("user_id").over(w)).cast("long").alias("wau"),
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + 6)
+            ).alias("d_out"),
+            "user_id",
         )
         .distinct()
+    )
+    # contrib is already distinct on (type, day, user): a plain count
+    # IS the distinct-user count — no countDistinct expand needed.
+    counts = contrib.groupBy("event_type", "d_out").agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    real_days = triples.select("event_type", F.col("d").alias("d_out")).distinct()
+    return (
+        counts.join(real_days, ["event_type", "d_out"], "left_semi")
+        .select(
+            "event_type",
+            F.col("d_out").cast("long").alias("d"),
+            "wau",
+        )
         .orderBy("event_type", "d")
     )
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import containment_pairs
 from ..operators.similarity import as_double
-from .llm import _SCORED_CTE, _SHINGLE_CTE
+from .llm import _SHINGLE_CTE
 from .registry import query, tables
 
 
@@ -229,7 +229,18 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment_overlap_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    {_SCORED_CTE}
+    ix0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    stop AS (SELECT g FROM ix0 GROUP BY g HAVING COUNT(*) > 64),
+    ix AS (SELECT * FROM ix0 WHERE g NOT IN (SELECT g FROM stop)),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS DOUBLE) AS inter
+              FROM ix a JOIN ix b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    scored AS (SELECT i.id_a, i.id_b, i.inter,
+                      len(sa.s) AS la, len(sb.s) AS lb
+               FROM inter i
+               JOIN sh sa ON sa.doc_id = i.id_a
+               JOIN sh sb ON sb.doc_id = i.id_b)
     SELECT contained_id, container_id, containment FROM (
         SELECT id_a AS contained_id, id_b AS container_id,
                ROUND(inter / la, 4) AS containment
@@ -248,9 +259,18 @@ def containment_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses whenever the container is much longer than the contained
     doc. Same inverted-shingle-index plan as ngram_jaccard_pairs — one
     a<b pair join, one intersection count, two codegen ratio
-    projections; the oracle replays the identical index so a missed
-    candidate cannot hash-match."""
+    projections; the oracle replays the identical index (stop-gram cap
+    included) so a missed candidate cannot hash-match.
+
+    max_df=64 caps posting lists: the round-7 sf1→sf10 sweep measured
+    the UNCAPPED run at exponent 1.214 (5.8 s → 94.6 s) because
+    replicated corpora grow every shingle's df linearly and the pair
+    stream as Σ C(df,2) — quadratically. The cap bounds every posting
+    list (≤ C(64,2) pair instances per shingle) and never binds at the
+    correctness scale (max trigram df at sf0.01 is 7), so reported
+    containment is unchanged there and a documented lower bound past
+    the cap — the ngram_jaccard max_df semantics."""
     d = tables(spark, sf_dir)["documents"]
     return containment_pairs(
-        d, "doc_id", "text", k=3, threshold=0.6
+        d, "doc_id", "text", k=3, threshold=0.6, max_df=64
     ).orderBy("contained_id", "container_id")
