@@ -128,35 +128,56 @@ def mad_robust_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def trimmed_mean_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-trimmed mean per group: drop the floor(0.05·n) lowest and
-    highest values by rank (event_id tie-break makes the cut
-    deterministic even under duplicate values) and average the middle
-    90% — the outlier-robust mean between winsorize (clamp) and median
-    (discard all order information). Float parity: values quantize to
-    integer micro-units BEFORE the sum, so the kept-set mean is an
-    exact integer sum and two divisions. Scale: one rank window per
-    group; at 100 TB replace row_number with a two-pass quantile cut
-    (percentile bounds + filter), same semantics minus the total
-    order."""
+    highest values by rank and average the middle 90% — the
+    outlier-robust mean between winsorize (clamp) and median (discard
+    all order information).
+
+    Scale shape: the first cut of this query ranked with
+    row_number() over |event_type| partitions — a single-task sort per
+    group that the sf1→sf10 sweep measured at exponent 1.088. Now it
+    rides operators/dist_rank.dist_cumsum: collapse to the per-group
+    distinct-VALUE histogram (hash shuffle, map-side combined; a hot
+    value is one row), range-partitioned two-pass cumulative counts
+    with no unpartitioned sort, then each value keeps
+    overlap([below+1, below+cnt], [cut+1, n−cut]) occurrences — ties
+    share a value, so which duplicate rows are dropped cannot change
+    the kept SUM, making this bit-identical to the oracle's
+    row-rank + event_id tie-break formulation. Float parity: values
+    quantize to integer micro-units before any aggregation; the mean
+    is one exact-integer ratio."""
+    from ..operators.dist_rank import dist_cumsum
+
     ev = tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_micro"),
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("v_micro"),
+        )
+        .groupBy("event_type", "v_micro")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
+    cum = dist_cumsum(hist, "v_micro", ["cnt"], keys=["event_type"])
+    totals = hist.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    j = cum.join(F.broadcast(totals), "event_type")
     cut = F.floor(F.col("n") * 0.05).cast("long")
-    kept = ranked.filter(
-        (F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut)
-    )
+    lo = F.greatest(F.col("cum_cnt") - F.col("cnt") + 1, cut + 1)
+    hi = F.least(F.col("cum_cnt"), F.col("n") - cut)
+    kept_j = F.greatest(hi - lo + 1, F.lit(0).cast("long"))
     tm = (
         F.col("sum_micro").cast("double") / F.col("n_kept") / F.lit(1000000.0)
     )
     return (
-        kept.groupBy("event_type")
+        j.select(
+            "event_type", kept_j.alias("k"), (kept_j * F.col("v_micro")).alias("kv")
+        )
+        .groupBy("event_type")
         .agg(
-            F.count("*").cast("long").alias("n_kept"),
-            F.sum("v_micro").cast("long").alias("sum_micro"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum("kv").cast("long").alias("sum_micro"),
         )
         .select(
             "event_type",
