@@ -131,6 +131,7 @@ _R7_ADDITIONS: list[str] = [
     "kaplan_meier_survival",
     "longest_event_streak",
     "seasonal_naive_backtest",
+    "lorenz_curve_customers",
 ]
 
 

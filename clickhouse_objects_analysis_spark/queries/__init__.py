@@ -65,5 +65,6 @@ from . import r7_wave20  # noqa: E402,F401
 from . import r7_wave21  # noqa: E402,F401
 from . import r7_wave22  # noqa: E402,F401
 from . import r7_wave23  # noqa: E402,F401
+from . import r7_wave24  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
