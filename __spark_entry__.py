@@ -132,6 +132,7 @@ _R7_ADDITIONS: list[str] = [
     "longest_event_streak",
     "seasonal_naive_backtest",
     "lorenz_curve_customers",
+    "copurchase_item_similarity",
 ]
 
 
