@@ -133,6 +133,8 @@ _R7_ADDITIONS: list[str] = [
     "seasonal_naive_backtest",
     "lorenz_curve_customers",
     "copurchase_item_similarity",
+    "rfm_segmentation",
+    "new_vs_returning_daily",
 ]
 
 
