@@ -135,6 +135,8 @@ _R7_ADDITIONS: list[str] = [
     "copurchase_item_similarity",
     "rfm_segmentation",
     "new_vs_returning_daily",
+    "ab_test_power_analysis",
+    "session_bounce_rate",
 ]
 
 
