@@ -137,6 +137,8 @@ _R7_ADDITIONS: list[str] = [
     "new_vs_returning_daily",
     "ab_test_power_analysis",
     "session_bounce_rate",
+    "multimodal_binary_dedup",
+    "topk_plus_other_rollup",
 ]
 
 
