@@ -6,10 +6,9 @@ operators, lineage pipeline, LLM-data ops, streaming slice).
 
 Ordering: the driver hash-checks a capped front-to-back window of this
 dict, so entries that have NEVER sat in a driver window go first — this
-round (r7) that is the 2 not-yet-driver-green queries
-(`group_array_last_n`, fixed to emit a canonicalizer-safe string column;
-`kmv_user_overlap`, which landed after the r6 window was cut), then the
-round-7 additions, then the rest in natural module-import order.
+round (r8) that is the 58 queries added late in round 7 after the r7
+window was cut (driver-green union after r7 = 293/351), followed by any
+round-8 additions, then the rest in natural module-import order.
 Full-registry verification every round is tools/local_parity.py, which
 oracle-checks every entry regardless of this ordering.
 """
@@ -22,65 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_objects_analysis_spark.queries import ORACLE, QUERIES
 
-# Never driver-green as of r6 (CORRECTNESS_r01..r06 union = 243/245):
-# group_array_last_n erred in the r6 window on the driver canonicalizer
-# (now emits a string column); kmv_user_overlap landed after the r6
-# window was cut.
+# Never driver-green as of r7 (CORRECTNESS_r01..r07 union = 293/351):
+# all 58 landed after the r7 window was cut; every one is green in
+# LOCAL_PARITY_r07.json.
 _NEVER_DRIVER_GREEN = [
-    "group_array_last_n",
-    "kmv_user_overlap",
-]
-
-# Round-7 additions (never driver-checked by definition).
-_R7_ADDITIONS: list[str] = [
-    "semantic_dedup_ivf",
-    "skew_kurt_samp",
-    "covar_pop_matrix",
-    "ch_r7_function_surface",
-    "dsir_importance_weights",
-    "ch_r7_function_surface_2",
-    "substring_dup_spans",
-    "heaps_law_fit",
-    "bitmap_segment_ops",
-    "ch_r7_function_surface_3",
-    "ann_pq_topk",
-    "lineage_cycle_detection",
-    "morton_zorder_locality",
-    "string_distance_suite",
-    "ch_r7_function_surface_4",
-    "ch_r7_function_surface_5",
-    "gd_logistic_regression",
-    "parts_storage_stats",
-    "bm25_retrieval",
-    "incremental_minhash_dedup",
-    "bpe_merge_training",
-    "sequence_match_time_gap",
-    "html_text_extraction",
-    "audio_wav_decode",
-    "video_avi_frame_sample",
-    "generate_series_source",
-    "udtf_sentence_split",
-    "streaming_series_source",
-    "ch_r7_function_surface_6",
-    "image_resize_real",
-    "export_sharded_dataset",
-    "record_linkage_fuzzy_join",
-    "association_rules",
-    "tukey_outlier_fences",
-    "dominant_period_autocorr",
-    "cusum_changepoint",
-    "theil_sen_slope",
-    "holt_linear_smoothing",
-    "psi_drift",
-    "benford_digit_audit",
-    "seasonal_decompose_weekday",
-    "mann_kendall_trend",
-    "benjamini_hochberg_fdr",
-    "gini_source_concentration",
-    "bigram_lm_cross_entropy",
-    "hard_negative_mining",
-    "containment_overlap_pairs",
-    "rrf_hybrid_retrieval",
     "dedup_survivorship",
     "neardup_graph_triangles",
     "uniq_upto_agg",
@@ -141,9 +85,14 @@ _R7_ADDITIONS: list[str] = [
     "topk_plus_other_rollup",
 ]
 
+# Round-8 additions (never driver-checked by definition). The driver
+# window is 50, so the 8 overflow names above plus these are the
+# front-load candidates for the r9 window.
+_R8_ADDITIONS: list[str] = []
+
 
 def _ordered(mapping: dict) -> dict:
-    front = _NEVER_DRIVER_GREEN + _R7_ADDITIONS
+    front = _NEVER_DRIVER_GREEN + _R8_ADDITIONS
     out = {k: mapping[k] for k in front if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out
