@@ -88,7 +88,11 @@ _NEVER_DRIVER_GREEN = [
 # Round-8 additions (never driver-checked by definition). The driver
 # window is 50, so the 8 overflow names above plus these are the
 # front-load candidates for the r9 window.
-_R8_ADDITIONS: list[str] = []
+_R8_ADDITIONS: list[str] = [
+    "ch_r8_function_surface",
+    "ch_r8_function_surface_2",
+    "ab_ztest_power_suite",
+]
 
 
 def _ordered(mapping: dict) -> dict:

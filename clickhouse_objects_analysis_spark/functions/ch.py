@@ -78,6 +78,141 @@ def _if(cond: Column, a: Column, b: Column) -> Column:
     return F.when(cond, a).otherwise(b)
 
 
+# --- exact unsigned-64-bit arithmetic inside Catalyst (round 8) ---
+# Spark 4 runs ANSI mode, so BIGINT ops THROW on overflow instead of
+# wrapping; the ClickHouse integer-hash family (intHash32/intHash64) is
+# defined over wrapping uint64 ops.  DECIMAL(38,0) holds 2^64·2^32 with
+# room to spare, so every mod-2^64 step stays exact JVM-side (no UDF):
+# multiply against a 64-bit constant splits the constant into 32-bit
+# halves (operand·half < 2^96 < 10^38), shifts are decimal multiplies,
+# and xor hops through signed BIGINT where Spark's bitwiseXOR lives.
+
+_D38 = "decimal(38,0)"
+
+
+def _u64_two64() -> Column:
+    return F.lit("18446744073709551616").cast(_D38)
+
+
+def _u64_from_long(c: Column) -> Column:
+    """Signed BIGINT reinterpreted as uint64 in DECIMAL(38,0).
+
+    Branch-free on purpose: Column expressions have no common
+    subexpression sharing, so a WHEN that mentions its argument three
+    times cubes the tree size at every pipeline step — pmod mentions it
+    once (pmod(-5, 2^64) already lands in [0, 2^64))."""
+    return F.pmod(c.cast(_D38), _u64_two64())
+
+
+def _u64_to_long(d: Column) -> Column:
+    """uint64-in-decimal back to the signed BIGINT bit pattern
+    (branch-free: ((d + 2^63) mod 2^64) - 2^63)."""
+    half = F.lit("9223372036854775808").cast(_D38)
+    return (F.pmod(d + half, _u64_two64()) - half).cast("long")
+
+
+def _u64_mulmod(d: Column, const: int) -> Column:
+    """(d * const) mod 2^64 with const split into 32-bit halves."""
+    hi, lo = const >> 32, const & 0xFFFFFFFF
+    two32 = F.lit(4294967296).cast(_D38)
+    t_lo = F.pmod(d * F.lit(lo).cast(_D38), _u64_two64())
+    t_hi = F.pmod(d * F.lit(hi).cast(_D38), two32) * two32
+    return F.pmod(t_lo + t_hi, _u64_two64())
+
+
+def _u64_xorshr(d: Column, n: int) -> Column:
+    """d XOR (d >>> n): xor runs on the signed-BIGINT bit pattern."""
+    s = _u64_to_long(d)
+    return _u64_from_long(s.bitwiseXOR(F.shiftrightunsigned(s, n)))
+
+
+def _u64_shl(d: Column, n: int) -> Column:
+    return F.pmod(d * F.lit(1 << n).cast(_D38), _u64_two64())
+
+
+def _int_hash64(c: Column) -> Column:
+    """ClickHouse intHash64 — the MurmurHash3 fmix64 finalizer, bit-exact
+    (ClickHouse Common/HashTable/Hash.h, public source)."""
+    d = _u64_from_long(c.cast("long"))
+    d = _u64_xorshr(d, 33)
+    d = _u64_mulmod(d, 0xFF51AFD7ED558CCD)
+    d = _u64_xorshr(d, 33)
+    d = _u64_mulmod(d, 0xC4CEB9FE1A85EC53)
+    d = _u64_xorshr(d, 33)
+    return _u64_to_long(d)
+
+
+def _int_hash32(c: Column) -> Column:
+    """ClickHouse intHash32 — Thomas Wang's 64→32-bit mix, bit-exact;
+    returns the uint32 value as BIGINT."""
+    d = _u64_from_long(c.cast("long"))
+    d = F.pmod(_u64_two64() - 1 - d + _u64_shl(d, 18), _u64_two64())
+    d = _u64_xorshr(d, 31)
+    d = _u64_mulmod(d, 21)
+    d = _u64_xorshr(d, 11)
+    d = F.pmod(d + _u64_shl(d, 6), _u64_two64())
+    d = _u64_xorshr(d, 22)
+    return F.pmod(d, F.lit(4294967296).cast(_D38)).cast("long")
+
+
+def _week_mode0(c: Column) -> Column:
+    """MySQL/ClickHouse week mode 0: weeks start Sunday, week 1 is the
+    first week WITH a Sunday this year, earlier days are week 0."""
+    d = c.cast("date")
+    jan1 = F.make_date(F.year(d), F.lit(1), F.lit(1))
+    off = (7 - (F.dayofweek(jan1) - 1)) % 7  # days until first Sunday
+    doy0 = F.dayofyear(d) - 1
+    return F.when(doy0 < off, F.lit(0)).otherwise(
+        F.floor((doy0 - off) / 7).cast("int") + 1
+    )
+
+
+def _yearweek_mode0(c: Column) -> Column:
+    """yyyy*100+ww with mode-0 week-0 days rolled into the previous
+    year's last week (the MySQL YEARWEEK convention CH follows)."""
+    d = c.cast("date")
+    prev_end = F.make_date(F.year(d) - 1, F.lit(12), F.lit(31))
+    return F.when(
+        _week_mode0(d) == 0,
+        (F.year(d) - 1) * 100 + _week_mode0(prev_end),
+    ).otherwise(F.year(d) * 100 + _week_mode0(d))
+
+
+# Normal quantiles for the closed-form power/sample-size shims: Spark
+# and DuckDB both lack an inverse normal CDF, so the supported
+# power/alpha grid carries the constants explicitly (scipy-checked).
+_Z_ALPHA_2 = {0.05: 1.9599639845400545, 0.01: 2.5758293035489004}
+_Z_POWER = {
+    0.8: 0.8416212335729143,
+    0.9: 1.2815515655446004,
+    0.95: 1.6448536269514722,
+}
+
+_NFC_UDF = None
+
+
+def _nfc(c: Column) -> Column:
+    """Unicode NFC via unicodedata in an Arrow-batched pandas UDF (the
+    JVM side exposes no ICU normalizer); built lazily so importing this
+    module never needs a SparkSession."""
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        import unicodedata
+
+        # lambda form: the module-wide `from __future__ import
+        # annotations` stringifies type hints, which pandas_udf's
+        # signature inference rejects — pass the return type explicitly.
+        _NFC_UDF = F.pandas_udf(
+            lambda s: s.map(
+                lambda v: None
+                if v is None
+                else unicodedata.normalize("NFC", v)
+            ),
+            "string",
+        )
+    return _NFC_UDF(c)
+
+
 def _multi_if(*args: Column) -> Column:
     # multiIf(c1, v1, c2, v2, ..., default)
     *pairs, default = args
@@ -2026,6 +2161,204 @@ CH_FUNCTIONS: dict[str, Builder] = {
         "minute": lambda x: F.minute(x).cast("string"),
         "second": lambda x: F.second(x).cast("string"),
     }[_literal_sep(part).lower()](c),
+    # --- round-8 wave: names promoted out of UNSUPPORTED ---
+    # Modified Julian Day: day count anchored at 1858-11-17 (the public
+    # astronomical definition; pure date arithmetic on both engines).
+    "toModifiedJulianDay": lambda c: F.datediff(
+        c.cast("date"), F.lit("1858-11-17").cast("date")
+    ),
+    "fromModifiedJulianDay": lambda c: F.date_add(
+        F.lit("1858-11-17").cast("date"), c.cast("int")
+    ),
+    # week-numbering modes: 0 (MySQL default CH follows — Sunday weeks,
+    # week 0 before the first Sunday) and 3 (ISO 8601, = toISOWeek).
+    "toWeek": lambda c, mode=0: {0: _week_mode0, 3: F.weekofyear}[
+        int(mode)
+    ](c),
+    "toYearWeek": lambda c, mode=0: {
+        0: _yearweek_mode0,
+        3: lambda x: F.year(F.date_add(x.cast("date"), 3 - F.weekday(x)))
+        * 100
+        + F.weekofyear(x),
+    }[int(mode)](c),
+    # CH toTime: keep the time-of-day, pin the date to 1970-01-02.
+    "toTime": lambda c: F.timestamp_seconds(
+        F.lit(86400) + F.pmod(F.unix_seconds(c), 86400)
+    ),
+    # sub-second makeDateTime: fraction/10^precision added as decimal
+    # seconds (make_timestamp takes fractional seconds natively).
+    "makeDateTime64": lambda y, mo, d, h, mi, s, frac=0, precision=3: (
+        F.make_timestamp(
+            y,
+            mo,
+            d,
+            h,
+            mi,
+            s.cast("decimal(18,6)")
+            + F.lit(frac).cast("decimal(18,6)")
+            / F.lit(10 ** int(precision)).cast("decimal(18,6)"),
+        )
+    ),
+    # US convention: month BEFORE day for slash/dash dates, then the
+    # generic best-effort chain as fallback.
+    "parseDateTimeBestEffortUS": lambda c: F.coalesce(
+        F.try_to_timestamp(c, F.lit("M/d/yyyy H:m:s")),
+        F.try_to_timestamp(c, F.lit("M/d/yyyy H:m")),
+        F.try_to_timestamp(c, F.lit("M/d/yyyy")),
+        F.try_to_timestamp(c, F.lit("M-d-yyyy H:m:s")),
+        F.try_to_timestamp(c, F.lit("M-d-yyyy")),
+        CH_FUNCTIONS["parseDateTimeBestEffort"](c),
+    ),
+    # timeSlots(start, duration[, size]): every size-aligned slot start
+    # covering [start, start+duration] — slot ordinals are exact integer
+    # floor-divides, so the sequence length is closed-form.
+    "timeSlots": lambda ts, dur, size=1800: F.transform(
+        F.sequence(
+            F.floor(F.unix_seconds(ts) / int(size)).cast("long"),
+            F.floor((F.unix_seconds(ts) + dur) / int(size)).cast("long"),
+        ),
+        lambda k: F.timestamp_seconds(k * int(size)),
+    ),
+    # map re-orderings: Spark maps serialize in construction order, so
+    # rebuilding from sorted keys realizes CH's sorted map views.
+    "mapSort": lambda m: F.map_from_arrays(
+        F.array_sort(F.map_keys(m)),
+        F.transform(
+            F.array_sort(F.map_keys(m)), lambda k: F.element_at(m, k)
+        ),
+    ),
+    "mapReverseSort": lambda m: F.map_from_arrays(
+        F.reverse(F.array_sort(F.map_keys(m))),
+        F.transform(
+            F.reverse(F.array_sort(F.map_keys(m))),
+            lambda k: F.element_at(m, k),
+        ),
+    ),
+    # integer-keyed series densification: keys min..max (or ..bound),
+    # absent keys -> 0 (the CH contract for mapPopulateSeries).
+    "mapPopulateSeries": lambda m, bound=None: (
+        lambda keys: F.map_from_arrays(
+            keys,
+            F.transform(
+                keys, lambda k: F.coalesce(F.element_at(m, k), F.lit(0))
+            ),
+        )
+    )(
+        F.sequence(
+            F.array_min(F.map_keys(m)),
+            F.array_max(F.map_keys(m)) if bound is None else bound,
+        )
+    ),
+    # NUL-padded fixed width; CH THROWS on overlong input — a scalar
+    # shim cannot throw per-row, so overlong yields NULL (documented
+    # delta, mirrors the *OrNull family shape).
+    "toFixedString": lambda c, n: F.when(
+        F.length(c) <= int(n), F.rpad(c, int(n), "\x00")
+    ),
+    # Hyperscan-backed in CH; the portable rewrite is the OR of the
+    # literal pattern list (patterns must be literals — the static
+    # shape is what lets Catalyst codegen the whole predicate chain).
+    "multiMatchAny": lambda c, pats: F.array_contains(
+        F.array(*[c.rlike(_literal_sep(p)) for p in pats]), F.lit(True)
+    ),
+    "multiMatchAnyIndex": lambda c, pats: F.coalesce(
+        *[
+            F.when(c.rlike(_literal_sep(p)), F.lit(i + 1))
+            for i, p in enumerate(pats)
+        ],
+        F.lit(0),
+    ),
+    # tuple vector arithmetic — arrays are the rebuild's vector type
+    # (SURVEY §2.B note on tuples; arrayDotProduct et al. already map),
+    # so the tuple* family lands on zip_with/transform.
+    "tuplePlus": lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+    "tupleMinus": lambda a, b: F.zip_with(a, b, lambda x, y: x - y),
+    "tupleMultiply": lambda a, b: F.zip_with(a, b, lambda x, y: x * y),
+    "tupleDivide": lambda a, b: F.zip_with(a, b, lambda x, y: x / y),
+    "tupleNegate": lambda a: F.transform(a, lambda x: -x),
+    "tupleMultiplyByNumber": lambda a, n: F.transform(a, lambda x: x * n),
+    "tupleDivideByNumber": lambda a, n: F.transform(a, lambda x: x / n),
+    "tupleConcat": F.concat,
+    "tupleHammingDistance": lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x != y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ),
+    # explicit-result-scale decimal arithmetic, truncating toward zero
+    # (the CH contract). Exactness note: truncation evaluates on the
+    # engine-computed quotient, so callers wanting bit-stable results
+    # across engines should keep quotients terminating within `scale`
+    # digits (the surface query does).
+    "divideDecimal": lambda a, b, scale=10: (
+        lambda m: (
+            (
+                lambda q: F.signum(q) * F.floor(F.abs(q) * m) / m
+            )(a.cast("decimal(38,12)") / b.cast("decimal(38,12)"))
+        ).cast(f"decimal(38,{int(scale)})")
+    )(F.lit(10 ** int(scale)).cast(_D38)),
+    "multiplyDecimal": lambda a, b, scale=10: (
+        lambda m: (
+            (
+                lambda q: F.signum(q) * F.floor(F.abs(q) * m) / m
+            )(a.cast("decimal(19,6)") * b.cast("decimal(19,6)"))
+        ).cast(f"decimal(38,{int(scale)})")
+    )(F.lit(10 ** int(scale)).cast(_D38)),
+    # two-proportion z-test: pooled z statistic + unpooled Wald CI for
+    # p1-p2. p-value omitted: neither engine exposes erf, and shipping
+    # a polynomial approximation would be false precision (documented).
+    "proportionsZTest": lambda sx, sy, tx, ty, conf=0.95: (
+        lambda p1, p2, pp: F.struct(
+            (
+                (p1 - p2)
+                / F.sqrt(pp * (1 - pp) * (1.0 / tx + 1.0 / ty))
+            ).alias("z_stat"),
+            (
+                (p1 - p2)
+                - F.lit(_Z_ALPHA_2[round(1 - conf, 10)])
+                * F.sqrt(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty)
+            ).alias("ci_low"),
+            (
+                (p1 - p2)
+                + F.lit(_Z_ALPHA_2[round(1 - conf, 10)])
+                * F.sqrt(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty)
+            ).alias("ci_high"),
+        )
+    )(
+        sx.cast("double") / tx,
+        sy.cast("double") / ty,
+        (sx + sy).cast("double") / (tx + ty),
+    ),
+    # closed-form minimum sample sizes (normal approximation); the
+    # power/alpha grid is the explicit constant table _Z_POWER/_Z_ALPHA_2
+    "minSampleSizeConversion": lambda p1, mde, power=0.8, alpha=0.05: (
+        lambda za, zb, p2: (
+            F.pow(
+                za * F.sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                + zb * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+                2,
+            )
+            / (mde * mde)
+        )
+    )(
+        F.lit(_Z_ALPHA_2[round(alpha, 10)]),
+        F.lit(_Z_POWER[round(power, 10)]),
+        p1 + mde,
+    ),
+    "minSampleSizeContinuous": lambda mu, sigma, mde, power=0.8, alpha=0.05: (
+        F.lit(2.0)
+        * F.pow(
+            F.lit(_Z_ALPHA_2[round(alpha, 10)])
+            + F.lit(_Z_POWER[round(power, 10)]),
+            2,
+        )
+        * (sigma * sigma)
+        / ((mde * mu) * (mde * mu))
+    ),
+    # bit-exact ClickHouse integer hashes (see the _u64_* helpers: exact
+    # wrapping uint64 arithmetic in DECIMAL(38,0), no UDF, codegen-able)
+    "intHash32": _int_hash32,
+    "intHash64": _int_hash64,
+    "normalizeUTF8NFC": _nfc,
 }
 
 

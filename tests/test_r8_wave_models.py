@@ -1,0 +1,165 @@
+"""Round-8 wave-1 behavior tests: the promoted translation-table names
+against independent pure-Python references (the third implementation
+besides Spark and the DuckDB oracle) — bit-exact intHash32/intHash64,
+MySQL-mode-0 week numbering across year boundaries, Modified Julian Day
+round-trips, and timeSlots alignment."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+_M64 = (1 << 64) - 1
+
+
+def _fmix64(x: int) -> int:
+    x &= _M64
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M64
+    x ^= x >> 33
+    return x
+
+
+def _int_hash32(key: int) -> int:
+    key &= _M64
+    key = ((~key) + (key << 18)) & _M64
+    key ^= key >> 31
+    key = (key * 21) & _M64
+    key ^= key >> 11
+    key = (key + (key << 6)) & _M64
+    key ^= key >> 22
+    return key & 0xFFFFFFFF
+
+
+def _week_mode0(d: datetime.date) -> int:
+    jan1 = datetime.date(d.year, 1, 1)
+    w1 = (jan1.weekday() + 1) % 7  # 0 = Sunday
+    off = (7 - w1) % 7
+    doy = (d - jan1).days
+    return 0 if doy < off else (doy - off) // 7 + 1
+
+
+def test_int_hash_bit_exact(spark):
+    """intHash64 is MurmurHash3's fmix64, intHash32 Thomas Wang's mix —
+    the decimal-mod-2^64 Catalyst pipeline must be BIT-exact, including
+    negative longs (reinterpreted as uint64) and the 2^63 boundary."""
+    probes = [
+        0, 1, 2, 63, 64, 255, 256, 1 << 31, (1 << 31) - 1,
+        (1 << 62) + 12345, (1 << 63) - 1, -1, -2, -(1 << 62),
+        -(1 << 63), 987654321987654321, -987654321987654321,
+    ]
+    df = spark.createDataFrame([(x,) for x in probes], "x long")
+    rows = df.select(
+        "x",
+        ch_expr("intHash64", F.col("x")).alias("h64"),
+        ch_expr("intHash32", F.col("x")).alias("h32"),
+    ).collect()
+    for r in rows:
+        u = r["x"] & _M64
+        assert (r["h64"] + (1 << 64)) % (1 << 64) == _fmix64(u), r["x"]
+        assert r["h32"] == _int_hash32(u), r["x"]
+
+
+def test_week_mode0_decade_sweep(spark):
+    """toWeek mode 0 over ten year boundaries including leap years and
+    years starting on every weekday; toYearWeek rolls week-0 days into
+    the previous year's last week."""
+    start = datetime.date(2015, 12, 20)
+    days = [(start + datetime.timedelta(days=i)) for i in range(0, 3800, 7)]
+    days += [datetime.date(y, 1, 1) for y in range(2015, 2026)]
+    days += [datetime.date(y, 12, 31) for y in range(2015, 2026)]
+    df = spark.createDataFrame([(d,) for d in days], "d date")
+    rows = df.select(
+        "d",
+        ch_expr("toWeek", F.col("d")).alias("w0"),
+        ch_expr("toYearWeek", F.col("d")).alias("yw0"),
+    ).collect()
+    for r in rows:
+        want = _week_mode0(r["d"])
+        assert r["w0"] == want, (r["d"], r["w0"], want)
+        if want == 0:
+            prev_end = datetime.date(r["d"].year - 1, 12, 31)
+            expect = (r["d"].year - 1) * 100 + _week_mode0(prev_end)
+        else:
+            expect = r["d"].year * 100 + want
+        assert r["yw0"] == expect, (r["d"], r["yw0"], expect)
+
+
+def test_mjd_round_trip(spark):
+    """fromModifiedJulianDay(toModifiedJulianDay(d)) == d and the MJD
+    epoch anchors at 1858-11-17 = day 0."""
+    df = spark.createDataFrame(
+        [(datetime.date(1858, 11, 17),), (datetime.date(2024, 2, 29),),
+         (datetime.date(1970, 1, 1),)],
+        "d date",
+    )
+    rows = df.select(
+        "d",
+        ch_expr("toModifiedJulianDay", F.col("d")).alias("mjd"),
+        ch_expr(
+            "fromModifiedJulianDay",
+            ch_expr("toModifiedJulianDay", F.col("d")),
+        ).alias("rt"),
+    ).collect()
+    assert {r["d"]: r["mjd"] for r in rows}[datetime.date(1858, 11, 17)] == 0
+    assert {r["d"]: r["mjd"] for r in rows}[datetime.date(1970, 1, 1)] == 40587
+    assert all(r["rt"] == r["d"] for r in rows)
+
+
+def test_time_slots_alignment(spark):
+    """Every slot is size-aligned, the first contains start, the last
+    contains start+duration, and the count is the closed form."""
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1, 10, 17, 5), 3700)],
+        "ts timestamp, dur int",
+    )
+    row = df.select(
+        ch_expr("timeSlots", F.col("ts"), F.col("dur")).alias("slots")
+    ).collect()[0]
+    slots = row["slots"]
+    assert slots[0] == datetime.datetime(2024, 3, 1, 10, 0, 0)
+    assert slots[-1] == datetime.datetime(2024, 3, 1, 11, 0, 0)
+    assert len(slots) == 3
+    assert all(s.minute in (0, 30) and s.second == 0 for s in slots)
+
+
+def test_proportions_ztest_known_value(spark):
+    """z for (120/1000 vs 100/1000) against the hand-computed pooled
+    statistic; CI must bracket the difference symmetrically."""
+    df = spark.range(1)
+    r = df.select(
+        ch_expr(
+            "proportionsZTest",
+            F.lit(120), F.lit(100), F.lit(1000), F.lit(1000),
+        ).alias("t")
+    ).collect()[0]["t"]
+    p1, p2, pp = 0.12, 0.10, 0.11
+    z = (p1 - p2) / ((pp * (1 - pp) * (2 / 1000)) ** 0.5)
+    assert abs(r["z_stat"] - z) < 1e-12
+    mid = (r["ci_low"] + r["ci_high"]) / 2
+    assert abs(mid - (p1 - p2)) < 1e-12
+
+
+def test_tuple_family_and_decimal(spark):
+    df = spark.range(1)
+    a = F.array(F.lit(3), F.lit(5), F.lit(7))
+    b = F.array(F.lit(1), F.lit(5), F.lit(2))
+    r = df.select(
+        ch_expr("tuplePlus", a, b).alias("p"),
+        ch_expr("tupleHammingDistance", a, b).alias("h"),
+        ch_expr(
+            "divideDecimal",
+            F.lit(123.45).cast("decimal(10,2)"),
+            F.lit(8).cast("decimal(10,2)"),
+            4,
+        ).cast("string").alias("dd"),
+    ).collect()[0]
+    assert r["p"] == [4, 10, 9]
+    assert r["h"] == 2
+    # 123.45 / 8 = 15.43125 -> truncated toward zero at scale 4
+    assert r["dd"] == "15.4312"
