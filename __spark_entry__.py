@@ -92,6 +92,13 @@ _R8_ADDITIONS: list[str] = [
     "ch_r8_function_surface",
     "ch_r8_function_surface_2",
     "ab_ztest_power_suite",
+    "k_core_decomposition",
+    "grid_spatial_join",
+    "cohort_retention_matrix",
+    "ctr_wilson_ranking",
+    "js_divergence_sources",
+    "token_coverage_curve",
+    "stratified_kfold_assignment",
 ]
 
 

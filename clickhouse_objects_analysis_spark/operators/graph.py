@@ -98,3 +98,63 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k) of an undirected simple graph, by iterative peeling: drop every
+    node with current degree < k, restrict the edge list to survivors,
+    repeat to fixpoint. Returns (node, deg) with each survivor's degree
+    INSIDE the k-core.
+
+    Scale shape: each round is one degree aggregation (map-side
+    combined) plus two semi-joins of the edge list against the shrunken
+    survivor set — all hash-partitioned on node id, no all-pairs step
+    anywhere. The loop is the same driver-controlled fixpoint pattern as
+    connected_components (dedup.py): every round localCheckpoints the
+    edge list to cut the growing lineage, and the only driver-side
+    values are the per-round edge counts (one long each). Peeling
+    rounds are bounded by the graph's degeneracy ordering depth — tens
+    of rounds for real similarity graphs, `max_iter` as the hard stop.
+    """
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    cur = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("n")
+        nxt = (
+            cur.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+    return (
+        cur.select(F.col("u").alias("n"))
+        .unionAll(cur.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
