@@ -99,6 +99,10 @@ _R8_ADDITIONS: list[str] = [
     "js_divergence_sources",
     "token_coverage_curve",
     "stratified_kfold_assignment",
+    "nonnegative_derivative_rate",
+    "compaction_planning",
+    "lineage_depth_levels",
+    "ch_r8_function_surface_3",
 ]
 
 

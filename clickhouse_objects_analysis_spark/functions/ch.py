@@ -2359,6 +2359,18 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "intHash32": _int_hash32,
     "intHash64": _int_hash64,
     "normalizeUTF8NFC": _nfc,
+    # CH splits on runs of non-alphanumeric ASCII (same separator class
+    # as `tokens`); empty leading/trailing fragments dropped.
+    "splitByNonAlpha": lambda c: F.filter(
+        F.split(c, "[^A-Za-z0-9]+"), lambda x: x != ""
+    ),
+    # docs-page alias of length() over arrays
+    "length_array": F.size,
+    # Spark strings are UTF-16 code units — the UTF8-suffixed variants
+    # collapse onto their base mappings (documented in NON_BIT notes)
+    "positionCaseInsensitiveUTF8": lambda c, s: F.instr(
+        F.lower(c), F.lower(s)
+    ),
 }
 
 

@@ -1,0 +1,254 @@
+"""Round-8 query wave 3: the nonNegativeDerivative window form, file
+compaction planning (table-maintenance surface), lineage dependency
+depth levels, and the wave-3 promoted scalar names end-to-end.
+
+Reference parity note: lineage_depth_levels extends the reference's own
+dataflow (the graph the reference builds but only flattens —
+ch_view_dependencies.py builds {view: deps} and dependencies_to_mermaid
+renders it; depth stratification is the natural next question a catalog
+owner asks: "how deep are my view chains?"). The other entries extend
+the analytics/maintenance charter (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.ch import ch_expr
+from .lineage_queries import BASE_TABLES, EXPECTED_EDGES, _values_sql
+from .registry import query, tables
+
+
+@query(
+    "nonnegative_derivative_rate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value FROM events WHERE user_id < 20
+    ),
+    d AS (
+        SELECT user_id, ts, value,
+               lag(value) OVER w AS pv,
+               lag(ts) OVER w AS pts
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CASE WHEN pts IS NULL THEN NULL
+                ELSE ROUND(GREATEST(
+                    (value - pv)
+                    / (CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE)
+                       / 1000000), 0.0), 6)
+           END AS rate_per_sec
+    FROM d ORDER BY user_id, ts
+    """,
+)
+def nonnegative_derivative_rate_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``nonNegativeDerivative(value, ts)`` as its portable
+    window form — per-user rate of change per second, clamped at zero
+    (counter-reset semantics for monotonic gauges): lag over
+    (user, ts), one fixed double tree over the value delta and the
+    exact microsecond timestamp delta. Scale: one window shuffle on
+    user_id with per-user frames; no global sort."""
+    ev = tables(spark, sf_dir)["events"].filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    d = (
+        ev.select("user_id", "ts", "value")
+        .withColumn("pv", F.lag("value").over(w))
+        .withColumn("pts", F.lag("ts").over(w))
+    )
+    rate = F.greatest(
+        (F.col("value") - F.col("pv"))
+        / (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("pts")))
+            .cast("double")
+            / 1000000
+        ),
+        F.lit(0.0),
+    )
+    return d.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.when(F.col("pts").isNotNull(), F.round(rate, 6)).alias(
+            "rate_per_sec"
+        ),
+    ).orderBy("user_id", "ts")
+
+
+@query(
+    "compaction_planning",
+    oracle="""
+    WITH files AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS part,
+               o_orderkey % 64 AS file_id,
+               CAST(COUNT(*) * 1024 AS BIGINT) AS bytes
+        FROM orders GROUP BY 1, 2
+    ),
+    binned AS (
+        SELECT part, file_id, bytes,
+               CAST(FLOOR(
+                   (SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                                     ROWS UNBOUNDED PRECEDING) - bytes)
+                   / 262144.0) AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT part, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM binned GROUP BY part, bin
+    ORDER BY part, bin
+    """,
+)
+def compaction_planning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance companion
+    to `parts_storage_stats`: per month partition, the (simulated)
+    small-file inventory is packed into ~256 KiB target bins by
+    cumulative-size binning (bin = floor(running_bytes_before/target)),
+    the deterministic one-pass alternative to greedy first-fit that
+    needs no iteration and never splits a partition across workers.
+    Scale shape: file inventories group per partition (bounded
+    fan-in), the running sum windows over each partition's file list
+    (bounded by files-per-partition, not table size), and the output is
+    partitions × bins. This is exactly how an OPTIMIZE/compaction
+    scheduler plans merge jobs over a 100 TB lake table."""
+    o = tables(spark, sf_dir)["orders"]
+    files = o.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+        ).alias("part"),
+        (F.col("o_orderkey") % 64).alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 1024).cast("long").alias("bytes"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) / 262144.0
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.min("file_id").cast("long").alias("first_file"),
+            F.max("file_id").cast("long").alias("last_file"),
+        )
+        .orderBy("part", "bin")
+    )
+
+
+@query(
+    "lineage_depth_levels",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT view, dep FROM {_values_sql(EXPECTED_EDGES, ["view", "dep"])}
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT view AS node FROM e UNION SELECT dep FROM e)
+    ),
+    p AS (
+        SELECT view AS node, dep, 1 AS len FROM e
+        UNION ALL
+        SELECT p.node, e.dep, p.len + 1 FROM p JOIN e ON p.dep = e.view
+    ),
+    depth AS (
+        SELECT node, CAST(MAX(len) AS BIGINT) AS depth FROM p GROUP BY node
+    )
+    SELECT n.node,
+           CAST(COALESCE(d.depth, 0) AS BIGINT) AS depth,
+           (n.node IN {tuple(BASE_TABLES)!s} ) AS is_base
+    FROM nodes n LEFT JOIN depth d USING (node)
+    ORDER BY depth, node
+    """,
+)
+def lineage_depth_levels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological depth stratification of the dependency graph — for
+    every catalog object, the LONGEST dependency chain beneath it (base
+    tables = 0). This is the refresh-ordering / blast-radius metric the
+    reference's flat {{view: deps}} map can't answer (cite
+    ch_view_dependencies.py:239-247 builds the map, stops there): depth
+    k objects can only refresh after all depth <k, and a tall chain is
+    a maintenance smell.
+
+    Spark side is iterative relaxation, not a recursive CTE: 8 rounds
+    of (join depths onto edges at the dep end, group-max 1+depth per
+    view, union base nodes) — rounds bound the DAG depth the same way
+    the oracle's recursive path enumeration does, and each round is two
+    narrow hash shuffles on node id. The oracle enumerates all paths
+    (fixture-sized); parity proves the relaxation computes the same
+    fixpoint."""
+    edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
+    nodes = (
+        edges.select(F.col("view").alias("node"))
+        .unionAll(edges.select(F.col("dep").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    depth = nodes.select("node", F.lit(0).cast("long").alias("depth"))
+    for _ in range(8):
+        relaxed = (
+            edges.join(
+                depth.withColumnRenamed("node", "dep"), "dep"
+            )
+            .groupBy(F.col("view").alias("node"))
+            .agg((F.max("depth") + 1).alias("depth"))
+        )
+        depth = (
+            nodes.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.coalesce("depth", F.lit(0)).cast("long").alias("depth"),
+            )
+            .localCheckpoint(eager=False)  # cut the 8-round lineage
+        )
+    base = set(BASE_TABLES)
+    return depth.select(
+        "node",
+        "depth",
+        F.col("node").isin(*base).alias("is_base"),
+    ).orderBy("depth", "node")
+
+
+@query(
+    "ch_r8_function_surface_3",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+               list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                           x -> length(x) > 0)[1:5], '|') AS toks,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_arr,
+           CAST(CASE WHEN position(lower('SRC') IN lower(source)) > 0
+                THEN position(lower('SRC') IN lower(source))
+                ELSE 0 END AS INT) AS pci
+    FROM documents
+    WHERE doc_id % 17 = 1
+    ORDER BY doc_id
+    """,
+)
+def ch_r8_function_surface_3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-3 promoted scalar names over real rows: splitByNonAlpha
+    (first five fragments re-joined), length_array over the token
+    split, positionCaseInsensitiveUTF8 against a mixed-case needle."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 17 == 1)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(ch_expr("splitByNonAlpha", F.col("text")), 1, 5), "|"
+        ).alias("toks"),
+        ch_expr("length_array", F.split("text", " ")).cast("int").alias(
+            "n_arr"
+        ),
+        ch_expr("positionCaseInsensitiveUTF8", F.col("source"), F.lit("SRC"))
+        .cast("int")
+        .alias("pci"),
+    ).orderBy("doc_id")
