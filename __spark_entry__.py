@@ -103,6 +103,7 @@ _R8_ADDITIONS: list[str] = [
     "compaction_planning",
     "lineage_depth_levels",
     "ch_r8_function_surface_3",
+    "url_canonicalize_dedup",
 ]
 
 

@@ -73,5 +73,6 @@ from . import r7_wave28  # noqa: E402,F401
 from . import r8_wave  # noqa: E402,F401
 from . import r8_wave2  # noqa: E402,F401
 from . import r8_wave3  # noqa: E402,F401
+from . import r8_wave4  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
