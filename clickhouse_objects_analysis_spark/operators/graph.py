@@ -113,48 +113,58 @@ def k_core(
     repeat to fixpoint. Returns (node, deg) with each survivor's degree
     INSIDE the k-core.
 
-    Scale shape: each round is one degree aggregation (map-side
-    combined) plus two semi-joins of the edge list against the shrunken
-    survivor set — all hash-partitioned on node id, no all-pairs step
-    anywhere. The loop is the same driver-controlled fixpoint pattern as
-    connected_components (dedup.py): every round localCheckpoints the
-    edge list to cut the growing lineage, and the only driver-side
-    values are the per-round edge counts (one long each). Peeling
-    rounds are bounded by the graph's degeneracy ordering depth — tens
-    of rounds for real similarity graphs, `max_iter` as the hard stop.
+    Scale shape: the edge list is materialized ONCE (localCheckpoint);
+    the only per-round state is the ALIVE NODE SET — node-sized, orders
+    of magnitude smaller than the edges. Each round semi-joins the
+    fixed edge list against the alive set at both ends, re-aggregates
+    degrees, and re-derives the survivors; the driver sees one count
+    per round. (The first formulation checkpointed the shrunken EDGE
+    list every round — at the sf10 sweep that pinned tens of
+    edges-sized block sets and OOMed the heap; node-set state is the
+    100 TB-safe shape.) Peeling rounds are bounded by the graph's
+    degeneracy ordering depth — tens of rounds for real similarity
+    graphs, `max_iter` as the hard stop.
     """
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
-    cur = (
+    e0 = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = cur.count()
-    for _ in range(max_iter):
-        if n_edges == 0:
-            break
-        deg = (
-            cur.select(F.col("u").alias("n"))
-            .unionAll(cur.select(F.col("v").alias("n")))
+
+    def _survivor_edges(alive_df: DataFrame) -> DataFrame:
+        return e0.join(
+            alive_df.withColumnRenamed("n", "u"), "u", "left_semi"
+        ).join(alive_df.withColumnRenamed("n", "v"), "v", "left_semi")
+
+    def _degrees(edge_df: DataFrame) -> DataFrame:
+        return (
+            edge_df.select(F.col("u").alias("n"))
+            .unionAll(edge_df.select(F.col("v").alias("n")))
             .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
-        alive = deg.filter(F.col("deg") >= k).select("n")
+
+    alive = (
+        e0.select(F.col("u").alias("n"))
+        .unionAll(e0.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        if n_alive == 0:
+            break
         nxt = (
-            cur.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
+            _degrees(_survivor_edges(alive))
+            .filter(F.col("deg") >= k)
+            .select("n")
             .localCheckpoint(eager=True)
         )
         n_next = nxt.count()
-        if n_next == n_edges:
-            cur = nxt
+        if n_next == n_alive:
+            alive = nxt
             break
-        cur, n_edges = nxt, n_next
-    return (
-        cur.select(F.col("u").alias("n"))
-        .unionAll(cur.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+        alive, n_alive = nxt, n_next
+    return _degrees(_survivor_edges(alive)).filter(F.col("deg") >= k)
