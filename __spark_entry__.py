@@ -104,6 +104,9 @@ _R8_ADDITIONS: list[str] = [
     "lineage_depth_levels",
     "ch_r8_function_surface_3",
     "url_canonicalize_dedup",
+    "base58_roundtrip",
+    "feature_hashing_vectorizer",
+    "markov_next_event_accuracy",
 ]
 
 

@@ -188,6 +188,68 @@ _Z_POWER = {
     0.95: 1.6448536269514722,
 }
 
+#: Bitcoin base58 alphabet (no 0/O/I/l).
+_B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _dec_div(v: Column, d: int) -> Column:
+    """Exact floor(v / d) for a non-negative integral DECIMAL(38,0) v:
+    subtract the exact pmod remainder first, so the decimal division is
+    of an exact multiple and can never be bent by scale rounding (a
+    plain decimal divide rounds HALF_UP at the result scale, which
+    would corrupt floor() whenever the true fraction is ≥ .9999995)."""
+    dd = F.lit(d).cast(_D38)
+    return (v - F.pmod(v, dd)) / dd
+
+
+def _base58_encode(c: Column) -> Column:
+    """Big-endian base58 of an ASCII string ≤ 8 bytes, fully JVM-side:
+    fold the bytes into a DECIMAL(38,0) value, then emit 11 fixed digit
+    positions (58^11 > 2^64), each included iff v ≥ 58^k (monotone in
+    k, so mid-number zero digits always render)."""
+    alpha = F.array(*[F.lit(ch) for ch in _B58])
+    v = F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0).cast(_D38),
+        lambda acc, i: acc * 256 + F.ascii(F.substring(c, i, 1)),
+    )
+    parts = [
+        F.when(
+            (v >= F.lit(58**k).cast(_D38)) | (F.lit(k == 0)),
+            F.element_at(
+                alpha, F.pmod(_dec_div(v, 58**k), 58).cast("int") + 1
+            ),
+        ).otherwise(F.lit(""))
+        for k in range(10, -1, -1)
+    ]
+    return F.when(F.length(c) == 0, F.lit("")).when(
+        F.length(c) <= 8, F.concat(*parts)
+    )
+
+
+def _base58_decode(c: Column) -> Column:
+    """Inverse of _base58_encode for values < 2^64 (≤ 11 base58 digits):
+    fold digit indexes into the decimal value, then emit 8 fixed byte
+    positions via char()."""
+    alpha = F.lit(_B58)
+    v = F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0).cast(_D38),
+        lambda acc, i: acc * 58
+        + (F.instr(alpha, F.substring(c, i, 1)) - 1),
+    )
+    parts = [
+        F.when(
+            (v >= F.lit(256**j).cast(_D38)) | (F.lit(j == 0)),
+            F.char(F.pmod(_dec_div(v, 256**j), 256).cast("int")),
+        ).otherwise(F.lit(""))
+        for j in range(7, -1, -1)
+    ]
+    return F.when(F.length(c) == 0, F.lit("")).when(
+        F.length(c) <= 11, F.concat(*parts)
+    )
+
+
 _NFC_UDF = None
 
 
@@ -2371,6 +2433,12 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "positionCaseInsensitiveUTF8": lambda c, s: F.instr(
         F.lower(c), F.lower(s)
     ),
+    # Base58 (Bitcoin alphabet) as pure Catalyst bignum arithmetic for
+    # inputs ≤ 8 ASCII bytes (value < 2^64 → the DECIMAL(38,0) u64
+    # machinery; NULL for longer/non-ASCII inputs — documented shim
+    # bound; a web-scale pipeline would Arrow-UDF the long tail).
+    "base58Encode": lambda c: _base58_encode(c),
+    "base58Decode": lambda c: _base58_decode(c),
 }
 
 
