@@ -107,6 +107,7 @@ _R8_ADDITIONS: list[str] = [
     "base58_roundtrip",
     "feature_hashing_vectorizer",
     "markov_next_event_accuracy",
+    "geo_function_surface",
 ]
 
 

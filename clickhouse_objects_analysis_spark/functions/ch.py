@@ -250,6 +250,121 @@ def _base58_decode(c: Column) -> Column:
     )
 
 
+#: Geohash base32 alphabet (no a/i/l/o).
+_GEO32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon: Column, lat: Column, precision: int = 12) -> Column:
+    """Standard geohash: longitude/latitude bisection bits interleaved
+    MSB-first (lon leads), 5 bits per base32 char. The bisection stream
+    for a coordinate IS the binary expansion of
+    floor((coord - lo) / (hi - lo) · 2^nbits), so the whole encode is
+    two float-to-int quantizations plus literal-shift bit plumbing —
+    pure whole-stage-codegen, no UDF, and exactly replayable in any
+    engine with integer shifts (the DuckDB twin in queries/r8_wave7.py
+    is generated from the same loop)."""
+    p = int(precision)
+    nlon = (5 * p + 1) // 2
+    nlat = 5 * p // 2
+    alpha = F.array(*[F.lit(ch) for ch in _GEO32])
+    xl = F.least(
+        F.floor((lon + 180.0) / 360.0 * (1 << nlon)).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    xt = F.least(
+        F.floor((lat + 90.0) / 180.0 * (1 << nlat)).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    chars = []
+    for k in range(p):
+        val: Column = F.lit(0).cast("long")
+        for b in range(5):
+            i = 5 * k + b  # global bit index, MSB-first, lon first
+            if i % 2 == 0:
+                src, pos = xl, nlon - 1 - i // 2
+            else:
+                src, pos = xt, nlat - 1 - (i - 1) // 2
+            bit = F.shiftrightunsigned(src, pos).bitwiseAND(F.lit(1))
+            val = val + bit * (1 << (4 - b))
+        chars.append(F.element_at(alpha, val.cast("int") + 1))
+    return F.concat(*chars)
+
+
+def _geohash_decode(s: Column, precision: int = 12) -> Column:
+    """Inverse of _geohash_encode for a fixed-length geohash (the
+    unrolled-shift shim bound: the char count must be given, CH infers
+    it from the string). Returns the CELL-CENTER (longitude, latitude)
+    struct, matching ClickHouse's convention."""
+    p = int(precision)
+    nlon = (5 * p + 1) // 2
+    nlat = 5 * p // 2
+    xl: Column = F.lit(0).cast("long")
+    xt: Column = F.lit(0).cast("long")
+    for k in range(p):
+        v = (F.instr(F.lit(_GEO32), F.substring(s, k + 1, 1)) - 1).cast(
+            "long"
+        )
+        for b in range(5):
+            i = 5 * k + b
+            bit = F.shiftrightunsigned(v, 4 - b).bitwiseAND(F.lit(1))
+            if i % 2 == 0:
+                xl = xl + bit * (1 << (nlon - 1 - i // 2))
+            else:
+                xt = xt + bit * (1 << (nlat - 1 - (i - 1) // 2))
+    lon = (xl.cast("double") + 0.5) / float(1 << nlon) * 360.0 - 180.0
+    lat = (xt.cast("double") + 0.5) / float(1 << nlat) * 180.0 - 90.0
+    return F.struct(lon.alias("longitude"), lat.alias("latitude"))
+
+
+def _point_in_polygon(x: Column, y: Column, polygon) -> Column:
+    """Ray casting against a LITERAL polygon (list of (x, y) float
+    pairs): one crossing indicator per edge, unrolled — the polygon is
+    a query constant in every CH call site, so the loop belongs in plan
+    construction, not in a per-row interpreter. Odd crossing count =
+    inside. Boundary behavior matches the classic algorithm (half-open
+    edges), not an exact-rational tie-break."""
+    crossings: Column = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        xi, yi = float(polygon[i][0]), float(polygon[i][1])
+        xj, yj = (
+            float(polygon[(i + 1) % n][0]),
+            float(polygon[(i + 1) % n][1]),
+        )
+        if yi == yj:  # horizontal edge can never straddle y
+            continue
+        straddles = (F.lit(yi) > y) != (F.lit(yj) > y)
+        x_at_y = (y - F.lit(yi)) * ((xj - xi) / (yj - yi)) + F.lit(xi)
+        crossings = crossings + F.when(
+            straddles & (x < x_at_y), 1
+        ).otherwise(0)
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
+def _point_in_ellipses(x: Column, y: Column, *params) -> Column:
+    """pointInEllipses(x, y, x0, y0, a, b, ...): true iff the point is
+    inside ANY of the literal axis-aligned ellipses (CH semantics)."""
+    if len(params) % 4:
+        raise ValueError("pointInEllipses needs (x0, y0, a, b) groups")
+    hit: Column = F.lit(False)
+    for g in range(0, len(params), 4):
+        x0, y0, a, b = (float(v) for v in params[g : g + 4])
+        d = ((x - F.lit(x0)) / a) ** 2 + ((y - F.lit(y0)) / b) ** 2
+        hit = hit | (d <= 1.0)
+    return hit
+
+
+def _great_circle_angle(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Central angle in DEGREES between two (lon, lat) points — the
+    same haversine as greatCircleDistance without the radius factor."""
+    h = F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2) + F.cos(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+    return F.degrees(F.lit(2.0) * F.asin(F.sqrt(h)))
+
+
 _NFC_UDF = None
 
 
@@ -2439,6 +2554,14 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # bound; a web-scale pipeline would Arrow-UDF the long tail).
     "base58Encode": lambda c: _base58_encode(c),
     "base58Decode": lambda c: _base58_decode(c),
+    # Geo family as literal-unrolled Catalyst arithmetic (r8 wave 7):
+    # geohash bisection-bit interleave, ray-cast polygon test against a
+    # literal polygon, any-of literal ellipses, haversine central angle.
+    "geohashEncode": lambda lon, lat, p=12: _geohash_encode(lon, lat, p),
+    "geohashDecode": lambda s, p=12: _geohash_decode(s, p),
+    "pointInPolygon": lambda x, y, poly: _point_in_polygon(x, y, poly),
+    "pointInEllipses": lambda x, y, *e: _point_in_ellipses(x, y, *e),
+    "greatCircleAngle": _great_circle_angle,
 }
 
 
