@@ -108,6 +108,7 @@ _R8_ADDITIONS: list[str] = [
     "feature_hashing_vectorizer",
     "markov_next_event_accuracy",
     "geo_function_surface",
+    "label_propagation_communities",
 ]
 
 

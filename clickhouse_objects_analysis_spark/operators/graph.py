@@ -12,7 +12,7 @@ co-occurrence graph is).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: Degree-orientation key: a single BIGINT that sorts by (degree, node)
 #: so ties between equal-degree nodes break deterministically. Node ids
@@ -168,3 +168,52 @@ def k_core(
             break
         alive, n_alive = nxt, n_next
     return _degrees(_survivor_edges(alive)).filter(F.col("deg") >= k)
+
+
+def label_propagation(
+    edges: DataFrame, src: str, dst: str, rounds: int
+) -> DataFrame:
+    """SYNCHRONOUS label propagation community detection over an
+    undirected simple graph, fully deterministic: every node starts
+    labeled with its own id; each round, every node simultaneously
+    adopts the most frequent label among its neighbors' PREVIOUS-round
+    labels, ties broken by the smallest label. A FIXED round count
+    (caller-chosen) rather than a convergence test — synchronous LPA
+    can 2-cycle on bipartite structures, so "run until stable" is not
+    well-defined; fixed-round is both the reproducible variant and the
+    one a SQL engine can replay by unrolling (the r8_wave8 oracle).
+
+    Returns (n, lbl). Scale shape mirrors k_core: the doubled adjacency
+    list is materialized once; per-round state is the node-sized label
+    table (one hash join adjacency⋈labels, one (node, label) count, one
+    per-node top-1 window whose group width is bounded by the node's
+    degree). Rounds are a constant, so the 100 TB cost is
+    rounds × (one shuffle of E + one of V)."""
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    canon = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("n").distinct().withColumn("lbl", F.col("n"))
+    win = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(F.col("n").alias("m"), "lbl"), "m"
+            )
+            .groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("n", "lbl")
+            .localCheckpoint(eager=True)  # node-sized per-round state
+        )
+    return labels
