@@ -156,12 +156,42 @@ def main() -> None:
         snaps = pipeline.STATE_METRICS.get(tag)
         return snaps or None
 
+    def reclaim() -> None:
+        """Release checkpoint/cache blocks the finished query pinned.
+        Iterative operators (k_core, label_propagation, the CC loop)
+        localCheckpoint edges-sized intermediates; the blocks are only
+        reaped after BOTH the Python references die and the JVM object
+        is collected — without forcing that here, a big-SF sweep
+        carries each query's pinned blocks into the next one and OOMs
+        queries that fit comfortably on their own (observed: sf10
+        k_core 66 s green, then the NEXT query's heap death)."""
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()  # noqa: SLF001
+        except Exception:  # noqa: BLE001 - GC nudge is best-effort
+            pass
+
+    def flush_partial() -> None:
+        with open(out_file, "w") as f:
+            json.dump({"step": label, "queries": out}, f, indent=1)
+
     for name in names:
         fn = lookup[name]
-        t_small = best_of(lambda: run_query(fn(spark, small)))
-        state_small = state_snapshot(STATE_TAGS.get(name, ""))
-        t_big = best_of(lambda: run_query(fn(spark, big)))
-        state_big = state_snapshot(STATE_TAGS.get(name, ""))
+        try:
+            t_small = best_of(lambda: run_query(fn(spark, small)))
+            state_small = state_snapshot(STATE_TAGS.get(name, ""))
+            reclaim()
+            t_big = best_of(lambda: run_query(fn(spark, big)))
+            state_big = state_snapshot(STATE_TAGS.get(name, ""))
+            reclaim()
+        except Exception as ex:  # noqa: BLE001 - record, try to go on
+            out[name] = {"err": f"{type(ex).__name__}: {ex}"[:200]}
+            print(name, "ERR", out[name]["err"], flush=True)
+            flush_partial()
+            reclaim()
+            continue
         exp = math.log10(t_big / t_small) if t_small > 0 else None
         out[name] = {
             small_key: round(t_small, 3),
@@ -173,6 +203,7 @@ def main() -> None:
             out[name]["state_" + small_key[:-4]] = state_small
             out[name]["state_" + big_key[:-4]] = state_big
         print(name, out[name], flush=True)
+        flush_partial()
 
     # Watermark-eviction probe (directive r6#3): event-time-sliced dedup
     # replay on the unique key; plateau_ok/bounded_ok must hold at every
