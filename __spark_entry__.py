@@ -109,6 +109,9 @@ _R8_ADDITIONS: list[str] = [
     "markov_next_event_accuracy",
     "geo_function_surface",
     "label_propagation_communities",
+    "isotonic_calibration",
+    "cross_correlation_leadlag",
+    "granger_causality_lag1",
 ]
 
 
