@@ -112,6 +112,7 @@ _R8_ADDITIONS: list[str] = [
     "isotonic_calibration",
     "cross_correlation_leadlag",
     "granger_causality_lag1",
+    "url_significant_domain",
 ]
 
 

@@ -354,6 +354,42 @@ def _point_in_ellipses(x: Column, y: Column, *params) -> Column:
     return hit
 
 
+#: The effective-TLD middle labels the non-Custom CH variants special-
+#: case (clickhouse.com.tr → 'clickhouse'): a tiny fixed set, NOT the
+#: full public-suffix list (that is the *Custom family, out of scope).
+_FSS_SET = ("com", "net", "org", "co")
+
+
+def _fss_parts(c: Column):
+    host = F.parse_url(c, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    nl = F.size(labels)
+    second_last = F.element_at(labels, (nl - 1).cast("int"))
+    idx = F.when(
+        (nl >= 3) & second_last.isin(*_FSS_SET), nl - 2
+    ).otherwise(nl - 1)
+    return host, labels, nl, idx.cast("int")
+
+
+def _first_significant_subdomain(c: Column) -> Column:
+    """firstSignificantSubdomain: the label left of the effective TLD —
+    third-from-last when the second-from-last is in _FSS_SET (com.tr,
+    co.uk, ...), else second-from-last. Single-label hosts pass
+    through unchanged (documented shim behavior)."""
+    host, labels, nl, idx = _fss_parts(c)
+    return F.when(nl >= 2, F.element_at(labels, idx)).otherwise(host)
+
+
+def _cut_to_first_significant_subdomain(c: Column) -> Column:
+    """cutToFirstSignificantSubdomain: the domain from the first
+    significant subdomain to the end (news.clickhouse.com.tr →
+    clickhouse.com.tr)."""
+    host, labels, nl, idx = _fss_parts(c)
+    return F.when(
+        nl >= 2, F.array_join(F.slice(labels, idx, nl - idx + 1), ".")
+    ).otherwise(host)
+
+
 def _great_circle_angle(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column
 ) -> Column:
@@ -2562,6 +2598,10 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "pointInPolygon": lambda x, y, poly: _point_in_polygon(x, y, poly),
     "pointInEllipses": lambda x, y, *e: _point_in_ellipses(x, y, *e),
     "greatCircleAngle": _great_circle_angle,
+    # Effective-TLD domain extraction with the fixed non-Custom label
+    # set (the *Custom public-suffix-list variants stay unsupported).
+    "firstSignificantSubdomain": _first_significant_subdomain,
+    "cutToFirstSignificantSubdomain": _cut_to_first_significant_subdomain,
 }
 
 

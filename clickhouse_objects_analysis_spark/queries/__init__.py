@@ -80,5 +80,6 @@ from . import r8_wave7  # noqa: E402,F401
 from . import r8_wave8  # noqa: E402,F401
 from . import r8_wave9  # noqa: E402,F401
 from . import r8_wave10  # noqa: E402,F401
+from . import r8_wave11  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,28 @@
+"""Round-8 wave-11 behavior tests: effective-TLD extraction against the
+documented ClickHouse examples."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clickhouse_objects_analysis_spark.functions.ch import ch_expr
+
+_CASES = [
+    ("https://news.clickhouse.com.tr/", "clickhouse", "clickhouse.com.tr"),
+    ("https://clickhouse.com/docs", "clickhouse", "clickhouse.com"),
+    ("https://www.example.co.uk/a?b=1", "example", "example.co.uk"),
+    ("https://sub.deep.example.net/", "example", "example.net"),
+    ("https://example.io/", "example", "example.io"),
+]
+
+
+def test_first_significant_subdomain_examples(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in _CASES], "url string")
+    rows = df.select(
+        "url",
+        ch_expr("firstSignificantSubdomain", F.col("url")).alias("fss"),
+        ch_expr("cutToFirstSignificantSubdomain", F.col("url")).alias("cut"),
+    ).collect()
+    got = {r["url"]: (r["fss"], r["cut"]) for r in rows}
+    for url, fss, cut in _CASES:
+        assert got[url] == (fss, cut), (url, got[url], (fss, cut))
