@@ -113,6 +113,7 @@ _R8_ADDITIONS: list[str] = [
     "cross_correlation_leadlag",
     "granger_causality_lag1",
     "url_significant_domain",
+    "bpe_encode_apply",
 ]
 
 
