@@ -1044,6 +1044,16 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "toUnixTimestamp": F.unix_timestamp,
     "fromUnixTimestamp": F.from_unixtime,
     "dateDiff": lambda unit, a, b: F.timestamp_diff(unit, a, b),
+    "timestampDiff": lambda unit, a, b: F.timestamp_diff(unit, a, b),
+    # proleptic-Gregorian day count from 0000-01-01 (year zero has 366
+    # days, hence the +366 over Spark's 0001-01-01 epoch)
+    "toDaysSinceYearZero": lambda c: F.datediff(
+        c, F.lit("0001-01-01").cast("date")
+    )
+    + 366,
+    "fromDaysSinceYearZero": lambda n: F.date_add(
+        F.lit("0001-01-01").cast("date"), n - 366
+    ),
     "dateAdd": lambda unit, n, c: F.timestamp_add(unit, n, c),
     "addDays": lambda c, n: F.date_add(c, n),
     "subtractDays": lambda c, n: F.date_sub(c, n),

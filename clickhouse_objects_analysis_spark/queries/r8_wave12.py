@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..functions.ch import ch_expr
 from .registry import query, tables
 
 #: Fixed merge table in priority order (common-English pairs). The
@@ -104,3 +105,38 @@ def bpe_encode_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ch_r8_function_surface_4",
+    oracle="""
+    SELECT event_id::BIGINT AS eid,
+           CAST(datediff('day', DATE '0001-01-01', CAST(ts AS DATE))
+                + 366 AS BIGINT) AS days0,
+           CAST(DATE '0001-01-01'
+                + CAST(datediff('day', DATE '0001-01-01',
+                                CAST(ts AS DATE)) AS INT)
+                AS VARCHAR) AS rt_date,
+           CAST(date_diff('hour', date_trunc('day', ts), ts)
+                AS BIGINT) AS hod
+    FROM events WHERE event_id % 31 = 6 ORDER BY eid
+    """,
+)
+def ch_r8_function_surface_4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 date additions: toDaysSinceYearZero (proleptic day count
+    with the 366-day year zero), fromDaysSinceYearZero round-trip, and
+    the timestampDiff alias. The oracle replays the day arithmetic from
+    DuckDB's proleptic calendar."""
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") % 31 == 6)
+    d = F.to_date("ts")
+    days0 = ch_expr("toDaysSinceYearZero", d)
+    return ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        days0.cast("long").alias("days0"),
+        ch_expr("fromDaysSinceYearZero", days0)
+        .cast("string")
+        .alias("rt_date"),
+        ch_expr("timestampDiff", "HOUR", F.date_trunc("day", "ts"), F.col("ts"))
+        .cast("long")
+        .alias("hod"),
+    ).orderBy("eid")

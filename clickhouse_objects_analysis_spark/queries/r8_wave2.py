@@ -145,9 +145,11 @@ _FMIX_PTS_CTE = f"""
             + ((x * 3301882366::HUGEINT) % 4294967296::HUGEINT)
               * 4294967296::HUGEINT) % {_TWO64}::HUGEINT AS x FROM h3),
     h5 AS (SELECT pid, xor(x, x >> 33) AS x FROM h4),
+    pl AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) * 1600
+               AS plane FROM o),
     p AS (SELECT pid,
-                 CAST((x >> 1) % 100000 AS BIGINT) AS x,
-                 CAST((x >> 44) % 100000 AS BIGINT) AS y
+                 CAST((x >> 1) % (SELECT plane FROM pl) AS BIGINT) AS x,
+                 CAST((x >> 44) % (SELECT plane FROM pl) AS BIGINT) AS y
           FROM h5)
 """
 
@@ -178,23 +180,32 @@ _FMIX_PTS_CTE = f"""
 )
 def grid_spatial_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-grid spatial self-join (operators/spatial.py): all order
-    pairs whose derived 2-D points fall within L∞ radius 400 on a
-    100k×100k plane, top-50 closest by squared Euclidean distance.
-    Points scatter through the bit-exact intHash64 (fmix64) — a plain
-    multiplicative scatter lattices sequential keys into parallel lines
-    with ZERO close pairs, which is exactly the structured-input trap a
-    spatial join demo must avoid. Spark replicates each point to its
-    3×3 cell neighborhood (constant map-side fan-out) and hash-joins on
-    cell id — candidate volume linear in points at bounded density; the
-    oracle brute-forces the O(n²) theta join, so parity proves the grid
-    join finds EXACTLY the pair set (no boundary misses, no double
-    counts)."""
+    pairs whose derived 2-D points fall within L∞ radius 400, top-50
+    closest by squared Euclidean distance. Points scatter through the
+    bit-exact intHash64 (fmix64) — a plain multiplicative scatter
+    lattices sequential keys into parallel lines with ZERO close pairs,
+    which is exactly the structured-input trap a spatial join demo must
+    avoid. The plane side scales as floor(sqrt(n))·1600 (≈100k at the
+    sf0.01 point count), so point DENSITY — and with it pairs-per-point
+    and the grid join's candidate volume — is constant at every SF: the
+    first fixed-100k version was quadratic by construction and OOMed
+    the sf10 sweep materializing ~10⁸ pairs. Spark replicates each
+    point to its 3×3 cell neighborhood (constant map-side fan-out) and
+    hash-joins on cell id; the oracle brute-forces the O(n²) theta
+    join, so parity proves the grid join finds EXACTLY the pair set
+    (no boundary misses, no double counts)."""
     o = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 4 == 0)
     h = ch_expr("intHash64", F.col("o_orderkey"))
-    pts = o.select(
-        F.col("o_orderkey").alias("pid"),
-        F.pmod(F.shiftrightunsigned(h, 1), F.lit(100000)).alias("x"),
-        F.pmod(F.shiftrightunsigned(h, 44), F.lit(100000)).alias("y"),
+    raw = o.select(F.col("o_orderkey").alias("pid"), h.alias("hx"))
+    plane = raw.agg(
+        (F.floor(F.sqrt(F.count(F.lit(1)))).cast("long") * 1600).alias(
+            "plane"
+        )
+    )
+    pts = raw.crossJoin(F.broadcast(plane)).select(
+        "pid",
+        F.pmod(F.shiftrightunsigned("hx", 1), F.col("plane")).alias("x"),
+        F.pmod(F.shiftrightunsigned("hx", 44), F.col("plane")).alias("y"),
     )
     pairs = grid_neighbor_pairs(pts, "pid", "x", "y", 400).select(
         "id_a",
