@@ -114,6 +114,8 @@ _R8_ADDITIONS: list[str] = [
     "granger_causality_lag1",
     "url_significant_domain",
     "bpe_encode_apply",
+    "ch_r8_function_surface_4",
+    "join_skew_audit",
 ]
 
 

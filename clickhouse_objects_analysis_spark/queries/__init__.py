@@ -82,5 +82,6 @@ from . import r8_wave9  # noqa: E402,F401
 from . import r8_wave10  # noqa: E402,F401
 from . import r8_wave11  # noqa: E402,F401
 from . import r8_wave12  # noqa: E402,F401
+from . import r8_wave13  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
