@@ -201,7 +201,6 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = adj.select("n").distinct().withColumn("lbl", F.col("n"))
-    win = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(rounds):
         votes = (
             adj.join(
@@ -210,10 +209,17 @@ def label_propagation(
             .groupBy("n", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("n", "lbl")
-            .localCheckpoint(eager=True)  # node-sized per-round state
+        # top-1 (count DESC, label ASC) as a max-struct aggregation —
+        # struct order (c, -lbl) makes max() the frequency argmax with
+        # the min-label tie-break, replacing a per-node row_number sort
+        # window over the full vote stream with a partial-aggregating
+        # hash agg (map-side combine, no sort, no second shuffle).
+        top = votes.groupBy("n").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("t")
         )
+        labels = top.select(
+            "n", (-F.col("t.nl")).alias("lbl")
+        ).localCheckpoint(eager=True)  # node-sized per-round state
     return labels
