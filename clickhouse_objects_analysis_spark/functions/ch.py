@@ -275,6 +275,11 @@ def _geohash_encode(lon: Column, lat: Column, precision: int = 12) -> Column:
         F.floor((lat + 90.0) / 180.0 * (1 << nlat)).cast("long"),
         F.lit((1 << nlat) - 1),
     )
+    # Per-bit linear chains on BOTH sides (see the decode note): a
+    # Morton-spread shortcut looks smaller standalone, but its
+    # input-doubling steps multiply out catastrophically when the
+    # common decode(encode(...)) composition nests the trees — the
+    # linear form keeps the composed plan O(p²) nodes.
     chars = []
     for k in range(p):
         val: Column = F.lit(0).cast("long")
@@ -298,6 +303,15 @@ def _geohash_decode(s: Column, precision: int = 12) -> Column:
     p = int(precision)
     nlon = (5 * p + 1) // 2
     nlat = 5 * p // 2
+    # Deliberately the LINEAR per-bit chain, not the Morton compact:
+    # _morton_compact references its input twice per step (2⁴× tree
+    # duplication), and decode's common call shape is
+    # decode(encode(...)) in ONE projection — Catalyst has no
+    # common-subexpression sharing across Column trees, so a
+    # self-squaring compact over a nested encode expression explodes
+    # the plan to millions of nodes (observed as a driver OOM in
+    # analysis). Each per-bit term references the input once: tree
+    # growth stays linear in 5p no matter what feeds it.
     xl: Column = F.lit(0).cast("long")
     xt: Column = F.lit(0).cast("long")
     for k in range(p):
