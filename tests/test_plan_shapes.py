@@ -528,3 +528,58 @@ class TestR7SessionPlans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         read = plan.split("ReadSchema")[1].splitlines()[0]
         assert "c_acctbal" not in read  # scan pruned to the two quasi-IDs
+
+
+class TestRound8Plans:
+    """Plan-shape guarantees for the round-8 session additions."""
+
+    def test_grid_spatial_join_is_hash_join_on_cells(self, spark, sf_dir):
+        # drive the operator directly: the registry query localCheckpoints
+        # the pair stream, which hides the join inside a Scan ExistingRDD
+        from clickhouse_objects_analysis_spark.operators.spatial import (
+            grid_neighbor_pairs,
+        )
+
+        pts = spark.range(3000).selectExpr(
+            "id AS pid", "id * 37 % 1000 AS x", "id * 91 % 1000 AS y"
+        )
+        plan = plan_of(grid_neighbor_pairs(pts, "pid", "x", "y", 40))
+        # the 3x3 replication must meet the home rows in an equi join
+        # on cell ids — never a cartesian / nested-loop pair scan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )
+
+    def test_markov_scoring_broadcasts_fitted_model(self, spark, sf_dir):
+        plan = plan_of(QUERIES["markov_next_event_accuracy"](spark, sf_dir))
+        # the |states|^2 fitted table reaches the test stream as a
+        # broadcast, so scoring never shuffles the bigram stream twice
+        assert "BroadcastHashJoin" in plan
+
+    def test_join_skew_audit_totals_broadcast(self, spark, sf_dir):
+        plan = plan_of(QUERIES["join_skew_audit"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # 1-row totals
+        read = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "l_suppkey" in read and "l_extendedprice" not in read
+
+    def test_geo_surface_is_map_side_until_sort(self, spark, sf_dir):
+        plan = plan_of(QUERIES["geo_function_surface"](spark, sf_dir))
+        # one scan, no joins, no aggregates — the only exchange is the
+        # final range partitioning for the ORDER BY
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # rangepartitioning (+AQE read)
+
+    def test_bpe_encode_no_udf_in_plan(self, spark, sf_dir):
+        plan = plan_of(QUERIES["bpe_encode_apply"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_isotonic_enumeration_rides_on_aggregate(self, spark, sf_dir):
+        plan = plan_of(QUERIES["isotonic_calibration"](spark, sf_dir))
+        # the cubic minimax joins run over the 20-row bucket aggregate —
+        # the documents scan is pruned to the two needed columns
+        read = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "n_chars" in read and "lang" in read and "text" not in read
