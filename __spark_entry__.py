@@ -116,6 +116,7 @@ _R8_ADDITIONS: list[str] = [
     "bpe_encode_apply",
     "ch_r8_function_surface_4",
     "join_skew_audit",
+    "time_decay_attribution",
 ]
 
 

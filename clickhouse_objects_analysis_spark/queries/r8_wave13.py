@@ -76,3 +76,67 @@ def join_skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(10)
     )
+
+
+@query(
+    "time_decay_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, MIN(ts) AS t_conv
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+        SELECT e.event_type,
+               least(CAST(floor(date_diff('second', e.ts, c.t_conv)
+                                / 604800.0) AS BIGINT), 20) AS k
+        FROM events e JOIN conv c
+          ON e.user_id = c.user_id AND e.ts < c.t_conv)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(1000000000 >> k) AS BIGINT) AS credit_nano
+    FROM touches GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_decay_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a one-week half-life —
+    the third member of the attribution family (first_touch winner-
+    takes-all, linear equal-split, now recency-weighted). Weights are
+    EXACT negative powers of two (credit = 1e9 >> weeks-before-
+    conversion, capped at 20): every touch contributes an integer, so
+    channel totals are order-free integer sums — no float accumulation
+    can diverge between engines. Same scale shape as the linear
+    variant: conversions broadcast, one map-side weight per touch, one
+    channel-sized aggregation."""
+    ev = tables(spark, sf_dir)["events"]
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    k = F.least(
+        F.floor(
+            (
+                F.unix_timestamp("t_conv") - F.unix_timestamp("ts")
+            ).cast("double")
+            / 604800.0
+        ).cast("long"),
+        F.lit(20),
+    )
+    touches = (
+        ev.join(F.broadcast(conv), "user_id")
+        .filter(F.col("ts") < F.col("t_conv"))
+        .select("event_type", k.alias("k"))
+        # pyspark's shiftright binding takes only a literal bit count;
+        # the SQL function form accepts a column
+        .select(
+            "event_type",
+            F.expr("shiftright(1000000000L, CAST(k AS INT))").alias("w"),
+        )
+    )
+    return (
+        touches.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("w").cast("long").alias("credit_nano"),
+        )
+        .orderBy("event_type")
+    )
