@@ -12,7 +12,7 @@ and parts_storage_stats.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import query, tables
 
@@ -140,3 +140,84 @@ def time_decay_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT s.user_id,
+                 MIN(datediff('day', CAST(s.t0 AS DATE), CAST(e.ts AS DATE)))
+                     AS d
+          FROM s JOIN events e
+            ON e.user_id = s.user_id AND e.event_type = 'purchase'
+           AND e.ts > s.t0
+          GROUP BY s.user_id),
+    cohort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM s),
+    ev AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS d_i FROM p GROUP BY d),
+    na AS (
+        SELECT d, d_i,
+               c.n0 - COALESCE(SUM(d_i) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM ev CROSS JOIN cohort c)
+    SELECT CAST(d AS BIGINT) AS d, d_i, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(FLOOR(SUM(CAST(d_i AS DOUBLE) / n_risk)
+                          OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW)
+                      * 1000000 + 0.5) AS BIGINT) AS cum_hazard_u
+    FROM na ORDER BY d
+    """,
+)
+def nelson_aalen_hazard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard for the same signup→purchase
+    cohort as kaplan_meier_survival: H(d) = Σ_{i≤d} dᵢ/nᵢ — the
+    estimator of choice when hazard INCREMENTS matter (plateaus =
+    conversion fatigue) rather than the survival product. The running
+    sum folds identical integer-ratio terms in identical d-order on
+    both engines (the cumulative-prefix discipline), then one floor
+    quantization. Same scale shape as KM: raw volume stops at the
+    per-user min; the curve is |days| rows."""
+    ev = tables(spark, sf_dir)["events"]
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("tp"))
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.datediff(F.to_date("tp"), F.to_date("t0"))
+            ).alias("d")
+        )
+    )
+    n0 = s.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    evd = p.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("d_i"))
+    w_prev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    na = evd.crossJoin(F.broadcast(n0)).withColumn(
+        "n_risk",
+        F.col("n0") - F.coalesce(F.sum("d_i").over(w_prev), F.lit(0)),
+    )
+    return na.select(
+        F.col("d").cast("long").alias("d"),
+        "d_i",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.floor(
+            F.sum(F.col("d_i").cast("double") / F.col("n_risk")).over(w_cum)
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("cum_hazard_u"),
+    ).orderBy("d")

@@ -47,3 +47,21 @@ def test_base58_length_bound_nulls(spark):
     df = spark.createDataFrame([("123456789",)], "s string")  # 9 bytes
     r = df.select(ch_expr("base58Encode", F.col("s")).alias("e")).collect()
     assert r[0]["e"] is None  # documented shim bound, not silent garbage
+
+
+def test_days_since_year_zero_doc_anchor(spark):
+    # anchor via the MySQL TO_DAYS convention the CH function mirrors:
+    # TO_DAYS('2023-09-08') = 739136 (366-day year zero + 738770
+    # proleptic-Gregorian days from 0001-01-01)
+    df = spark.createDataFrame([("2023-09-08",)], "d string")
+    r = df.select(
+        ch_expr("toDaysSinceYearZero", F.col("d").cast("date")).alias("n"),
+        ch_expr(
+            "fromDaysSinceYearZero",
+            ch_expr("toDaysSinceYearZero", F.col("d").cast("date")),
+        )
+        .cast("string")
+        .alias("rt"),
+    ).collect()[0]
+    assert r["n"] == 739136
+    assert r["rt"] == "2023-09-08"
