@@ -117,6 +117,7 @@ _R8_ADDITIONS: list[str] = [
     "ch_r8_function_surface_4",
     "join_skew_audit",
     "time_decay_attribution",
+    "nelson_aalen_hazard",
 ]
 
 
