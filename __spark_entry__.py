@@ -118,6 +118,9 @@ _R8_ADDITIONS: list[str] = [
     "join_skew_audit",
     "time_decay_attribution",
     "nelson_aalen_hazard",
+    "u_shaped_attribution",
+    "difference_in_differences",
+    "sprt_sequential_monitor",
 ]
 
 
