@@ -121,6 +121,8 @@ _R8_ADDITIONS: list[str] = [
     "u_shaped_attribution",
     "difference_in_differences",
     "sprt_sequential_monitor",
+    "cuped_variance_reduction",
+    "sample_ratio_mismatch",
 ]
 
 
