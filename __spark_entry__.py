@@ -123,6 +123,7 @@ _R8_ADDITIONS: list[str] = [
     "sprt_sequential_monitor",
     "cuped_variance_reduction",
     "sample_ratio_mismatch",
+    "personalized_pagerank_copurchase",
 ]
 
 

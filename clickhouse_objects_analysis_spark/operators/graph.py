@@ -170,6 +170,77 @@ def k_core(
     return _degrees(_survivor_edges(alive)).filter(F.col("deg") >= k)
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seed_pred,
+    rounds: int,
+) -> DataFrame:
+    """Personalized PageRank over an undirected simple graph in EXACT
+    INTEGER NANO arithmetic: ranks are integers out of 1e9, each round
+    every node ships floor(rank / degree) to each neighbor and is
+    re-ranked (15·base + 85·inflow) // 100, with the teleport mass
+    `base` = 1e9 // |seeds| on seed nodes (seed_pred is a Column
+    predicate over the node id column "n"). Integer division everywhere
+    means NO float accumulation order exists to diverge — any engine
+    replaying the same rounds lands on the same nanos bit-for-bit
+    (the r8_wave16 DuckDB twin unrolls the rounds).
+
+    Returns (n, deg, rank_nano). Scale shape is the LPA/k-core loop
+    discipline: the doubled adjacency and degree tables materialize
+    once; per-round state is the node-sized rank table; each round is
+    one E-sized join + one (node) aggregation. Mass deliberately leaks
+    at floor-division remainders (< |E| nanos/round) — documented,
+    deterministic, and irrelevant to ranking order."""
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    canon = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = deg.select("n", "deg").localCheckpoint(eager=True)
+    seeds = nodes.filter(seed_pred).select("n")
+    n_seeds = seeds.count()  # driver scalar: sizes the teleport mass
+    base_nano = 1_000_000_000 // max(n_seeds, 1)
+    base = nodes.join(seeds, "n", "left_semi").select(
+        "n", F.lit(base_nano).alias("base")
+    )
+    ranks = nodes.join(base, "n", "left").select(
+        "n", F.coalesce(F.col("base"), F.lit(0)).alias("r")
+    )
+    for _ in range(rounds):
+        share = (
+            adj.join(nodes, "n")
+            .join(ranks, "n")
+            .select("m", F.expr("r div deg").alias("s"))
+        )
+        inflow = share.groupBy(F.col("m").alias("n")).agg(
+            F.sum("s").cast("long").alias("inflow")
+        )
+        ranks = (
+            nodes.join(inflow, "n", "left")
+            .join(base, "n", "left")
+            .select(
+                "n",
+                F.expr(
+                    "(15 * coalesce(base, 0L) + 85 * coalesce(inflow, 0L))"
+                    " div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)  # node-sized per-round state
+        )
+    return nodes.join(ranks, "n").select(
+        "n", "deg", F.col("r").alias("rank_nano")
+    )
+
+
 def label_propagation(
     edges: DataFrame, src: str, dst: str, rounds: int
 ) -> DataFrame:
