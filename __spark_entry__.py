@@ -124,6 +124,8 @@ _R8_ADDITIONS: list[str] = [
     "cuped_variance_reduction",
     "sample_ratio_mismatch",
     "personalized_pagerank_copurchase",
+    "interarrival_burstiness",
+    "simpsons_paradox_audit",
 ]
 
 
