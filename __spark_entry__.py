@@ -126,6 +126,8 @@ _R8_ADDITIONS: list[str] = [
     "personalized_pagerank_copurchase",
     "interarrival_burstiness",
     "simpsons_paradox_audit",
+    "cohort_ltv_curve",
+    "markov_entropy_rate",
 ]
 
 
