@@ -128,6 +128,8 @@ _R8_ADDITIONS: list[str] = [
     "simpsons_paradox_audit",
     "cohort_ltv_curve",
     "markov_entropy_rate",
+    "covariate_balance_smd",
+    "count_overdispersion_index",
 ]
 
 
