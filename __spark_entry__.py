@@ -6,9 +6,10 @@ operators, lineage pipeline, LLM-data ops, streaming slice).
 
 Ordering: the driver hash-checks a capped front-to-back window of this
 dict, so entries that have NEVER sat in a driver window go first — this
-round (r8) that is the 58 queries added late in round 7 after the r7
-window was cut (driver-green union after r7 = 293/351), followed by any
-round-8 additions, then the rest in natural module-import order.
+round (r9) that is the 49 queries left over after the r8 window
+(driver-green union after r8 = 343/392: 8 r7-overflow + 41 round-8
+additions), followed by any round-9 additions, then the rest in natural
+module-import order.
 Full-registry verification every round is tools/local_parity.py, which
 oracle-checks every entry regardless of this ordering.
 """
@@ -21,60 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_objects_analysis_spark.queries import ORACLE, QUERIES
 
-# Never driver-green as of r7 (CORRECTNESS_r01..r07 union = 293/351):
-# all 58 landed after the r7 window was cut; every one is green in
-# LOCAL_PARITY_r07.json.
+# Never driver-green as of r8 (CORRECTNESS_r01..r08 union = 343/392):
+# the 49 names below (r7-overflow tail + all round-8 additions past the
+# r8 window cut); every one is green in LOCAL_PARITY_r08.json.
 _NEVER_DRIVER_GREEN = [
-    "dedup_survivorship",
-    "neardup_graph_triangles",
-    "uniq_upto_agg",
-    "unpivot_lineitem_metrics",
-    "holt_winters_weekday",
-    "weighted_reservoir_sample",
-    "flesch_reading_ease",
-    "mmr_diversified_rerank",
-    "rolling_median_7d",
-    "funnel_conversion_time",
-    "rate_spike_zscore",
-    "source_schema_evolution",
-    "quantile_deterministic",
-    "bigram_pmi_top",
-    "rolling_7d_active_users",
-    "stratified_weighted_sample",
-    "bloom_semijoin_prune",
-    "dict_has_or_default",
-    "mad_robust_scale",
-    "trimmed_mean_value",
-    "first_touch_attribution",
-    "event_transition_matrix",
-    "embedding_centroid_drift",
-    "table_profile_orders",
-    "ch_url_form_surface",
-    "rake_keyword_extraction",
-    "scd2_dimension_merge",
-    "lateral_view_surface",
-    "char_ngram_jaccard_pairs",
-    "k_anonymity_audit",
-    "embedding_label_outliers",
-    "knn_eval_metrics",
-    "dup_cluster_size_histogram",
-    "ship_latency_by_priority",
-    "sql_udf_surface",
-    "variant_json_surface",
-    "deletion_vector_read",
-    "dynamic_partition_pruning_join",
-    "linear_touch_attribution",
-    "quality_threshold_sweep",
-    "embedding_dimension_stats",
-    "snapshot_diff_report",
-    "referential_integrity_audit",
-    "functional_dependency_audit",
-    "dedup_method_overlap",
-    "bootstrap_mean_ci",
-    "top_event_paths",
-    "kaplan_meier_survival",
-    "longest_event_streak",
-    "seasonal_naive_backtest",
     "lorenz_curve_customers",
     "copurchase_item_similarity",
     "rfm_segmentation",
@@ -83,12 +34,6 @@ _NEVER_DRIVER_GREEN = [
     "session_bounce_rate",
     "multimodal_binary_dedup",
     "topk_plus_other_rollup",
-]
-
-# Round-8 additions (never driver-checked by definition). The driver
-# window is 50, so the 8 overflow names above plus these are the
-# front-load candidates for the r9 window.
-_R8_ADDITIONS: list[str] = [
     "ch_r8_function_surface",
     "ch_r8_function_surface_2",
     "ab_ztest_power_suite",
@@ -132,9 +77,15 @@ _R8_ADDITIONS: list[str] = [
     "count_overdispersion_index",
 ]
 
+# Round-9 additions (never driver-checked by definition): appended below
+# the 49 carried-over names so the 50-entry r9 window closes the r1-r8
+# backlog first.
+_R9_ADDITIONS: list[str] = [
+]
+
 
 def _ordered(mapping: dict) -> dict:
-    front = _NEVER_DRIVER_GREEN + _R8_ADDITIONS
+    front = _NEVER_DRIVER_GREEN + _R9_ADDITIONS
     out = {k: mapping[k] for k in front if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out
