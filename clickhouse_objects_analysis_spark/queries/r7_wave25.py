@@ -10,9 +10,21 @@ same inverted-index discipline as the dedup stack."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import query, tables
+
+# Whale-basket cap (max_df semantics, operators/dedup.py containment_pairs):
+# a customer basket of n distinct parts contributes C(n, 2) rows to the
+# pair stream, so one mega-account (bot, reseller) with a 10k-item basket
+# adds ~50M pairs. Baskets above MAX_BASKET are deterministically
+# subsampled (stable xxhash64 order) before the pair join; per-part
+# customer counts n_a/n_b stay exact, so capped-pair cosines are a
+# documented lower bound. Chosen to NEVER bind at the oracle scale:
+# max distinct-part basket is 90 at sf0.01 and 105 at sf0.1, so the
+# parity hash is unchanged while the 100 TB pair stream is bounded by
+# Σ_cust C(min(basket, 512), 2).
+MAX_BASKET = 512
 
 
 @query(
@@ -47,12 +59,12 @@ def copurchase_item_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the same inverted-index discipline as the dedup
     stack — the customer is the 'shingle': the pair stream is
-    Σ_cust C(basket, 2), bounded by basket sizes, never all item
-    pairs; per-item customer counts are an item-cardinality table
-    broadcast onto the surviving pairs; at whale-customer skew, cap
-    basket size (max_df semantics) exactly as ngram_jaccard documents.
-    The cosine is one floor-quantized expression over three exact
-    integers."""
+    Σ_cust C(min(basket, MAX_BASKET), 2), never all item pairs —
+    whale baskets above MAX_BASKET are deterministically subsampled
+    before the pair join (see MAX_BASKET; never binds at oracle SF);
+    per-item customer counts are an item-cardinality table broadcast
+    onto the surviving pairs. The cosine is one floor-quantized
+    expression over three exact integers."""
     t = tables(spark, sf_dir)
     cp = (
         t["lineitem"]
@@ -66,8 +78,19 @@ def copurchase_item_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds counts AND the pair join
     )
     pc = cp.groupBy("part").agg(F.count("*").cast("long").alias("n_cust"))
-    a = cp.select(F.col("cust"), F.col("part").alias("pa"))
-    b = cp.select(F.col("cust"), F.col("part").alias("pb"))
+    # Whale cap: stable per-cust subsample (hash order, not data order)
+    # so the pair stream per customer is bounded by C(MAX_BASKET, 2).
+    # cust cardinality is high, so the row_number window is not the
+    # low-cardinality single-task-sort trap; its shuffle on cust is the
+    # same partitioning the pair self-join needs anyway.
+    w = Window.partitionBy("cust").orderBy(F.xxhash64("cust", "part"))
+    capped = (
+        cp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAX_BASKET)
+        .drop("rn")
+    )
+    a = capped.select(F.col("cust"), F.col("part").alias("pa"))
+    b = capped.select(F.col("cust"), F.col("part").alias("pb"))
     co = (
         a.join(b, "cust")
         .filter(F.col("pa") < F.col("pb"))

@@ -14,6 +14,7 @@ variant, geohashesInBox array enumeration).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -123,30 +124,26 @@ def geo_function_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The geo family over deterministic synthetic coordinates (prime
     multipliers spread events across the full lon/lat domain): geohash
     precision-6 encode, encode→decode cell centers (the oracle replays
-    the quantization arithmetic, so a corrupted decode path diverges),
+    the quantization arithmetic, so a corrupted encode/decode diverges),
     ray-cast membership in a literal non-convex pentagon, any-of-two
     ellipse membership, and the haversine central angle (scaled-floor
     rendered — trig libm last-ulp differences between engines must not
-    reach the value hash). Everything is literal-unrolled codegen
-    arithmetic: map-side only, zero shuffles before the final sort.
+    reach the value hash). Geohash work runs in one Arrow kernel
+    (_gh6_kernel — kills the r8 plan-compile constant); polygon /
+    ellipse / angle stay small literal-unrolled codegen trees.
     100 TB: a pure map stage — partition-local, no state."""
     ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") % 17 == 5)
     lon = (F.col("event_id") * 7919 % 36000) / 100.0 - 180.0
     lat = (F.col("event_id") * 104729 % 18000) / 100.0 - 90.0
     lon2 = (F.col("user_id") * 7919 % 36000) / 100.0 - 180.0
     lat2 = (F.col("user_id") * 104729 % 18000) / 100.0 - 90.0
-    gh6 = ch_expr("geohashEncode", lon, lat, _P)
-    dec = ch_expr("geohashDecode", gh6, _P)
+    gh = _gh6_kernel_factory()(lon, lat)
     angle = ch_expr("greatCircleAngle", lon, lat, lon2, lat2)
     return ev.select(
         F.col("event_id").cast("long").alias("eid"),
-        gh6.alias("gh6"),
-        F.floor(dec.getField("longitude") * 10000 + 0.5)
-        .cast("long")
-        .alias("dec_lon_u"),
-        F.floor(dec.getField("latitude") * 10000 + 0.5)
-        .cast("long")
-        .alias("dec_lat_u"),
+        gh.getField("gh6").alias("gh6"),
+        gh.getField("dec_lon_u").alias("dec_lon_u"),
+        gh.getField("dec_lat_u").alias("dec_lat_u"),
         ch_expr("pointInPolygon", lon, lat, _POLY)
         .cast("long")
         .alias("in_poly"),
@@ -155,3 +152,61 @@ def geo_function_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("in_ell"),
         F.floor(angle * 10000 + 0.5).cast("long").alias("angle_u"),
     ).orderBy("eid")
+
+
+def _gh6_kernel_factory():
+    """Arrow-batched geohash-6 encode + decode-to-cell-center kernel —
+    the SAME quantize / bit-interleave / center arithmetic as
+    functions/ch.py _geohash_encode/_geohash_decode, but as ONE numpy
+    pass instead of a literal-unrolled Catalyst forest. The unrolled
+    decode(encode(...)) composition carried a ~7 s driver-side plan
+    analysis+codegen constant (r8 verdict #3 — decode re-references the
+    ~300-node encode tree per extracted bit); this is the
+    lsh_buckets_udf fix (operators/similarity.py:310). All ops are
+    integer shifts and IEEE-754 double +-*/ in the same order as the
+    expr path, so outputs are bit-identical; the Catalyst expr path
+    stays covered by tests/test_geo_decode.py. Factory shape (like
+    lsh_buckets_udf) because pandas_udf creation needs a live session."""
+
+    @F.pandas_udf("struct<gh6:string, dec_lon_u:bigint, dec_lat_u:bigint>")
+    def _gh6_kernel(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        lonv = lon.to_numpy(dtype="float64")
+        latv = lat.to_numpy(dtype="float64")
+        xl = np.minimum(
+            np.floor((lonv + 180.0) / 360.0 * (1 << _NLON)).astype("int64"),
+            (1 << _NLON) - 1,
+        )
+        xt = np.minimum(
+            np.floor((latv + 90.0) / 180.0 * (1 << _NLAT)).astype("int64"),
+            (1 << _NLAT) - 1,
+        )
+        alpha = np.array(list(_GEO32))
+        out = None
+        for k in range(_P):
+            idx = np.zeros(len(xl), dtype="int64")
+            for b in range(5):
+                i = 5 * k + b
+                if i % 2 == 0:
+                    bit = (xl >> (_NLON - 1 - i // 2)) & 1
+                else:
+                    bit = (xt >> (_NLAT - 1 - (i - 1) // 2)) & 1
+                idx += bit << (4 - b)
+            ck = alpha[idx]
+            out = ck if out is None else np.char.add(out, ck)
+        dec_lon = (xl + 0.5) / float(1 << _NLON) * 360.0 - 180.0
+        dec_lat = (xt + 0.5) / float(1 << _NLAT) * 180.0 - 90.0
+        return pd.DataFrame(
+            {
+                "gh6": out,
+                "dec_lon_u": np.floor(dec_lon * 10000 + 0.5).astype(
+                    "int64"
+                ),
+                "dec_lat_u": np.floor(dec_lat * 10000 + 0.5).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return _gh6_kernel
