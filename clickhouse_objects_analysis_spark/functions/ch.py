@@ -130,10 +130,22 @@ def _u64_shl(d: Column, n: int) -> Column:
     return F.pmod(d * F.lit(1 << n).cast(_D38), _u64_two64())
 
 
+# The SQL-layer salts ClickHouse applies before the mix primitives
+# (FunctionsHashing.h IntHash64Impl / IntHash32Impl): the SQL functions
+# are NOT the bare Hash.h primitives — intHash64(x) =
+# fmix64(x ^ 0x4CF2D2BAAE6DA887), intHash32(x) =
+# wang_mix(x ^ 0x75D9543DE018BF45) where the mix's first xor-shift is a
+# 64-bit ROTATE: key ^ ((key >> 31) | (key << 33)).
+_INT_HASH64_SALT = 0x4CF2D2BAAE6DA887  # fits signed i64 (top nibble 4)
+_INT_HASH32_SALT = 0x75D9543DE018BF45  # fits signed i64 (top nibble 7)
+
+
 def _int_hash64(c: Column) -> Column:
-    """ClickHouse intHash64 — the MurmurHash3 fmix64 finalizer, bit-exact
-    (ClickHouse Common/HashTable/Hash.h, public source)."""
-    d = _u64_from_long(c.cast("long"))
+    """ClickHouse SQL intHash64 — fmix64 over the salted input
+    (FunctionsHashing.h IntHash64Impl: Hash.h intHash64 applied to
+    x ^ 0x4CF2D2BAAE6DA887), bit-exact including the salt."""
+    s = c.cast("long").bitwiseXOR(F.lit(_INT_HASH64_SALT))
+    d = _u64_from_long(s)
     d = _u64_xorshr(d, 33)
     d = _u64_mulmod(d, 0xFF51AFD7ED558CCD)
     d = _u64_xorshr(d, 33)
@@ -142,12 +154,25 @@ def _int_hash64(c: Column) -> Column:
     return _u64_to_long(d)
 
 
+def _u64_rotxor(d: Column, n: int) -> Column:
+    """d XOR rotate_right(d, n) — i.e. d ^ ((d >>> n) | (d << 64-n)),
+    on the signed-BIGINT bit pattern (shift-left wraps mod 2^64 in the
+    JVM, which is exactly the uint64 semantics needed)."""
+    s = _u64_to_long(d)
+    rot = F.shiftrightunsigned(s, n).bitwiseOR(F.shiftleft(s, 64 - n))
+    return _u64_from_long(s.bitwiseXOR(rot))
+
+
 def _int_hash32(c: Column) -> Column:
-    """ClickHouse intHash32 — Thomas Wang's 64→32-bit mix, bit-exact;
-    returns the uint32 value as BIGINT."""
-    d = _u64_from_long(c.cast("long"))
+    """ClickHouse SQL intHash32 — Thomas Wang's 64→32-bit mix over the
+    salted input (FunctionsHashing.h IntHash32Impl: salt
+    0x75D9543DE018BF45, and the mix's first xor-shift step is the
+    ROTATE variant key ^ ((key >> 31) | (key << 33)), Hash.h
+    intHash32<salt>). Returns the uint32 value as BIGINT."""
+    s = c.cast("long").bitwiseXOR(F.lit(_INT_HASH32_SALT))
+    d = _u64_from_long(s)
     d = F.pmod(_u64_two64() - 1 - d + _u64_shl(d, 18), _u64_two64())
-    d = _u64_xorshr(d, 31)
+    d = _u64_rotxor(d, 31)
     d = _u64_mulmod(d, 21)
     d = _u64_xorshr(d, 11)
     d = F.pmod(d + _u64_shl(d, 6), _u64_two64())

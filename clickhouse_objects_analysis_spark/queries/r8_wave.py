@@ -21,18 +21,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.ch import ch_expr
-from .registry import query, tables
+from .registry import q6, query, tables
 
 # The intHash chains, as DuckDB CTEs over HUGEINT (2^64 = 1 << 64;
 # xor/shift operate on non-negative hugeints so >> is logical).
 # HUGEINT is SIGNED 128-bit, so a full x·C product of two 64-bit values
 # can overflow it — the multiplies split C into 32-bit halves exactly
 # like the Spark-side _u64_mulmod (x·C_lo < 2^96 stays in range).
+# Both chains start with the ClickHouse SQL-layer salt xor
+# (FunctionsHashing.h: 0x4CF2D2BAAE6DA887 for intHash64,
+# 0x75D9543DE018BF45 for intHash32), and the intHash32 mix's first
+# xor-shift is the ROTATE variant key ^ ((key >> 31) | (key << 33))
+# — rendered as addition, the two shift fields are bit-disjoint.
 _TWO64 = "18446744073709551616"
 # 0xff51afd7ed558ccd = hi 4283543511 · 2^32 + lo 3981806797
 # 0xc4ceb9fe1a85ec53 = hi 3301882366 · 2^32 + lo  444984403
+_H64_SALT = "5544725790478674055"  # 0x4CF2D2BAAE6DA887
+_H32_SALT = "8491911197113237317"  # 0x75D9543DE018BF45
 _H64_CTE = f"""
-    h640 AS (SELECT event_id, event_id::HUGEINT AS x FROM e),
+    h640 AS (SELECT event_id,
+             xor(event_id::HUGEINT, {_H64_SALT}::HUGEINT) AS x FROM e),
     h641 AS (SELECT event_id, xor(x, x >> 33) AS x FROM h640),
     h642 AS (SELECT event_id,
              ((x * 3981806797::HUGEINT) % {_TWO64}::HUGEINT
@@ -52,11 +60,15 @@ _H64_CTE = f"""
             FROM h645)
 """
 _H32_CTE = f"""
-    h320 AS (SELECT event_id, user_id::HUGEINT AS x FROM e),
+    h320 AS (SELECT event_id,
+             xor(user_id::HUGEINT, {_H32_SALT}::HUGEINT) AS x FROM e),
     h321 AS (SELECT event_id,
              (({_TWO64}::HUGEINT - 1 - x) + (x * 262144::HUGEINT))
                  % {_TWO64}::HUGEINT AS x FROM h320),
-    h322 AS (SELECT event_id, xor(x, x >> 31) AS x FROM h321),
+    h322 AS (SELECT event_id,
+             xor(x, (x >> 31)
+                    + (x * 8589934592::HUGEINT) % {_TWO64}::HUGEINT)
+                 AS x FROM h321),
     h323 AS (SELECT event_id, (x * 21::HUGEINT) % {_TWO64}::HUGEINT AS x
              FROM h322),
     h324 AS (SELECT event_id, xor(x, x >> 11) AS x FROM h323),
@@ -399,24 +411,25 @@ def ch_r8_function_surface_2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
     )
     SELECT sx, sy, tx, ty,
-           ROUND((p1 - p2) / SQRT(pp * (1 - pp)
-                 * (1.0 / tx + 1.0 / ty)), 6) AS z_stat,
-           ROUND((p1 - p2) - 1.9599639845400545
-                 * SQRT(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty), 6)
-               AS ci_low,
-           ROUND((p1 - p2) + 1.9599639845400545
-                 * SQRT(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty), 6)
-               AS ci_high,
-           ROUND(POW(1.9599639845400545
+           FLOOR(((p1 - p2) / SQRT(pp * (1 - pp)
+                 * (1.0 / tx + 1.0 / ty))) * 1000000 + 0.5) / 1000000
+               AS z_stat,
+           FLOOR(((p1 - p2) - 1.9599639845400545
+                 * SQRT(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty))
+                 * 1000000 + 0.5) / 1000000 AS ci_low,
+           FLOOR(((p1 - p2) + 1.9599639845400545
+                 * SQRT(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty))
+                 * 1000000 + 0.5) / 1000000 AS ci_high,
+           FLOOR((POW(1.9599639845400545
                      * SQRT(2 * ((p1 + 0.02 + p1) / 2)
                             * (1 - (p1 + 0.02 + p1) / 2))
                      + 0.8416212335729143
                      * SQRT(p1 * (1 - p1) + (p1 + 0.02)
                             * (1 - (p1 + 0.02))), 2)
-                 / (0.02 * 0.02), 6) AS n_conv,
-           ROUND(2 * POW(1.9599639845400545 + 0.8416212335729143, 2)
-                 * (20.0 * 20.0) / ((0.05 * 100.0) * (0.05 * 100.0)), 6)
-               AS n_cont
+                 / (0.02 * 0.02)) * 1000000 + 0.5) / 1000000 AS n_conv,
+           FLOOR((2 * POW(1.9599639845400545 + 0.8416212335729143, 2)
+                 * (20.0 * 20.0) / ((0.05 * 100.0) * (0.05 * 100.0)))
+                 * 1000000 + 0.5) / 1000000 AS n_cont
     FROM m
     """,
 )
@@ -454,17 +467,16 @@ def ab_ztest_power_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = F.col("sx").cast("double") / F.col("tx")
     return agg.select(
         "sx", "sy", "tx", "ty",
-        F.round(zt["z_stat"], 6).alias("z_stat"),
-        F.round(zt["ci_low"], 6).alias("ci_low"),
-        F.round(zt["ci_high"], 6).alias("ci_high"),
-        F.round(
-            ch_expr("minSampleSizeConversion", p1, F.lit(0.02)), 6
+        q6(zt["z_stat"]).alias("z_stat"),
+        q6(zt["ci_low"]).alias("ci_low"),
+        q6(zt["ci_high"]).alias("ci_high"),
+        q6(
+            ch_expr("minSampleSizeConversion", p1, F.lit(0.02))
         ).alias("n_conv"),
-        F.round(
+        q6(
             ch_expr(
                 "minSampleSizeContinuous",
                 F.lit(100.0), F.lit(20.0), F.lit(0.05),
-            ),
-            6,
+            )
         ).alias("n_cont"),
     )

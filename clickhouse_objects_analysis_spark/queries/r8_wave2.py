@@ -26,7 +26,7 @@ from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.graph import k_core
 from ..operators.spatial import grid_neighbor_pairs
 from .llm import _SCORED_CTE, _SHINGLE_CTE
-from .registry import query, tables
+from .registry import q6, query, tables
 
 _Z95 = 1.9599639845400545
 
@@ -130,10 +130,12 @@ def k_core_decomposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TWO64 = "18446744073709551616"
-# fmix64 over HUGEINT (same split-multiply chain as r8_wave._H64_CTE),
-# parameterized on the source CTE; scatters the order key to 2-D.
+# intHash64 over HUGEINT (same salt + split-multiply chain as
+# r8_wave._H64_CTE), parameterized on the source CTE; scatters the
+# order key to 2-D.
 _FMIX_PTS_CTE = f"""
-    h0 AS (SELECT pid, pid::HUGEINT AS x FROM o),
+    h0 AS (SELECT pid,
+           xor(pid::HUGEINT, 5544725790478674055::HUGEINT) AS x FROM o),
     h1 AS (SELECT pid, xor(x, x >> 33) AS x FROM h0),
     h2 AS (SELECT pid,
            ((x * 3981806797::HUGEINT) % {_TWO64}::HUGEINT
@@ -250,8 +252,8 @@ def grid_spatial_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(mat.cohort_week, '%Y-%m-%d') AS cohort_week,
            week_offset, n_active, s.cohort_size,
-           ROUND(CAST(n_active AS DOUBLE) / s.cohort_size, 6)
-               AS retention
+           FLOOR(CAST(n_active AS DOUBLE) / s.cohort_size
+                 * 1000000 + 0.5) / 1000000 AS retention
     FROM mat JOIN sizes s USING (cohort_week)
     ORDER BY cohort_week, week_offset
     """,
@@ -293,8 +295,8 @@ def cohort_retention_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "n_active",
             "cohort_size",
-            F.round(
-                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            q6(
+                F.col("n_active").cast("double") / F.col("cohort_size")
             ).alias("retention"),
         )
         .orderBy("cohort_week", "week_offset")
@@ -317,11 +319,12 @@ def cohort_retention_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
     )
     SELECT event_type, n, s,
-           ROUND(p, 6) AS rate,
-           ROUND((p + {_Z95} * {_Z95} / (2 * n)
+           FLOOR(p * 1000000 + 0.5) / 1000000 AS rate,
+           FLOOR((p + {_Z95} * {_Z95} / (2 * n)
                   - {_Z95} * SQRT(p * (1 - p) / n
                                   + {_Z95} * {_Z95} / (4.0 * n * n)))
-                 / (1 + {_Z95} * {_Z95} / n), 6) AS wilson_low
+                 / (1 + {_Z95} * {_Z95} / n) * 1000000 + 0.5) / 1000000
+               AS wilson_low
     FROM sc ORDER BY wilson_low DESC, event_type
     """,
 )
@@ -355,8 +358,8 @@ def ctr_wilson_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "s",
-        F.round(p, 6).alias("rate"),
-        F.round(wilson, 6).alias("wilson_low"),
+        q6(p).alias("rate"),
+        q6(wilson).alias("wilson_low"),
     ).orderBy(F.desc("wilson_low"), "event_type")
 
 
@@ -415,8 +418,9 @@ _JSD_TERM_SQL = """
     SELECT (SELECT ta FROM tot) AS tokens_a,
            (SELECT tb FROM tot) AS tokens_b,
            n_buckets,
-           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
-                             (a, b) -> a + b), 6) AS jsd_nats
+           FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+                             (a, b) -> a + b) * 1000000 + 0.5) / 1000000
+               AS jsd_nats
     FROM terms
     """,
 )
@@ -488,7 +492,7 @@ def js_divergence_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ta").alias("tokens_a"),
             F.col("tb").alias("tokens_b"),
             "n_buckets",
-            F.round(fold, 6).alias("jsd_nats"),
+            q6(fold).alias("jsd_nats"),
         )
     )
 
@@ -510,8 +514,8 @@ def js_divergence_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS covered_tokens,
            tot.total AS total_tokens,
            tot.vocab AS vocab_size,
-           ROUND(CAST((SELECT SUM(c) FROM top WHERE rn <= k) AS DOUBLE)
-                 / tot.total, 6) AS coverage
+           FLOOR(CAST((SELECT SUM(c) FROM top WHERE rn <= k) AS DOUBLE)
+                 / tot.total * 1000000 + 0.5) / 1000000 AS coverage
     FROM (SELECT unnest([10, 100, 1000]) AS k) CROSS JOIN tot
     ORDER BY k
     """,
@@ -554,8 +558,8 @@ def token_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_tokens",
         F.col("total").alias("total_tokens"),
         F.col("vocab").alias("vocab_size"),
-        F.round(
-            F.col("covered_tokens").cast("double") / F.col("total"), 6
+        q6(
+            F.col("covered_tokens").cast("double") / F.col("total")
         ).alias("coverage"),
     ).orderBy("k")
 
@@ -587,7 +591,8 @@ def token_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per GROUP BY source
     )
     SELECT source, n_docs, f0, f1, f2, f3, f4,
-           ROUND(5.0 * nsq_by_fold / n_docs - n_docs, 6) AS chi2,
+           FLOOR((5.0 * nsq_by_fold / n_docs - n_docs)
+                 * 1000000 + 0.5) / 1000000 AS chi2,
            (5.0 * nsq_by_fold / n_docs - n_docs) < 9.487729036781154
                AS balanced
     FROM piv ORDER BY source
@@ -637,6 +642,6 @@ def stratified_kfold_assignment_q(
         "f2",
         "f3",
         "f4",
-        F.round(chi2, 6).alias("chi2"),
+        q6(chi2).alias("chi2"),
         (chi2 < 9.487729036781154).alias("balanced"),
     ).orderBy("source")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.ch import ch_expr
 from .lineage_queries import BASE_TABLES, EXPECTED_EDGES, _values_sql
-from .registry import query, tables
+from .registry import q6, query, tables
 
 
 @query(
@@ -35,10 +35,10 @@ from .registry import query, tables
     SELECT user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
            CASE WHEN pts IS NULL THEN NULL
-                ELSE ROUND(GREATEST(
+                ELSE FLOOR(GREATEST(
                     (value - pv)
                     / (CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE)
-                       / 1000000), 0.0), 6)
+                       / 1000000), 0.0) * 1000000 + 0.5) / 1000000
            END AS rate_per_sec
     FROM d ORDER BY user_id, ts
     """,
@@ -71,7 +71,7 @@ def nonnegative_derivative_rate_q(
     return d.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        F.when(F.col("pts").isNotNull(), F.round(rate, 6)).alias(
+        F.when(F.col("pts").isNotNull(), q6(rate)).alias(
             "rate_per_sec"
         ),
     ).orderBy("user_id", "ts")

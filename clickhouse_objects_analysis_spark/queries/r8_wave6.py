@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .registry import query, tables
+from .registry import q6, query, tables
 
 _CUTOFF = "2024-01-20 00:00:00"
 
@@ -53,8 +53,9 @@ _CUTOFF = "2024-01-20 00:00:00"
            CAST(COUNT(*) AS BIGINT) AS n_test,
            CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
-           ROUND(CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+           FLOOR(CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+               AS accuracy
     FROM test t LEFT JOIN pred p USING (cur)
     GROUP BY t.cur, p.pred
     ORDER BY t.cur
@@ -110,9 +111,7 @@ def markov_next_event_accuracy_q(
         )
         .withColumn(
             "accuracy",
-            F.round(
-                F.col("n_correct").cast("double") / F.col("n_test"), 6
-            ),
+            q6(F.col("n_correct").cast("double") / F.col("n_test")),
         )
         .orderBy("cur")
     )

@@ -5,11 +5,24 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..session import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def q6(c: Column) -> Column:
+    """Floor-quantize a computed double to 6 decimal digits — the
+    cross-engine-safe rendering for oracled score columns. F.round
+    HALF_UP works on Spark's SHORTEST-REPR decimal while DuckDB ROUND
+    works on the exact binary expansion, so the two disagree whenever
+    the 7th digit of the two expansions straddles a rounding boundary
+    (data-dependent: green at one SF, red at another). floor(x·1e6+0.5)
+    is one IEEE expression both engines evaluate identically; the SQL
+    twin is FLOOR((x) * 1000000 + 0.5) / 1000000."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}

@@ -25,10 +25,19 @@ def _fmix64(x: int) -> int:
     return x
 
 
+def _int_hash64(x: int) -> int:
+    """ClickHouse SQL intHash64 = fmix64 over the FunctionsHashing.h
+    salt (IntHash64Impl)."""
+    return _fmix64((x ^ 0x4CF2D2BAAE6DA887) & _M64)
+
+
 def _int_hash32(key: int) -> int:
-    key &= _M64
+    """ClickHouse SQL intHash32 = Wang's 64→32 mix over the
+    FunctionsHashing.h salt, with the ROTATE first xor step
+    (Hash.h intHash32<0x75D9543DE018BF45>)."""
+    key = (key ^ 0x75D9543DE018BF45) & _M64
     key = ((~key) + (key << 18)) & _M64
-    key ^= key >> 31
+    key ^= ((key >> 31) | (key << 33)) & _M64
     key = (key * 21) & _M64
     key ^= key >> 11
     key = (key + (key << 6)) & _M64
@@ -61,7 +70,7 @@ def test_int_hash_bit_exact(spark):
     ).collect()
     for r in rows:
         u = r["x"] & _M64
-        assert (r["h64"] + (1 << 64)) % (1 << 64) == _fmix64(u), r["x"]
+        assert (r["h64"] + (1 << 64)) % (1 << 64) == _int_hash64(u), r["x"]
         assert r["h32"] == _int_hash32(u), r["x"]
 
 
