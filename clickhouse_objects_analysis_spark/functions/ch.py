@@ -222,16 +222,101 @@ def _dec_div(v: Column, d: int) -> Column:
     subtract the exact pmod remainder first, so the decimal division is
     of an exact multiple and can never be bent by scale rounding (a
     plain decimal divide rounds HALF_UP at the result scale, which
-    would corrupt floor() whenever the true fraction is ≥ .9999995)."""
-    dd = F.lit(d).cast(_D38)
+    would corrupt floor() whenever the true fraction is ≥ .9999995).
+    The literal goes through a string so divisors beyond long range
+    (10^24 in _decimal_mul) parse exactly."""
+    dd = F.lit(str(d)).cast(_D38)
     return (v - F.pmod(v, dd)) / dd
+
+
+def _dec_div_col(n: Column, d: Column) -> Column:
+    """_dec_div with a COLUMN divisor: exact floor(n / d) for
+    non-negative integral DECIMAL(38,0) n and positive integral
+    DECIMAL(38,0) d (same remainder-subtraction trick)."""
+    return ((n - F.pmod(n, d)) / d).cast(_D38)
+
+
+#: Fixed input quantization for divideDecimal/multiplyDecimal: inputs
+#: are taken exact to 12 fractional digits (|value| < 10^12 — CH calls
+#: them on modest business decimals; overflow yields NULL, matching
+#: Spark decimal overflow under ANSI-off).
+_DEC_IN = "decimal(24,12)"
+_DEC_IN_POW = 10**12
+
+
+def _dec_scaled_int(c: Column) -> Column:
+    """|c| as an exact scaled integer (value·10^12) in DECIMAL(38,0).
+    decimal(24,12) × decimal(13,0) = decimal(38,12) exactly (no
+    precision-loss adjustment), integral by construction."""
+    return F.abs(
+        c.cast(_DEC_IN) * F.lit(_DEC_IN_POW).cast("decimal(13,0)")
+    ).cast(_D38)
+
+
+def _dec_render(sign: Column, q: Column, scale: int) -> Column:
+    """Render a non-negative integral DECIMAL(38,0) q (the result value
+    scaled by 10^scale) as DECIMAL(38,scale) EXACTLY, via string
+    assembly — a final decimal division would re-introduce the Spark
+    result-scale HALF_UP rounding this machinery exists to avoid."""
+    if scale == 0:
+        return (sign * q).cast("decimal(38,0)")
+    ip = _dec_div(q, 10**scale).cast(_D38).cast("string")
+    fp = F.lpad(
+        F.pmod(q, F.lit(10**scale).cast(_D38)).cast(_D38).cast("string"),
+        scale,
+        "0",
+    )
+    txt = F.concat(
+        F.when(sign < 0, F.lit("-")).otherwise(F.lit("")),
+        ip,
+        F.lit("."),
+        fp,
+    )
+    return txt.cast(f"decimal(38,{scale})")
+
+
+def _decimal_div(a: Column, b: Column, scale: int) -> Column:
+    """ClickHouse divideDecimal(a, b, scale): a / b truncated TOWARD
+    ZERO at exactly `scale` fractional digits. Computed as
+    floor(|a|·10^(12+scale) / (|b|·10^12)) on DECIMAL(38,0) scaled
+    integers (exact — no engine rounding can reach the result), then
+    signed and rendered. Bounds: |a| < 10^(26-scale), |b| < 10^12
+    (NULL beyond, like Spark decimal overflow)."""
+    ia = _dec_scaled_int(a)
+    ib = _dec_scaled_int(b)
+    n = ia * F.lit(10**scale).cast(f"decimal({scale + 1},0)")
+    q = _dec_div_col(n.cast(_D38), ib)
+    sign = F.when(
+        (a < 0) != (b < 0), F.lit(-1).cast(_D38)
+    ).otherwise(F.lit(1).cast(_D38))
+    return _dec_render(sign, q, scale)
+
+
+def _decimal_mul(a: Column, b: Column, scale: int) -> Column:
+    """ClickHouse multiplyDecimal(a, b, scale): a · b truncated TOWARD
+    ZERO at exactly `scale` fractional digits, on the same scaled-
+    integer machinery as _decimal_div (product carried at 10^24;
+    |a·b| < 10^14 for exactness, NULL beyond)."""
+    prod = (_dec_scaled_int(a) * _dec_scaled_int(b)).cast(_D38)
+    if scale <= 24:
+        q = _dec_div(prod, 10 ** (24 - scale)).cast(_D38)
+    else:
+        q = prod * F.lit(10 ** (scale - 24)).cast(_D38)
+    sign = F.when(
+        (a < 0) != (b < 0), F.lit(-1).cast(_D38)
+    ).otherwise(F.lit(1).cast(_D38))
+    return _dec_render(sign, q, scale)
 
 
 def _base58_encode(c: Column) -> Column:
     """Big-endian base58 of an ASCII string ≤ 8 bytes, fully JVM-side:
     fold the bytes into a DECIMAL(38,0) value, then emit 11 fixed digit
     positions (58^11 > 2^64), each included iff v ≥ 58^k (monotone in
-    k, so mid-number zero digits always render)."""
+    k, so mid-number zero digits always render). CH fidelity bounds:
+    non-ASCII input → NULL (F.ascii would fold multibyte codepoints
+    into a wrong base-256 value that still round-trips to a DIFFERENT
+    string — worse than failing); leading zero BYTES emit one '1' digit
+    each, like every base58 codec (value folding alone drops them)."""
     alpha = F.array(*[F.lit(ch) for ch in _B58])
     v = F.aggregate(
         F.sequence(F.lit(1), F.length(c)),
@@ -240,23 +325,31 @@ def _base58_encode(c: Column) -> Column:
     )
     parts = [
         F.when(
-            (v >= F.lit(58**k).cast(_D38)) | (F.lit(k == 0)),
+            v >= F.lit(58**k).cast(_D38),
             F.element_at(
                 alpha, F.pmod(_dec_div(v, 58**k), 58).cast("int") + 1
             ),
         ).otherwise(F.lit(""))
         for k in range(10, -1, -1)
     ]
-    return F.when(F.length(c) == 0, F.lit("")).when(
-        F.length(c) <= 8, F.concat(*parts)
+    ones = F.repeat(
+        F.lit("1"),
+        F.length(F.regexp_extract(c, "^\x00*", 0)).cast("int"),
+    )
+    return (
+        F.when(F.length(c) == 0, F.lit(""))
+        .when(~c.rlike("^[\x00-\x7f]*$"), F.lit(None).cast("string"))
+        .when(F.length(c) <= 8, F.concat(ones, F.concat(*parts)))
     )
 
 
 def _base58_decode(c: Column) -> Column:
     """Inverse of _base58_encode for values < 2^64 (≤ 11 base58 digits):
     fold digit indexes into the decimal value, then emit 8 fixed byte
-    positions via char()."""
+    positions via char(). Leading '1' digits decode to one NUL byte
+    each (the encode-side leading-zero-byte convention)."""
     alpha = F.lit(_B58)
+    stripped = F.regexp_replace(c, "^1*", "")
     v = F.aggregate(
         F.sequence(F.lit(1), F.length(c)),
         F.lit(0).cast(_D38),
@@ -265,13 +358,16 @@ def _base58_decode(c: Column) -> Column:
     )
     parts = [
         F.when(
-            (v >= F.lit(256**j).cast(_D38)) | (F.lit(j == 0)),
+            v >= F.lit(256**j).cast(_D38),
             F.char(F.pmod(_dec_div(v, 256**j), 256).cast("int")),
         ).otherwise(F.lit(""))
         for j in range(7, -1, -1)
     ]
+    nuls = F.repeat(
+        F.char(F.lit(0)), (F.length(c) - F.length(stripped)).cast("int")
+    )
     return F.when(F.length(c) == 0, F.lit("")).when(
-        F.length(c) <= 11, F.concat(*parts)
+        F.length(c) <= 11, F.concat(nuls, F.concat(*parts))
     )
 
 
@@ -399,8 +495,24 @@ def _point_in_ellipses(x: Column, y: Column, *params) -> Column:
 _FSS_SET = ("com", "net", "org", "co")
 
 
+def _host_of(c: Column) -> Column:
+    """Host of a URL *or* a bare scheme-less host/domain — ClickHouse's
+    domain()/firstSignificantSubdomain family accepts both, while
+    parse_url(HOST) yields NULL without a scheme. Fallback: strip an
+    optional scheme and userinfo, take up to the first /:?# (empty
+    match → NULL so downstream whens stay null-propagating)."""
+    bare = F.regexp_extract(
+        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1
+    )
+    # try_parse_url: Spark 4 parse_url THROWS on invalid URLs (e.g.
+    # userinfo without a scheme) instead of returning NULL.
+    return F.coalesce(
+        F.try_parse_url(c, F.lit("HOST")), F.nullif(bare, F.lit(""))
+    )
+
+
 def _fss_parts(c: Column):
-    host = F.parse_url(c, F.lit("HOST"))
+    host = _host_of(c)
     labels = F.split(host, r"\.")
     nl = F.size(labels)
     second_last = F.element_at(labels, (nl - 1).cast("int"))
@@ -1205,7 +1317,7 @@ CH_FUNCTIONS: dict[str, Builder] = {
         F.size(F.json_object_keys(c)).cast("int"),
     ),
     "protocol": lambda c: F.parse_url(c, F.lit("PROTOCOL")),
-    "domain": lambda c: F.parse_url(c, F.lit("HOST")),
+    "domain": lambda c: _host_of(c),  # scheme-less hosts accepted (CH)
     "path": lambda c: F.parse_url(c, F.lit("PATH")),
     "queryString": lambda c: F.parse_url(c, F.lit("QUERY")),
     "IPv4NumToString": lambda c: F.concat_ws(
@@ -1369,7 +1481,7 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "encodeURLFormComponent": F.url_encode,
     "decodeURLFormComponent": F.url_decode,
     "topLevelDomain": lambda c: F.element_at(
-        F.split(F.parse_url(c, F.lit("HOST")), r"\."), -1
+        F.split(_host_of(c), r"\."), -1
     ),
     # --- round-6 breadth: hashing / aggregates ---
     "crc32": F.crc32,  # zlib CRC-32 on both engines: bit-compatible
@@ -2547,24 +2659,15 @@ CH_FUNCTIONS: dict[str, Builder] = {
         lambda acc, v: acc + v,
     ),
     # explicit-result-scale decimal arithmetic, truncating toward zero
-    # (the CH contract). Exactness note: truncation evaluates on the
-    # engine-computed quotient, so callers wanting bit-stable results
-    # across engines should keep quotients terminating within `scale`
-    # digits (the surface query does).
-    "divideDecimal": lambda a, b, scale=10: (
-        lambda m: (
-            (
-                lambda q: F.signum(q) * F.floor(F.abs(q) * m) / m
-            )(a.cast("decimal(38,12)") / b.cast("decimal(38,12)"))
-        ).cast(f"decimal(38,{int(scale)})")
-    )(F.lit(10 ** int(scale)).cast(_D38)),
-    "multiplyDecimal": lambda a, b, scale=10: (
-        lambda m: (
-            (
-                lambda q: F.signum(q) * F.floor(F.abs(q) * m) / m
-            )(a.cast("decimal(19,6)") * b.cast("decimal(19,6)"))
-        ).cast(f"decimal(38,{int(scale)})")
-    )(F.lit(10 ** int(scale)).cast(_D38)),
+    # (the CH contract) — exact at ANY requested scale via the scaled-
+    # integer machinery (_decimal_div/_decimal_mul below), not native
+    # decimal division (whose Spark result type decimal(38,6) would
+    # HALF_UP-round the quotient at 6 fractional digits BEFORE the
+    # truncation — the r8 ADVICE finding).
+    "divideDecimal": lambda a, b, scale=10: _decimal_div(a, b, int(scale)),
+    "multiplyDecimal": lambda a, b, scale=10: _decimal_mul(
+        a, b, int(scale)
+    ),
     # two-proportion z-test: pooled z statistic + unpooled Wald CI for
     # p1-p2. p-value omitted: neither engine exposes erf, and shipping
     # a polynomial approximation would be false precision (documented).

@@ -26,3 +26,34 @@ def test_first_significant_subdomain_examples(spark):
     got = {r["url"]: (r["fss"], r["cut"]) for r in rows}
     for url, fss, cut in _CASES:
         assert got[url] == (fss, cut), (url, got[url], (fss, cut))
+
+
+_SCHEMELESS = [
+    # ClickHouse accepts bare hosts/domains (r8 ADVICE: parse_url(HOST)
+    # alone returns NULL without a scheme); the _host_of fallback must
+    # serve the same answers as the fully-qualified form.
+    ("news.clickhouse.com.tr", "clickhouse", "clickhouse.com.tr"),
+    ("clickhouse.com", "clickhouse", "clickhouse.com"),
+    ("www.example.co.uk/a?b=1", "example", "example.co.uk"),
+    ("sub.deep.example.net", "example", "example.net"),
+    ("user@mail.example.org:8080/x", "example", "example.org"),
+    ("localhost", "localhost", "localhost"),
+]
+
+
+def test_first_significant_subdomain_schemeless(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, _, _ in _SCHEMELESS], "url string"
+    )
+    rows = df.select(
+        "url",
+        ch_expr("firstSignificantSubdomain", F.col("url")).alias("fss"),
+        ch_expr("cutToFirstSignificantSubdomain", F.col("url")).alias("cut"),
+        ch_expr("domain", F.col("url")).alias("dom"),
+    ).collect()
+    got = {r["url"]: (r["fss"], r["cut"]) for r in rows}
+    for url, fss, cut in _SCHEMELESS:
+        assert got[url] == (fss, cut), (url, got[url], (fss, cut))
+    doms = {r["url"]: r["dom"] for r in rows}
+    assert doms["clickhouse.com"] == "clickhouse.com"
+    assert doms["user@mail.example.org:8080/x"] == "mail.example.org"

@@ -172,3 +172,42 @@ def test_tuple_family_and_decimal(spark):
     assert r["h"] == 2
     # 123.45 / 8 = 15.43125 -> truncated toward zero at scale 4
     assert r["dd"] == "15.4312"
+
+
+def test_decimal_div_mul_nonterminating_high_scale(spark):
+    """The r8-ADVICE finding: native decimal division adjusts
+    2/3 to decimal(38,6) and HALF_UP-rounds digit 6 BEFORE truncation
+    (0.666667 -> scale-10 render 0.6666670000). The scaled-integer
+    path must deliver all 10 truncated digits, toward zero, for both
+    signs, and multiplyDecimal must not quantize inputs at 6 digits."""
+    df = spark.range(1)
+
+    def dd(a, b, s):
+        return ch_expr(
+            "divideDecimal",
+            F.lit(a).cast("decimal(20,7)"),
+            F.lit(b).cast("decimal(20,7)"),
+            s,
+        ).cast("string")
+
+    def dm(a, b, s):
+        return ch_expr(
+            "multiplyDecimal",
+            F.lit(a).cast("decimal(20,7)"),
+            F.lit(b).cast("decimal(20,7)"),
+            s,
+        ).cast("string")
+
+    r = df.select(
+        dd("2", "3", 10).alias("d23"),
+        dd("-2", "3", 10).alias("dn23"),
+        dd("1", "7", 12).alias("d17"),
+        dm("0.0000012", "0.0000012", 14).alias("m_tiny"),
+        dm("-1.5", "1.5", 10).alias("m_neg"),
+    ).collect()[0]
+    assert r["d23"] == "0.6666666666"  # truncated, never ...67
+    assert r["dn23"] == "-0.6666666666"  # toward zero, not floor
+    assert r["d17"] == "0.142857142857"
+    # 1.2e-6 squared = 1.44e-12: vanishes if inputs quantize at 1e-6
+    assert r["m_tiny"] == "0.00000000000144"
+    assert r["m_neg"] == "-2.2500000000"
