@@ -27,6 +27,27 @@ from .registry import query, tables
 MAX_BASKET = 512
 
 
+def capped_basket_pairs(cp: DataFrame, max_basket: int) -> DataFrame:
+    """The whale-capped co-purchase pair stream: deterministically
+    subsample each customer's basket to ``max_basket`` items (stable
+    xxhash64 order, so reruns agree), then emit every within-customer
+    ordered item pair (cust, pa, pb), pa < pb. Stream cardinality is
+    EXACTLY Σ_cust C(min(basket, max_basket), 2) — the bound
+    tests/test_skew_bounds.py asserts on a whale fixture. cust
+    cardinality is high, so the row_number window is not the
+    low-cardinality single-task-sort trap; its shuffle on cust is the
+    same partitioning the pair self-join needs anyway."""
+    w = Window.partitionBy("cust").orderBy(F.xxhash64("cust", "part"))
+    capped = (
+        cp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_basket)
+        .drop("rn")
+    )
+    a = capped.select(F.col("cust"), F.col("part").alias("pa"))
+    b = capped.select(F.col("cust"), F.col("part").alias("pb"))
+    return a.join(b, "cust").filter(F.col("pa") < F.col("pb"))
+
+
 @query(
     "copurchase_item_similarity",
     oracle="""
@@ -78,22 +99,8 @@ def copurchase_item_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds counts AND the pair join
     )
     pc = cp.groupBy("part").agg(F.count("*").cast("long").alias("n_cust"))
-    # Whale cap: stable per-cust subsample (hash order, not data order)
-    # so the pair stream per customer is bounded by C(MAX_BASKET, 2).
-    # cust cardinality is high, so the row_number window is not the
-    # low-cardinality single-task-sort trap; its shuffle on cust is the
-    # same partitioning the pair self-join needs anyway.
-    w = Window.partitionBy("cust").orderBy(F.xxhash64("cust", "part"))
-    capped = (
-        cp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= MAX_BASKET)
-        .drop("rn")
-    )
-    a = capped.select(F.col("cust"), F.col("part").alias("pa"))
-    b = capped.select(F.col("cust"), F.col("part").alias("pb"))
     co = (
-        a.join(b, "cust")
-        .filter(F.col("pa") < F.col("pb"))
+        capped_basket_pairs(cp, MAX_BASKET)
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("long").alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
