@@ -24,6 +24,18 @@ from clickhouse_objects_analysis_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Ten mixed-cost sentinels re-run in a FRESH JVM at the end of the
+#: bench (r8 verdict #4): if in-session timings drift vs fresh-process
+#: timings, the round-over-round signal is session aging (pinned blocks,
+#: JIT state, heap fragmentation); if they agree but calibration moved,
+#: it's host drift. One subprocess answers which.
+SENTINELS = [
+    "q1_pricing_summary", "q18_large_volume_customer", "asof_join",
+    "quantiles", "window_ranking", "dedup_exact",
+    "ngram_jaccard_pairs", "ann_cosine_topk", "lang_id",
+    "lineage_edges",
+]
+
 
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -31,6 +43,54 @@ def sf_of(path: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _cal_best(spark, n_rows: int, reps_: int) -> float:
+    """Data-independent host-speed probe (see the main() comment)."""
+    import pyspark.sql.functions as F
+
+    runs = []
+    for _ in range(reps_):
+        t0 = time.perf_counter()
+        (
+            spark.range(n_rows)
+            .select((F.col("id") % 97).alias("k"), F.col("id"))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("id").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
+def sentinel_main() -> None:
+    """Fresh-JVM sentinel pass (invoked as `bench.py --sentinel` in a
+    subprocess): warm up, run the 10 sentinels best-of-2 plus the long
+    calibration, print ONE JSON line for the parent to embed."""
+    spark = get_spark("bench-sentinel")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out: dict[str, float] = {}
+    for name in SENTINELS:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    cal = _cal_best(spark, 8_000_000_000, 3)
+    print(
+        json.dumps(
+            {"sentinels": out, "calibration_long_sec": cal},
+            separators=(",", ":"),
+        )
+    )
 
 
 def main() -> None:
@@ -80,31 +140,17 @@ def main() -> None:
     # times by the ratio of calibration_sec values to cancel uniform
     # host slowdowns (virtualization jitter, thermal state) instead of
     # explaining them in prose. Best of 3.
-    def cal_best(n_rows: int, reps_: int) -> float:
-        runs = []
-        for _ in range(reps_):
-            t0 = time.perf_counter()
-            (
-                spark.range(n_rows)
-                .select((F.col("id") % 97).alias("k"), F.col("id"))
-                .groupBy("k")
-                .agg(F.sum("id").alias("s"), F.count("id").alias("c"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            runs.append(time.perf_counter() - t0)
-        return round(min(runs), 3)
-
-    calibration = cal_best(50_000_000, 3)
+    calibration = _cal_best(spark, 50_000_000, 3)
     # The 50M figure lands at ~0.3-0.6 s, where fresh-process best-of-3
     # still swings ±25% (measured r7: 0.329 / 0.414 / 0.499 across three
     # JVMs) — job-overhead-dominated, too noisy to resolve host factors
     # under ~1.3x. 8B rows is compute-dominated and measured ±1% within
     # a JVM (5.571/5.504/5.498); use THIS one for round-over-round
     # normalization from r7 on (the short one stays for continuity with
-    # the r6 record).
-    calibration_long = cal_best(8_000_000_000, 3)
+    # the r6 record). r9 (verdict #4): measured at pre / mid / post so
+    # within-run host drift is visible, plus a fresh-JVM sentinel pass at
+    # the end to split host drift from session aging.
+    calibration_long = _cal_best(spark, 8_000_000_000, 3)
 
     # Best-of-N per query (default 2): single-shot timings on this host
     # show rare multi-second spikes (JVM GC / virtualization jitter) that
@@ -112,7 +158,11 @@ def main() -> None:
     # reports the query's actual cost, not the noise floor.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    ordered = sorted(QUERIES)
+    cal_mid = None
+    for qi, name in enumerate(ordered):
+        if qi == len(ordered) // 2:
+            cal_mid = _cal_best(spark, 8_000_000_000, 3)
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -130,6 +180,38 @@ def main() -> None:
             ).save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+
+    cal_post = _cal_best(spark, 8_000_000_000, 3)
+
+    # Fresh-JVM sentinel pass (r8 verdict #4): subprocess = new JVM, new
+    # Python workers, empty block manager. Comparing its sentinel times
+    # to THIS session's times for the same queries separates session
+    # aging from host drift; its calibration vs cal_pre/mid/post bounds
+    # within-round host movement.
+    fresh: dict = {}
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sentinel"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=dict(os.environ),
+        )
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            try:
+                fresh = json.loads(ln)
+                break
+            except json.JSONDecodeError:
+                continue
+    except Exception as exc:  # sentinel pass is diagnostics, never fatal
+        fresh = {"error": str(exc)[:200]}
+    sentinel_delta = {}
+    for name in SENTINELS:
+        fv = (fresh.get("sentinels") or {}).get(name)
+        if fv and name in timings and timings[name] > 0:
+            sentinel_delta[name] = round(fv / timings[name], 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_of(SF_DIR)
@@ -154,6 +236,12 @@ def main() -> None:
         # host-speed normalizer (see comment at the measurement site)
         "calibration_sec": calibration,
         "calibration_long_sec": calibration_long,
+        # within-run drift probes + fresh-JVM control (r8 verdict #4)
+        "cal_pre": calibration_long,
+        "cal_mid": cal_mid,
+        "cal_post": cal_post,
+        "fresh_session": fresh,
+        "fresh_over_insession": sentinel_delta,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -209,6 +297,11 @@ def main() -> None:
         "streaming_setup_sec": streaming_setup,
         "calibration_sec": calibration,
         "calibration_long_sec": calibration_long,
+        "cal_pre": calibration_long,
+        "cal_mid": cal_mid,
+        "cal_post": cal_post,
+        "fresh_cal": fresh.get("calibration_long_sec"),
+        "fresh_over_insession": sentinel_delta,
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
@@ -222,4 +315,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sentinel" in sys.argv:
+        sentinel_main()
+    else:
+        main()
