@@ -21,6 +21,16 @@ from pyspark.sql import DataFrame, Window
 #: silently, under Spark's ANSI-off long arithmetic at realistic degrees).
 _KEY = lambda deg, node: deg * F.lit(1_000_000_000_000) + node  # noqa: E731
 
+#: Node count past which the iterative loops (LPA / personalized
+#: PageRank) stop relying on AQE to broadcast the per-round node-sized
+#: state table (~600k nodes ≈ 10 MB, the default broadcast threshold)
+#: and switch to a persist()-cached adjacency pre-partitioned on the
+#: loop's join key + per-round ShuffledHashJoin. Below the gate the
+#: broadcast loop is strictly cheaper; above it the planner would
+#: otherwise sort-merge-join — i.e. SORT the E-sized adjacency — every
+#: round (measured sf10: LPA 182.6→64.6 s, PPR 92.5→54.8 s).
+_BROADCAST_NODES_GATE = 600_000
+
 
 def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
@@ -206,6 +216,31 @@ def personalized_pagerank(
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = deg.select("n", "deg").localCheckpoint(eager=True)
+    n_nodes = nodes.count()  # also gates the big-graph loop strategy
+    big = n_nodes > _BROADCAST_NODES_GATE
+    # Degree folded into the adjacency ONCE (removes a per-round E⋈V
+    # join). Loop strategy gates on node count (r8 verdict #5):
+    # - small graphs: AQE broadcasts the node-sized rank table into a
+    #   BroadcastHashJoin each round — the adjacency never shuffles and
+    #   nothing needs pre-partitioning.
+    # - big graphs (rank table past the broadcast threshold, where the
+    #   planner would otherwise SORT the E-sized side every round in a
+    #   sort-merge join): materialize the adjacency ONCE pre-partitioned
+    #   on the join key via persist() — localCheckpoint drops
+    #   outputPartitioning in this Spark build (probed:
+    #   UnknownPartitioning) — so each round's ShuffledHashJoin
+    #   re-exchanges only the rank table. Measured at sf10: 92.5 s →
+    #   54.8 s. The cache is unpersisted before returning (rounds run
+    #   eagerly, the returned plan reads the final checkpoint only).
+    if big:
+        adj_deg = adj.join(nodes, "n").repartition(F.col("n")).persist()
+    else:
+        # lazy on purpose: a map-side broadcast join per round over the
+        # checkpointed 2-col adjacency is cheaper than materializing a
+        # second, 3-col E-sized checkpoint (measured +8 s at sf1).
+        # `nodes`, not `deg`: the checkpointed table broadcasts as-is,
+        # while deg would re-run the E-sized degree agg every round.
+        adj_deg = adj.join(F.broadcast(nodes), "n")
     seeds = nodes.filter(seed_pred).select("n")
     n_seeds = seeds.count()  # driver scalar: sizes the teleport mass
     base_nano = 1_000_000_000 // max(n_seeds, 1)
@@ -216,10 +251,9 @@ def personalized_pagerank(
         "n", F.coalesce(F.col("base"), F.lit(0)).alias("r")
     )
     for _ in range(rounds):
-        share = (
-            adj.join(nodes, "n")
-            .join(ranks, "n")
-            .select("m", F.expr("r div deg").alias("s"))
+        rhs = ranks.hint("shuffle_hash") if big else ranks
+        share = adj_deg.join(rhs, "n").select(
+            "m", F.expr("r div deg").alias("s")
         )
         inflow = share.groupBy(F.col("m").alias("n")).agg(
             F.sum("s").cast("long").alias("inflow")
@@ -236,9 +270,13 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=True)  # node-sized per-round state
         )
-    return nodes.join(ranks, "n").select(
+    out = nodes.join(ranks, "n").select(
         "n", "deg", F.col("r").alias("rank_nano")
     )
+    if big:
+        out = out.localCheckpoint(eager=True)
+        adj_deg.unpersist(blocking=False)
+    return out
 
 
 def label_propagation(
@@ -271,12 +309,28 @@ def label_propagation(
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
         .localCheckpoint(eager=True)
     )
-    labels = adj.select("n").distinct().withColumn("lbl", F.col("n"))
+    labels = (
+        adj.select("n")
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    # Loop strategy gates on node count (r8 verdict #5; same rationale
+    # as personalized_pagerank): small graphs let AQE broadcast the
+    # label table each round; big graphs (labels past the broadcast
+    # threshold, where the planner would SORT the E-sized adjacency in
+    # a sort-merge join EVERY round — the dominant sf10 cost) read the
+    # adjacency from a persist() cache pre-partitioned on the join key,
+    # so each round's ShuffledHashJoin re-exchanges only the label
+    # table. Measured at sf10: 182.6 s → 64.6 s. Unpersisted on exit;
+    # rounds run eagerly, the returned plan reads the final checkpoint.
+    big = labels.count() > _BROADCAST_NODES_GATE
+    if big:
+        adj = adj.repartition(F.col("m")).persist()
     for _ in range(rounds):
+        rhs = labels.select(F.col("n").alias("m"), "lbl")
         votes = (
-            adj.join(
-                labels.select(F.col("n").alias("m"), "lbl"), "m"
-            )
+            adj.join(rhs.hint("shuffle_hash") if big else rhs, "m")
             .groupBy("n", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -293,4 +347,6 @@ def label_propagation(
         labels = top.select(
             "n", (-F.col("t.nl")).alias("lbl")
         ).localCheckpoint(eager=True)  # node-sized per-round state
+    if big:
+        adj.unpersist(blocking=False)
     return labels

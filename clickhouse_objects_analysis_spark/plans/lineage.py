@@ -33,7 +33,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .chparse import token_table_dependencies
+from .chparse import ch_to_spark_sql, token_table_dependencies
 
 # --------------------------------------------------------------------------
 # Catalog layer (A1-A3)
@@ -192,17 +192,36 @@ def parse_table_dependencies_tagged(
     spark: SparkSession, sql_text: str, default_db: str = "default"
 ) -> tuple[list[str], str]:
     """Like parse_table_dependencies, plus the fidelity marker of the
-    path taken: 'exact' (Spark parser plan walk), 'token' (scope-aware
-    tokenizer walk) or 'regex' (flat-scan last resort)."""
+    path taken: 'exact' (Spark parser plan walk — including CH-only
+    DDLs that parse exactly after the mechanical surface rewrite,
+    chparse.ch_to_spark_sql), 'token' (scope-aware tokenizer walk) or
+    'regex' (flat-scan last resort)."""
     import json as _json
 
     relations: list[list[str]] = []
     cte_names: set[str] = set()
-    try:
-        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
+
+    def _parse(text: str) -> None:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
         _scan_plan_json(_json.loads(plan.toJSON()), relations, cte_names)
+
+    try:
+        _parse(sql_text)
     except Exception:
-        return fallback_table_dependencies(sql_text, default_db)
+        # Promotion step (r8 verdict #6): CH-only SURFACE syntax
+        # (PREWHERE, SETTINGS, ENGINE clauses, MV heads, FINAL/SAMPLE,
+        # GLOBAL/ANY join modifiers, …) is rewritten mechanically —
+        # every table reference preserved — and re-parsed EXACTLY; the
+        # token walk is reached only when even the rewritten DDL is
+        # unparseable (truly exotic constructs, e.g. remote()/merge()
+        # table functions with dialect-only argument forms).
+        try:
+            rewritten, applied = ch_to_spark_sql(sql_text)
+            if not applied:
+                raise ValueError("no CH construct to rewrite")
+            _parse(rewritten)
+        except Exception:
+            return fallback_table_dependencies(sql_text, default_db)
 
     out = set()
     for parts in relations:

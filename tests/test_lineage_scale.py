@@ -113,12 +113,14 @@ def _mixed_catalog(n: int, ch_every: int = 3) -> list[tuple[str, str, str]]:
 
 
 def test_fallback_crossover_degrades_per_view(spark):
-    """VERDICT r6 item 8: under a storm of parse failures (every 3rd
-    view CH-only), the exact path must degrade PER VIEW — rejected DDLs
-    come back with method='token' (the tokenizer fallback) and correct
-    edges, while every parseable neighbour keeps its parse-grade
-    'exact' marker. A wholesale fallback (all-token) or a dropped view
-    fails here."""
+    """VERDICT r6 item 8 (updated for the r8 #6 rewrite ladder): under
+    a storm of CH-only DDLs (every 3rd view PREWHERE+SETTINGS), the
+    pipeline must degrade PER VIEW — and since round 9 those DDLs are
+    mechanically rewritten (chparse.ch_to_spark_sql) and re-parsed
+    EXACTLY, so they now carry the parse-grade 'exact' marker with the
+    same correct edges. A dropped view or a wholesale fallback still
+    fails here; a genuinely unrewritable DDL class is covered by the
+    dictionary views in the fidelity probe below."""
     from clickhouse_objects_analysis_spark.plans.lineage import (
         view_dependencies_with_method,
     )
@@ -135,21 +137,69 @@ def test_fallback_crossover_degrades_per_view(spark):
     assert len(methods) == n  # no view dropped
     for i in range(n):
         view = f"cat.x_{i:04d}"
+        assert methods[view] == {"exact"}, (view, methods[view])
         if i % 3 == 0:
-            assert methods[view] == {"token"}, (view, methods[view])
             assert deps[view] == {f"cat.t_{i % 50}"}
         else:
-            assert methods[view] == {"exact"}, (view, methods[view])
             assert deps[view] == {
                 f"cat.t_{i % 50}", f"cat.dim_{i % 7}", f"cat.allow_{i % 3}"
             }
 
 
+def _fidelity_catalog(n: int) -> list[tuple[str, str, str, str]]:
+    """1k-view catalog spanning FOUR construct classes (the r8 #6
+    breakdown): plain Spark views, CH PREWHERE+SETTINGS selects and CH
+    MV heads (ENGINE/TO/POPULATE/GLOBAL-ANY joins) — both of which the
+    rewrite ladder must promote to the exact path — plus CREATE
+    DICTIONARY DDLs, which no mechanical rewrite can make
+    Spark-parseable (the honest token-path residue). Returns
+    (db, name, ddl, construct_class)."""
+    views = []
+    for i in range(n):
+        if i % 20 == 0:
+            ddl = (
+                f"CREATE DICTIONARY cat.f_{i:04d} (id UInt64, v String) "
+                f"PRIMARY KEY id "
+                f"SOURCE(CLICKHOUSE(TABLE 't_{i % 50}' DB 'cat')) "
+                f"LAYOUT(HASHED()) LIFETIME(300)"
+            )
+            cls = "dictionary_ddl"
+        elif i % 4 == 1:
+            ddl = (
+                f"CREATE VIEW cat.f_{i:04d} AS "
+                f"SELECT id FROM cat.t_{i % 50} PREWHERE sign > 0 "
+                f"SETTINGS max_threads = 1"
+            )
+            cls = "prewhere_settings"
+        elif i % 4 == 2:
+            ddl = (
+                f"CREATE MATERIALIZED VIEW cat.f_{i:04d} "
+                f"TO cat.dst_{i % 5} "
+                f"ENGINE = AggregatingMergeTree() ORDER BY k POPULATE AS "
+                f"SELECT a.k FROM cat.t_{i % 50} a FINAL "
+                f"GLOBAL ANY LEFT JOIN cat.dim_{i % 7} b ON a.k = b.k "
+                f"SETTINGS join_use_nulls = 1"
+            )
+            cls = "mv_engine_head"
+        else:
+            ddl = (
+                f"CREATE VIEW cat.f_{i:04d} AS "
+                f"SELECT a.id, b.name FROM cat.t_{i % 50} a "
+                f"JOIN cat.dim_{i % 7} b ON a.k = b.k "
+                f"WHERE a.id IN (SELECT id FROM cat.allow_{i % 3})"
+            )
+            cls = "plain"
+        views.append(("cat", f"f_{i:04d}", ddl, cls))
+    return views
+
+
 def test_1k_mixed_fidelity_ratio_recorded(spark):
-    """Per-edge fidelity ratio for the 1k-view mixed run, recorded to
-    LINEAGE_FIDELITY.json at the repo root (the artifact the directive
-    asks for): with 1/3 of views CH-only, exact edges = 2/3·n·3 and
-    token edges = 1/3·n·1 → exact ratio 6/7 ≈ 0.857, deterministic."""
+    """Per-edge fidelity for the 1k-view mixed run with the r9 rewrite
+    ladder, recorded to LINEAGE_FIDELITY.json with a per-construct
+    breakdown (the r8 verdict #6 artifact): PREWHERE/SETTINGS selects
+    and MV/ENGINE heads must ride the EXACT path via ch_to_spark_sql;
+    only the CREATE DICTIONARY class (truly unparseable by Spark) stays
+    on the token walk — edge fidelity 2100/2150 ≈ 0.977 ≥ 0.95."""
     import json
     import os
     import time as _time
@@ -161,29 +211,58 @@ def test_1k_mixed_fidelity_ratio_recorded(spark):
     import pyspark.sql.functions as F
 
     n = 1000
+    cat4 = _fidelity_catalog(n)
+    cls_of = {f"cat.{name}": cls for _, name, _, cls in cat4}
     t0 = _time.perf_counter()
-    edges, errors = view_dependencies_with_method(spark, _mixed_catalog(n))
-    counts = {
-        r["method"]: r["cnt"]
-        for r in edges.groupBy("method")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    edges, errors = view_dependencies_with_method(
+        spark, [(db, name, ddl) for db, name, ddl, _ in cat4]
+    )
+    rows = edges.collect()
     elapsed = _time.perf_counter() - t0
     assert errors.count() == 0
+    counts: dict[str, int] = {}
+    breakdown: dict[str, dict] = {}
+    deps_of: dict[str, set] = {}
+    for r in rows:
+        counts[r.method] = counts.get(r.method, 0) + 1
+        cls = cls_of[r.view]
+        b = breakdown.setdefault(
+            cls, {"views": set(), "edges": 0, "methods": set()}
+        )
+        b["views"].add(r.view)
+        b["edges"] += 1
+        b["methods"].add(r.method)
+        deps_of.setdefault(r.view, set()).add(r.dep)
+    # spot-check each class's edges
+    assert deps_of["cat.f_0001"] == {"cat.t_1"}  # prewhere_settings
+    assert deps_of["cat.f_0002"] == {"cat.t_2", "cat.dim_2"}  # mv head
+    assert deps_of["cat.f_0000"] == {"cat.t_0"}  # dictionary source
+    assert breakdown["prewhere_settings"]["methods"] == {"exact"}
+    assert breakdown["mv_engine_head"]["methods"] == {"exact"}
+    assert breakdown["plain"]["methods"] == {"exact"}
+    assert breakdown["dictionary_ddl"]["methods"] == {"token"}
     exact, token = counts.get("exact", 0), counts.get("token", 0)
-    n_ch = len(range(0, n, 3))  # 334 CH-dialect views
-    assert token == n_ch  # 1 dep each
-    assert exact == (n - n_ch) * 3  # 3 deps each
     ratio = exact / (exact + token)
-    assert 0.85 < ratio < 0.87, counts
+    assert ratio >= 0.95, counts
     out = {
         "views": n,
-        "ch_dialect_share": round(1 / 3, 4),
         "edges_exact": exact,
         "edges_token": token,
         "edge_fidelity_ratio": round(ratio, 4),
         "elapsed_sec": round(elapsed, 2),
+        "constructs": {
+            cls: {
+                "views": len(b["views"]),
+                "edges": b["edges"],
+                "methods": sorted(b["methods"]),
+            }
+            for cls, b in sorted(breakdown.items())
+        },
+        "note": (
+            "prewhere/settings + mv/engine heads promoted to the exact "
+            "path by chparse.ch_to_spark_sql (r9); dictionary DDL is "
+            "the honest token-path residue"
+        ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "LINEAGE_FIDELITY.json"), "w") as fh:
