@@ -81,6 +81,12 @@ _NEVER_DRIVER_GREEN = [
 # the 49 carried-over names so the 50-entry r9 window closes the r1-r8
 # backlog first.
 _R9_ADDITIONS: list[str] = [
+    "time_weighted_average",
+    "ohlc_daily_bars",
+    "ewma_smoothing",
+    "theil_sen_trend",
+    "equi_depth_histogram",
+    "association_rules_lift",
 ]
 
 

@@ -451,6 +451,72 @@ def _geohash_decode(s: Column, precision: int = 12) -> Column:
     return F.struct(lon.alias("longitude"), lat.alias("latitude"))
 
 
+def _geohash_cell(xl: Column, xt: Column, p: int) -> Column:
+    """Geohash string of one quantized cell (xl, xt) at precision p —
+    the per-char fold of _geohash_encode, parameterized on the cell
+    integers (small leaf expressions, e.g. sequence-lambda variables,
+    so the per-bit unrolling cannot compound)."""
+    nlon = (5 * p + 1) // 2
+    nlat = 5 * p // 2
+    alpha = F.array(*[F.lit(ch) for ch in _GEO32])
+    chars = []
+    for k in range(p):
+        val: Column = F.lit(0).cast("long")
+        for b in range(5):
+            i = 5 * k + b
+            if i % 2 == 0:
+                src, pos = xl, nlon - 1 - i // 2
+            else:
+                src, pos = xt, nlat - 1 - (i - 1) // 2
+            bit = F.shiftrightunsigned(src, pos).bitwiseAND(F.lit(1))
+            val = val + bit * (1 << (4 - b))
+        chars.append(F.element_at(alpha, val.cast("int") + 1))
+    return F.concat(*chars)
+
+
+def _geohashes_in_box(
+    lon_min: Column,
+    lat_min: Column,
+    lon_max: Column,
+    lat_max: Column,
+    precision: int = 4,
+) -> Column:
+    """ClickHouse geohashesInBox: every precision-p geohash cell whose
+    area intersects the [lon_min, lon_max] × [lat_min, lat_max] box, as
+    a SORTED array of geohash strings (CH returns an unspecified
+    enumeration order; sorting makes the result deterministic and
+    hashable — documented shim behavior). Empty box (min > max) yields
+    an empty array. Pure Catalyst: two quantizations per axis, one
+    sequence() per axis, a nested transform + flatten."""
+    p = int(precision)
+    nlon = (5 * p + 1) // 2
+    nlat = 5 * p // 2
+
+    def q(c: Column, lo: float, span: float, nbits: int) -> Column:
+        return F.least(
+            F.floor((c - F.lit(lo)) / span * (1 << nbits)).cast("long"),
+            F.lit((1 << nbits) - 1),
+        )
+
+    xl0 = q(lon_min, -180.0, 360.0, nlon)
+    xl1 = q(lon_max, -180.0, 360.0, nlon)
+    xt0 = q(lat_min, -90.0, 180.0, nlat)
+    xt1 = q(lat_max, -90.0, 180.0, nlat)
+    grid = F.flatten(
+        F.transform(
+            F.sequence(xl0, xl1),
+            lambda xl: F.transform(
+                F.sequence(xt0, xt1),
+                lambda xt: _geohash_cell(xl, xt, p),
+            ),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(
+        (lon_min > lon_max) | (lat_min > lat_max), empty
+    ).otherwise(F.array_sort(grid))
+
+
 def _point_in_polygon(x: Column, y: Column, polygon) -> Column:
     """Ray casting against a LITERAL polygon (list of (x, y) float
     pairs): one crossing indicator per edge, unrolled — the polygon is
@@ -2747,6 +2813,9 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # literal polygon, any-of literal ellipses, haversine central angle.
     "geohashEncode": lambda lon, lat, p=12: _geohash_encode(lon, lat, p),
     "geohashDecode": lambda s, p=12: _geohash_decode(s, p),
+    "geohashesInBox": lambda a, b, c, d, p=4: _geohashes_in_box(
+        a, b, c, d, p
+    ),
     "pointInPolygon": lambda x, y, poly: _point_in_polygon(x, y, poly),
     "pointInEllipses": lambda x, y, *e: _point_in_ellipses(x, y, *e),
     "greatCircleAngle": _great_circle_angle,
