@@ -87,6 +87,8 @@ _R9_ADDITIONS: list[str] = [
     "theil_sen_trend",
     "equi_depth_histogram",
     "association_rules_lift",
+    "winnowing_fingerprints",
+    "geohashes_in_box",
 ]
 
 

@@ -269,7 +269,8 @@ def ewma_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theil_sen_trend",
     oracle="""
     WITH daily AS (
-        SELECT CAST(o_orderdate - DATE '1995-01-01' AS BIGINT) AS d,
+        SELECT CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                    AS BIGINT) AS d,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM orders
         WHERE o_orderdate BETWEEN DATE '1995-01-01'
