@@ -89,6 +89,9 @@ _R9_ADDITIONS: list[str] = [
     "association_rules_lift",
     "winnowing_fingerprints",
     "geohashes_in_box",
+    "neyman_allocation",
+    "source_vocab_overlap",
+    "quality_dedup_confusion",
 ]
 
 
