@@ -22,6 +22,13 @@ from .registry import query, tables
 
 _WK = 16  # char-gram length
 _WW = 8  # winnowing window (consecutive gram hashes per min-selection)
+#: Stop-fingerprint cap (the ngram_jaccard max_df discipline): a
+#: fingerprint appearing in more than _MAX_DF documents contributes
+#: C(df, 2) candidate pairs — boilerplate grams blow the stream up
+#: (measured sf0.1: max df 270 → 36k pairs from ONE fingerprint).
+#: Dropped from the index on BOTH engines before the pair join, so
+#: parity holds at every SF; never binds at sf0.01 (max df 32 there).
+_MAX_DF = 64
 
 #: Engine-portable 60-bit hash of one char k-gram (the llm.py _HASH64
 #: idiom): md5 prefix, identical on both engines.
@@ -48,9 +55,13 @@ _H64_SQL = "CAST(('0x' || substr(md5({g}), 1, 15)) AS BIGINT)"
             FROM w WHERE i <= maxpos - {_WW - 1}),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
               FROM fps GROUP BY doc_id),
+    keep AS (SELECT fp FROM fps GROUP BY fp
+             HAVING COUNT(*) <= {_MAX_DF}),
+    idx AS (SELECT f.doc_id, f.fp FROM fps f
+            WHERE f.fp IN (SELECT fp FROM keep)),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(COUNT(*) AS BIGINT) AS shared
-              FROM fps a JOIN fps b
+              FROM idx a JOIN idx b
                 ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY 1, 2 HAVING COUNT(*) >= 2)
     SELECT p.id_a, p.id_b, p.shared,
@@ -74,26 +85,40 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort); the fingerprint index join is the inverted-index
     discipline of the dedup stack, with posting lists already thinned
     ~4x by the min-selection; pair counting is a narrow two-id hash
-    agg. 100 TB: identical to ngram_jaccard_pairs with a cheaper index;
-    add a max_df stop-fingerprint cap if boilerplate grams dominate."""
+    agg. 100 TB: identical to ngram_jaccard_pairs with a cheaper index,
+    including the _MAX_DF stop-fingerprint cap (never binds at the
+    sf0.01 oracle point; applied identically in the SQL twin so parity
+    holds at every SF)."""
     d = tables(spark, sf_dir)["documents"].filter(
         F.length("text") >= _WK + _WW - 1
     )
+    # explode positions FIRST, hash per ROW: a transform(...) lambda
+    # computing md5 per array element is CodegenFallback (measured 3x
+    # slower than this whole-stage-codegen shape — the llm_wave3 lesson
+    # again); the duplicated text column dies in the projection before
+    # the window exchange.
     h = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {_WK - 1}), "
-                f"i -> conv(substr(md5(substr(text, i, {_WK})), 1, 15), "
-                f"16, 10))"
-            )
-        ).alias("i0", "hs"),
+        "text",
         (F.length("text") - F.lit(_WK - 1)).alias("maxpos"),
     ).select(
         "doc_id",
-        (F.col("i0") + 1).alias("i"),
-        F.col("hs").cast("long").alias("h"),
+        F.explode(F.sequence(F.lit(1), F.col("maxpos"))).alias("i"),
         "maxpos",
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        "maxpos",
+        F.conv(
+            F.substring(
+                F.md5(F.col("text").substr(F.col("i"), F.lit(_WK))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
     )
     w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WW - 1)
     fps = (
@@ -106,10 +131,17 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )
+    stop = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _MAX_DF)
+        .select("fp")
+    )
+    idx = fps.join(F.broadcast(stop), "fp", "left_anti")
     pairs = (
-        fps.alias("a")
+        idx.alias("a")
         .join(
-            fps.alias("b"),
+            idx.alias("b"),
             (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

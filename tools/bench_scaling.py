@@ -66,6 +66,11 @@ MUST_HAVE = [
     "array_auc", "curriculum_quality_buckets", "limit_with_ties",
     "weighted_median", "quantiles_exact_weighted", "kmeans_clusters",
     "ngram_novelty", "normalize_text_dedup",
+    # round-9 additions: measured families
+    "time_weighted_average", "ohlc_daily_bars", "ewma_smoothing",
+    "equi_depth_histogram", "association_rules_lift",
+    "winnowing_fingerprints", "geohashes_in_box",
+    "source_vocab_overlap", "quality_dedup_confusion",
 ]
 
 
