@@ -92,6 +92,10 @@ _R9_ADDITIONS: list[str] = [
     "neyman_allocation",
     "source_vocab_overlap",
     "quality_dedup_confusion",
+    "quantile_treatment_effect",
+    "bayes_beta_posterior_ab",
+    "segment_uplift_table",
+    "char_class_profile",
 ]
 
 
