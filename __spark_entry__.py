@@ -96,6 +96,8 @@ _R9_ADDITIONS: list[str] = [
     "bayes_beta_posterior_ab",
     "segment_uplift_table",
     "char_class_profile",
+    "dedup_threshold_roi",
+    "record_linkage_fs",
 ]
 
 
