@@ -8,8 +8,10 @@ Ordering: the driver hash-checks a capped front-to-back window of this
 dict, so entries that have NEVER sat in a driver window go first — this
 round (r9) that is the 49 queries left over after the r8 window
 (driver-green union after r8 = 343/392: 8 r7-overflow + 41 round-8
-additions), followed by any round-9 additions, then the rest in natural
-module-import order.
+additions), followed by the 17 round-9 additions, then the rest in
+natural module-import order. The 50-entry r9 window covers the 49
+carried-over names plus the first r9 addition; the other 16 r9 names
+are LOCAL_PARITY-green and queue for the r10 window.
 Full-registry verification every round is tools/local_parity.py, which
 oracle-checks every entry regardless of this ordering.
 """
