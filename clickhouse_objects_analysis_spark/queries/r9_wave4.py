@@ -88,6 +88,8 @@ def quantile_treatment_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cum_cnt") - F.col("cnt") < F.col("t"))
         )
         .select("variant", "dec", "val")
+        .localCheckpoint(eager=False)  # feeds BOTH arms' filters —
+        # without this the whole dist_cumsum branch re-executes per arm
     )
     a = picked.filter(F.col("variant") == 0).select(
         F.col("dec").alias("decile"), F.col("val").alias("q_control")
