@@ -100,6 +100,9 @@ _R9_ADDITIONS: list[str] = [
     "char_class_profile",
     "dedup_threshold_roi",
     "record_linkage_fs",
+    "dow_hour_heatmap",
+    "simpson_diversity_sources",
+    "wasserstein_length_drift",
 ]
 
 
