@@ -208,13 +208,17 @@ def parse_table_dependencies_tagged(
     try:
         _parse(sql_text)
     except Exception:
-        # Promotion step (r8 verdict #6): CH-only SURFACE syntax
-        # (PREWHERE, SETTINGS, ENGINE clauses, MV heads, FINAL/SAMPLE,
-        # GLOBAL/ANY join modifiers, …) is rewritten mechanically —
-        # every table reference preserved — and re-parsed EXACTLY; the
-        # token walk is reached only when even the rewritten DDL is
-        # unparseable (truly exotic constructs, e.g. remote()/merge()
-        # table functions with dialect-only argument forms).
+        # Promotion step (r8 verdict #6, extended r10 with dictionary
+        # DDL): CH-only SURFACE syntax (PREWHERE, SETTINGS, ENGINE
+        # clauses, MV heads, FINAL/SAMPLE, GLOBAL/ANY join modifiers,
+        # CREATE DICTIONARY → view-over-source, …) is rewritten
+        # mechanically and re-parsed EXACTLY. Statements whose dropped
+        # spans would lose real table refs (ENGINE = Distributed/
+        # Dictionary argument lists) refuse the rewrite and fall to the
+        # token walk, which extracts those engine-argument deps; the
+        # token walk is otherwise reached only when even the rewritten
+        # DDL is unparseable (truly exotic constructs, e.g. remote()/
+        # merge() table functions with dialect-only argument forms).
         try:
             rewritten, applied = ch_to_spark_sql(sql_text)
             if not applied:

