@@ -474,6 +474,12 @@ def _geohash_cell(xl: Column, xt: Column, p: int) -> Column:
     return F.concat(*chars)
 
 
+#: ClickHouse geohashesInBox throws once the enumerated grid passes
+#: 10M cells; same cap here (a near-world box at precision 6+ would
+#: otherwise materialize a multi-GB array per row).
+MAX_GEOHASH_CELLS = 10_000_000
+
+
 def _geohashes_in_box(
     lon_min: Column,
     lat_min: Column,
@@ -486,16 +492,24 @@ def _geohashes_in_box(
     a SORTED array of geohash strings (CH returns an unspecified
     enumeration order; sorting makes the result deterministic and
     hashable — documented shim behavior). Empty box (min > max) yields
-    an empty array. Pure Catalyst: two quantizations per axis, one
+    an empty array. Coordinates are clamped to the valid lon/lat range
+    on BOTH ends (r9 advice: the lower clamp was missing, so
+    below-range inputs produced negative cell indices and
+    shiftrightunsigned emitted garbage strings), and a grid bigger than
+    MAX_GEOHASH_CELLS raises — same stance as ClickHouse's 10M-item
+    exception. Pure Catalyst: two quantizations per axis, one
     sequence() per axis, a nested transform + flatten."""
     p = int(precision)
     nlon = (5 * p + 1) // 2
     nlat = 5 * p // 2
 
     def q(c: Column, lo: float, span: float, nbits: int) -> Column:
-        return F.least(
-            F.floor((c - F.lit(lo)) / span * (1 << nbits)).cast("long"),
-            F.lit((1 << nbits) - 1),
+        return F.greatest(
+            F.least(
+                F.floor((c - F.lit(lo)) / span * (1 << nbits)).cast("long"),
+                F.lit((1 << nbits) - 1),
+            ),
+            F.lit(0),
         )
 
     xl0 = q(lon_min, -180.0, 360.0, nlon)
@@ -511,10 +525,24 @@ def _geohashes_in_box(
             ),
         )
     )
+    n_cells = (xl1 - xl0 + 1) * (xt1 - xt0 + 1)
     empty = F.array().cast("array<string>")
-    return F.when(
-        (lon_min > lon_max) | (lat_min > lat_max), empty
-    ).otherwise(F.array_sort(grid))
+    return (
+        F.when((lon_min > lon_max) | (lat_min > lat_max), empty)
+        .when(
+            n_cells > MAX_GEOHASH_CELLS,
+            # assert_true returns NullType, which coerces to the array
+            # branch type — the Catalyst idiom for CH's throw-on-huge-grid
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "geohashesInBox: grid exceeds "
+                    f"{MAX_GEOHASH_CELLS} cells (ClickHouse parity cap)"
+                ),
+            ),
+        )
+        .otherwise(F.array_sort(grid))
+    )
 
 
 def _point_in_polygon(x: Column, y: Column, polygon) -> Column:
@@ -565,10 +593,17 @@ def _host_of(c: Column) -> Column:
     """Host of a URL *or* a bare scheme-less host/domain — ClickHouse's
     domain()/firstSignificantSubdomain family accepts both, while
     parse_url(HOST) yields NULL without a scheme. Fallback: strip an
-    optional scheme and userinfo, take up to the first /:?# (empty
-    match → NULL so downstream whens stay null-propagating)."""
+    optional scheme and userinfo, then accept ONLY a run of valid host
+    characters (RFC 3986 reg-name set: alnum . _ ~ % -, or a bracketed
+    IPv6 literal) that ends at a /:?# delimiter or end-of-string —
+    garbage input (spaces, commas, prose) yields empty → NULL, matching
+    ClickHouse's domain() = '' on invalid hosts (r9 advice: the old
+    [^/:?#]+ capture echoed arbitrary text back as a 'host')."""
     bare = F.regexp_extract(
-        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1
+        c,
+        r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[A-Za-z0-9._~%!$&'()*+,;=:-]*@)?"
+        r"(\[[0-9A-Fa-f:.]+\]|[A-Za-z0-9._~%-]+)(?=[/:?#]|$)",
+        1,
     )
     # try_parse_url: Spark 4 parse_url THROWS on invalid URLs (e.g.
     # userinfo without a scheme) instead of returning NULL.

@@ -47,9 +47,9 @@ def incremental_minhash_dedup_q(
     probability ≈ 1e-7 at s = 0.8; verification kills false positives),
     which also proves batch-boundary independence."""
     tables(spark, sf_dir)
-    return incremental_minhash_dedup(spark, sf_dir, n_slices=4).orderBy(
-        "doc_id"
-    )
+    return incremental_minhash_dedup(
+        spark, sf_dir, n_slices=4, files_per_trigger=2
+    ).orderBy("doc_id")
 
 
 @query("bpe_merge_training", oracle=bpe_oracle_sql(8))

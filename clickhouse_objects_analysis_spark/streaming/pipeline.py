@@ -932,6 +932,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     run_dir: str | None = None,
     fail_after_batches: int | None = None,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """INCREMENTAL near-duplicate dedup — the ingest-time twin of the
     batch minhash_lsh_pairs: documents arrive as a Structured Streaming
@@ -977,9 +978,15 @@ def incremental_minhash_dedup(
 
     src_dir = _doc_slices(spark, sf_dir, n_slices)
     schema = spark.read.parquet(src_dir).schema
+    # files_per_trigger batches several arrival slices into one
+    # micro-batch: the answer is slice-boundary-independent by design
+    # (tests/test_streaming_state.py::…_slice_invariant), so this only
+    # trades replay fidelity for fewer per-batch fixed costs (3 parquet
+    # writes + 2 index reads per batch). The registry query uses 2; the
+    # crash-resume test keeps 1 so fail_after_batches lands mid-replay.
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(src_dir)
     )
     resuming = run_dir is not None
