@@ -50,7 +50,14 @@ _NEVER_DRIVER_GREEN = [
 
 # Round-10 additions (never driver-checked by definition): appended below
 # the 19 carried-over names so the r10 window closes the r9 backlog first.
-_R10_ADDITIONS: list[str] = []
+_R10_ADDITIONS: list[str] = [
+    "page_hinkley_drift",
+    "kendall_tau_b_binned",
+    "gini_split_stump",
+    "mutual_information_nmi",
+    "population_stability_index",
+    "mcnemar_quality_rules",
+]
 
 
 def _ordered(mapping: dict) -> dict:

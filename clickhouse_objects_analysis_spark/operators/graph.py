@@ -123,61 +123,79 @@ def k_core(
     repeat to fixpoint. Returns (node, deg) with each survivor's degree
     INSIDE the k-core.
 
-    Scale shape: the edge list is materialized ONCE (localCheckpoint);
-    the only per-round state is the ALIVE NODE SET — node-sized, orders
-    of magnitude smaller than the edges. Each round semi-joins the
-    fixed edge list against the alive set at both ends, re-aggregates
-    degrees, and re-derives the survivors; the driver sees one count
-    per round. (The first formulation checkpointed the shrunken EDGE
-    list every round — at the sf10 sweep that pinned tens of
-    edges-sized block sets and OOMed the heap; node-set state is the
-    100 TB-safe shape.) Peeling rounds are bounded by the graph's
-    degeneracy ordering depth — tens of rounds for real similarity
-    graphs, `max_iter` as the hard stop.
+    Scale shape (r9 verdict #6 — the LPA/PPR loop discipline applied
+    here): the DOUBLED adjacency (n, m) materializes once; per-round
+    state is the ALIVE NODE SET — node-sized, orders of magnitude
+    smaller than the edges. Each round is ONE adjacency⋈alive semi-join
+    on the neighbor column m (above _BROADCAST_NODES_GATE the adjacency
+    is persist()-cached pre-partitioned on m and the join is a pinned
+    ShuffledHashJoin, so only the node-sized alive set re-exchanges —
+    the old formulation semi-joined the edge list at BOTH ends, which
+    sort-merge-joined (= sorted) the E-sized list twice per round),
+    then a map-side-combined degree agg and a node-sized alive
+    intersection: deg'(n) = #alive neighbors of n equals n's degree in
+    the alive-induced subgraph for alive n, so filtering n ∈ alive ∧
+    deg' ≥ k is exactly one peel step. Peeling rounds are bounded by
+    the graph's degeneracy ordering depth — tens of rounds for real
+    similarity graphs, `max_iter` as the hard stop.
     """
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
-    e0 = (
+    canon = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+    )
+    adj = (
+        canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
         .localCheckpoint(eager=True)
     )
+    alive = adj.select("n").distinct().localCheckpoint(eager=True)
+    n_alive = alive.count()
+    big = n_alive > _BROADCAST_NODES_GATE
+    if big:
+        adj = adj.repartition(F.col("m")).persist()
 
-    def _survivor_edges(alive_df: DataFrame) -> DataFrame:
-        return e0.join(
-            alive_df.withColumnRenamed("n", "u"), "u", "left_semi"
-        ).join(alive_df.withColumnRenamed("n", "v"), "v", "left_semi")
-
-    def _degrees(edge_df: DataFrame) -> DataFrame:
+    def _alive_degrees(alive_df: DataFrame) -> DataFrame:
+        rhs = alive_df.select(F.col("n").alias("m"))
         return (
-            edge_df.select(F.col("u").alias("n"))
-            .unionAll(edge_df.select(F.col("v").alias("n")))
+            adj.join(
+                rhs.hint("shuffle_hash") if big else rhs, "m", "left_semi"
+            )
             .groupBy("n")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .join(alive_df, "n", "left_semi")
         )
 
-    alive = (
-        e0.select(F.col("u").alias("n"))
-        .unionAll(e0.select(F.col("v").alias("n")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_alive = alive.count()
+    result = None
     for _ in range(max_iter):
         if n_alive == 0:
             break
-        nxt = (
-            _degrees(_survivor_edges(alive))
+        # (n, deg) checkpointed whole: at fixpoint this round's degrees
+        # ARE the k-core degrees (computed against the set that just
+        # proved stable), so the answer needs no extra pass; between
+        # rounds the alive set is a narrow projection of the checkpoint.
+        nd = (
+            _alive_degrees(alive)
             .filter(F.col("deg") >= k)
-            .select("n")
             .localCheckpoint(eager=True)
         )
-        n_next = nxt.count()
+        n_next = nd.count()
         if n_next == n_alive:
-            alive = nxt
+            result = nd
             break
-        alive, n_alive = nxt, n_next
-    return _degrees(_survivor_edges(alive)).filter(F.col("deg") >= k)
+        alive, n_alive = nd.select("n"), n_next
+    if result is None:
+        # max_iter exhausted (or empty graph): degrees w.r.t. the final
+        # alive set, materialized so the adjacency cache can be dropped
+        result = (
+            _alive_degrees(alive)
+            .filter(F.col("deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+    if big:
+        adj.unpersist(blocking=False)
+    return result
 
 
 def personalized_pagerank(

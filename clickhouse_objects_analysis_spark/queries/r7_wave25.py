@@ -27,7 +27,9 @@ from .registry import query, tables
 MAX_BASKET = 512
 
 
-def capped_basket_pairs(cp: DataFrame, max_basket: int) -> DataFrame:
+def capped_basket_pairs(
+    cp: DataFrame, max_basket: int, max_seen: int | None = None
+) -> DataFrame:
     """The whale-capped co-purchase pair stream: deterministically
     subsample each customer's basket to ``max_basket`` items (stable
     xxhash64 order, so reruns agree), then emit every within-customer
@@ -42,14 +44,21 @@ def capped_basket_pairs(cp: DataFrame, max_basket: int) -> DataFrame:
     already bounded and the window is skipped (the probe is a hash agg
     — no sort); only a corpus that actually contains whales pays for
     capping them. Values are identical either way (the cap never binds
-    below the gate by definition)."""
-    max_seen = (
-        cp.groupBy("cust")
-        .agg(F.count(F.lit(1)).alias("b"))
-        .agg(F.max("b"))
-        .first()[0]
-        or 0
-    )
+    below the gate by definition).
+
+    Callers that already reduce ``cp`` (the copurchase query computes
+    per-part counts anyway) pass the observed ``max_seen`` from that
+    shared pass (r9 verdict flag #3: the probe used to be a second
+    eager full-stream job here); ``None`` keeps the self-probing
+    behavior for standalone use (the skew-bound tests)."""
+    if max_seen is None:
+        max_seen = (
+            cp.groupBy("cust")
+            .agg(F.count(F.lit(1)).alias("b"))
+            .agg(F.max("b"))
+            .first()[0]
+            or 0
+        )
     capped = cp
     if max_seen > max_basket:
         w = Window.partitionBy("cust").orderBy(F.xxhash64("cust", "part"))
@@ -60,7 +69,13 @@ def capped_basket_pairs(cp: DataFrame, max_basket: int) -> DataFrame:
         )
     a = capped.select(F.col("cust"), F.col("part").alias("pa"))
     b = capped.select(F.col("cust"), F.col("part").alias("pb"))
-    return a.join(b, "cust").filter(F.col("pa") < F.col("pb"))
+    # shuffle-hash, not sort-merge: the self-join's only job is to emit
+    # the within-customer pair product — sorting both 10^8-row sides on
+    # cust first is pure overhead (r10 sweep: the SMJ sorts were the
+    # second-largest sf10 cost after the pair-agg spill)
+    return (
+        a.hint("shuffle_hash").join(b, "cust").filter(F.col("pa") < F.col("pb"))
+    )
 
 
 @query(
@@ -113,21 +128,96 @@ def copurchase_item_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # feeds counts AND the pair join
     )
-    pc = cp.groupBy("part").agg(F.count("*").cast("long").alias("n_cust"))
-    co = (
-        capped_basket_pairs(cp, MAX_BASKET)
-        .groupBy("pa", "pb")
-        .agg(F.count("*").cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= 3)
+    # One shared reduction over cp serves BOTH per-part customer counts
+    # and the whale probe (r9 verdict #3: the probe was a second eager
+    # full-stream job). GROUPING SETS ((part), (cust)) is a single
+    # Expand + hash agg — one job, map-side combined, output is tiny
+    # (n_parts + n_custs rows) and checkpointed so the final plan's
+    # broadcast sides read it instead of re-reducing cp.
+    stats = (
+        cp.groupingSets([["part"], ["cust"]], "part", "cust")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(F.grouping("part")).alias("g_part"),
+        )
+        .localCheckpoint()
     )
+    is_cust = F.col("g_part") == 1
+    cap = F.least(F.col("n"), F.lit(MAX_BASKET))
+    probe = stats.agg(
+        F.max(F.when(is_cust, F.col("n"))).alias("max_basket"),
+        F.sum(F.when(is_cust, cap * (cap - 1) / 2))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(~is_cust, F.lit(1))).cast("long").alias("n_parts"),
+        F.max(F.when(~is_cust, F.col("part"))).alias("max_part"),
+        F.min(F.when(~is_cust, F.col("part"))).alias("min_part"),
+    ).first()
+    max_seen = probe["max_basket"] or 0
+    n_pairs = probe["n_pairs"] or 0
+    n_parts = probe["n_parts"] or 0
+    packable = (
+        probe["min_part"] is not None
+        and probe["min_part"] >= 0
+        and (probe["max_part"] or 0) < (1 << 31)
+    )
+    pc = stats.filter(F.col("g_part") == 0).select(
+        "part", F.col("n").alias("n_cust")
+    )
+    # Size the pair-shuffle to the data (r10 sweep finding): the pair
+    # stream is Σ_cust C(min(b, MAX_BASKET), 2) rows — 1.3e9 at sf10 —
+    # and ~97% of pairs are UNIQUE (avg basket 40 ⇒ c_ab=1 for almost
+    # every pair), so map-side combine cannot shrink the agg input and
+    # a fixed 32-reducer shuffle spills ~40M-row hash tables per
+    # reducer. The per-cust histogram already materialized in `stats`
+    # gives the EXACT pair cardinality for free; target ~4M pairs per
+    # reducer so the hash agg stays in memory at any SF. Repartitioning
+    # by the pair key satisfies the aggregation's required
+    # distribution, so this is the same single shuffle, just
+    # right-sized — and when the part keyspace fits 31 bits (probed
+    # from the same stats pass) the (pa, pb) pair is PACKED into one
+    # long before the exchange: the shuffle rows are nearly all unique
+    # (no combine win to lose), so halving the bytes per row halves
+    # the dominant cost of the whole query.
+    n_reducers = int(min(2048, max(32, n_pairs // 4_000_000)))
+    pairs = capped_basket_pairs(cp, MAX_BASKET, max_seen=max_seen)
+    if packable:
+        pk = F.shiftleft(F.col("pa"), 31).bitwiseOR(F.col("pb"))
+        co = (
+            pairs.select(pk.alias("pk"))
+            .repartition(n_reducers, "pk")
+            .groupBy("pk")
+            .agg(F.count("*").cast("long").alias("c_ab"))
+            .filter(F.col("c_ab") >= 3)
+            .select(
+                F.shiftrightunsigned(F.col("pk"), 31).alias("pa"),
+                F.col("pk").bitwiseAND(F.lit((1 << 31) - 1)).alias("pb"),
+                "c_ab",
+            )
+        )
+    else:
+        co = (
+            pairs.repartition(n_reducers, "pa", "pb")
+            .groupBy("pa", "pb")
+            .agg(F.count("*").cast("long").alias("c_ab"))
+            .filter(F.col("c_ab") >= 3)
+        )
     x = pc.select(F.col("part").alias("pa"), F.col("n_cust").alias("n_a"))
     y = pc.select(F.col("part").alias("pb"), F.col("n_cust").alias("n_b"))
+    # Broadcast the item-cardinality table only while it actually fits
+    # (≈16 bytes/row ⇒ 1M parts ≈ 16 MB); above the gate `co` has
+    # already been cut to the c_ab ≥ 3 survivors (~0.07% of the pair
+    # stream at sf10), so two shuffle joins of the small survivor set
+    # beat shipping a multi-GB map to every task — and at 100 TB the
+    # part dimension is not broadcastable at all.
+    if n_parts <= 1_000_000:
+        x, y = F.broadcast(x), F.broadcast(y)
     cosine = F.col("c_ab") / F.sqrt(
         F.col("n_a").cast("double") * F.col("n_b")
     )
     return (
-        co.join(F.broadcast(x), "pa")
-        .join(F.broadcast(y), "pb")
+        co.join(x, "pa")
+        .join(y, "pb")
         .select(
             F.col("pa").cast("long").alias("pa"),
             F.col("pb").cast("long").alias("pb"),
