@@ -105,12 +105,21 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def best_of(fn, runs: int = 2) -> float:
+def best_of(fn, runs: int = 2, between=None) -> float:
+    """Min wall-clock over ``runs`` invocations; ``between`` (the
+    reclaim hook) runs after every iteration EXCEPT inside the timed
+    window — without it, iteration 1's localCheckpoint blocks (a
+    60M-row checkpoint at sf10 for the copurchase cp) are still pinned
+    when iteration 2 re-materializes its own, and the 16g heap dies in
+    BlockManager.doPut (observed r10: OOM on the second sf10 run of a
+    query that passes alone)."""
     ts = []
-    for _ in range(runs):
+    for i in range(runs):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
+        if between is not None and i < runs - 1:
+            between()
     return min(ts)
 
 
@@ -185,10 +194,10 @@ def main() -> None:
     for name in names:
         fn = lookup[name]
         try:
-            t_small = best_of(lambda: run_query(fn(spark, small)))
+            t_small = best_of(lambda: run_query(fn(spark, small)), between=reclaim)
             state_small = state_snapshot(STATE_TAGS.get(name, ""))
             reclaim()
-            t_big = best_of(lambda: run_query(fn(spark, big)))
+            t_big = best_of(lambda: run_query(fn(spark, big)), between=reclaim)
             state_big = state_snapshot(STATE_TAGS.get(name, ""))
             reclaim()
         except Exception as ex:  # noqa: BLE001 - record, try to go on
