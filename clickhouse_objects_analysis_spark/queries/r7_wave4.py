@@ -417,21 +417,27 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"series_stream_{_uuid.uuid4().hex[:8]}"
     drop_stale_memory_tables(spark, "series_stream")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt_dir("seriesstream"))
-        .outputMode("complete")
-        .trigger(processingTime="100 milliseconds")
-        .start()
-    )
+    from ..functions.settings import query_settings
+
+    # 3 output buckets: a 32-partition complete-mode restate per batch
+    # is pure state-store commit overhead (r9 verdict #7 fixed-cost
+    # audit) — 4 partitions, pinned at checkpoint creation.
+    with query_settings(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir("seriesstream"))
+            .outputMode("complete")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
             rows = spark.sql(f"SELECT SUM(n) AS t FROM {name}").collect()
             if rows and rows[0]["t"] == 5000:
                 break
-            time.sleep(0.2)
+            time.sleep(0.1)
         else:
             raise TimeoutError("series_stream did not drain in 120 s")
     finally:

@@ -112,8 +112,55 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # abspath: a relative source would dangle relative to the
             # link's own directory
             os.symlink(os.path.abspath(part), link)
-    schema = spark.read.parquet(path).schema
+    schema = _source_schema(spark, path)
     return normalize_nanos(spark.readStream.schema(schema).parquet(stream_dir))
+
+
+#: (path, mtime_ns, size) -> StructType. Every streaming query pays one
+#: driver job just to re-read the footer schema of an immutable source
+#: (the stream-stream joins pay it twice); keyed on stat() so a
+#: regenerated file misses.
+_SCHEMA_CACHE: dict = {}
+
+
+def _source_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path).schema
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
+#: (path, mtime_ns, size) -> max(ts). The left-outer sentinel needs the
+#: source's max event time to aim its far-future row; the source is
+#: immutable, so one scan per (file, stat) is enough — stat-keyed like
+#: _SCHEMA_CACHE so regenerated testdata misses.
+_MAXTS_CACHE: dict = {}
+
+
+def _events_max_ts(spark: SparkSession, sf_dir: str):
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def scan():
+        return (
+            normalize_nanos(
+                spark.read.option("mergeSchema", "false").parquet(path)
+            )
+            .agg(F.max("ts").alias("m"))
+            .head()[0]
+        )
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return scan()
+    if key not in _MAXTS_CACHE:
+        _MAXTS_CACHE[key] = scan()
+    return _MAXTS_CACHE[key]
 
 
 #: Floor state-store partition count for the replay pipelines. The number
@@ -121,8 +168,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from spark.sql.shuffle.partitions — size it to throughput, not the
 #: batch default. Prefer ``state_partitions_for(sf_dir)``, which derives
 #: the count from input volume; this constant is its floor and the
-#: fallback when no source path is known.
-STATE_PARTITIONS = "8"
+#: fallback when no source path is known. Floor 4 (was 8, r9 verdict #7):
+#: every state partition costs 4 store commits per batch in the
+#: stream-stream joins, and at the 2 MB sf0.1 replay the commit overhead
+#: dominated — measured floor sweep: left-outer 3.3 s @8 → 2.5 s @4,
+#: interval join 2.6 s @8 → 2.0 s @4; bigger sources outgrow the floor
+#: via the 2 MiB/partition curve, so only toy inputs are affected.
+STATE_PARTITIONS = "4"
 
 #: Measured curve (SCALE.md round-5 STATE_PARTITIONS sweep at sf1, ~20 MB
 #: of parquet events): 8 partitions → 3.9 s ≈ 16 → 3.9 s, 32 → 8.6 s —
@@ -506,15 +558,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(run_dir, ignore_errors=True)
 
     # far-future sentinel rows (one per side), written once per sf_dir
-    max_ts = (
-        normalize_nanos(
-            spark.read.option("mergeSchema", "false").parquet(
-                os.path.join(sf_dir, "events.parquet")
-            )
-        )
-        .agg(F.max("ts").alias("m"))
-        .head()[0]
-    )
+    max_ts = _events_max_ts(spark, sf_dir)
     # key the sentinel dir on max_ts as well as sf_dir: a regenerated
     # source with LATER events must not reuse an older (now too-early)
     # sentinel, or the watermark would never pass the new tail and the
@@ -640,7 +684,7 @@ def watch_heartbeats(
     import time as _time
 
     src_dir = _watch_slices(spark, sf_dir, n_slices)
-    schema = spark.read.parquet(src_dir).schema
+    schema = _source_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -693,7 +737,7 @@ def upsert_latest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as SF
 
     src_dir = _watch_slices(spark, sf_dir, 4)
-    schema = spark.read.parquet(src_dir).schema
+    schema = _source_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -804,7 +848,7 @@ def dedup_state_probe(
     from ..functions.settings import query_settings
 
     src = _time_slices(spark, sf_dir, n_slices)
-    schema = spark.read.parquet(src).schema
+    schema = _source_schema(spark, src)
     stream = normalize_nanos(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -977,7 +1021,7 @@ def incremental_minhash_dedup(
     )
 
     src_dir = _doc_slices(spark, sf_dir, n_slices)
-    schema = spark.read.parquet(src_dir).schema
+    schema = _source_schema(spark, src_dir)
     # files_per_trigger batches several arrival slices into one
     # micro-batch: the answer is slice-boundary-independent by design
     # (tests/test_streaming_state.py::…_slice_invariant), so this only
