@@ -63,7 +63,7 @@ from .registry import q6, query, tables
                u - MIN(u) OVER (ORDER BY day) AS stat
         FROM cum
     )
-    SELECT CAST(day AS DATE) AS day,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
            FLOOR((x / 100.0) * 1000000 + 0.5) / 1000000 AS day_mean,
            FLOOR((stat / 100.0) * 1000000 + 0.5) / 1000000 AS ph_stat,
            stat > 500 AS drift
@@ -108,7 +108,10 @@ def page_hinkley_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stat = F.col("u") - F.min("u").over(w)
     return cum.select(
-        "day",
+        # string-rendered date: DuckDB hands DATE to pandas as a
+        # datetime64 while Spark yields datetime.date — the canonical
+        # hash renders those differently (ohlc_daily_bars precedent)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         q6(F.col("x") / 100.0).alias("day_mean"),
         q6(stat / 100.0).alias("ph_stat"),
         (stat > 500).alias("drift"),

@@ -57,7 +57,9 @@ def test_page_hinkley_reference(spark_rows):
         u += x - m
         umin = u if umin is None else min(umin, u)
         stat = u - umin
-        want.append((day, _q6(x / 100.0), _q6(stat / 100.0), stat > 500))
+        want.append(
+            (day.isoformat(), _q6(x / 100.0), _q6(stat / 100.0), stat > 500)
+        )
     got = [
         (r["day"], r["day_mean"], r["ph_stat"], r["drift"])
         for r in spark_rows("page_hinkley_drift")
