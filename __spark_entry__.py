@@ -57,6 +57,10 @@ _R10_ADDITIONS: list[str] = [
     "mutual_information_nmi",
     "population_stability_index",
     "mcnemar_quality_rules",
+    "hll_distinct_audit",
+    "conformal_interval_calibration",
+    "hill_tail_index",
+    "kish_effective_sample_size",
 ]
 
 

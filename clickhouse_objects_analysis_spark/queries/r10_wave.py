@@ -513,16 +513,16 @@ def mutual_information_nmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def population_stability_index_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Population Stability Index between the first half of the month
-    (baseline window, day ≤ 15) and the rest (current window) over the
-    binned value distribution — THE production scoring-drift metric:
-    per bin, (p−q)·ln(p/q) with Laplace-smoothed shares
-    (c+0.5)/(N+B/2), so empty bins are well-defined on both engines
-    without an epsilon convention mismatch. Counts are exact integers
-    from ONE scan (the bin×window histogram); each PSI term is a single
-    identical IEEE expression, q6-rendered. Complements
-    js_divergence_sources (symmetric, bounded) with the asymmetric
-    banker's-drift member of the divergence family.
+    """PER-BIN Population Stability Index attribution between the first
+    half of the month (baseline, day ≤ 15) and the rest — the drilldown
+    twin of the scalar `psi_drift` monitor (r7_wave5): that one reports
+    one quantile-edge-bucketed PSI scalar per event_type series; this
+    one reports WHICH fixed equal-width value bin moved, with the
+    Laplace convention (c+0.5)/(N+B/2) instead of +1e-6 smoothing so
+    empty bins are well-defined without an epsilon whose scale depends
+    on N. Counts are exact integers from ONE scan (the bin×window
+    histogram); each PSI term is a single identical IEEE expression,
+    q6-rendered.
 
     Scale shape: one map-side-combined hash agg to ≤10 bins; everything
     after is constant-size."""

@@ -214,9 +214,11 @@ class TestStatePartitionSizing:
             (d / "events.parquet").write_bytes(b"\0" * n_bytes)
             return str(d)
 
-        # sf0.1 (~2 MB) -> floor 8; sf1 (~20 MB) -> 16 (inside the
-        # measured 8-16 optimum; 32 measured 2.2x slower)
-        assert state_partitions_for(fake_sf(2_000_000)) == "8"
+        # sf0.1 (~2 MB) -> floor 4 (r10: the 8-partition floor was
+        # store-commit-dominated at toy inputs — left-outer 3.3 -> 2.5 s
+        # at 4); sf1 (~20 MB) -> 16 (inside the measured 8-16 optimum;
+        # 32 measured 2.2x slower)
+        assert state_partitions_for(fake_sf(2_000_000)) == "4"
         assert state_partitions_for(fake_sf(20_000_000)) == "16"
         # sf10 (~200 MB) -> 128; growth stays monotone and capped
         assert state_partitions_for(fake_sf(200_000_000)) == "128"
