@@ -237,5 +237,6 @@ class TestStatePartitionSizing:
             state_partitions_for,
         )
 
-        # the bundled sf0.1 events (~2 MB) sit at the floor
-        assert state_partitions_for("/root/testdata/sf0.1") == "8"
+        # the bundled sf0.1 events (~2 MB) sit at the floor (4 since
+        # the r10 fixed-cost audit)
+        assert state_partitions_for("/root/testdata/sf0.1") == "4"
