@@ -61,6 +61,12 @@ _R10_ADDITIONS: list[str] = [
     "conformal_interval_calibration",
     "hill_tail_index",
     "kish_effective_sample_size",
+    "cohens_kappa_rules",
+    "kruskal_wallis_htest",
+    "brown_forsythe_variance",
+    "good_turing_chao1",
+    "james_stein_nation_means",
+    "logrank_test",
 ]
 
 

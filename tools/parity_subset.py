@@ -1,13 +1,13 @@
-"""Ad-hoc driver-style parity check for a named subset of queries.
+"""Run the driver-style parity check for a named subset of queries.
 
-Usage: python tools/parity_subset.py q4_order_priority q21_waiting_suppliers
-Runs at sf0.01 (override with PARITY_SF_DIR), prints one line per query.
+Usage: python tools/parity_subset.py <name> [<name> ...] [--sf <dir>]
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,47 +18,44 @@ from tools.local_parity import frame_hash  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
-    names = sys.argv[1:]
-    qs, oracles = e.queries(), e.oracle_sql()
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        args = args[:i] + args[i + 2:]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    failures = 0
-    for name in names:
-        if name not in qs:
-            print(f"{name}: NOT REGISTERED")
-            failures += 1
-            continue
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    ok = True
+    for name in args:
+        t0 = time.time()
         try:
-            df = qs[name](spark, sf_dir)
-            assert_driver_safe_schema(df.schema, name)
-            sdf = df.toPandas()
-            if name not in oracles:
-                # Deliberately non-SQL-expressible op → the driver runs a
-                # weaker rows-only check; mirror it instead of erroring.
-                print(f"{name}: rows-only, {len(sdf)} rows")
-                continue
-            odf = run_oracle(oracles[name], sf_dir)
-            ok_rows = len(sdf) == len(odf)
-            ok_schema = sorted(sdf.columns) == sorted(odf.columns)
-            ok_hash = ok_schema and frame_hash(sdf) == frame_hash(odf)
-            status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
-            if status == "FAIL":
-                failures += 1
-            print(
-                f"{name}: {status} rows={len(sdf)}/{len(odf)} "
-                f"schema={ok_schema} hash={ok_hash}"
-            )
-            if not ok_schema:
-                print("  spark cols:", list(sdf.columns))
-                print("  oracle cols:", list(odf.columns))
-            elif not ok_hash:
-                print("  spark head:\n", sdf.head(5))
-                print("  oracle head:\n", odf.head(5))
+            sdf = qs[name](spark, sf_dir)
+            assert_driver_safe_schema(sdf.schema, name)
+            spdf = sdf.toPandas()
+            if name in oracles:
+                opdf = run_oracle(oracles[name], sf_dir)
+                rows = len(spdf) == len(opdf)
+                schema = sorted(spdf.columns) == sorted(opdf.columns)
+                hm = rows and schema and frame_hash(spdf) == frame_hash(opdf)
+                status = "green" if hm else "RED"
+                if not hm:
+                    ok = False
+                    print(f"  spark cols={sorted(spdf.columns)}")
+                    print(f"  oracle cols={sorted(opdf.columns)}")
+                    print(f"  spark rows={len(spdf)} oracle rows={len(opdf)}")
+                    print(spdf.head(8).to_string())
+                    print(opdf.head(8).to_string())
+            else:
+                status = "rows-only"
+            print(f"{name:36s} {status:9s} rows={len(spdf)} "
+                  f"{time.time()-t0:5.1f}s")
         except Exception as ex:  # noqa: BLE001
-            failures += 1
-            print(f"{name}: ERROR {type(ex).__name__}: {ex}")
-    sys.exit(1 if failures else 0)
+            ok = False
+            print(f"{name:36s} ERR {type(ex).__name__}: {ex}")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
