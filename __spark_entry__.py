@@ -67,6 +67,10 @@ _R10_ADDITIONS: list[str] = [
     "good_turing_chao1",
     "james_stein_nation_means",
     "logrank_test",
+    "delta_method_ratio_ci",
+    "hodges_lehmann_shift",
+    "ece_reliability_bins",
+    "theil_atkinson_inequality",
 ]
 
 
