@@ -71,6 +71,7 @@ _R10_ADDITIONS: list[str] = [
     "hodges_lehmann_shift",
     "ece_reliability_bins",
     "theil_atkinson_inequality",
+    "ch_r10_function_surface",
 ]
 
 

@@ -653,29 +653,68 @@ def _great_circle_angle(
     return F.degrees(F.lit(2.0) * F.asin(F.sqrt(h)))
 
 
-_NFC_UDF = None
+_NORM_UDFS: dict = {}
 
 
-def _nfc(c: Column) -> Column:
-    """Unicode NFC via unicodedata in an Arrow-batched pandas UDF (the
-    JVM side exposes no ICU normalizer); built lazily so importing this
-    module never needs a SparkSession."""
-    global _NFC_UDF
-    if _NFC_UDF is None:
-        import unicodedata
+def _normalize_utf8(form: str):
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) via unicodedata in an
+    Arrow-batched pandas UDF — the normalization tables are part of the
+    Unicode standard and ship in the Python stdlib, so no ICU library is
+    needed (the JVM side exposes no normalizer). Built lazily so
+    importing this module never needs a SparkSession."""
 
-        # lambda form: the module-wide `from __future__ import
-        # annotations` stringifies type hints, which pandas_udf's
-        # signature inference rejects — pass the return type explicitly.
-        _NFC_UDF = F.pandas_udf(
+    def build(c: Column) -> Column:
+        if form not in _NORM_UDFS:
+            import unicodedata
+
+            # lambda form: the module-wide `from __future__ import
+            # annotations` stringifies type hints, which pandas_udf's
+            # signature inference rejects — pass the return type
+            # explicitly.
+            _NORM_UDFS[form] = F.pandas_udf(
+                lambda s, _f=form: s.map(
+                    lambda v: None
+                    if v is None
+                    else unicodedata.normalize(_f, v)
+                ),
+                "string",
+            )
+        return _NORM_UDFS[form](c)
+
+    return build
+
+
+_nfc = _normalize_utf8("NFC")
+
+_STEM_UDF = None
+
+
+def _stem(lang, c: Column) -> Column:
+    """ClickHouse ``stem(language, word)`` — English only, backed by the
+    from-scratch Porter implementation in functions/porter.py (the
+    published 1980 algorithm; exact on the canonical test vectors).
+    Non-'en' languages raise at plan-build time rather than returning
+    unstemmed text as if it were stemmed."""
+    if not isinstance(lang, str):
+        raise ValueError(
+            "stem(): language must be a Python string literal "
+            "('en' is the supported stemmer)"
+        )
+    if lang != "en":
+        raise ValueError(
+            f"stem(): only 'en' (Porter) is implemented, got {lang!r}"
+        )
+    global _STEM_UDF
+    if _STEM_UDF is None:
+        from .porter import porter_stem
+
+        _STEM_UDF = F.pandas_udf(
             lambda s: s.map(
-                lambda v: None
-                if v is None
-                else unicodedata.normalize("NFC", v)
+                lambda v: None if v is None else porter_stem(v)
             ),
             "string",
         )
-    return _NFC_UDF(c)
+    return _STEM_UDF(c)
 
 
 def _multi_if(*args: Column) -> Column:
@@ -2825,6 +2864,12 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "intHash32": _int_hash32,
     "intHash64": _int_hash64,
     "normalizeUTF8NFC": _nfc,
+    "normalizeUTF8NFD": _normalize_utf8("NFD"),
+    "normalizeUTF8NFKC": _normalize_utf8("NFKC"),
+    "normalizeUTF8NFKD": _normalize_utf8("NFKD"),
+    # English Porter stemmer (functions/porter.py); other languages
+    # raise — see _stem
+    "stem": _stem,
     # CH splits on runs of non-alphanumeric ASCII (same separator class
     # as `tokens`); empty leading/trailing fragments dropped.
     "splitByNonAlpha": lambda c: F.filter(
