@@ -72,6 +72,11 @@ _R10_ADDITIONS: list[str] = [
     "ece_reliability_bins",
     "theil_atkinson_inequality",
     "ch_r10_function_surface",
+    "cochran_armitage_trend",
+    "gumbel_block_maxima",
+    "pacf_yule_walker",
+    "tukey_hsd_pairs",
+    "markov_removal_attribution",
 ]
 
 
