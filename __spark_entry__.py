@@ -77,6 +77,10 @@ _R10_ADDITIONS: list[str] = [
     "pacf_yule_walker",
     "tukey_hsd_pairs",
     "markov_removal_attribution",
+    "goodman_kruskal_lambda",
+    "goodman_kruskal_gamma",
+    "odds_ratio_ci",
+    "segmented_trend_break",
 ]
 
 
