@@ -81,6 +81,7 @@ _R10_ADDITIONS: list[str] = [
     "goodman_kruskal_gamma",
     "odds_ratio_ci",
     "segmented_trend_break",
+    "source_neardup_leakage",
 ]
 
 
