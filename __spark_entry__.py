@@ -8,11 +8,12 @@ Ordering: the driver hash-checks a capped front-to-back window of this
 dict, so entries that have NEVER sat in a driver window go first — this
 round (r10) that is the 19 round-9 additions past the r9 window cut
 (CORRECTNESS_r09 closed the whole r8 backlog plus time_weighted_average,
-driver-green union after r9 = 393/412), followed by any round-10
-additions, then the rest in natural module-import order. A 50-entry r10
-window therefore closes verification to 412/412 plus the first r10 names.
-Full-registry verification every round is tools/local_parity.py, which
-oracle-checks every entry regardless of this ordering.
+driver-green union after r9 = 393/412), followed by the 31 round-10
+additions: 19 + 31 = 50 = exactly the driver window, so CORRECTNESS_r10
+closes the driver-green union to the full 443-query registry with no
+backlog into round 11. Full-registry verification every round is
+tools/local_parity.py, which oracle-checks every entry regardless of
+this ordering.
 """
 
 from __future__ import annotations
