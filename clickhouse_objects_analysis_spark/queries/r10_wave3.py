@@ -210,30 +210,67 @@ def kruskal_wallis_htest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered cumulative sum (terms ≥ 0 ⇒ last = MAX), pinning the double
     fold order on both engines.
 
-    Scale shape: one hash agg to the (value, pri) histogram, one
-    range-partitioned prefix pass for ranks, then everything is ≤5
-    rows."""
+    Scale shape: ONE hash agg to the value histogram — the per-priority
+    multiplicities ride along as indicator-sum extra_aggs over the
+    FIXED TPC-H priority domain (mann_whitney's binary-indicator trick
+    ×5; an unexpected priority value would vanish from the Spark side
+    and fail the oracle hash, so the hardcoding is self-checking) —
+    then one range-partitioned prefix pass for ranks; nothing joins
+    back at row scale and everything downstream is ≤5 rows."""
     o = tables(spark, sf_dir)["orders"]
+    pris = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
     b = o.select(
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
     )
-    gp = b.groupBy("y", "pri").agg(
-        F.count(F.lit(1)).cast("long").alias("n_yp")
+    h = histogram_r2(
+        b,
+        "y",
+        extra_aggs={
+            f"c{i}": F.sum((F.col("pri") == p).cast("long"))
+            for i, p in enumerate(pris)
+        },
     )
-    h = histogram_r2(b, "y")
     ties = h.agg(
         F.sum(
             F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tcorr"),
         F.sum("cnt").alias("n"),
     )
-    j = gp.join(h.select("y", "r2"), "y")
-    g = j.groupBy("pri").agg(
-        F.sum("n_yp").alias("n_g"),
-        F.sum(F.expr("n_yp * r2 DIV 100000000")).alias("s_hi"),
-        F.sum(F.expr("n_yp * r2 % 100000000")).alias("s_lo"),
+    per = h.agg(
+        *[
+            agg
+            for i in range(len(pris))
+            for agg in (
+                F.sum(f"c{i}").alias(f"n_g{i}"),
+                F.sum(F.expr(f"c{i} * r2 DIV 100000000")).alias(
+                    f"s_hi{i}"
+                ),
+                F.sum(F.expr(f"c{i} * r2 % 100000000")).alias(f"s_lo{i}"),
+            )
+        ]
     )
+    g = per.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pri"),
+                        F.col(f"n_g{i}").alias("n_g"),
+                        F.col(f"s_hi{i}").alias("s_hi"),
+                        F.col(f"s_lo{i}").alias("s_lo"),
+                    )
+                    for i, p in enumerate(pris)
+                ]
+            )
+        ).alias("s")
+    ).select("s.pri", "s.n_g", "s.s_hi", "s.s_lo")
     sra2 = (
         F.col("s_hi").cast("decimal(38,0)") * F.lit(100000000)
         + F.col("s_lo")
