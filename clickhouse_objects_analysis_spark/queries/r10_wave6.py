@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
 
+from ..operators.markov import absorption_probability
 from .registry import q6, query, tables
 
 # ---------------------------------------------------------------------------
@@ -716,26 +717,7 @@ def markov_removal_attribution_q(
     }
 
     def absorb(removed: str | None) -> int:
-        cnt: dict = {}
-        for (src, dst), n in tc.items():
-            if src == removed:
-                continue
-            d = "LOSS" if dst == removed else dst
-            cnt[(src, d)] = cnt.get((src, d), 0) + n
-        states = sorted({s for s, _ in cnt})
-        tot = {s: sum(n for (a2, _), n in cnt.items() if a2 == s)
-               for s in states}
-        v = {s: 0 for s in states}
-        for _ in range(_ITERS):
-            nv = {}
-            for s in states:
-                acc = cnt.get((s, "CONV"), 0) * _SCALE
-                for (a2, d), n in cnt.items():
-                    if a2 == s and d in v:
-                        acc += n * v[d]
-                nv[s] = acc // tot[s]
-            v = nv
-        return v.get("START", 0)
+        return absorption_probability(tc, removed, _SCALE, _ITERS)
 
     v0 = absorb(None)
     rows = []
