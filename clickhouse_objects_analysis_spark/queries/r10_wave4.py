@@ -104,16 +104,23 @@ def delta_method_ratio_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers, one to ≤5 segment rows — no data-sized sort."""
     o = tables(spark, sf_dir)["orders"]
     c = tables(spark, sf_dir)["customer"]
-    cu = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(F.col("o_custkey").alias("cust"),
-                 F.col("c_mktsegment").alias("seg"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-            .cast("long")
-            .alias("y"),
-            F.count(F.lit(1)).cast("long").alias("m"),
-        )
+    # aggregate-before-join: collapse orders to per-customer (y, m)
+    # FIRST, so the segment join moves |customers| rows instead of
+    # |orders| — Catalyst won't hoist an aggregation across a join on
+    # its own, and at 10x fact-to-dim fan-in this is the whole
+    # data-sized cost of the query
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    cu = per_cust.join(
+        c.select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+        "cust",
     )
     g = cu.groupBy("seg").agg(
         F.count(F.lit(1)).cast("long").alias("n_c"),
