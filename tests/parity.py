@@ -21,10 +21,15 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark-written table = a DIRECTORY of part files (the
+            # .scratch/sf1|sf10 scaled copies); DuckDB needs the glob
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con.execute(sql).df()
 
 
