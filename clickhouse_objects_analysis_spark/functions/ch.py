@@ -47,6 +47,12 @@ NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
         "quantileTDigest",  # → Spark percentile_approx (KLL-style sketch)
         "murmurHash3_32",  # same algorithm, different seed (Spark 42, CH 0)
         "URLHash",  # → xxhash64 of the trail-stripped URL
+        # → Porter 1980 ("porter1"); ClickHouse stems with Snowball
+        # English ("porter2"), which differs on a minority of forms
+        # (e.g. ties → CH 'tie' vs porter1 'ti', dying → 'die' vs 'dy').
+        # Same contract (deterministic English suffix stripper), not the
+        # same stemmed vocabulary — re-stem when migrating.
+        "stem",
     }
 )
 
@@ -693,8 +699,11 @@ def _stem(lang, c: Column) -> Column:
     """ClickHouse ``stem(language, word)`` — English only, backed by the
     from-scratch Porter implementation in functions/porter.py (the
     published 1980 algorithm; exact on the canonical test vectors).
-    Non-'en' languages raise at plan-build time rather than returning
-    unstemmed text as if it were stemmed."""
+    NON_BIT_COMPATIBLE: ClickHouse stems with Snowball English
+    (porter2), which revises a minority of porter1's rules — stemmed
+    vocabularies differ on forms like 'ties'/'dying'. Non-'en'
+    languages raise at plan-build time rather than returning unstemmed
+    text as if it were stemmed."""
     if not isinstance(lang, str):
         raise ValueError(
             "stem(): language must be a Python string literal "

@@ -49,8 +49,8 @@ def _case_sql(expr: str, pairs: list[tuple[str, str]], pick: int) -> str:
     "ch_r10_function_surface",
     oracle=f"""
     SELECT CAST(event_id AS BIGINT) AS eid,
-           {_case_sql('event_id % 12', _STEMS, 0)} AS word,
-           {_case_sql('event_id % 12', _STEMS, 1)} AS stemmed,
+           {_case_sql('(event_id // 20) % 12', _STEMS, 0)} AS word,
+           {_case_sql('(event_id // 20) % 12', _STEMS, 1)} AS stemmed,
            concat('cafe', chr(769), '-', event_type, '-A', chr(778))
                AS nfd,
            concat('file-', event_type, '-2x') AS nfkc,
@@ -78,8 +78,13 @@ def ch_r10_function_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 20 == 3
     )
     eid = F.col("event_id")
+    # index on eid DIV 20, not eid: the surviving ids are ≡3 (mod 20),
+    # and gcd(20, 12) = 4 would alias eid % 12 onto {3, 7, 11} — only
+    # 3 of the 12 vectors would ever run (review finding); DIV 20 makes
+    # the filtered stream's indices consecutive, rotating through all 12
     word = F.element_at(
-        F.array(*[F.lit(w) for w, _ in _STEMS]), (eid % 12 + 1).cast("int")
+        F.array(*[F.lit(w) for w, _ in _STEMS]),
+        (F.expr("event_id DIV 20") % 12 + 1).cast("int"),
     )
     return ev.select(
         eid.cast("long").alias("eid"),

@@ -232,11 +232,14 @@ def gumbel_block_maxima_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _acf_sql(k: int) -> str:
     """Exact-integer ACF numerator at lag k, scaled by n² (see module
-    docstring): n²·Sxy_k − n·S·(S₁+S₂) + (n−k)·S², as HUGEINT."""
+    docstring): n²·Sxy_k − n·S·(S₁+S₂) + m_k·S², as HUGEINT — m_k is
+    the COUNTED number of matched (t, t+k) pairs, not the calendar
+    shortcut n−k, which overstates the mean correction whenever the
+    day series has gaps."""
     return (
         f"(CAST(m.n AS HUGEINT) * m.n * l.sxy{k}"
         f" - CAST(m.n AS HUGEINT) * m.s * (l.sh{k} + l.st{k})"
-        f" + CAST(m.n - {k} AS HUGEINT) * m.s * m.s)"
+        f" + CAST(l.m{k} AS HUGEINT) * m.s * m.s)"
     )
 
 
@@ -264,18 +267,24 @@ def _acf_sql(k: int) -> str:
           CAST(SUM(CASE WHEN b1.x IS NOT NULL THEN a.x END) AS BIGINT)
               AS sh1,
           CAST(SUM(b1.x) AS BIGINT) AS st1,
+          CAST(SUM(CASE WHEN b1.x IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS m1,
           CAST(SUM(CASE WHEN b2.x IS NOT NULL
                    THEN CAST(a.x AS HUGEINT) * b2.x END) AS HUGEINT)
               AS sxy2,
           CAST(SUM(CASE WHEN b2.x IS NOT NULL THEN a.x END) AS BIGINT)
               AS sh2,
           CAST(SUM(b2.x) AS BIGINT) AS st2,
+          CAST(SUM(CASE WHEN b2.x IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS m2,
           CAST(SUM(CASE WHEN b3.x IS NOT NULL
                    THEN CAST(a.x AS HUGEINT) * b3.x END) AS HUGEINT)
               AS sxy3,
           CAST(SUM(CASE WHEN b3.x IS NOT NULL THEN a.x END) AS BIGINT)
               AS sh3,
-          CAST(SUM(b3.x) AS BIGINT) AS st3
+          CAST(SUM(b3.x) AS BIGINT) AS st3,
+          CAST(SUM(CASE WHEN b3.x IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS m3
         FROM d a
         LEFT JOIN d b1 ON b1.t = a.t + 1
         LEFT JOIN d b2 ON b2.t = a.t + 2
@@ -314,7 +323,8 @@ def pacf_yule_walker_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with φ₂₁ = r₁(1−φ₂₂)·… — the lag-k dependence AFTER removing
     shorter-lag structure, which raw ACF (dominant_period_autocorr)
     conflates. Each r_k is computed from the all-integer expansion
-    n²·Σx_tx_{t+k} − n·S·(S_head+S_tail) + (n−k)·S² over DOLLAR-
+    n²·Σx_tx_{t+k} − n·S·(S_head+S_tail) + m_k·S² (m_k = counted
+    matched pairs, robust to calendar gaps) over DOLLAR-
     quantized day sums (HUGEINT / DECIMAL(38,0): products stay ≤ ~1e30
     at sf100), so the three doubles r₁,r₂,r₃ are each ONE exact-integer
     ratio and the recursion is a closed-form expression both engines
@@ -363,6 +373,9 @@ def pacf_yule_walker_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col(f"x{k}").isNotNull(), F.col("a.x"))
             ).cast("long").alias(f"sh{k}"),
             F.sum(F.col(f"x{k}")).cast("long").alias(f"st{k}"),
+            F.sum(F.col(f"x{k}").isNotNull().cast("long"))
+            .cast("long")
+            .alias(f"m{k}"),
         ]
     lags = a.agg(*lag_cols)
     j = m.crossJoin(F.broadcast(lags))
@@ -376,7 +389,7 @@ def pacf_yule_walker_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             - nn * ss * (F.col(f"sh{k}") + F.col(f"st{k}")).cast(
                 "decimal(38,0)"
             )
-            + (nn - k) * ss * ss
+            + F.col(f"m{k}").cast("decimal(38,0)") * ss * ss
         ).cast("double")
         return num / den
 
@@ -724,13 +737,18 @@ def markov_removal_attribution_q(
     effs = {}
     for ch in _CHANNELS:
         vr = absorb(ch)
-        effs[ch] = 1.0 - vr / v0
+        # v0 == 0 (a corpus with no conversions at all) must yield NULL,
+        # not ZeroDivisionError — the DuckDB twin's double x/0.0 renders
+        # NULL, and the two engines must fail identically
+        effs[ch] = (1.0 - vr / v0) if v0 else None
         rows.append((ch, v0, vr))
-    tot_re = sum(effs.values())
+    tot_re = sum(e for e in effs.values() if e is not None)
 
-    def _q(x: float) -> float:
+    def _q(x: float | None) -> float | None:
         import math
 
+        if x is None:
+            return None
         return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
     out = [
@@ -738,9 +756,17 @@ def markov_removal_attribution_q(
             channel=ch,
             base_cvr=_q(b / _SCALE),
             removed_cvr=_q(vr / _SCALE),
-            removal_effect=_q(1.0 - vr / b),
-            attribution_share=_q(effs[ch] / tot_re),
+            removal_effect=_q(effs[ch]),
+            attribution_share=_q(
+                effs[ch] / tot_re
+                if effs[ch] is not None and tot_re
+                else None
+            ),
         )
         for ch, b, vr in rows
     ]
-    return spark.createDataFrame(out).orderBy("channel")
+    schema = (
+        "channel string, base_cvr double, removed_cvr double, "
+        "removal_effect double, attribution_share double"
+    )
+    return spark.createDataFrame(out, schema).orderBy("channel")

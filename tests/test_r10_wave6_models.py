@@ -102,13 +102,15 @@ def test_pacf_reference(spark_rows):
     sxx = sum(x * x for x in day.values())
 
     def r_k(k):
-        sxy = sh = st = 0
+        sxy = sh = st = m = 0
         for t, x in day.items():
             if t + k in day:
                 sxy += x * day[t + k]
                 sh += x
                 st += day[t + k]
-        num = n * n * sxy - n * s * (sh + st) + (n - k) * s * s
+                m += 1  # COUNT matched pairs — (n-k) is wrong when the
+                # calendar has revenue-free days (review finding)
+        num = n * n * sxy - n * s * (sh + st) + m * s * s
         den = n * n * sxx - n * s * s
         return num / den
 

@@ -19,11 +19,15 @@ from tools.local_parity import frame_hash  # noqa: E402
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
     if "--sf" in args:
         i = args.index("--sf")
+        if i + 1 >= len(args):
+            sys.exit("usage: parity_subset.py <name>... [--sf DIR]")
         sf_dir = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if not args:
+        sys.exit("usage: parity_subset.py <name>... [--sf DIR]")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
