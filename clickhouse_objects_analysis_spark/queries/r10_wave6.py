@@ -16,8 +16,9 @@ time-decay, U-shaped) with the data-driven member.
 
 Exactness discipline: integer cents/dollars at the scan; covariance
 moments as exact DECIMAL(38,0)/HUGEINT cross-products (the n²·Sxy −
-n·S·(S₁+S₂) + (n−k)·S² expansion keeps everything integral until ONE
-double division per lag); the Markov fixed point runs as an INTEGER
+n·S·(S₁+S₂) + m_k·S² expansion — m_k the counted matched-pair mass —
+keeps everything integral until ONE double division per lag); the
+Markov fixed point runs as an INTEGER
 recurrence (probabilities scaled 1e12, floor division) for a fixed 120
 iterations, so both engines produce bit-identical absorption values by
 construction; final statistics floor-quantize at 1e6 (q6).
