@@ -106,3 +106,29 @@ def test_normalization_forms(spark):
     assert row["nfkc"] == "file2"
     assert row["nfkd"] == "1\u20442e\u0301"
     assert row["roundtrip"] == "\u00c5\u00e9"
+
+
+def test_porter_fuzz_invariants():
+    """Random lowercase words: the stemmer must never crash, never grow
+    a word, always emit lowercase ASCII, and respect the length-2
+    guard — the structural envelope the 73 vectors can't cover."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.text(
+            alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz"),
+            min_size=0,
+            max_size=24,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(w):
+        out = porter_stem(w)
+        assert len(out) <= len(w)
+        assert out.isascii()
+        assert out == out.lower()
+        if len(w) <= 2:
+            assert out == w
+
+    check()
