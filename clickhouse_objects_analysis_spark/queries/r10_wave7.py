@@ -149,8 +149,14 @@ def goodman_kruskal_gamma_q(
     (kendall_tau_b_binned corrects for them; γ answers "of the pairs
     that order at all, what fraction order the same way", the right
     reading for heavily-tied grids). Pair masses come from the ≤110-cell
-    grid's broadcast self-join, exact int64 throughout (pair count
-    ~n²/2 ≈ 2e16 at sf10, inside int64); one final division.
+    grid's broadcast self-join, ACCUMULATED in decimal(38,0) so the sum
+    is exact at any reachable sf (pair count ~n²/2 ≈ 2e16 at sf10; int64
+    accumulation would wrap silently past ~sf500 in non-ANSI mode while
+    the DuckDB oracle widens to HUGEINT — r10 advice). The output
+    columns stay int64 to match the oracle's BIGINT; past the int64
+    bound the cast yields NULL (Spark) / error (DuckDB) — loud, never a
+    silently-wrong number — and gamma itself is computed from the exact
+    decimals so it stays correct regardless.
 
     Scale shape: one map-side-combined grid agg; the self-join is
     grid-sized (≤110×110), never data-sized."""
@@ -178,29 +184,25 @@ def goodman_kruskal_gamma_q(
             F.when(
                 (F.col("b.bx") > F.col("a.bx"))
                 & (F.col("b.by_") > F.col("a.by_")),
-                F.col("a.n") * F.col("b.n"),
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("p"),
+                F.col("a.n").cast("decimal(38,0)") * F.col("b.n"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("p"),
         F.sum(
             F.when(
                 (F.col("b.bx") > F.col("a.bx"))
                 & (F.col("b.by_") < F.col("a.by_")),
-                F.col("a.n") * F.col("b.n"),
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("q"),
+                F.col("a.n").cast("decimal(38,0)") * F.col("b.n"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q"),
     )
     tot = g.agg(F.sum("n").cast("long").alias("n"))
     return pq.crossJoin(F.broadcast(tot)).select(
         "n",
-        F.col("p").alias("concordant"),
-        F.col("q").alias("discordant"),
+        F.col("p").cast("long").alias("concordant"),
+        F.col("q").cast("long").alias("discordant"),
         q6(
             (F.col("p") - F.col("q")).cast("double")
-            / (F.col("p") + F.col("q"))
+            / (F.col("p") + F.col("q")).cast("double")
         ).alias("gamma"),
     )
 

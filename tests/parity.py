@@ -19,6 +19,16 @@ from clickhouse_objects_analysis_spark.session import TABLES
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # Several degenerate-input parity contracts (markov removal_effect with
+    # v0=0, odds_ratio/logrank with an empty cell) rely on float x/0.0
+    # rendering as NULL. DuckDB 1.0 (pinned here) always does; 1.1+ defaults
+    # ieee_floating_point_ops=true and returns inf/nan instead. Pin the old
+    # behavior explicitly so the contract survives a dependency bump; the
+    # try/except keeps 1.0 (no such setting) working.
+    try:
+        con.execute("SET ieee_floating_point_ops=false")
+    except duckdb.Error:
+        pass
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):

@@ -34,6 +34,10 @@ def main() -> None:
     oracles = e.oracle_sql()
     ok = True
     for name in args:
+        if name not in qs:
+            ok = False
+            print(f"{name:36s} NOT REGISTERED")
+            continue
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
