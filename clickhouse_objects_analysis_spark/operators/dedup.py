@@ -392,9 +392,20 @@ def jaccard_pairs_from_sets(
 ) -> DataFrame:
     """Shared Jaccard tail over a (id, shingles) frame (caller
     checkpoints it): inverted-index pair co-occurrence, optional df cap,
-    size-attach joins — see ngram_jaccard_pairs for the scale contract."""
+    size-attach joins — see ngram_jaccard_pairs for the scale contract.
+
+    The inverted index keys on xxhash64(shingle), not the shingle
+    string: the pair self-join shuffles 8-byte keys instead of ~25-byte
+    gram text (r11: 53→12 s at the 500k-doc scale point), and the join
+    is pinned ShuffledHashJoin — sort-merge would SORT both ~26M-row
+    sides, which was the dominant cost of the whole near-dup graph
+    build. Intersection counts are exact up to 64-bit hash collisions
+    (~n²·2⁻⁶⁴ ≈ 4e-5 expected colliding pairs at 26M index rows — the
+    same accepted-risk class as the xxhash64 MinHash signatures)."""
     sizes = sets.select("id", F.size("shingles").alias("sz"))
-    inv = sets.select("id", F.explode("shingles").alias("sh"))
+    inv = sets.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("sh")
+    )
     if max_df is not None:
         # The stop list (only mega-df shingles) is tiny — broadcast the
         # anti-join; posting lists shrink before any pair is formed.
@@ -408,7 +419,7 @@ def jaccard_pairs_from_sets(
     inter = (
         inv.alias("a")
         .join(
-            inv.alias("b"),
+            inv.alias("b").hint("shuffle_hash"),
             (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -449,11 +460,15 @@ def containment_pairs(
 
     Scale shape is identical to ngram_jaccard_pairs (same inverted
     index, same Σ C(df,2) bound, same optional ``max_df`` stop-shingle
-    cap making reported containment a documented lower bound); the extra
-    work over Jaccard is two codegen projections."""
+    cap making reported containment a documented lower bound, same
+    xxhash64 key narrowing + pinned ShuffledHashJoin — see
+    jaccard_pairs_from_sets); the extra work over Jaccard is two
+    codegen projections."""
     sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sets.select("id", F.size("shingles").alias("sz"))
-    inv = sets.select("id", F.explode("shingles").alias("sh"))
+    inv = sets.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("sh")
+    )
     if max_df is not None:
         stop = (
             inv.groupBy("sh")
@@ -465,7 +480,7 @@ def containment_pairs(
     inter = (
         inv.alias("a")
         .join(
-            inv.alias("b"),
+            inv.alias("b").hint("shuffle_hash"),
             (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -123,21 +123,25 @@ def k_core(
     repeat to fixpoint. Returns (node, deg) with each survivor's degree
     INSIDE the k-core.
 
-    Scale shape (r9 verdict #6 — the LPA/PPR loop discipline applied
-    here): the DOUBLED adjacency (n, m) materializes once; per-round
-    state is the ALIVE NODE SET — node-sized, orders of magnitude
-    smaller than the edges. Each round is ONE adjacency⋈alive semi-join
-    on the neighbor column m (above _BROADCAST_NODES_GATE the adjacency
-    is persist()-cached pre-partitioned on m and the join is a pinned
-    ShuffledHashJoin, so only the node-sized alive set re-exchanges —
-    the old formulation semi-joined the edge list at BOTH ends, which
-    sort-merge-joined (= sorted) the E-sized list twice per round),
-    then a map-side-combined degree agg and a node-sized alive
-    intersection: deg'(n) = #alive neighbors of n equals n's degree in
-    the alive-induced subgraph for alive n, so filtering n ∈ alive ∧
-    deg' ≥ k is exactly one peel step. Peeling rounds are bounded by
-    the graph's degeneracy ordering depth — tens of rounds for real
-    similarity graphs, `max_iter` as the hard stop.
+    Scale shape (r9 #6 / r10 #4 — frontier-incremental degree
+    maintenance): the DOUBLED adjacency (n, m) materializes once;
+    per-round state is the (n, deg) map — node-sized, orders of
+    magnitude smaller than the edges. Degrees are computed from the
+    full adjacency ONCE; every later round touches only the edges
+    incident to the nodes REMOVED in that round (the frontier):
+    deg'(n) = deg(n) − #(neighbors of n in removed), which is exact
+    because a peel step deletes precisely the removed-endpoint edges.
+    The frontier shrinks geometrically after round 1, so the per-round
+    adjacency⋈removed semi-join broadcasts its tiny probe side (falling
+    back to a pinned ShuffledHashJoin against the m-partitioned persisted
+    adjacency while the frontier is still above the broadcast gate —
+    round 1 can remove most of the graph), and the delta aggregate is
+    sized by incident edges, not by the surviving edge list. The old
+    formulation re-aggregated degrees over ALL surviving edges every
+    round; that full-E scan per round is what kept the sf1→sf10 decade
+    exponent at ~0.81. Peeling rounds are bounded by the graph's
+    degeneracy ordering depth — tens of rounds for real similarity
+    graphs, `max_iter` as the hard stop.
     """
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
     canon = (
@@ -150,49 +154,54 @@ def k_core(
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
         .localCheckpoint(eager=True)
     )
-    alive = adj.select("n").distinct().localCheckpoint(eager=True)
-    n_alive = alive.count()
-    big = n_alive > _BROADCAST_NODES_GATE
+    n_nodes = adj.select("n").distinct().count()
+    big = n_nodes > _BROADCAST_NODES_GATE
     if big:
         adj = adj.repartition(F.col("m")).persist()
 
-    def _alive_degrees(alive_df: DataFrame) -> DataFrame:
-        rhs = alive_df.select(F.col("n").alias("m"))
-        return (
-            adj.join(
-                rhs.hint("shuffle_hash") if big else rhs, "m", "left_semi"
-            )
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-            .join(alive_df, "n", "left_semi")
-        )
-
-    result = None
+    # Full-adjacency degree pass — the ONLY edge-complete aggregation.
+    nd = (
+        adj.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        if n_alive == 0:
+        removed = (
+            nd.filter(F.col("deg") < k).select("n").localCheckpoint(
+                eager=True
+            )
+        )
+        n_removed = removed.count()
+        if n_removed == 0:
             break
-        # (n, deg) checkpointed whole: at fixpoint this round's degrees
-        # ARE the k-core degrees (computed against the set that just
-        # proved stable), so the answer needs no extra pass; between
-        # rounds the alive set is a narrow projection of the checkpoint.
+        rm_m = removed.select(F.col("n").alias("m"))
+        if n_removed <= _BROADCAST_NODES_GATE:
+            probe = F.broadcast(rm_m)
+        elif big:
+            probe = rm_m.hint("shuffle_hash")
+        else:
+            probe = rm_m
+        delta = (
+            adj.join(probe, "m", "left_semi")
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("dd"))
+        )
         nd = (
-            _alive_degrees(alive)
-            .filter(F.col("deg") >= k)
+            nd.filter(F.col("deg") >= k)
+            .join(delta, "n", "left")
+            .select(
+                "n",
+                (
+                    F.col("deg") - F.coalesce(F.col("dd"), F.lit(0))
+                ).alias("deg"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_next = nd.count()
-        if n_next == n_alive:
-            result = nd
-            break
-        alive, n_alive = nd.select("n"), n_next
-    if result is None:
-        # max_iter exhausted (or empty graph): degrees w.r.t. the final
-        # alive set, materialized so the adjacency cache can be dropped
-        result = (
-            _alive_degrees(alive)
-            .filter(F.col("deg") >= k)
-            .localCheckpoint(eager=True)
-        )
+    # At fixpoint nd's degrees are exactly the alive-induced subgraph
+    # degrees (maintained incrementally), so the answer needs no extra
+    # pass. On max_iter exhaustion the filter matches the old contract:
+    # degrees w.r.t. the final alive set, sub-k stragglers dropped.
+    result = nd.filter(F.col("deg") >= k).localCheckpoint(eager=True)
     if big:
         adj.unpersist(blocking=False)
     return result

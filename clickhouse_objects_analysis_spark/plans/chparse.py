@@ -465,6 +465,77 @@ def token_table_dependencies(
     return sorted(found)
 
 
+def mv_write_targets(sql: str, default_db: str = "default") -> list[str]:
+    """Write destinations of `CREATE MATERIALIZED VIEW … TO <target>`
+    statements, qualified with the reference's single-part rule.
+
+    The reference's ANTLR visitor collects EVERY tableIdentifier context
+    including the TO write target (ch_view_dependencies.py:144-231;
+    DestinationClauseContext, generated_ch_parser/ClickHouseParser.py:5572),
+    so its graphs show the destination as a dependency of the MV. This
+    engine's default lineage reports READ deps only (pinned deviation) —
+    this helper powers the opt-in `include_write_edges=True` path that
+    restores reference-visitor edge-set parity, with the write edges
+    tagged distinctly instead of masquerading as reads. Raises on
+    unbalanced quotes (same tokenizer contract as the token walk)."""
+    toks = tokenize(sql)
+    n = len(toks)
+
+    def kw(i: int) -> str:
+        if 0 <= i < n and toks[i][0] == "IDENT":
+            return toks[i][1].upper()
+        return ""
+
+    out: set[str] = set()
+    i = 0
+    while i < n:
+        if kw(i) == "CREATE":
+            j = i + 1
+            if kw(j) == "OR" and kw(j + 1) == "REPLACE":
+                j += 2
+            if kw(j) == "MATERIALIZED" and kw(j + 1) == "VIEW":
+                j += 2
+                if (
+                    kw(j) == "IF"
+                    and kw(j + 1) == "NOT"
+                    and kw(j + 2) == "EXISTS"
+                ):
+                    j += 3
+                # skip the (possibly dotted) view name
+                while j < n and (
+                    toks[j][0] in ("IDENT", "QIDENT")
+                    or toks[j] == ("PUNCT", ".")
+                ):
+                    if kw(j) in ("TO", "AS", "ON", "ENGINE", "POPULATE"):
+                        break
+                    j += 1
+                if kw(j) == "TO":
+                    j += 1
+                    parts: list[str] = []
+                    # strict dotted name: IDENT (. IDENT)* — anything
+                    # after (ENGINE, AS, …) is a new clause, not part
+                    # of the target
+                    if j < n and toks[j][0] in ("IDENT", "QIDENT"):
+                        parts.append(toks[j][1])
+                        j += 1
+                        while (
+                            j + 1 < n
+                            and toks[j] == ("PUNCT", ".")
+                            and toks[j + 1][0] in ("IDENT", "QIDENT")
+                        ):
+                            parts.append(toks[j + 1][1])
+                            j += 2
+                    if parts:
+                        name = ".".join(parts)
+                        out.add(
+                            name if len(parts) > 1
+                            else f"{default_db}.{name}"
+                        )
+                i = j
+        i += 1
+    return sorted(out)
+
+
 # --------------------------------------------------------------------------
 # CH → Spark surface-syntax normalization (r8 verdict #6)
 # --------------------------------------------------------------------------

@@ -33,7 +33,11 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .chparse import ch_to_spark_sql, token_table_dependencies
+from .chparse import (
+    ch_to_spark_sql,
+    mv_write_targets,
+    token_table_dependencies,
+)
 
 # --------------------------------------------------------------------------
 # Catalog layer (A1-A3)
@@ -396,7 +400,9 @@ def regex_table_dependencies(sql_text: str, default_db: str = "default") -> list
 
 
 def extract_dependencies_distributed(
-    views: DataFrame, default_db_col: str = "db_name"
+    views: DataFrame,
+    default_db_col: str = "db_name",
+    include_write_edges: bool = False,
 ) -> DataFrame:
     """Fallback-path extraction as a distributed mapInPandas over a
     (db_name, obj_name, ddl) DataFrame — for catalogs too large to loop
@@ -405,7 +411,14 @@ def extract_dependencies_distributed(
     walk, 'regex' where even tokenization failed — executors have no SQL
     parser; the driver pool below tags 'exact' where Spark's parser
     accepted the DDL), so a mixed-path catalog run records which edges
-    carry parse-grade confidence."""
+    carry parse-grade confidence.
+
+    ``include_write_edges=True`` (r10 verdict #5) adds a ``kind`` column
+    ('reads' | 'writes-to') and emits the CREATE MATERIALIZED VIEW … TO
+    destinations as 'writes-to' edges, restoring reference-visitor
+    edge-SET parity (its ANTLR walk collects the TO target as a
+    dependency; ch_view_dependencies.py:144-231). Default output schema
+    is unchanged."""
 
     def extract(batches):
         for pdf in batches:
@@ -414,15 +427,25 @@ def extract_dependencies_distributed(
                 view = f"{db}.{name}"
                 try:
                     deps, method = fallback_table_dependencies(ddl or "", db)
-                    for dep in deps:
-                        rows.append((view, dep, method))
+                    if include_write_edges:
+                        for dep in deps:
+                            rows.append((view, dep, method, "reads"))
+                        for tgt in mv_write_targets(ddl or "", db):
+                            rows.append((view, tgt, method, "writes-to"))
+                    else:
+                        for dep in deps:
+                            rows.append((view, dep, method))
                 except Exception:
                     pass
-            yield pd.DataFrame(rows, columns=["view", "dep", "method"])
+            cols = ["view", "dep", "method"]
+            if include_write_edges:
+                cols.append("kind")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return views.mapInPandas(
-        extract, schema="view string, dep string, method string"
-    )
+    schema = "view string, dep string, method string"
+    if include_write_edges:
+        schema += ", kind string"
+    return views.mapInPandas(extract, schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -443,6 +466,7 @@ def view_dependencies(
     spark: SparkSession,
     views: list[tuple[str, str, str]],
     max_workers: int = _PARSE_POOL_WORKERS,
+    include_write_edges: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """For (db, name, ddl) triples: edges DataFrame(view, dep) + errors
     DataFrame(view, error). Failures are isolated per view (reference
@@ -451,8 +475,14 @@ def view_dependencies(
     seconds instead of paying sequential Py4J latency per view (route
     catalogs beyond ~10k views through extract_dependencies_distributed,
     which trades parse-grade fidelity for executor parallelism and marks
-    each edge 'regex')."""
-    edges_m, errors = view_dependencies_with_method(spark, views, max_workers)
+    each edge 'regex').
+
+    ``include_write_edges=True`` adds the MV TO write destinations as
+    extra (view, dep) rows — the reference visitor's edge set (see
+    view_dependencies_with_method)."""
+    edges_m, errors = view_dependencies_with_method(
+        spark, views, max_workers, include_write_edges
+    )
     return edges_m.select("view", "dep"), errors
 
 
@@ -460,10 +490,19 @@ def view_dependencies_with_method(
     spark: SparkSession,
     views: list[tuple[str, str, str]],
     max_workers: int = _PARSE_POOL_WORKERS,
+    include_write_edges: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """view_dependencies plus the per-edge fidelity marker column
     ``method`` ('exact' | 'token' | 'regex') recording which path
-    extracted it."""
+    extracted it.
+
+    ``include_write_edges=True`` (r10 verdict #5) appends a ``kind``
+    column ('reads' | 'writes-to') and emits each CREATE MATERIALIZED
+    VIEW's TO destination as a 'writes-to' edge — restoring parity with
+    the reference visitor, which collects every tableIdentifier
+    INCLUDING the TO target (ch_view_dependencies.py:144-231;
+    DestinationClauseContext, ClickHouseParser.py:5572). The default
+    (False) keeps the pinned read-only stance and the 3-column schema."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(item: tuple[str, str, str]):
@@ -473,21 +512,37 @@ def view_dependencies_with_method(
             deps, method = parse_table_dependencies_tagged(
                 spark, ddl, default_db=db
             )
-            return view, deps, method, None
+            writes: list[str] = []
+            if include_write_edges:
+                try:
+                    writes = mv_write_targets(ddl, default_db=db)
+                except Exception:
+                    writes = []
+            return view, deps, writes, method, None
         except Exception as exc:  # noqa: BLE001 — per-view error channel
-            return view, [], "error", str(exc)
+            return view, [], [], "error", str(exc)
 
-    edge_rows: list[tuple[str, str, str]] = []
+    edge_rows: list[tuple] = []
     error_rows: list[tuple[str, str]] = []
     with ThreadPoolExecutor(max_workers=max(1, max_workers)) as pool:
-        for view, deps, method, err in pool.map(one, views):
+        for view, deps, writes, method, err in pool.map(one, views):
             if err is not None:
                 error_rows.append((view, err))
+            elif include_write_edges:
+                edge_rows.extend(
+                    (view, dep, method, "reads") for dep in deps
+                )
+                edge_rows.extend(
+                    (view, tgt, method, "writes-to") for tgt in writes
+                )
             else:
                 edge_rows.extend((view, dep, method) for dep in deps)
-    edges = spark.createDataFrame(
-        edge_rows or [("", "", "")], "view string, dep string, method string"
-    )
+    schema = "view string, dep string, method string"
+    empty_row: tuple = ("", "", "")
+    if include_write_edges:
+        schema += ", kind string"
+        empty_row = ("", "", "", "")
+    edges = spark.createDataFrame(edge_rows or [empty_row], schema)
     if not edge_rows:
         edges = edges.limit(0)
     errors = spark.createDataFrame(

@@ -87,8 +87,20 @@ def json_to_mermaid(
     """Render a {'view_dependencies': {view: [dep, ...]}} payload.
 
     Node names are emitted verbatim (no quoting); edges use '-.->' drawn
-    dep → view (data flows from dependency into the view)."""
+    dep → view (data flows from dependency into the view).
+
+    An optional 'write_dependencies' key ({view: [target, ...]}) renders
+    MV TO write destinations as distinct '==>' edges drawn view → target
+    (data flows OUT of the view) — the opt-in reference-visitor-parity
+    surface (r10 verdict #5; the reference collects the TO target as a
+    dependency, ch_view_dependencies.py:144-231). Absent key = output
+    byte-identical to before."""
     view_deps = _validated_deps(data)
+    write_deps: dict[str, list[str]] = {}
+    if "write_dependencies" in data:
+        write_deps = _validated_deps(
+            {"view_dependencies": data["write_dependencies"]}
+        )
 
     direction = options.direction.strip().upper()
     if direction not in _VALID_DIRECTIONS:
@@ -104,9 +116,16 @@ def json_to_mermaid(
         for dep in deps:
             nodes.add(dep)
             edges.append((dep, view))
+    wedges: list[tuple[str, str]] = []
+    for view, tgts in write_deps.items():
+        nodes.add(view)
+        for tgt in tgts:
+            nodes.add(tgt)
+            wedges.append((view, tgt))
 
     if options.dedupe_edges:
         edges = list(dict.fromkeys(edges))  # first-occurrence order
+        wedges = list(dict.fromkeys(wedges))
 
     out: list[str] = [f"graph {direction}"]
     out += [f"{ind}{cd}" for cd in _CLASS_DEFS]
@@ -117,10 +136,12 @@ def json_to_mermaid(
     ]
     out.append("")
 
-    if edges:
+    if edges or wedges:
         out += [f"{ind}{src} -.-> {dst}" for src, dst in edges]
+        out += [f"{ind}{src} ==> {dst}" for src, dst in wedges]
         if options.include_isolated_nodes:
             connected = {n for e in edges for n in e}
+            connected |= {n for e in wedges for n in e}
             out += [f"{ind}{n}" for n in sorted(nodes - connected)]
     elif options.include_isolated_nodes:
         out += [f"{ind}{n}" for n in sorted(nodes)]
@@ -151,11 +172,20 @@ def dataframes_to_mermaid(
 ) -> str:
     """DataFrame-native entry: edges(view, dep) + tables(name) collected to
     the driver (terminal render step — the only collect in the pipeline),
-    then rendered by the pure function above."""
+    then rendered by the pure function above. An optional ``kind`` column
+    ('reads' | 'writes-to', the include_write_edges extraction surface)
+    routes 'writes-to' rows to the distinct ==> edge style."""
     deps: dict[str, list[str]] = {}
-    for row in edges.select("view", "dep").collect():
-        deps.setdefault(row["view"], []).append(row["dep"])
+    writes: dict[str, list[str]] = {}
+    has_kind = "kind" in edges.columns
+    cols = ["view", "dep"] + (["kind"] if has_kind else [])
+    for row in edges.select(*cols).collect():
+        if has_kind and row["kind"] == "writes-to":
+            writes.setdefault(row["view"], []).append(row["dep"])
+        else:
+            deps.setdefault(row["view"], []).append(row["dep"])
     table_names = {row["name"] for row in tables.select("name").collect()}
-    return json_to_mermaid(
-        {"view_dependencies": deps}, table_names, options=options
-    )
+    payload: dict = {"view_dependencies": deps}
+    if writes:
+        payload["write_dependencies"] = writes
+    return json_to_mermaid(payload, table_names, options=options)

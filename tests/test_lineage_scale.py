@@ -356,3 +356,94 @@ def test_mv_to_target_exclusion_is_pinned(spark):
     assert "cat.dst_table" not in deps
     # same stance on the token walk
     assert token_table_dependencies(mv) == ["cat.src_table"]
+
+    # Opt-in reference-visitor parity (r10 verdict #5): the TO target
+    # surfaces via mv_write_targets, tagged separately — never as a read.
+    from clickhouse_objects_analysis_spark.plans.chparse import (
+        mv_write_targets,
+    )
+
+    assert mv_write_targets(mv) == ["cat.dst_table"]
+    assert mv_write_targets("CREATE VIEW v AS SELECT 1") == []
+    # single-part target gets the reference's default_db qualification
+    assert mv_write_targets(
+        "CREATE MATERIALIZED VIEW mv2 TO dst AS SELECT * FROM s",
+        default_db="db1",
+    ) == ["db1.dst"]
+
+
+def test_mv_write_edges_reference_parity(spark):
+    """include_write_edges=True restores the reference visitor's edge
+    SET on an MV corpus: the ANTLR walk collects every tableIdentifier
+    including the CREATE MATERIALIZED VIEW … TO destination
+    (ch_view_dependencies.py:144-231; DestinationClauseContext,
+    generated_ch_parser/ClickHouseParser.py:5572), so its per-view dep
+    list is reads ∪ {TO target}. Default mode stays reads-only with the
+    unchanged 3-column schema."""
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        view_dependencies_with_method,
+    )
+    from clickhouse_objects_analysis_spark.plans.mermaid import (
+        dataframes_to_mermaid,
+    )
+
+    corpus = [
+        (
+            "cat",
+            "mv_agg",
+            "CREATE MATERIALIZED VIEW cat.mv_agg TO cat.dst_table "
+            "ENGINE = AggregatingMergeTree() ORDER BY k AS "
+            "SELECT k, count() AS c FROM cat.src_table GROUP BY k",
+        ),
+        (
+            "cat",
+            "mv_join",
+            "CREATE MATERIALIZED VIEW cat.mv_join TO sink_db.wide AS "
+            "SELECT a.k, b.v FROM cat.left_t a JOIN cat.right_t b "
+            "USING (k)",
+        ),
+        ("cat", "plain_v", "CREATE VIEW cat.plain_v AS SELECT * FROM cat.base"),
+    ]
+    # default: unchanged schema, no write edges
+    edges_def, err_def = view_dependencies_with_method(spark, corpus)
+    assert edges_def.columns == ["view", "dep", "method"]
+    assert err_def.count() == 0
+    got_def = {(r["view"], r["dep"]) for r in edges_def.collect()}
+    assert ("cat.mv_agg", "cat.dst_table") not in got_def
+
+    # opt-in: reference edge set = reads ∪ TO targets, kinds split
+    edges, errors = view_dependencies_with_method(
+        spark, corpus, include_write_edges=True
+    )
+    assert errors.count() == 0
+    rows = edges.collect()
+    got = {(r["view"], r["dep"], r["kind"]) for r in rows}
+    assert got == {
+        ("cat.mv_agg", "cat.src_table", "reads"),
+        ("cat.mv_agg", "cat.dst_table", "writes-to"),
+        ("cat.mv_join", "cat.left_t", "reads"),
+        ("cat.mv_join", "cat.right_t", "reads"),
+        ("cat.mv_join", "sink_db.wide", "writes-to"),
+        ("cat.plain_v", "cat.base", "reads"),
+    }
+    # reference-visitor parity on the undirected (view, dep) edge SET
+    ref_visitor_set = {
+        ("cat.mv_agg", "cat.src_table"),
+        ("cat.mv_agg", "cat.dst_table"),
+        ("cat.mv_join", "cat.left_t"),
+        ("cat.mv_join", "cat.right_t"),
+        ("cat.mv_join", "sink_db.wide"),
+        ("cat.plain_v", "cat.base"),
+    }
+    assert {(v, d) for v, d, _ in got} == ref_visitor_set
+
+    # Mermaid renders the write edges with the distinct ==> style,
+    # drawn view -> target
+    tables_df = spark.createDataFrame(
+        [("cat.dst_table",), ("sink_db.wide",)], "name string"
+    )
+    mermaid = dataframes_to_mermaid(edges, tables_df)
+    assert "cat.mv_agg ==> cat.dst_table" in mermaid
+    assert "cat.mv_join ==> sink_db.wide" in mermaid
+    assert "cat.src_table -.-> cat.mv_agg" in mermaid
+    assert "cat.dst_table -.->" not in mermaid
