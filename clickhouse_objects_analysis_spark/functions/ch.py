@@ -243,35 +243,80 @@ def _dec_div_col(n: Column, d: Column) -> Column:
 
 
 #: Fixed input quantization for divideDecimal/multiplyDecimal: inputs
-#: are taken exact to 12 fractional digits (|value| < 10^12 — CH calls
-#: them on modest business decimals; overflow yields NULL, matching
-#: Spark decimal overflow under ANSI-off).
-_DEC_IN = "decimal(24,12)"
+#: are taken exact to 12 fractional digits at decimal(38,12), so
+#: |value| < 10^26 (Decimal128-grade range; overflow yields NULL,
+#: matching Spark decimal overflow under ANSI-off). r10 verdict #6
+#: lifted the old decimal(24,12) envelope (|value| < 10^12): wide
+#: intermediates now run on two decimal(38,0) limbs — the same hi/lo
+#: trick as the tukey_hsd s2 sums — emulating the Decimal256 math
+#: ClickHouse uses internally.
+_DEC_IN = "decimal(38,12)"
 _DEC_IN_POW = 10**12
+
+#: Two-limb base: limbs < 10^19, so any limb product < 10^38 stays
+#: exact in DECIMAL(38,0).
+_LIMB = 10**19
 
 
 def _dec_scaled_int(c: Column) -> Column:
-    """|c| as an exact scaled integer (value·10^12) in DECIMAL(38,0).
-    decimal(24,12) × decimal(13,0) = decimal(38,12) exactly (no
-    precision-loss adjustment), integral by construction."""
-    return F.abs(
-        c.cast(_DEC_IN) * F.lit(_DEC_IN_POW).cast("decimal(13,0)")
-    ).cast(_D38)
+    """|c| as an exact scaled integer (value·10^12) in DECIMAL(38,0),
+    for |value| < 10^26 (NULL beyond). Assembled as
+    floor(|v|)·10^12 + frac(|v|)·10^12 — the direct decimal(38,12)
+    multiply would exceed precision 38 and round; both pieces here are
+    exact (floor < 10^26, frac·10^12 integral < 10^12) and their
+    recombination stays under 10^38."""
+    v = F.abs(c.try_cast(_DEC_IN))
+    ip = F.floor(v).cast(_D38)
+    fr = (F.pmod(v, F.lit(1).cast(_DEC_IN)) * F.lit(_DEC_IN_POW).cast(
+        "decimal(13,0)"
+    )).cast(_D38)
+    return ip * F.lit(_DEC_IN_POW).cast("decimal(13,0)") + fr
+
+
+#: Value-level limb split point: |v| < 10^26 splits at 10^7 so that
+#: hi = v div 10^7 < 10^19 and lo = (v mod 10^7)·10^12 < 10^19 — each
+#: limb of v·10^12 lands under 10^19 WITHOUT ever materializing the
+#: full 38-digit scaled integer (fewer per-row decimal ops; these
+#: expressions sit under CaseWhen branches where Spark's subexpression
+#: elimination cannot hoist, so every op counts per row).
+_S7 = 10**7
+
+
+def _dec_limbs(c: Column) -> tuple[Column, Column]:
+    """(hi, lo) DECIMAL(38,0) limbs of |c|·10^12 at base 10^19:
+    |c|·10^12 = hi·10^19 + lo, 0 ≤ lo < 10^19, hi < 10^19."""
+    v = F.abs(c.try_cast(_DEC_IN))
+    s7 = F.lit(_S7).cast("decimal(8,0)")
+    v_lo = F.pmod(v, s7)
+    hi = ((v - v_lo) / s7).cast(_D38)
+    lo = (v_lo * F.lit(_DEC_IN_POW).cast("decimal(13,0)")).cast(_D38)
+    return hi, lo
 
 
 def _dec_render(sign: Column, q: Column, scale: int) -> Column:
     """Render a non-negative integral DECIMAL(38,0) q (the result value
-    scaled by 10^scale) as DECIMAL(38,scale) EXACTLY, via string
-    assembly — a final decimal division would re-introduce the Spark
-    result-scale HALF_UP rounding this machinery exists to avoid."""
+    scaled by 10^scale) as DECIMAL(38,scale) EXACTLY.
+
+    For scale ≤ 6 a plain decimal division by 10^scale IS exact: Spark
+    division carries at least 6 result-scale digits (MINIMUM_ADJUSTED_
+    SCALE), and an integer divided by 10^s terminates within s digits,
+    so HALF_UP never fires — one op, one reference to q. Beyond 6 the
+    quotient would be rounded at the adjusted scale (verified: a
+    29-digit integer / 10^10 comes back rounded at 6), so the digits
+    are assembled through strings instead; fp is shared so q is
+    referenced twice, not three times."""
     if scale == 0:
         return (sign * q).cast("decimal(38,0)")
-    ip = _dec_div(q, 10**scale).cast(_D38).cast("string")
-    fp = F.lpad(
-        F.pmod(q, F.lit(10**scale).cast(_D38)).cast(_D38).cast("string"),
-        scale,
-        "0",
+    if scale <= 6:
+        res = (q / F.lit(10**scale).cast("decimal(7,0)")).cast(
+            f"decimal(38,{scale})"
+        )
+        return (sign.cast("decimal(1,0)") * res).cast(f"decimal(38,{scale})")
+    fp_raw = F.pmod(q, F.lit(10**scale).cast(_D38))
+    ip = ((q - fp_raw) / F.lit(10**scale).cast(_D38)).cast(_D38).cast(
+        "string"
     )
+    fp = F.lpad(fp_raw.cast(_D38).cast("string"), scale, "0")
     txt = F.concat(
         F.when(sign < 0, F.lit("-")).otherwise(F.lit("")),
         ip,
@@ -283,15 +328,42 @@ def _dec_render(sign: Column, q: Column, scale: int) -> Column:
 
 def _decimal_div(a: Column, b: Column, scale: int) -> Column:
     """ClickHouse divideDecimal(a, b, scale): a / b truncated TOWARD
-    ZERO at exactly `scale` fractional digits. Computed as
-    floor(|a|·10^(12+scale) / (|b|·10^12)) on DECIMAL(38,0) scaled
-    integers (exact — no engine rounding can reach the result), then
-    signed and rendered. Bounds: |a| < 10^(26-scale), |b| < 10^12
-    (NULL beyond, like Spark decimal overflow)."""
+    ZERO at exactly `scale` fractional digits, exact over the widened
+    envelope |a| < 10^26 (full decimal(38,12) width), |b| < 10^13
+    (result must fit 38 digits; NULL beyond, like Spark decimal
+    overflow).
+
+    floor(|a|·10^(12+scale) / (|b|·10^12)) is computed WITHOUT ever
+    materializing the (up to 10^(38+scale)) numerator: integer-divide
+    first (q0 = xa div xb, r = xa mod xb — both < 10^38), then emit the
+    fractional digits by long division in chunks of up to 13 digits
+    (the divisor envelope |b| < 10^13 ⇒ xb < 10^25 keeps r·10^13 inside
+    DECIMAL(38,0)) — the Decimal256-grade intermediate of r10 verdict
+    #6, without ever holding it in one value. Each chunk is an exact
+    floor, so no engine rounding can reach the result. Expression-tree
+    discipline: remainder chains stay linear (r' = pmod(r·10^c, xb)),
+    because these trees evaluate per row with no subexpression
+    hoisting."""
     ia = _dec_scaled_int(a)
-    ib = _dec_scaled_int(b)
-    n = ia * F.lit(10**scale).cast(f"decimal({scale + 1},0)")
-    q = _dec_div_col(n.cast(_D38), ib)
+    # decimal(25,12) enforces the divisor envelope |b| < 10^13 for free
+    # (cast overflow → NULL, like every other out-of-envelope input)
+    ib = _dec_scaled_int(b.try_cast("decimal(25,12)"))
+    # integral-part guard: q0 < 10^(38-scale) keeps every later
+    # q*10^chunk inside DECIMAL(38,0) (ANSI mode throws on decimal
+    # overflow, so out-of-envelope results must become NULL here, not
+    # mid-chunk)
+    q = _dec_div_col(ia, ib)
+    if scale > 0:
+        q = F.when(q < F.lit(str(10 ** (38 - min(scale, 37)))).cast(_D38), q)
+    r = F.pmod(ia, ib)
+    rem = scale
+    while rem > 0:
+        c = min(rem, 13)
+        shift = F.lit(10**c).cast("decimal(14,0)")
+        rc = (r * shift).cast(_D38)
+        q = (q * shift).cast(_D38) + _dec_div_col(rc, ib)
+        r = F.pmod(rc, ib)
+        rem -= c
     sign = F.when(
         (a < 0) != (b < 0), F.lit(-1).cast(_D38)
     ).otherwise(F.lit(1).cast(_D38))
@@ -300,14 +372,63 @@ def _decimal_div(a: Column, b: Column, scale: int) -> Column:
 
 def _decimal_mul(a: Column, b: Column, scale: int) -> Column:
     """ClickHouse multiplyDecimal(a, b, scale): a · b truncated TOWARD
-    ZERO at exactly `scale` fractional digits, on the same scaled-
-    integer machinery as _decimal_div (product carried at 10^24;
-    |a·b| < 10^14 for exactness, NULL beyond)."""
-    prod = (_dec_scaled_int(a) * _dec_scaled_int(b)).cast(_D38)
-    if scale <= 24:
-        q = _dec_div(prod, 10 ** (24 - scale)).cast(_D38)
+    ZERO at exactly `scale` fractional digits, exact over the full
+    decimal(38,12) input envelope (|a|, |b| < 10^26; result must fit
+    38 digits; NULL beyond).
+
+    The scaled-integer product P = |a·b|·10^24 can reach 10^76, so it
+    is carried on TWO decimal(38,0) limbs (r10 verdict #6 — the
+    tukey_hsd hi/lo trick systematized): split each factor at 10^19
+    (built value-side by _dec_limbs, never materializing the 38-digit
+    scaled integers), form the four cross products (each < 10^38,
+    exact, since 10^19·10^19 = 10^38 — and the cross terms carry weight
+    10^19 while m_hh carries exactly 10^38), split the three sub-10^38
+    terms that straddle the 10^38 boundary, and recombine as
+    P = HI·10^38 + LO. The final truncation divides by 10^(24-scale) —
+    a power of ten, so it is a pure digit shift split exactly across
+    the two halves."""
+    ha, la = _dec_limbs(a)
+    hb, lb = _dec_limbs(b)
+    limb = F.lit(str(_LIMB)).cast("decimal(20,0)")
+    m_hh = (ha * hb).cast(_D38)
+    m_hl = (ha * lb).cast(_D38)
+    m_lh = (la * hb).cast(_D38)
+    m_ll = (la * lb).cast(_D38)
+    # split each straddling term t = t_h·10^19 + t_l
+    l_hl = F.pmod(m_hl, limb)
+    h_hl = ((m_hl - l_hl) / limb).cast(_D38)
+    l_lh = F.pmod(m_lh, limb)
+    h_lh = ((m_lh - l_lh) / limb).cast(_D38)
+    l_ll = F.pmod(m_ll, limb)
+    h_ll = ((m_ll - l_ll) / limb).cast(_D38)
+    # weight-10^19 column: the two cross low-halves plus m_ll's carry
+    lowsum = (l_hl + l_lh + h_ll).cast(_D38)  # < 3·10^19
+    lrem = F.pmod(lowsum, limb)
+    lcar = ((lowsum - lrem) / limb).cast(_D38)  # 0..2
+    lo = (lrem * limb + l_ll).cast(_D38)
+    hi = (m_hh + h_hl + h_lh + lcar).cast(_D38)
+    if scale == 24:
+        # no shift at all: representable iff the high half is empty
+        q = F.when(hi == F.lit(0).cast(_D38), lo)
+    elif scale < 24:
+        j = 24 - scale
+        # q = HI·10^(38-j) + LO div 10^j, defined iff HI < 10^j
+        # (otherwise the result exceeds 38 digits -> NULL)
+        q = F.when(
+            hi < F.lit(str(10**j)).cast(_D38),
+            (hi * F.lit(str(10 ** (38 - j))).cast(_D38)).cast(_D38)
+            + _dec_div(lo, 10**j).cast(_D38),
+        )
     else:
-        q = prod * F.lit(10 ** (scale - 24)).cast(_D38)
+        # upscale: only representable when the high half is empty AND
+        # the shifted low half still fits 38 digits (guarded up front —
+        # ANSI mode would throw on the overflow instead of NULLing)
+        up = scale - 24
+        q = F.when(
+            (hi == F.lit(0).cast(_D38))
+            & (lo < F.lit(str(10 ** max(38 - up, 0))).cast(_D38)),
+            (lo * F.lit(str(10**up)).cast(_D38)).cast(_D38),
+        )
     sign = F.when(
         (a < 0) != (b < 0), F.lit(-1).cast(_D38)
     ).otherwise(F.lit(1).cast(_D38))
