@@ -428,16 +428,24 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .option("checkpointLocation", ckpt_dir("seriesstream"))
             .outputMode("complete")
-            .trigger(processingTime="50 milliseconds")
+            .trigger(processingTime="10 milliseconds")
             .start()
         )
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
-            rows = spark.sql(f"SELECT SUM(n) AS t FROM {name}").collect()
-            if rows and rows[0]["t"] == 5000:
+            # Drain detection via progress metadata, not SQL polls: each
+            # `SELECT SUM(n) FROM <mem table>` poll was a full Spark job
+            # (~80 ms) racing the 50 ms trigger; recentProgress is a
+            # driver-side dict read. Progress is reported after the
+            # batch commits, so cumulative numInputRows = 5000 means the
+            # memory sink already holds the drained state.
+            done = (
+                sum(p["numInputRows"] for p in q.recentProgress) >= 5000
+            )
+            if done:
                 break
-            time.sleep(0.1)
+            time.sleep(0.02)
         else:
             raise TimeoutError("series_stream did not drain in 120 s")
     finally:

@@ -263,9 +263,15 @@ def drop_stale_memory_tables(spark: SparkSession, prefix: str) -> None:
     tips the JVM over — the r6 sf10 bench died broadcasting into a heap
     already holding several 10x-sized session-window result tables."""
     try:
-        for t in spark.catalog.listTables():
-            if t.isTemporary and t.name.startswith(prefix + "_"):
-                spark.catalog.dropTempView(t.name)
+        # SHOW VIEWS instead of catalog.listTables(): listTables builds
+        # a full metadata object per table (~0.2 s against a warm
+        # session catalog) and this cleanup runs inside EVERY streaming
+        # replay query — it was a measurable slice of the r9/r10
+        # streaming fixed-cost band.
+        for row in spark.sql("SHOW VIEWS").collect():
+            nm = row["viewName"]
+            if row["isTemporary"] and nm.startswith(prefix + "_"):
+                spark.catalog.dropTempView(nm)
     except Exception:
         pass  # catalog listing is best-effort cleanup
 
