@@ -85,9 +85,18 @@ _R10_ADDITIONS: list[str] = [
     "source_neardup_leakage",
 ]
 
+# Round-11 additions (never driver-checked by definition). The r10
+# window closed the whole backlog (443/443 driver-green union), so the
+# r11 window is free: these go first, the rest of the 50 slots re-check
+# previously-green entries.
+_R11_ADDITIONS: list[str] = [
+    "ch_r11_function_surface",
+    "ch_r11_function_surface_2",
+]
+
 
 def _ordered(mapping: dict) -> dict:
-    front = _NEVER_DRIVER_GREEN + _R10_ADDITIONS
+    front = _R11_ADDITIONS + _NEVER_DRIVER_GREEN + _R10_ADDITIONS
     out = {k: mapping[k] for k in front if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out

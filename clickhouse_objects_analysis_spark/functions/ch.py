@@ -847,6 +847,135 @@ def _stem(lang, c: Column) -> Column:
     return _STEM_UDF(c)
 
 
+_TEXT_UDFS: dict = {}
+
+
+def _text_kernel(name: str, fn, ret: str = "string"):
+    """Lazy Arrow-batched one-argument kernel (the _normalize_utf8
+    pattern): `fn` maps one non-null Python value to the result, None
+    passes through. Built on first use so importing this module never
+    needs a SparkSession."""
+
+    def build(c: Column) -> Column:
+        if name not in _TEXT_UDFS:
+            _TEXT_UDFS[name] = F.pandas_udf(
+                lambda s, _f=fn: s.map(
+                    lambda v: None if v is None else _f(v)
+                ),
+                ret,
+            )
+        return _TEXT_UDFS[name](c)
+
+    return build
+
+
+def _py_punycode_encode(v: str):
+    """RFC 3492 punycode via the Python stdlib codec (the same public
+    algorithm ClickHouse links); encode failures -> NULL (CH throws —
+    the non-throwing NULL is this engine's documented error channel)."""
+    try:
+        return v.encode("punycode").decode("ascii")
+    except Exception:
+        return None
+
+
+def _py_punycode_decode(v: str):
+    try:
+        return v.encode("ascii").decode("punycode")
+    except Exception:
+        return None
+
+
+def _py_idna_encode(v: str):
+    """IDNA (RFC 3490 + punycode) full-domain encode, per-label via the
+    stdlib codec — transitional mapping, so straße.de -> strasse.de
+    like ClickHouse's idnaEncode."""
+    try:
+        if v == "":
+            return ""
+        return v.encode("idna").decode("ascii")
+    except Exception:
+        return None
+
+
+def _py_idna_decode(v: str):
+    try:
+        if v == "":
+            return ""
+        return v.encode("ascii").decode("idna")
+    except Exception:
+        return None
+
+
+def _py_is_valid_utf8(v):
+    """isValidUTF8 over BINARY columns (Spark `string` values are valid
+    by construction, so the interesting inputs are bytes)."""
+    if isinstance(v, str):
+        return 1
+    try:
+        bytes(v).decode("utf-8", "strict")
+        return 1
+    except Exception:
+        return 0
+
+
+def _py_to_valid_utf8(v):
+    """toValidUTF8: invalid byte sequences replaced with U+FFFD, the
+    ClickHouse contract and exactly Python's errors='replace'."""
+    if isinstance(v, str):
+        return v
+    return bytes(v).decode("utf-8", "replace")
+
+
+def _byte_4grams(s: str):
+    from collections import Counter
+
+    b = s.encode("utf-8")
+    return Counter(b[i : i + 4] for i in range(max(len(b) - 3, 0)))
+
+
+def _py_ngram_distance(h: str, n: str) -> float:
+    """ClickHouse ngramDistance: symmetric difference of the 4-byte-gram
+    MULTISETS of the two strings, normalized by the sum of their sizes
+    (0 = identical gram profile, 1 = disjoint); both-empty -> 0."""
+    ch, cn = _byte_4grams(h), _byte_4grams(n)
+    tot = sum(ch.values()) + sum(cn.values())
+    if tot == 0:
+        return 0.0
+    sym = sum(abs(ch[g] - cn[g]) for g in ch.keys() | cn.keys())
+    return sym / tot
+
+
+def _py_ngram_search(h: str, n: str) -> float:
+    """ClickHouse ngramSearch: the share of the NEEDLE's 4-byte grams
+    present in the haystack (multiset intersection / |needle grams|) —
+    the asymmetric 'how much of needle appears' measure; empty needle
+    gram set -> 0."""
+    ch, cn = _byte_4grams(h), _byte_4grams(n)
+    nn = sum(cn.values())
+    if nn == 0:
+        return 0.0
+    inter = sum(min(ch[g], c) for g, c in cn.items())
+    return inter / nn
+
+
+def _two_arg_kernel(name: str, fn, ret: str = "double"):
+    def build(a: Column, b: Column) -> Column:
+        if name not in _TEXT_UDFS:
+            _TEXT_UDFS[name] = F.pandas_udf(
+                lambda s1, s2, _f=fn: s1.combine(
+                    s2,
+                    lambda x, y: None
+                    if x is None or y is None
+                    else _f(x, y),
+                ),
+                ret,
+            )
+        return _TEXT_UDFS[name](a, b)
+
+    return build
+
+
 def _multi_if(*args: Column) -> Column:
     # multiIf(c1, v1, c2, v2, ..., default)
     *pairs, default = args
@@ -2934,6 +3063,24 @@ CH_FUNCTIONS: dict[str, Builder] = {
     # decimal division (whose Spark result type decimal(38,6) would
     # HALF_UP-round the quotient at 6 fractional digits BEFORE the
     # truncation — the r8 ADVICE finding).
+    # r11 promotions out of the unsupported tail (r10 verdict #7)
+    "addInterval": lambda t, iv: t + iv,
+    "toStringCutToZero": lambda c: F.substring_index(c, "\x00", 1),
+    "timeZone": lambda: F.expr("current_timezone()"),
+    # single-process engine: the server zone IS the session zone
+    # (pinned UTC in session.py)
+    "serverTimeZone": lambda: F.expr("current_timezone()"),
+    # LowCardinality is a storage codec; at query level the function is
+    # the identity (parquet dictionary encoding is automatic)
+    "toLowCardinality": lambda c: c,
+    "punycodeEncode": _text_kernel("punycodeEncode", _py_punycode_encode),
+    "punycodeDecode": _text_kernel("punycodeDecode", _py_punycode_decode),
+    "idnaEncode": _text_kernel("idnaEncode", _py_idna_encode),
+    "idnaDecode": _text_kernel("idnaDecode", _py_idna_decode),
+    "isValidUTF8": _text_kernel("isValidUTF8", _py_is_valid_utf8, "long"),
+    "toValidUTF8": _text_kernel("toValidUTF8", _py_to_valid_utf8),
+    "ngramDistance": _two_arg_kernel("ngramDistance", _py_ngram_distance),
+    "ngramSearch": _two_arg_kernel("ngramSearch", _py_ngram_search),
     "divideDecimal": lambda a, b, scale=10: _decimal_div(a, b, int(scale)),
     "multiplyDecimal": lambda a, b, scale=10: _decimal_mul(
         a, b, int(scale)

@@ -60,6 +60,7 @@ CATALOG: dict[str, tuple[str, ...]] = {
         "concatWithSeparator", "substring", "substringUTF8",
         "substringIndex", "appendTrailingCharIfAbsent", "convertCharset",
         "base58Encode", "base58Decode", "base64Encode", "base64Decode",
+        "punycodeEncode", "punycodeDecode", "idnaEncode", "idnaDecode",
         "tryBase64Decode", "endsWith", "startsWith", "trimLeft",
         "trimRight", "trimBoth", "crc32", "CRC32IEEE", "CRC64",
         "normalizeQuery", "normalizedQueryHash", "normalizeUTF8NFC",
@@ -566,35 +567,26 @@ UNSUPPORTED: dict[str, str] = {
     # --- geo beyond the mapped great-circle/polygon/geohash set
     "geoDistance": "WGS84-ellipsoid variant; greatCircleDistance mapped",
     # --- misc scalar gaps, each with a concrete reason
-    "isValidUTF8": "Spark strings are already validated UTF-16; no byte-level UTF-8 view",
-    "toValidUTF8": "same — no byte-level UTF-8 view",
     "concatAssumeInjective": "GROUP BY optimization hint, meaningless under Catalyst",
     "CRC32IEEE": "variant polynomial; crc32 mapped",
     "CRC64": "not in Spark",
     "normalizeQuery": "CH query-text normalizer (parser-coupled)",
     "normalizedQueryHash": "CH query-text normalizer",
     "multiFuzzyMatchAny": "Hyperscan fuzzy matching",
-    "ngramDistance": "scalar fuzzy-match; operator-level ngram_jaccard_pairs covers the pipeline need",
-    "ngramSearch": "same — operator level",
     "arrayReduceInRanges": "runtime-named aggregate dispatch",
     "emptyArrayToSingle": "engine-internal",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
     "bitSlice": "byte-level bit views absent",
     "now64": "sub-second now with precision arg; now() mapped",
     "nowInBlock": "engine-internal block semantics",
-    "timeZone": "server-introspection (session TZ is pinned UTC)",
-    "serverTimeZone": "server-introspection",
     "timeZoneOf": "Spark timestamps carry no zone (UTC-normalized)",
     "timeZoneOffset": "same — no per-value zone",
-    "addInterval": "generic interval add; typed addDays/... mapped",
     "addTupleOfIntervals": "tuple-typed interval batch",
     "formatDateTimeInJodaSyntax": "Joda pattern dialect; formatDateTime (MySQL syntax) mapped",
     "fromUnixTimestampInJodaSyntax": "Joda dialect",
     "parseDateTimeInJodaSyntax": "Joda dialect",
     "parseDateTime64BestEffort": "sub-second best-effort; second-precision form mapped",
-    "toStringCutToZero": "FixedString-coupled",
     "reinterpret": "bit-level reinterpret casts need binary views; unhex/hex cover common cases",
-    "toLowCardinality": "LowCardinality is a CH storage codec; Spark dictionary encoding is automatic in parquet",
     "formatRow": "needs CH output-format engine",
     "formatRowNoNewline": "needs CH output-format engine",
     "simpleJSONExtractRaw": "raw-slice semantics need CH's simdjson cursor",
@@ -606,10 +598,6 @@ UNSUPPORTED: dict[str, str] = {
     "JSONExtractKeysAndValuesRaw": "raw kv slices",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
     "cutToFirstSignificantSubdomainCustom": "full public-suffix list",
-    "punycodeEncode": "iterative RFC 3492 state machine; not expressible as Catalyst expressions and no oracle engine implements it",
-    "punycodeDecode": "iterative RFC 3492 state machine",
-    "idnaEncode": "punycode-based",
-    "idnaDecode": "punycode-based",
     "IPv6NumToString": "IPv6 binary type absent",
     "IPv6StringToNum": "IPv6 binary type absent",
     "cutIPv6": "IPv6 binary type absent",
