@@ -89,8 +89,16 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the _MAX_DF stop-fingerprint cap (never binds at the
     sf0.01 oracle point; applied identically in the SQL twin so parity
     holds at every SF)."""
-    d = tables(spark, sf_dir)["documents"].filter(
-        F.length("text") >= _WK + _WW - 1
+    d = (
+        tables(spark, sf_dir)["documents"]
+        .filter(F.length("text") >= _WK + _WW - 1)
+        # The documents file is one parquet row group — an unsplittable
+        # 1-task scan — so WITHOUT this the whole gram-hash pass (the
+        # query's dominant cost, ~1.4M md5s at sf0.1) runs on ONE core.
+        # Repartitioning the 5k pre-explode rows is a trivial shuffle,
+        # and hashing on doc_id means the window's partitionBy reuses
+        # the exchange instead of adding one.
+        .repartition(32, "doc_id")
     )
     # explode positions FIRST, hash per ROW: a transform(...) lambda
     # computing md5 per array element is CodegenFallback (measured 3x
@@ -141,7 +149,9 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         idx.alias("a")
         .join(
-            idx.alias("b"),
+            # pinned ShuffledHashJoin: sort-merge would SORT both index
+            # sides on fp (the r11 jaccard pair-join lesson)
+            idx.alias("b").hint("shuffle_hash"),
             (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
