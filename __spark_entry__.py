@@ -92,6 +92,10 @@ _R10_ADDITIONS: list[str] = [
 _R11_ADDITIONS: list[str] = [
     "ch_r11_function_surface",
     "ch_r11_function_surface_2",
+    "lineage_write_edges",
+    "gopher_repetition_rules",
+    "pii_redaction_scan",
+    "minhash_estimate_calibration",
 ]
 
 

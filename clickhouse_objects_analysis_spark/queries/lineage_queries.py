@@ -1444,3 +1444,72 @@ def lineage_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select(F.col("n").alias("node"), F.col("pr").alias("pagerank_ppb"))
     )
+
+
+# --------------------------------------------------------------------------
+# lineage_write_edges — the r11 opt-in reference-visitor-parity surface
+# --------------------------------------------------------------------------
+
+#: Two MV DDLs extending the household fixture: one with a TO write
+#: destination (the DestinationClause the reference visitor collects,
+#: ch_view_dependencies.py:144-231), one inner-table MV without.
+_MV_DDLS: list[tuple[str, str, str]] = [
+    (
+        "test",
+        "mv_household_daily",
+        """CREATE MATERIALIZED VIEW test.mv_household_daily
+           TO test.household_daily
+           ENGINE = SummingMergeTree() ORDER BY d AS
+           SELECT toDate(ts) AS d, count() AS n
+           FROM test.household_events GROUP BY d""",
+    ),
+    (
+        "test",
+        "mv_pet_stats",
+        """CREATE MATERIALIZED VIEW test.mv_pet_stats
+           ENGINE = AggregatingMergeTree() ORDER BY k AS
+           SELECT owner_id AS k, count() AS c FROM test.pet GROUP BY k""",
+    ),
+]
+
+#: Hand-derived expected (view, dep, kind) over FIXTURE_DDLS + _MV_DDLS
+#: with include_write_edges=True — the reference visitor's edge SET,
+#: with the TO destination tagged 'writes-to' instead of masquerading
+#: as a read.
+_WRITE_EDGE_ROWS: list[tuple[str, str, str]] = (
+    [(v, d, "reads") for v, d in EXPECTED_EDGES]
+    + [
+        ("test.mv_household_daily", "test.household_events", "reads"),
+        ("test.mv_household_daily", "test.household_daily", "writes-to"),
+        ("test.mv_pet_stats", "test.pet", "reads"),
+    ]
+)
+
+
+@query(
+    "lineage_write_edges",
+    oracle=f"""
+    SELECT view, dep, kind
+    FROM {_values_sql(_WRITE_EDGE_ROWS, ["view", "dep", "kind"])}
+    ORDER BY view, kind, dep
+    """,
+)
+def lineage_write_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The include_write_edges=True extraction surface (r10 verdict #5)
+    over the household fixture plus two MATERIALIZED VIEW DDLs: read
+    dependencies exactly as lineage_edges, plus each MV's TO destination
+    as a 'writes-to' edge — restoring the reference ANTLR visitor's
+    edge set (it collects every tableIdentifier INCLUDING the TO target;
+    DestinationClauseContext, generated_ch_parser/ClickHouseParser.py:5572)
+    while keeping write flow distinguishable from read flow. The
+    inner-table MV (no TO) contributes reads only. Oracle is the
+    hand-derived edge list; the default reads-only stance stays pinned
+    by lineage_edges and test_mv_to_target_exclusion_is_pinned."""
+    from ..plans.lineage import view_dependencies_with_method
+
+    edges, _errors = view_dependencies_with_method(
+        spark, FIXTURE_DDLS + _MV_DDLS, include_write_edges=True
+    )
+    return edges.select("view", "dep", "kind").orderBy(
+        "view", "kind", "dep"
+    )
