@@ -5,15 +5,13 @@ oracle-checked registry covering SURVEY.md §2 (relational core, custom
 operators, lineage pipeline, LLM-data ops, streaming slice).
 
 Ordering: the driver hash-checks a capped front-to-back window of this
-dict, so entries that have NEVER sat in a driver window go first — this
-round (r10) that is the 19 round-9 additions past the r9 window cut
-(CORRECTNESS_r09 closed the whole r8 backlog plus time_weighted_average,
-driver-green union after r9 = 393/412), followed by the 31 round-10
-additions: 19 + 31 = 50 = exactly the driver window, so CORRECTNESS_r10
-closes the driver-green union to the full 443-query registry with no
-backlog into round 11. Full-registry verification every round is
-tools/local_parity.py, which oracle-checks every entry regardless of
-this ordering.
+dict, so entries that have NEVER sat in a driver window go first. The
+r10 window closed the entire backlog (CORRECTNESS_r01..r10 union =
+443/443), so round 11 fronts only its own additions (_R11_ADDITIONS,
+6 names) and the remaining window slots re-verify previously-green
+entries in the historical front order. Full-registry verification every
+round is tools/local_parity.py, which oracle-checks every entry
+regardless of this ordering (LOCAL_PARITY_r11: 449/449 green).
 """
 
 from __future__ import annotations

@@ -267,3 +267,84 @@ def test_decimal_div_mul_two_limb_wide_envelope(spark):
     assert r["m_edge"] == str((10**26 - 1) * 2)
     assert r["m_overflow"] is None
     assert r["d_divisor_over"] is None
+
+
+def test_decimal_div_mul_randomized_vs_bignum(spark):
+    """Randomized cross-check of the two-limb machinery against Python
+    arbitrary-precision ints: 60 seeded pairs spanning the full widened
+    envelope (magnitudes 1e-6..1e24, both signs, scales 0..12), one
+    Spark job for all of them. Ground truth: truncation toward zero of
+    the exact scaled-integer quotient/product."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    cases = []
+    for i in range(60):
+        ea = rng.uniform(-6, 24)
+        eb = rng.uniform(-6, 12)  # divisor envelope |b| < 1e13
+        a = rng.choice([-1, 1]) * round(10**ea, 6)
+        b = rng.choice([-1, 1]) * round(10**eb, 6)
+        if b == 0:
+            b = 1.5
+        s = rng.randint(0, 12)
+        cases.append((i, f"{a:.6f}", f"{b:.6f}", s))
+
+    cols = []
+    for i, a, b, s in cases:
+        cols.append(
+            ch_expr(
+                "divideDecimal",
+                F.lit(a).cast("decimal(38,12)"),
+                F.lit(b).cast("decimal(20,7)"),
+                s,
+            ).cast("string").alias(f"d{i}")
+        )
+        cols.append(
+            ch_expr(
+                "multiplyDecimal",
+                F.lit(a).cast("decimal(38,12)"),
+                F.lit(b).cast("decimal(20,7)"),
+                s,
+            ).cast("string").alias(f"m{i}")
+        )
+    row = spark.range(1).select(*cols).collect()[0]
+
+    def scaled_int(txt: str) -> int:
+        # value * 10^12 as an exact int from the fixed-point literal
+        neg = txt.startswith("-")
+        ip, _, fp = txt.lstrip("-").partition(".")
+        v = int(ip) * 10**12 + int((fp + "0" * 12)[:12])
+        return -v if neg else v
+
+    for i, a, b, s in cases:
+        xa, xb = scaled_int(a), scaled_int(b)
+        sign = -1 if (xa < 0) != (xb < 0) else 1
+        # expected divide: trunc-toward-zero at scale s
+        qd = abs(xa) * 10**s // abs(xb)
+        exp_d = None if qd >= 10**38 else sign * qd
+        got_d = row[f"d{i}"]
+        if exp_d is None:
+            assert got_d is None, (i, a, b, s, got_d)
+        else:
+            assert got_d is not None, (i, a, b, s)
+            # digit-exact check straight from the rendered string
+            neg = got_d.startswith("-")
+            ip, _, fp = got_d.lstrip("-").partition(".")
+            got_scaled = int(ip) * 10**s + int(fp or "0")
+            assert (-got_scaled if neg else got_scaled) == exp_d, (
+                i, a, b, s, got_d, exp_d,
+            )
+        # expected multiply
+        qm = abs(xa) * abs(xb) // 10 ** (24 - s) if s <= 24 else None
+        exp_m = None if qm is None or qm >= 10**38 else sign * qm
+        got_m = row[f"m{i}"]
+        if exp_m is None:
+            assert got_m is None, (i, a, b, s, got_m)
+        else:
+            assert got_m is not None, (i, a, b, s)
+            neg = got_m.startswith("-")
+            ip, _, fp = got_m.lstrip("-").partition(".")
+            got_scaled = int(ip) * 10**s + int(fp or "0")
+            assert (-got_scaled if neg else got_scaled) == exp_m, (
+                i, a, b, s, got_m, exp_m,
+            )
