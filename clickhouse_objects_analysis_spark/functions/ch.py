@@ -230,16 +230,60 @@ def _dec_div(v: Column, d: int) -> Column:
     plain decimal divide rounds HALF_UP at the result scale, which
     would corrupt floor() whenever the true fraction is ≥ .9999995).
     The literal goes through a string so divisors beyond long range
-    (10^24 in _decimal_mul) parse exactly."""
+    (10^24 in _decimal_mul) parse exactly.
+
+    TYPE BOUND (r11 review finding): Spark types decimal(38,0) division
+    as decimal(38,6) — only 32 INTEGER digits — so the quotient must be
+    < 10^32 or the division itself overflows (a throw under the
+    session's ANSI default, not a NULL). Callers whose quotient can
+    reach 10^32 must go through _dec_div_pow10 / _dec_div_col_wide."""
     dd = F.lit(str(d)).cast(_D38)
     return (v - F.pmod(v, dd)) / dd
+
+
+def _dec_div_pow10(v: Column, s: int) -> Column:
+    """Exact floor(v / 10^s) in DECIMAL(38,0) for ANY non-negative
+    integral decimal(38,0) v — safe where _dec_div is not: for s ≤ 6
+    the quotient can exceed the decimal(38,6) division type's 10^32
+    integer capacity, so it is computed via a 10^6 hop (q6 = v div
+    10^6 < 10^32 always, then q6·10^(6-s) + (v mod 10^6) div 10^s,
+    every term bounded and exact)."""
+    if s == 0:
+        return v
+    if s >= 7:
+        return _dec_div(v, 10**s).cast(_D38)
+    q6 = _dec_div(v, 10**6).cast(_D38)
+    rem6 = F.pmod(v, F.lit(10**6).cast(_D38))
+    return (
+        q6 * F.lit(10 ** (6 - s)).cast("decimal(7,0)")
+        + _dec_div(rem6, 10**s).cast(_D38)
+    ).cast(_D38)
 
 
 def _dec_div_col(n: Column, d: Column) -> Column:
     """_dec_div with a COLUMN divisor: exact floor(n / d) for
     non-negative integral DECIMAL(38,0) n and positive integral
-    DECIMAL(38,0) d (same remainder-subtraction trick)."""
+    DECIMAL(38,0) d (same remainder-subtraction trick). Same 10^32
+    QUOTIENT bound as _dec_div — use _dec_div_col_wide when n/d can
+    reach it."""
     return ((n - F.pmod(n, d)) / d).cast(_D38)
+
+
+def _dec_div_col_wide(n: Column, d: Column) -> Column:
+    """Exact floor(n / d) for quotients up to the full 10^38, divisor
+    d < 10^31: schoolbook division in base 10^6 — q_hi = (n div 10^6)
+    div d (quotient < 10^32, inside the type bound), then the remainder
+    r = (n div 10^6 mod d)·10^6 + (n mod 10^6) < d·10^6 < 10^37 yields
+    the low 6 digits with a plain _dec_div_col (quotient < 10^6)."""
+    nh = _dec_div_pow10(n, 6)
+    nl = F.pmod(n, F.lit(10**6).cast(_D38))
+    qh = _dec_div_col(nh, d)
+    r = (
+        F.pmod(nh, d) * F.lit(10**6).cast("decimal(7,0)") + nl
+    ).cast(_D38)
+    return (
+        qh * F.lit(10**6).cast("decimal(7,0)") + _dec_div_col(r, d)
+    ).cast(_D38)
 
 
 #: Fixed input quantization for divideDecimal/multiplyDecimal: inputs
@@ -297,10 +341,11 @@ def _dec_render(sign: Column, q: Column, scale: int) -> Column:
     """Render a non-negative integral DECIMAL(38,0) q (the result value
     scaled by 10^scale) as DECIMAL(38,scale) EXACTLY.
 
-    For scale ≤ 6 a plain decimal division by 10^scale IS exact: Spark
-    division carries at least 6 result-scale digits (MINIMUM_ADJUSTED_
-    SCALE), and an integer divided by 10^s terminates within s digits,
-    so HALF_UP never fires — one op, one reference to q. Beyond 6 the
+    For scale ≤ 6 the value is assembled as integer-part + exact
+    sub-unit fraction (the fraction division is a < 10^6 numerator, so
+    its decimal(38,6) result type is exact and in range; a single
+    q/10^scale division would overflow its 32-integer-digit result type
+    for q ≥ 10^(32+scale) — the r11 review finding). Beyond 6 the
     quotient would be rounded at the adjusted scale (verified: a
     29-digit integer / 10^10 comes back rounded at 6), so the digits
     are assembled through strings instead; fp is shared so q is
@@ -308,9 +353,14 @@ def _dec_render(sign: Column, q: Column, scale: int) -> Column:
     if scale == 0:
         return (sign * q).cast("decimal(38,0)")
     if scale <= 6:
-        res = (q / F.lit(10**scale).cast("decimal(7,0)")).cast(
-            f"decimal(38,{scale})"
-        )
+        ip = _dec_div_pow10(q, scale)
+        frac = (
+            F.pmod(q, F.lit(10**scale).cast(_D38))
+            / F.lit(10**scale).cast("decimal(7,0)")
+        ).cast(f"decimal(38,{scale})")
+        res = (
+            ip.cast(f"decimal(38,{scale})") + frac
+        ).cast(f"decimal(38,{scale})")
         return (sign.cast("decimal(1,0)") * res).cast(f"decimal(38,{scale})")
     fp_raw = F.pmod(q, F.lit(10**scale).cast(_D38))
     ip = ((q - fp_raw) / F.lit(10**scale).cast(_D38)).cast(_D38).cast(
@@ -344,17 +394,30 @@ def _decimal_div(a: Column, b: Column, scale: int) -> Column:
     discipline: remainder chains stay linear (r' = pmod(r·10^c, xb)),
     because these trees evaluate per row with no subexpression
     hoisting."""
+    if scale > 37:
+        # decimal(38,scale) cannot hold any integer digits past 37 —
+        # ClickHouse's Decimal256 result scales beyond that are outside
+        # the engine's 38-digit result envelope; fail at plan build
+        # like stem() does for unsupported languages.
+        raise ValueError(
+            "divideDecimal: result scale beyond 37 exceeds the "
+            "decimal(38,scale) result envelope"
+        )
     ia = _dec_scaled_int(a)
     # decimal(25,12) enforces the divisor envelope |b| < 10^13 for free
     # (cast overflow → NULL, like every other out-of-envelope input)
     ib = _dec_scaled_int(b.try_cast("decimal(25,12)"))
-    # integral-part guard: q0 < 10^(38-scale) keeps every later
-    # q*10^chunk inside DECIMAL(38,0) (ANSI mode throws on decimal
-    # overflow, so out-of-envelope results must become NULL here, not
-    # mid-chunk)
-    q = _dec_div_col(ia, ib)
+    # q0 can reach ia/1 = 10^38, past the plain division type's 10^32
+    # integer capacity — the wide base-10^6 school division is exact
+    # for the whole range (review finding: divideDecimal(9e24, 1e-10)
+    # used to THROW instead of returning its in-envelope result)
+    q = _dec_div_col_wide(ia, ib)
     if scale > 0:
-        q = F.when(q < F.lit(str(10 ** (38 - min(scale, 37)))).cast(_D38), q)
+        # integral-part guard: q0 < 10^(38-scale) keeps every later
+        # q*10^chunk inside DECIMAL(38,0) (ANSI mode throws on decimal
+        # overflow, so out-of-envelope results must become NULL here,
+        # not mid-chunk)
+        q = F.when(q < F.lit(str(10 ** (38 - scale))).cast(_D38), q)
     r = F.pmod(ia, ib)
     rem = scale
     while rem > 0:
@@ -387,6 +450,11 @@ def _decimal_mul(a: Column, b: Column, scale: int) -> Column:
     P = HI·10^38 + LO. The final truncation divides by 10^(24-scale) —
     a power of ten, so it is a pure digit shift split exactly across
     the two halves."""
+    if scale > 37:
+        raise ValueError(
+            "multiplyDecimal: result scale beyond 37 exceeds the "
+            "decimal(38,scale) result envelope"
+        )
     ha, la = _dec_limbs(a)
     hb, lb = _dec_limbs(b)
     limb = F.lit(str(_LIMB)).cast("decimal(20,0)")
@@ -417,7 +485,7 @@ def _decimal_mul(a: Column, b: Column, scale: int) -> Column:
         q = F.when(
             hi < F.lit(str(10**j)).cast(_D38),
             (hi * F.lit(str(10 ** (38 - j))).cast(_D38)).cast(_D38)
-            + _dec_div(lo, 10**j).cast(_D38),
+            + _dec_div_pow10(lo, j),
         )
     else:
         # upscale: only representable when the high half is empty AND

@@ -403,6 +403,40 @@ def char_ngram_jaccard_pairs(
     return jaccard_pairs_from_sets(sets, threshold, max_df)
 
 
+def _hashed_pair_intersections(
+    sets: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """(id_a, id_b, inter) co-occurrence counts over the xxhash64-keyed
+    inverted index — the shared pair-join discipline of the exact
+    Jaccard/containment family (r11): 8-byte shuffle keys instead of
+    gram text, optional broadcast stop-list df cap BEFORE any pair is
+    formed, and a pinned ShuffledHashJoin self-join (sort-merge would
+    sort both ~E-sized index sides — measured 53→12 s at the 500k-doc
+    point). One definition so the next pair-join tuning lands once."""
+    inv = sets.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("sh")
+    )
+    if max_df is not None:
+        # The stop list (only mega-df shingles) is tiny — broadcast the
+        # anti-join; posting lists shrink before any pair is formed.
+        stop = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
+    return (
+        inv.alias("a")
+        .join(
+            inv.alias("b").hint("shuffle_hash"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def jaccard_pairs_from_sets(
     sets: DataFrame, threshold: float, max_df: int | None = None
 ) -> DataFrame:
@@ -419,28 +453,7 @@ def jaccard_pairs_from_sets(
     (~n²·2⁻⁶⁴ ≈ 4e-5 expected colliding pairs at 26M index rows — the
     same accepted-risk class as the xxhash64 MinHash signatures)."""
     sizes = sets.select("id", F.size("shingles").alias("sz"))
-    inv = sets.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("sh")
-    )
-    if max_df is not None:
-        # The stop list (only mega-df shingles) is tiny — broadcast the
-        # anti-join; posting lists shrink before any pair is formed.
-        stop = (
-            inv.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
-        )
-        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
-    inter = (
-        inv.alias("a")
-        .join(
-            inv.alias("b").hint("shuffle_hash"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _hashed_pair_intersections(sets, max_df)
     a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
     b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
     jacc = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
@@ -482,26 +495,7 @@ def containment_pairs(
     codegen projections."""
     sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sets.select("id", F.size("shingles").alias("sz"))
-    inv = sets.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("sh")
-    )
-    if max_df is not None:
-        stop = (
-            inv.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
-        )
-        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
-    inter = (
-        inv.alias("a")
-        .join(
-            inv.alias("b").hint("shuffle_hash"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _hashed_pair_intersections(sets, max_df)
     a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
     b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
     both = inter.join(F.broadcast(a_sz), "id_a").join(

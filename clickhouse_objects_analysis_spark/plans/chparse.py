@@ -509,6 +509,13 @@ def mv_write_targets(sql: str, default_db: str = "default") -> list[str]:
                     if kw(j) in ("TO", "AS", "ON", "ENGINE", "POPULATE"):
                         break
                     j += 1
+                # ON CLUSTER <name> precedes TO in the grammar — skip it
+                # (r11 review finding: a clustered MV silently lost its
+                # write edge)
+                if kw(j) == "ON" and kw(j + 1) == "CLUSTER":
+                    j += 2
+                    if j < n and toks[j][0] in ("IDENT", "QIDENT"):
+                        j += 1
                 if kw(j) == "TO":
                     j += 1
                     parts: list[str] = []

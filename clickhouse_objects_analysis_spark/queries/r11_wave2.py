@@ -123,7 +123,14 @@ def gopher_repetition_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.length("text").alias("n_chars"),
-            F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+            # empty-token filter matches the oracle's list_filter —
+            # F.trim strips spaces only, so text ending in \t/\n would
+            # otherwise emit a phantom '' token on the Spark side only
+            # (the r7_wave8/llm_extras tokenization discipline)
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            ).alias("ws"),
         )
         .filter(F.size("ws") >= 5)
         .repartition(32, "doc_id")

@@ -370,6 +370,16 @@ def test_mv_to_target_exclusion_is_pinned(spark):
         "CREATE MATERIALIZED VIEW mv2 TO dst AS SELECT * FROM s",
         default_db="db1",
     ) == ["db1.dst"]
+    # ON CLUSTER precedes TO in the grammar (r11 review finding: the
+    # clustered form silently lost its write edge)
+    assert mv_write_targets(
+        "CREATE MATERIALIZED VIEW db.mv ON CLUSTER main TO db.tgt "
+        "AS SELECT 1 FROM db.src"
+    ) == ["db.tgt"]
+    assert mv_write_targets(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS db.mv ON CLUSTER c1 "
+        "ENGINE = MergeTree() ORDER BY k AS SELECT k FROM db.src"
+    ) == []
 
 
 def test_mv_write_edges_reference_parity(spark):

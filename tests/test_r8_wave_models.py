@@ -250,6 +250,13 @@ def test_decimal_div_mul_two_limb_wide_envelope(spark):
             "m_overflow"  # 1e38 result: exceeds decimal(38) -> NULL
         ),
         dd("1", "20000000000000", 4).alias("d_divisor_over"),  # |b|>=1e13
+        # quotients past the decimal(38,6) division type's 10^32
+        # integer capacity (r11 review finding: these THREW under ANSI
+        # instead of returning the exact in-envelope result)
+        dd("9000000000000000000000000", "0.0000001", 1).alias("d_huge_q"),
+        dm("100000000000000000000", "100000000000000", 1).alias(
+            "m_huge_q"
+        ),
     ).collect()[0]
 
     # ground truth from Python ints (scaled by 10^12 like the engine)
@@ -267,6 +274,11 @@ def test_decimal_div_mul_two_limb_wide_envelope(spark):
     assert r["m_edge"] == str((10**26 - 1) * 2)
     assert r["m_overflow"] is None
     assert r["d_divisor_over"] is None
+    # 9e24 / 1e-7 = 9e31 -> scale-1 render "9...0.0" (33 digits + .0)
+    qh = (9 * 10**36) * 10 // (10**5)  # scaled ints: 9e24*1e12 / 1e-7*1e12
+    assert r["d_huge_q"] == f"{qh // 10}.{qh % 10}"
+    qm = (10**32 * 10**26) * 10 // 10**24  # xa*xb*10/10^24, scale 1
+    assert r["m_huge_q"] == f"{qm // 10}.{qm % 10}"
 
 
 def test_decimal_div_mul_randomized_vs_bignum(spark):
