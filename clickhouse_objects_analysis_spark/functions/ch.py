@@ -341,26 +341,24 @@ def _dec_render(sign: Column, q: Column, scale: int) -> Column:
     """Render a non-negative integral DECIMAL(38,0) q (the result value
     scaled by 10^scale) as DECIMAL(38,scale) EXACTLY.
 
-    For scale ≤ 6 the value is assembled as integer-part + exact
-    sub-unit fraction (the fraction division is a < 10^6 numerator, so
-    its decimal(38,6) result type is exact and in range; a single
-    q/10^scale division would overflow its 32-integer-digit result type
-    for q ≥ 10^(32+scale) — the r11 review finding). Beyond 6 the
-    quotient would be rounded at the adjusted scale (verified: a
-    29-digit integer / 10^10 comes back rounded at 6), so the digits
-    are assembled through strings instead; fp is shared so q is
-    referenced twice, not three times."""
+    For scale ≤ 6 the value is q · 10^-scale as ONE decimal multiply:
+    a decimal(s,s) reciprocal literal preserves the result scale
+    exactly (product type (38,s), value q/10^s with s terminating
+    digits — verified exact at the 10^38−1 boundary), referencing q
+    once. A q/10^scale DIVISION would instead be typed decimal(38,6)
+    and overflow its 32-integer-digit capacity for q ≥ 10^(32+scale)
+    (the r11 review finding). Beyond 6 a division's quotient would be
+    rounded at the adjusted scale (verified: a 29-digit integer / 10^10
+    comes back rounded at 6), so the digits are assembled through
+    strings instead; fp is shared so q is referenced twice, not three
+    times."""
     if scale == 0:
         return (sign * q).cast("decimal(38,0)")
     if scale <= 6:
-        ip = _dec_div_pow10(q, scale)
-        frac = (
-            F.pmod(q, F.lit(10**scale).cast(_D38))
-            / F.lit(10**scale).cast("decimal(7,0)")
-        ).cast(f"decimal(38,{scale})")
-        res = (
-            ip.cast(f"decimal(38,{scale})") + frac
-        ).cast(f"decimal(38,{scale})")
+        recip = F.lit("0." + "0" * (scale - 1) + "1").cast(
+            f"decimal({scale},{scale})"
+        )
+        res = (q * recip).cast(f"decimal(38,{scale})")
         return (sign.cast("decimal(1,0)") * res).cast(f"decimal(38,{scale})")
     fp_raw = F.pmod(q, F.lit(10**scale).cast(_D38))
     ip = ((q - fp_raw) / F.lit(10**scale).cast(_D38)).cast(_D38).cast(
