@@ -80,7 +80,8 @@ def _spread_scan(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, shingles) with distinct word-k-grams — the Arrow-batched twin
     of with_shingles. Same semantics (ASCII-\\s+ split, empty tokens
@@ -88,8 +89,16 @@ def shingle_sets(
     the per-gram work is Python string slicing over a batch instead of an
     interpreted slice/concat expression per element — the expression form
     measured ~8s for 5k docs, this ~0.2s; it's the front of every
-    near-dup pipeline, so the constant matters."""
-    df = _spread_scan(df, id_col)
+    near-dup pipeline, so the constant matters.
+
+    ``spread=False`` skips the scan-parallelizing repartition — for
+    callers that shingle many SMALL frames in a loop (the incremental
+    ingest path shingles one micro-batch at a time), where the
+    per-call plan->RDD probe plus a 32-way shuffle of a ~1k-doc slice
+    costs more than the parallelism buys (measured +1.7 s across the
+    4-slice replay)."""
+    if spread:
+        df = _spread_scan(df, id_col)
 
     def gen(batches):
         for pdf in batches:

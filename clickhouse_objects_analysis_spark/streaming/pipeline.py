@@ -1064,7 +1064,9 @@ def incremental_minhash_dedup(
         # codegen without the RDD-conversion overhead a checkpoint pays
         # (measured ~0.3 s per checkpoint on KB-scale batches).
         s = bdf.sparkSession
-        sets = shingle_sets(bdf, "doc_id", "text", k).persist()
+        # spread=False: each micro-batch is a ~1k-doc slice — the
+        # scan-parallelizing repartition costs more than it buys here
+        sets = shingle_sets(bdf, "doc_id", "text", k, spread=False).persist()
         banded = band_rows(
             minhash_signatures(sets, num_hashes), num_hashes, bands
         ).persist()
