@@ -19,6 +19,9 @@ is the SparkSession here, so only the semantic knobs carry over):
 - ``VIEW_DEPS_INCLUDE_SYSTEM`` — include system/information_schema
   databases (``1``/``true``/``yes``). Default off, like the reference.
 - ``VIEW_DEPS_DIRECTION``  — Mermaid direction (LR/TB/RL/BT), default LR.
+- ``VIEW_DEPS_WRITE_EDGES`` — also emit MATERIALIZED VIEW ``TO``
+  destinations as distinct ``==>`` write edges (``1``/``true``/``yes``;
+  the reference-visitor-parity opt-in, r10 verdict #5). Default off.
 
 Everything is metadata-scale: one DDL string per view, graph ops as
 DataFrame joins; the single driver materialization is the terminal
@@ -99,10 +102,15 @@ def views_to_payload(
     spark: SparkSession,
     views: list[tuple[str, str, str]],
     default_db: str = "default",
+    include_write_edges: bool = False,
 ) -> dict:
     """(db, name, engine) rows → {'view_dependencies': {...}, 'errors':
     {...}} (reference _views_to_json :346-361): per-view DDL fetch + parse,
-    failures isolated into the errors channel."""
+    failures isolated into the errors channel.
+
+    ``include_write_edges=True`` adds a 'write_dependencies' key with
+    each MATERIALIZED VIEW's TO destination (the reference visitor's
+    edge set, kept distinguishable — r10 verdict #5)."""
     triples: list[tuple[str, str, str]] = []
     errors: dict[str, str] = {}
     for db, name, _engine in views:
@@ -112,15 +120,31 @@ def views_to_payload(
             errors[f"{db or default_db}.{name}"] = (
                 f"{type(exc).__name__}: {exc}"
             )
-    edges, parse_errors = view_dependencies(spark, triples)
     deps: dict[str, list[str]] = {
         f"{db or default_db}.{name}": [] for db, name, _ in views
     }
-    for row in edges.collect():
-        deps.setdefault(row["view"], []).append(row["dep"])
+    payload: dict = {"view_dependencies": deps, "errors": errors}
+    if include_write_edges:
+        from .plans.lineage import view_dependencies_with_method
+
+        edges, parse_errors = view_dependencies_with_method(
+            spark, triples, include_write_edges=True
+        )
+        writes: dict[str, list[str]] = {}
+        for row in edges.collect():
+            if row["kind"] == "writes-to":
+                writes.setdefault(row["view"], []).append(row["dep"])
+            else:
+                deps.setdefault(row["view"], []).append(row["dep"])
+        if writes:
+            payload["write_dependencies"] = writes
+    else:
+        edges, parse_errors = view_dependencies(spark, triples)
+        for row in edges.collect():
+            deps.setdefault(row["view"], []).append(row["dep"])
     for row in parse_errors.collect():
         errors[row["view"]] = row["error"]
-    return {"view_dependencies": deps, "errors": errors}
+    return payload
 
 
 def _truthy(val: str) -> bool:
@@ -141,6 +165,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     default_db = os.getenv("VIEW_DEPS_DATABASE", "default")
     include_system = _truthy(os.getenv("VIEW_DEPS_INCLUDE_SYSTEM", "0"))
     direction = os.getenv("VIEW_DEPS_DIRECTION", "LR")
+    write_edges = _truthy(os.getenv("VIEW_DEPS_WRITE_EDGES", "0"))
 
     spark = SparkSession.builder.getOrCreate()
 
@@ -155,7 +180,10 @@ def main(argv: Optional[list[str]] = None) -> None:
         for r in fetch_tables(catalog, include_system=include_system).collect()
     }
 
-    payload = views_to_payload(spark, views, default_db=default_db)
+    payload = views_to_payload(
+        spark, views, default_db=default_db,
+        include_write_edges=write_edges,
+    )
 
     print("Converting to Mermaid diagram...")
     mermaid_graph = json_to_mermaid(

@@ -98,3 +98,34 @@ class TestMainEndToEnd:
             f"{DB}.pet"
         ]
         assert f"{DB}.no_such_view_at_all" in payload["errors"]
+
+    def test_write_edges_opt_in(self, spark, tmp_path, monkeypatch):
+        """VIEW_DEPS_WRITE_EDGES surfaces MV TO destinations as distinct
+        '==>' edges in the payload and the rendered diagram (the
+        reference-visitor-parity opt-in); default payload is unchanged."""
+        import clickhouse_objects_analysis_spark.cli as cli_mod
+        from clickhouse_objects_analysis_spark.plans.mermaid import (
+            json_to_mermaid,
+        )
+
+        mv_ddl = (
+            "CREATE MATERIALIZED VIEW wdb.mv_agg TO wdb.dst "
+            "ENGINE = SummingMergeTree() ORDER BY k AS "
+            "SELECT k, count() AS c FROM wdb.src GROUP BY k"
+        )
+        monkeypatch.setattr(
+            cli_mod, "fetch_view_ddl", lambda _s, _db, _n: mv_ddl
+        )
+        views = [("wdb", "mv_agg", "MaterializedView")]
+        plain = cli_mod.views_to_payload(spark, views)
+        assert "write_dependencies" not in plain
+        assert plain["view_dependencies"]["wdb.mv_agg"] == ["wdb.src"]
+
+        payload = cli_mod.views_to_payload(
+            spark, views, include_write_edges=True
+        )
+        assert payload["view_dependencies"]["wdb.mv_agg"] == ["wdb.src"]
+        assert payload["write_dependencies"]["wdb.mv_agg"] == ["wdb.dst"]
+        mermaid = json_to_mermaid(payload, {"wdb.dst", "wdb.src"})
+        assert "wdb.src -.-> wdb.mv_agg" in mermaid
+        assert "wdb.mv_agg ==> wdb.dst" in mermaid
