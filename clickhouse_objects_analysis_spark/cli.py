@@ -41,7 +41,7 @@ from .plans.lineage import (
     catalog_objects,
     fetch_tables,
     fetch_views,
-    view_dependencies,
+    view_dependencies_with_method,
 )
 from .plans.mermaid import MermaidOptions, json_to_mermaid
 
@@ -124,24 +124,17 @@ def views_to_payload(
         f"{db or default_db}.{name}": [] for db, name, _ in views
     }
     payload: dict = {"view_dependencies": deps, "errors": errors}
-    if include_write_edges:
-        from .plans.lineage import view_dependencies_with_method
-
-        edges, parse_errors = view_dependencies_with_method(
-            spark, triples, include_write_edges=True
-        )
-        writes: dict[str, list[str]] = {}
-        for row in edges.collect():
-            if row["kind"] == "writes-to":
-                writes.setdefault(row["view"], []).append(row["dep"])
-            else:
-                deps.setdefault(row["view"], []).append(row["dep"])
-        if writes:
-            payload["write_dependencies"] = writes
-    else:
-        edges, parse_errors = view_dependencies(spark, triples)
-        for row in edges.collect():
+    edges, parse_errors = view_dependencies_with_method(
+        spark, triples, include_write_edges=include_write_edges
+    )
+    writes: dict[str, list[str]] = {}
+    for row in edges.collect():
+        if include_write_edges and row["kind"] == "writes-to":
+            writes.setdefault(row["view"], []).append(row["dep"])
+        else:
             deps.setdefault(row["view"], []).append(row["dep"])
+    if writes:
+        payload["write_dependencies"] = writes
     for row in parse_errors.collect():
         errors[row["view"]] = row["error"]
     return payload

@@ -65,7 +65,7 @@ def with_shingles(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     return df.withColumn("shingles", shingles(tokenize(F.col(text_col)), k))
 
 
-def _spread_scan(df: DataFrame, id_col: str) -> DataFrame:
+def spread_scan(df: DataFrame, id_col: str) -> DataFrame:
     """Ensure the Arrow shingle pass parallelizes: the testdata tables
     are single-row-group parquet files whose scan is ONE unsplittable
     task, which would serialize the whole Python gram kernel on one
@@ -98,7 +98,7 @@ def shingle_sets(
     costs more than the parallelism buys (measured +1.7 s across the
     4-slice replay)."""
     if spread:
-        df = _spread_scan(df, id_col)
+        df = spread_scan(df, id_col)
 
     def gen(batches):
         for pdf in batches:
@@ -327,7 +327,7 @@ def char_shingle_sets(
     shingles survive reflowed spacing, hyphenation, and concatenated
     tokens that word grams miss. Same contract (first-occurrence
     distinct, docs under k chars excluded, Arrow-batched slicing)."""
-    df = _spread_scan(df, id_col)
+    df = spread_scan(df, id_col)
 
     def gen(batches):
         for pdf in batches:

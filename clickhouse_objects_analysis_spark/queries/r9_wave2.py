@@ -89,16 +89,20 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the _MAX_DF stop-fingerprint cap (never binds at the
     sf0.01 oracle point; applied identically in the SQL twin so parity
     holds at every SF)."""
-    d = (
-        tables(spark, sf_dir)["documents"]
-        .filter(F.length("text") >= _WK + _WW - 1)
-        # The documents file is one parquet row group — an unsplittable
-        # 1-task scan — so WITHOUT this the whole gram-hash pass (the
-        # query's dominant cost, ~1.4M md5s at sf0.1) runs on ONE core.
-        # Repartitioning the 5k pre-explode rows is a trivial shuffle,
-        # and hashing on doc_id means the window's partitionBy reuses
-        # the exchange instead of adding one.
-        .repartition(32, "doc_id")
+    from ..operators.dedup import spread_scan
+
+    # The documents file is one parquet row group — an unsplittable
+    # 1-task scan — so WITHOUT this the whole gram-hash pass (the
+    # query's dominant cost, ~1.4M md5s at sf0.1) runs on ONE core.
+    # spread_scan repartitions the pre-explode rows only when the
+    # input is actually under-parallel (an already-split 100 TB input
+    # pays no text reshuffle), and hashing on doc_id means the window's
+    # partitionBy reuses the exchange instead of adding one.
+    d = spread_scan(
+        tables(spark, sf_dir)["documents"].filter(
+            F.length("text") >= _WK + _WW - 1
+        ),
+        "doc_id",
     )
     # explode positions FIRST, hash per ROW: a transform(...) lambda
     # computing md5 per array element is CodegenFallback (measured 3x

@@ -983,6 +983,7 @@ def incremental_minhash_dedup(
     run_dir: str | None = None,
     fail_after_batches: int | None = None,
     files_per_trigger: int = 1,
+    spread_shingles: bool = False,
 ) -> DataFrame:
     """INCREMENTAL near-duplicate dedup — the ingest-time twin of the
     batch minhash_lsh_pairs: documents arrive as a Structured Streaming
@@ -1064,9 +1065,16 @@ def incremental_minhash_dedup(
         # codegen without the RDD-conversion overhead a checkpoint pays
         # (measured ~0.3 s per checkpoint on KB-scale batches).
         s = bdf.sparkSession
-        # spread=False: each micro-batch is a ~1k-doc slice — the
-        # scan-parallelizing repartition costs more than it buys here
-        sets = shingle_sets(bdf, "doc_id", "text", k, spread=False).persist()
+        # spread default False: under the DEFAULT slicing contract
+        # (n_slices=4, files_per_trigger=1) each micro-batch is a ~1k-doc
+        # slice, where the per-batch plan->RDD probe + repartition cost
+        # more than the parallelism buys (A/B measured ~1 s per replay).
+        # Callers that reconfigure for coarse slices (large
+        # files_per_trigger / small n_slices => 100k+-doc batches on a
+        # couple of scan tasks) should pass spread_shingles=True.
+        sets = shingle_sets(
+            bdf, "doc_id", "text", k, spread=spread_shingles
+        ).persist()
         banded = band_rows(
             minhash_signatures(sets, num_hashes), num_hashes, bands
         ).persist()
