@@ -96,9 +96,19 @@ _R11_ADDITIONS: list[str] = [
     "minhash_estimate_calibration",
 ]
 
+# Round-12 additions (never driver-checked by definition): front of the
+# window; the union through r11 is 449/449 driver-green so every other
+# slot is a re-verify.
+_R12_ADDITIONS: list[str] = [
+    "ch_r12_function_surface",
+]
+
 
 def _ordered(mapping: dict) -> dict:
-    front = _R11_ADDITIONS + _NEVER_DRIVER_GREEN + _R10_ADDITIONS
+    front = (
+        _R12_ADDITIONS + _R11_ADDITIONS + _NEVER_DRIVER_GREEN
+        + _R10_ADDITIONS
+    )
     out = {k: mapping[k] for k in front if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out

@@ -53,6 +53,15 @@ NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
         # Same contract (deterministic English suffix stripper), not the
         # same stemmed vocabulary — re-stem when migrating.
         "stem",
+        # r12: raw-JSON extraction re-serializes the subtree compactly
+        # (json.dumps separators=(',',':')) — CH returns the raw slice
+        # of the original document, so outputs differ only when the
+        # input carries whitespace between tokens. Identical on compact
+        # documents; DuckDB's json_extract normalizes the same way.
+        "JSONExtractRaw",
+        "simpleJSONExtractRaw",
+        "JSONExtractKeysAndValuesRaw",
+        "JSONExtractArrayRaw",
     }
 )
 
@@ -3247,6 +3256,578 @@ CH_FUNCTIONS: dict[str, Builder] = {
     "firstSignificantSubdomain": _first_significant_subdomain,
     "cutToFirstSignificantSubdomain": _cut_to_first_significant_subdomain,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-12 promotions out of the reasoned-unsupported tail (r11 verdict #1/#4)
+# ---------------------------------------------------------------------------
+
+#: lazily-built Arrow kernels for this block, keyed by (name, literal args)
+_R12_UDFS: dict = {}
+
+
+def _crc32_ieee(c: Column) -> Column:
+    """ClickHouse ``CRC32IEEE``: reflected CRC-32 (poly 0xEDB88320) with
+    init 0 and no final xor (the public CRCImpl in the CH function
+    reference). Pure-JVM identity — a reflected CRC is affine in its
+    init state, so crc(init=0, M) = zlib(M) XOR zlib(0^len(M)): the
+    init/final-xor terms cancel. Verified against a bit-level reference
+    implementation on the full priority vector set."""
+    zeros = F.call_function(
+        "repeat", F.lit("\x00"), F.octet_length(c)
+    )
+    return F.crc32(c.cast("binary")).bitwiseXOR(
+        F.crc32(zeros.cast("binary"))
+    )
+
+
+_CRC64_POLY = 0xC96C5795D7870F42  # reflected CRC-64/ECMA-182 (CH CRC64)
+
+
+def _crc64(c: Column) -> Column:
+    """ClickHouse ``CRC64``: reflected CRC-64 with the ECMA-182
+    polynomial, init 0, no final xor. Table-driven Arrow kernel; the
+    UInt64 result is returned as its two's-complement Int64 (the repo's
+    standing UInt64 convention)."""
+    if "crc64" not in _R12_UDFS:
+        tab = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ _CRC64_POLY if crc & 1 else crc >> 1
+            tab.append(crc)
+
+        def one(v):
+            if isinstance(v, str):
+                v = v.encode("utf-8")
+            crc = 0
+            for b in v:
+                crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
+            return crc - (1 << 64) if crc >= (1 << 63) else crc
+
+        _R12_UDFS["crc64"] = F.pandas_udf(
+            lambda s: s.map(lambda v: None if v is None else one(v)),
+            "long",
+        )
+    return _R12_UDFS["crc64"](c)
+
+
+def _render_ipv6_py(b: bytes) -> str:
+    """RFC 5952 canonical text form, with ClickHouse's IPv4-mapped
+    special case: ``::ffff:a.b.c.d`` renders the dotted-quad tail
+    (Python's ipaddress would render ``::ffff:c0a8:2``)."""
+    import ipaddress
+
+    a = ipaddress.IPv6Address(bytes(b))
+    m = a.ipv4_mapped
+    return f"::ffff:{m}" if m is not None else str(a)
+
+
+def _ipv6_num_to_string(c: Column) -> Column:
+    """``IPv6NumToString(FixedString(16))`` → canonical text. The
+    16-byte address travels as BINARY (Spark has no 128-bit int)."""
+    if "ipv6n2s" not in _R12_UDFS:
+        _R12_UDFS["ipv6n2s"] = F.pandas_udf(
+            lambda s: s.map(
+                lambda v: None
+                if v is None or len(v) != 16
+                else _render_ipv6_py(v)
+            ),
+            "string",
+        )
+    return _R12_UDFS["ipv6n2s"](c)
+
+
+def _ipv6_string_to_num_py(v: str):
+    import ipaddress
+
+    try:
+        a = ipaddress.ip_address(v)
+    except ValueError:
+        return None  # CH throws; repo policy: NULL on invalid input
+    if isinstance(a, ipaddress.IPv4Address):
+        return b"\x00" * 10 + b"\xff\xff" + a.packed  # IPv4-mapped (CH)
+    return a.packed
+
+
+def _ipv6_string_to_num(c: Column) -> Column:
+    """``IPv6StringToNum(text)`` → 16-byte BINARY; dotted-quad input
+    maps to the IPv4-mapped block exactly as ClickHouse does."""
+    if "ipv6s2n" not in _R12_UDFS:
+        _R12_UDFS["ipv6s2n"] = F.pandas_udf(
+            lambda s: s.map(
+                lambda v: None if v is None else _ipv6_string_to_num_py(v)
+            ),
+            "binary",
+        )
+    return _R12_UDFS["ipv6s2n"](c)
+
+
+def _cut_ipv6(c: Column, bytes_v6, bytes_v4) -> Column:
+    """``cutIPv6(bin16, bytesToCutForIPv6, bytesToCutForIPv4)``: zero
+    the trailing N bytes (N chosen by whether the address is
+    IPv4-mapped) and render. Matches the published docs example
+    (cut 2 bytes of …cafe:f00d → …cafe:0)."""
+    if not isinstance(bytes_v6, int) or not isinstance(bytes_v4, int):
+        raise TypeError("cutIPv6 byte counts must be Python int literals")
+    key = f"cutipv6:{bytes_v6}:{bytes_v4}"
+    if key not in _R12_UDFS:
+
+        def one(v, _b6=bytes_v6, _b4=bytes_v4):
+            if v is None or len(v) != 16:
+                return None
+            b = bytes(v)
+            mapped = b[:10] == b"\x00" * 10 and b[10:12] == b"\xff\xff"
+            n = max(0, min(16, _b4 if mapped else _b6))
+            return _render_ipv6_py(b[: 16 - n] + b"\x00" * n if n else b)
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(_f), "string"
+        )
+    return _R12_UDFS[key](c)
+
+
+def _ipv6_cidr_to_range(c: Column, prefix) -> Column:
+    """``IPv6CIDRToRange(bin16, prefix)`` → struct(lo, hi) of the
+    prefix-masked block. Rendered as canonical text, the same
+    documented deviation as IPv4CIDRToRange (CH returns IPv6 binary;
+    text is the Spark-side IPv6 story)."""
+    if not isinstance(prefix, int) or not (0 <= prefix <= 128):
+        raise TypeError("IPv6CIDRToRange prefix must be an int in 0..128")
+    key = f"ipv6cidr:{prefix}"
+    if key not in _R12_UDFS:
+
+        def one(v, _p=prefix):
+            if v is None or len(v) != 16:
+                return None
+            x = int.from_bytes(bytes(v), "big")
+            mask = ((1 << _p) - 1) << (128 - _p) if _p else 0
+            lo = (x & mask).to_bytes(16, "big")
+            hi = ((x & mask) | ((1 << (128 - _p)) - 1)).to_bytes(16, "big")
+            return [_render_ipv6_py(lo), _render_ipv6_py(hi)]
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(_f), "array<string>"
+        )
+    arr = _R12_UDFS[key](c)
+    return F.struct(
+        F.element_at(arr, 1).alias("lo"), F.element_at(arr, 2).alias("hi")
+    )
+
+
+_JSON_MISSING = object()
+
+
+def _json_nav(v: str, keys: tuple):
+    """Navigate a parsed JSON doc by ClickHouse indices_or_keys: string
+    keys index objects, ints index arrays 1-based (negative = from the
+    end). Returns _JSON_MISSING when the path does not resolve."""
+    import json as _json
+
+    try:
+        node = _json.loads(v)
+    except (ValueError, TypeError):
+        return _JSON_MISSING
+    for k in keys:
+        if isinstance(k, bool):
+            return _JSON_MISSING
+        if isinstance(k, int):
+            if not isinstance(node, list):
+                return _JSON_MISSING
+            i = k - 1 if k > 0 else len(node) + k
+            if not (0 <= i < len(node)):
+                return _JSON_MISSING
+            node = node[i]
+        else:
+            if not isinstance(node, dict) or k not in node:
+                return _JSON_MISSING
+            node = node[k]
+    return node
+
+
+def _json_dumps_compact(node) -> str:
+    import json as _json
+
+    return _json.dumps(node, separators=(",", ":"), ensure_ascii=False)
+
+
+def _json_extract_raw(c: Column, *keys) -> Column:
+    """``JSONExtractRaw``: the extracted subtree re-serialized in
+    compact form. NON_BIT_COMPATIBLE nuance: CH returns the raw slice
+    of the original document, so the two differ only in preserved
+    whitespace (identical on compact documents — DuckDB's json_extract
+    normalizes the same way)."""
+    key = ("jraw", keys)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=keys):
+            node = _json_nav(v, _k)
+            return None if node is _JSON_MISSING else _json_dumps_compact(node)
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _json_type(c: Column, *keys) -> Column:
+    """``JSONType``: CH type-tag of the addressed node ('Object',
+    'Array', 'String', 'Int64', 'UInt64', 'Double', 'Bool', 'Null');
+    missing path → SQL NULL. Ints that fit Int64 tag as 'Int64' (the
+    simdjson signed-first rule), ≥ 2^63 as 'UInt64'."""
+    key = ("jtype", keys)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=keys):
+            node = _json_nav(v, _k)
+            if node is _JSON_MISSING:
+                return None
+            if node is None:
+                return "Null"
+            if isinstance(node, bool):
+                return "Bool"
+            if isinstance(node, int):
+                return "UInt64" if node >= 1 << 63 else "Int64"
+            if isinstance(node, float):
+                return "Double"
+            if isinstance(node, str):
+                return "String"
+            if isinstance(node, list):
+                return "Array"
+            return "Object"
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](c)
+
+
+#: CH base type → Spark SQL type string (the typed-JSONExtract mapping;
+#: UInt widths widen into the next signed Spark type, UInt64 keeps the
+#: repo's two's-complement Int64 convention).
+_CH_BASE_TO_SPARK: dict[str, str] = {
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int",
+    "Int64": "long", "UInt8": "smallint", "UInt16": "int",
+    "UInt32": "long", "UInt64": "long", "Float32": "float",
+    "Float64": "double", "String": "string", "Bool": "boolean",
+    "Date": "date", "DateTime": "timestamp",
+}
+
+
+def _ch_type_to_spark(t: str) -> str:
+    """Recursive CH type text → Spark type text (Array/Nullable/Map)."""
+    t = t.strip()
+    if t.startswith("Array(") and t.endswith(")"):
+        return f"array<{_ch_type_to_spark(t[6:-1])}>"
+    if t.startswith("Nullable(") and t.endswith(")"):
+        return _ch_type_to_spark(t[9:-1])
+    if t.startswith("Map(") and t.endswith(")"):
+        depth, split = 0, -1
+        inner = t[4:-1]
+        for i, ch in enumerate(inner):
+            depth += ch == "("
+            depth -= ch == ")"
+            if ch == "," and depth == 0:
+                split = i
+                break
+        if split < 0:
+            raise ValueError(f"malformed Map type: {t!r}")
+        return (
+            f"map<{_ch_type_to_spark(inner[:split])},"
+            f"{_ch_type_to_spark(inner[split + 1:])}>"
+        )
+    try:
+        return _CH_BASE_TO_SPARK[t]
+    except KeyError:
+        raise ValueError(
+            f"JSONExtract: unsupported ClickHouse type {t!r}; supported "
+            f"bases: {sorted(_CH_BASE_TO_SPARK)} plus "
+            "Array()/Nullable()/Map()"
+        ) from None
+
+
+def _json_coerce(node, ch_t: str):
+    """Best-effort typed coercion of a parsed JSON node to the CH type.
+    Pinned deviation: a type-mismatched node yields NULL (ClickHouse
+    JSONExtract substitutes the type's default value — 0 / '' — which
+    silently fabricates data; NULL is the honest Spark-side signal)."""
+    ch_t = ch_t.strip()
+    if node is _JSON_MISSING or node is None:
+        return None
+    if ch_t.startswith("Nullable(") and ch_t.endswith(")"):
+        return _json_coerce(node, ch_t[9:-1])
+    if ch_t.startswith("Array(") and ch_t.endswith(")"):
+        if not isinstance(node, list):
+            return None
+        return [_json_coerce(e, ch_t[6:-1]) for e in node]
+    if ch_t.startswith("Map(") and ch_t.endswith(")"):
+        if not isinstance(node, dict):
+            return None
+        inner = ch_t[4:-1]
+        depth, split = 0, -1
+        for i, ch in enumerate(inner):
+            depth += ch == "("
+            depth -= ch == ")"
+            if ch == "," and depth == 0:
+                split = i
+                break
+        if split < 0:
+            return None
+        vt = inner[split + 1:]
+        return {str(k): _json_coerce(v, vt) for k, v in node.items()}
+    base = ch_t
+    if base.startswith("Int") or base.startswith("UInt"):
+        if isinstance(node, bool):
+            return int(node)
+        if isinstance(node, int):
+            return node
+        if isinstance(node, float) and float(node).is_integer():
+            return int(node)
+        return None
+    if base.startswith("Float"):
+        if isinstance(node, bool):
+            return None
+        return float(node) if isinstance(node, (int, float)) else None
+    if base == "String":
+        return node if isinstance(node, str) else None
+    if base == "Bool":
+        return node if isinstance(node, bool) else None
+    if base in ("Date", "DateTime"):
+        if not isinstance(node, str):
+            return None
+        import datetime as _dt
+
+        try:
+            if base == "Date":
+                return _dt.date.fromisoformat(node)
+            return _dt.datetime.fromisoformat(node)
+        except ValueError:
+            return None
+    return None
+
+
+def _json_extract_typed(c: Column, *args) -> Column:
+    """Typed generic ``JSONExtract(json, …keys…, 'Type')`` (r11 verdict
+    #4): the trailing CH type literal routes through
+    ``_ch_type_to_spark`` and the node is coerced in one Arrow kernel.
+    Supports the base scalar set plus Array()/Nullable()/Map()."""
+    if not args or not isinstance(args[-1], str):
+        raise TypeError(
+            "JSONExtract needs a trailing ClickHouse type literal, e.g. "
+            "JSONExtract(j, 'a', 'Int64')"
+        )
+    *keys, ch_t = args
+    spark_t = _ch_type_to_spark(ch_t)
+    key = ("jtyped", tuple(keys), ch_t)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=tuple(keys), _t=ch_t):
+            return _json_coerce(_json_nav(v, _k), _t)
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            spark_t,
+        )
+    return _R12_UDFS[key](c)
+
+
+def _json_extract_kv(c: Column, *args) -> Column:
+    """``JSONExtractKeysAndValues(json, …keys…, 'T')`` → array of
+    (key, T-typed value) structs over the addressed object."""
+    if not args or not isinstance(args[-1], str):
+        raise TypeError(
+            "JSONExtractKeysAndValues needs a trailing type literal"
+        )
+    *keys, ch_t = args
+    spark_t = _ch_type_to_spark(ch_t)
+    key = ("jkv", tuple(keys), ch_t)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=tuple(keys), _t=ch_t):
+            node = _json_nav(v, _k)
+            if node is _JSON_MISSING or not isinstance(node, dict):
+                return None
+            return [
+                {"key": str(k), "value": _json_coerce(val, _t)}
+                for k, val in node.items()
+            ]
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            f"array<struct<key:string,value:{spark_t}>>",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _json_extract_kv_raw(c: Column, *keys) -> Column:
+    """``JSONExtractKeysAndValuesRaw``: values as compact raw JSON."""
+    key = ("jkvraw", keys)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=keys):
+            node = _json_nav(v, _k)
+            if node is _JSON_MISSING or not isinstance(node, dict):
+                return None
+            return [
+                {"key": str(k), "value": _json_dumps_compact(val)}
+                for k, val in node.items()
+            ]
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "array<struct<key:string,value:string>>",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _json_extract_array_raw(c: Column, *keys) -> Column:
+    """``JSONExtractArrayRaw``: the addressed array's elements, each as
+    compact raw JSON text."""
+    key = ("jarrraw", keys)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=keys):
+            node = _json_nav(v, _k)
+            if node is _JSON_MISSING or not isinstance(node, list):
+                return None
+            return [_json_dumps_compact(e) for e in node]
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "array<string>",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _bit_slice(c: Column, off, ln=None) -> Column:
+    """``bitSlice(s, offset[, length])``: 1-based bit offset (negative =
+    from the end), optional length (negative = leave that many bits off
+    the end); the slice is left-aligned and zero-padded into whole
+    bytes. Returned as BINARY — a bit slice is arbitrary bytes, which
+    Spark strings (UTF-8) cannot carry; CH strings are byte strings.
+    Matches the docs examples (bitSlice('Hello',1,8)='H')."""
+    if not isinstance(off, int) or (ln is not None and not isinstance(ln, int)):
+        raise TypeError("bitSlice offset/length must be Python int literals")
+    key = f"bitslice:{off}:{ln}"
+    if key not in _R12_UDFS:
+
+        def one(v, _o=off, _l=ln):
+            if isinstance(v, str):
+                v = v.encode("utf-8")
+            nbits = len(v) * 8
+            start = _o - 1 if _o > 0 else (nbits + _o if _o < 0 else 0)
+            start = max(0, start)
+            if start >= nbits:
+                return b""
+            if _l is None:
+                end = nbits
+            elif _l >= 0:
+                end = min(start + _l, nbits)
+            else:
+                end = max(nbits + _l, start)
+            take = end - start
+            if take <= 0:
+                return b""
+            x = int.from_bytes(v, "big")
+            x >>= nbits - end
+            x &= (1 << take) - 1
+            x <<= (-take) % 8
+            return x.to_bytes((take + 7) // 8, "big")
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "binary",
+        )
+    return _R12_UDFS[key](c)
+
+
+#: Spark typeof() name → ClickHouse in-memory byte width for the
+#: fixed-width scalar set (CH Date = 2 bytes, DateTime = 4).
+_BYTE_SIZE_FIXED: dict[str, int] = {
+    "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+    "float": 4, "double": 8, "boolean": 1, "date": 2, "timestamp": 4,
+}
+
+
+def _byte_size_one(c: Column) -> Column:
+    """One argument of ``byteSize``: fixed widths per the CH docs table,
+    String = octet length + 9 (8-byte size prefix + terminator). typeof()
+    folds to a constant per column, so the CASE costs nothing at run
+    time. Supported over the scalar/string set; arrays/maps raise at
+    analysis (documented subset in ch_catalog FAMILIES)."""
+    t = F.call_function("typeof", c)
+    expr = F.when(
+        t == F.lit("string"), F.octet_length(c.cast("string")) + F.lit(9)
+    )
+    for name, sz in _BYTE_SIZE_FIXED.items():
+        expr = expr.when(t == F.lit(name), F.lit(sz))
+    return expr.cast("long")
+
+
+def _byte_size(*cols) -> Column:
+    if not cols:
+        raise TypeError("byteSize needs at least one argument")
+    out = _byte_size_one(cols[0])
+    for c in cols[1:]:
+        out = out + _byte_size_one(c)
+    return out
+
+
+def _convert_charset(c: Column, frm, to) -> Column:
+    """``convertCharset(s, from, to)`` over the JVM-portable charset
+    set (US-ASCII, ISO-8859-1, UTF-8, UTF-16/BE/LE — the charsets
+    Spark's encode/decode accept; CH links ICU with hundreds more,
+    documented subset). Input: BINARY bytes in ``from`` (a string
+    input contributes its UTF-8 bytes, so from='UTF-8' composes
+    naturally). Output: a Spark string for to=UTF-8, else BINARY in
+    the target charset (Spark strings can only carry UTF-8)."""
+    if not isinstance(frm, str) or not isinstance(to, str):
+        raise TypeError("convertCharset charsets must be string literals")
+    decoded = F.decode(c.cast("binary"), frm)
+    if to.upper().replace("-", "") == "UTF8":
+        return decoded
+    return F.encode(decoded, to)
+
+
+CH_FUNCTIONS.update(
+    {
+        # session introspection — Spark's own catalog/user builtins
+        "currentDatabase": F.current_database,
+        "currentUser": F.current_user,
+        "CRC32IEEE": _crc32_ieee,
+        "CRC64": _crc64,
+        "IPv6NumToString": _ipv6_num_to_string,
+        "IPv6StringToNum": _ipv6_string_to_num,
+        "cutIPv6": _cut_ipv6,
+        "IPv6CIDRToRange": _ipv6_cidr_to_range,
+        "JSONExtract": _json_extract_typed,
+        "JSONExtractRaw": _json_extract_raw,
+        "simpleJSONExtractRaw": _json_extract_raw,
+        "JSONType": _json_type,
+        "JSONExtractKeysAndValues": _json_extract_kv,
+        "JSONExtractKeysAndValuesRaw": _json_extract_kv_raw,
+        "JSONExtractArrayRaw": _json_extract_array_raw,
+        "bitSlice": _bit_slice,
+        "byteSize": _byte_size,
+        "convertCharset": _convert_charset,
+    }
+)
 
 
 def translate_name(ch_name: str) -> Builder:

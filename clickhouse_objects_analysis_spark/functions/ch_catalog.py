@@ -418,6 +418,56 @@ FAMILIES: dict[str, dict[str, str]] = {
                 "silently round (exercised >= 1e12 end-to-end by "
                 "ch_r11_function_surface)",
     },
+    "ngramDistance/ngramSearch gram model": {
+        "members": "ngramDistance, ngramSearch",
+        "status": "covered",
+        "note": "computed as exact byte-4-gram multiset measures; "
+                "ClickHouse hashes grams into a CRC-keyed bounded map "
+                "and special-cases haystacks > 32 KiB (returns 1), so "
+                "small divergences from the real engine are possible "
+                "on collision-heavy or oversized inputs (r12 advice: "
+                "deviation recorded like other approximated surfaces)",
+    },
+    "r12 promotions: typed/raw JSON extraction": {
+        "members": "JSONExtract, JSONExtractRaw, simpleJSONExtractRaw, "
+                   "JSONType, JSONExtractKeysAndValues, "
+                   "JSONExtractKeysAndValuesRaw, JSONExtractArrayRaw",
+        "status": "covered",
+        "note": "typed generic JSONExtract routes the trailing CH type "
+                "literal through a CH-type→Spark-schema mapping "
+                "(Array/Nullable/Map over the scalar base set); pinned "
+                "deviations: raw extraction re-serializes compactly "
+                "(NON_BIT_COMPATIBLE — differs from CH's raw slice "
+                "only on whitespace-bearing documents), and a "
+                "type-mismatched node yields NULL where CH fabricates "
+                "the type's default value (0/'')",
+    },
+    "r12 promotions: IPv6 conversions": {
+        "members": "IPv6NumToString, IPv6StringToNum, cutIPv6, "
+                   "IPv6CIDRToRange",
+        "status": "covered",
+        "note": "16-byte addresses travel as BINARY (Spark has no "
+                "128-bit int); text renders RFC 5952 canonical with "
+                "CH's IPv4-mapped dotted-quad special case; "
+                "IPv6CIDRToRange returns the (lo, hi) struct as "
+                "canonical text rather than IPv6 binary (the same "
+                "documented deviation as IPv4CIDRToRange); invalid "
+                "input → NULL where CH throws",
+    },
+    "r12 promotions: byte/bit surface": {
+        "members": "CRC32IEEE, CRC64, bitSlice, byteSize, "
+                   "convertCharset, currentDatabase, currentUser",
+        "status": "covered",
+        "note": "CRC32IEEE is a pure-JVM xor identity over crc32, "
+                "CRC64 an ECMA-182 table kernel (both bit-exact); "
+                "bitSlice returns BINARY (a bit slice is arbitrary "
+                "bytes, which UTF-8 Spark strings cannot carry); "
+                "byteSize covers the fixed-width scalar set + String "
+                "(len+9) — arrays/maps raise at analysis; "
+                "convertCharset supports the JVM-portable charsets "
+                "Spark encode/decode accept (US-ASCII, ISO-8859-1, "
+                "UTF-8, UTF-16/BE/LE) vs CH's full ICU set",
+    },
     "uniqCombined/quantile* sketch -State interop": {
         "members": "persisted sketch states",
         "status": "unsupported",
@@ -466,8 +516,6 @@ UNSUPPORTED: dict[str, str] = {
     "uptime": "server-introspection",
     "version": "server-introspection; Spark: spark.version",
     "buildId": "server-introspection",
-    "currentDatabase": "catalog introspection: spark.catalog.currentDatabase (trivial, not a column fn)",
-    "currentUser": "server-introspection",
     "initialQueryID": "query-log introspection",
     "queryID": "query-log introspection",
     "shardNum": "cluster-topology; Spark: spark_partition_id() differs semantically",
@@ -502,7 +550,6 @@ UNSUPPORTED: dict[str, str] = {
     "isConstant": "plan introspection",
     "hasColumnInTable": "catalog introspection: spark.catalog.listColumns",
     "visibleWidth": "pretty-format internal",
-    "byteSize": "engine memory introspection",
     "toTypeName": "type introspection: DataFrame.schema / typeof() differs per engine",
     "sleep": "side-effect / DoS-shaped; deliberately not reproduced",
     "sleepEachRow": "side-effect / DoS-shaped",
@@ -547,7 +594,6 @@ UNSUPPORTED: dict[str, str] = {
     "detectTonality": "model dependency",
     "detectCharset": "model dependency",
     "BLAKE3": "native hash lib not in Spark/JVM stdlib",
-    "convertCharset": "ICU dependency; Spark handles UTF-8 only",
     "xxh3": "not exposed by Spark; xxhash64 is the family member Spark ships",
     "wyHash64": "not in JVM/Spark",
     "metroHash64": "not in JVM/Spark",
@@ -568,15 +614,12 @@ UNSUPPORTED: dict[str, str] = {
     "geoDistance": "WGS84-ellipsoid variant; greatCircleDistance mapped",
     # --- misc scalar gaps, each with a concrete reason
     "concatAssumeInjective": "GROUP BY optimization hint, meaningless under Catalyst",
-    "CRC32IEEE": "variant polynomial; crc32 mapped",
-    "CRC64": "not in Spark",
     "normalizeQuery": "CH query-text normalizer (parser-coupled)",
     "normalizedQueryHash": "CH query-text normalizer",
     "multiFuzzyMatchAny": "Hyperscan fuzzy matching",
     "arrayReduceInRanges": "runtime-named aggregate dispatch",
     "emptyArrayToSingle": "engine-internal",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
-    "bitSlice": "byte-level bit views absent",
     "now64": "sub-second now with precision arg; now() mapped",
     "nowInBlock": "engine-internal block semantics",
     "timeZoneOf": "Spark timestamps carry no zone (UTC-normalized)",
@@ -589,20 +632,9 @@ UNSUPPORTED: dict[str, str] = {
     "reinterpret": "bit-level reinterpret casts need binary views; unhex/hex cover common cases",
     "formatRow": "needs CH output-format engine",
     "formatRowNoNewline": "needs CH output-format engine",
-    "simpleJSONExtractRaw": "raw-slice semantics need CH's simdjson cursor",
-    "JSONType": "type tag enum differs; get_json_object + try_cast pattern covers dispatch",
-    "JSONExtract": "fully generic typed extract (type arg parsing); typed members mapped individually",
-    "JSONExtractKeysAndValues": "typed kv pairs; JSONExtractKeys + per-key extract covers",
-    "JSONExtractRaw": "raw JSON slice: get_json_object is close but quoting/whitespace differ; unclaimed",
-    "JSONExtractArrayRaw": "json_array_elements shape; from_json(ArrayType) is the typed form",
-    "JSONExtractKeysAndValuesRaw": "raw kv slices",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
     "cutToFirstSignificantSubdomainCustom": "full public-suffix list",
-    "IPv6NumToString": "IPv6 binary type absent",
-    "IPv6StringToNum": "IPv6 binary type absent",
-    "cutIPv6": "IPv6 binary type absent",
     "toIPv6": "IPv6 domain type absent",
-    "IPv6CIDRToRange": "CIDR math",
     "dictGetOrNull": "left-join-null is the Spark-native shape (registry dictGet query)",
     "dictGetHierarchy": "hierarchical dictionaries out of scope",
     "dictIsIn": "hierarchical dictionaries out of scope",

@@ -514,7 +514,12 @@ def mv_write_targets(sql: str, default_db: str = "default") -> list[str]:
                 # write edge)
                 if kw(j) == "ON" and kw(j + 1) == "CLUSTER":
                     j += 2
-                    if j < n and toks[j][0] in ("IDENT", "QIDENT"):
+                    # the cluster name may be a string literal
+                    # (ON CLUSTER 'c1') as well as an identifier —
+                    # without the STRING arm the walker stalls on the
+                    # literal, kw(j) != 'TO', and the write edge is
+                    # silently dropped (r12 advice)
+                    if j < n and toks[j][0] in ("IDENT", "QIDENT", "STRING"):
                         j += 1
                 if kw(j) == "TO":
                     j += 1
@@ -734,18 +739,56 @@ def ch_to_spark_sql(sql: str) -> tuple[str, list[str]]:
                     if kw(k) in ("TO", "AS", "ON", "ENGINE", "POPULATE"):
                         break
                     k += 1
+                # ON CLUSTER <name> sits between the view name and TO
+                # in the grammar (r12: without this hop the TO clause
+                # survived the rewrite and the re-parse failed → token
+                # path); the cluster name may be a string literal. The
+                # ON/CLUSTER/name tokens themselves are dropped by the
+                # generic on_cluster arm below.
+                if kw(k) == "ON" and kw(k + 1) == "CLUSTER":
+                    k += 2
+                    if k < n and toks[k][0] in ("IDENT", "QIDENT", "STRING"):
+                        k += 1
                 if kw(k) == "TO":
                     drop.add(k)
                     k += 1
-                    while k < n and (
-                        toks[k][0] in ("IDENT", "QIDENT")
-                        or toks[k] == ("PUNCT", ".")
-                    ):
+                    # strict dotted target — IDENT (. IDENT)* — exactly
+                    # the mv_write_targets walk; the old open-ended loop
+                    # ate the following `AS SELECT k` tokens whenever no
+                    # ENGINE clause separated them (r12 fix)
+                    if k < n and toks[k][0] in ("IDENT", "QIDENT"):
                         drop.add(k)
                         k += 1
+                        while (
+                            k + 1 < n
+                            and toks[k] == ("PUNCT", ".")
+                            and toks[k + 1][0] in ("IDENT", "QIDENT")
+                        ):
+                            drop.update((k, k + 1))
+                            k += 2
             elif kw(j) == "LIVE" and kw(j + 1) == "VIEW":
                 drop.add(j)
                 applied.add("live_view")
+                # LIVE VIEW … WITH REFRESH [n] AS …: the refresh clause
+                # has no Spark analogue — drop it (r12)
+                k = j + 2
+                if kw(k) == "IF" and kw(k + 1) == "NOT" and kw(k + 2) == "EXISTS":
+                    k += 3
+                while k < n and (
+                    toks[k][0] in ("IDENT", "QIDENT")
+                    or toks[k] == ("PUNCT", ".")
+                ):
+                    if kw(k) in ("WITH", "AS", "ON"):
+                        break
+                    k += 1
+                if kw(k) == "ON" and kw(k + 1) == "CLUSTER":
+                    k += 2
+                    if k < n and toks[k][0] in ("IDENT", "QIDENT", "STRING"):
+                        k += 1
+                if kw(k) == "WITH" and kw(k + 1) == "REFRESH":
+                    drop.update((k, k + 1))
+                    if k + 2 < n and toks[k + 2][0] == "NUM":
+                        drop.add(k + 2)
         elif u == "ON" and kw(i + 1) == "CLUSTER":
             drop.update((i, i + 1, i + 2))
             applied.add("on_cluster")

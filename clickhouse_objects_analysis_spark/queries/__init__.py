@@ -105,5 +105,6 @@ from . import r10_wave7  # noqa: E402,F401
 from . import r10_wave8  # noqa: E402,F401
 from . import r11_wave1  # noqa: E402,F401
 from . import r11_wave2  # noqa: E402,F401
+from . import r12_wave1  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]

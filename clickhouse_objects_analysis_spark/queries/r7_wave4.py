@@ -433,17 +433,21 @@ def streaming_series_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     try:
         deadline = time.time() + 120
+        # Drain detection via progress metadata, not SQL polls: each
+        # `SELECT SUM(n) FROM <mem table>` poll was a full Spark job
+        # (~80 ms) racing the 50 ms trigger; recentProgress is a
+        # driver-side dict read. Progress is reported after the batch
+        # commits, so cumulative numInputRows = 5000 means the memory
+        # sink already holds the drained state. recentProgress is a
+        # bounded ring buffer (numRecentProgressUpdates, default 100),
+        # so accumulate per-batchId outside the loop instead of summing
+        # the buffer — a fast trigger can evict early batches (r12
+        # advice).
+        seen_batches: dict[int, int] = {}
         while time.time() < deadline:
-            # Drain detection via progress metadata, not SQL polls: each
-            # `SELECT SUM(n) FROM <mem table>` poll was a full Spark job
-            # (~80 ms) racing the 50 ms trigger; recentProgress is a
-            # driver-side dict read. Progress is reported after the
-            # batch commits, so cumulative numInputRows = 5000 means the
-            # memory sink already holds the drained state.
-            done = (
-                sum(p["numInputRows"] for p in q.recentProgress) >= 5000
-            )
-            if done:
+            for p in q.recentProgress:
+                seen_batches[p["batchId"]] = p["numInputRows"]
+            if sum(seen_batches.values()) >= 5000:
                 break
             time.sleep(0.02)
         else:

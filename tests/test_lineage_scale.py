@@ -380,6 +380,13 @@ def test_mv_to_target_exclusion_is_pinned(spark):
         "CREATE MATERIALIZED VIEW IF NOT EXISTS db.mv ON CLUSTER c1 "
         "ENGINE = MergeTree() ORDER BY k AS SELECT k FROM db.src"
     ) == []
+    # r12 advice: the cluster name may also be a string literal — the
+    # walker must step over the STRING token or the write edge is
+    # silently dropped
+    assert mv_write_targets(
+        "CREATE MATERIALIZED VIEW db.mv ON CLUSTER 'c1' TO db.tgt "
+        "AS SELECT 1 FROM db.src"
+    ) == ["db.tgt"]
 
 
 def test_mv_write_edges_reference_parity(spark):
@@ -457,3 +464,145 @@ def test_mv_write_edges_reference_parity(spark):
     assert "cat.mv_join ==> sink_db.wide" in mermaid
     assert "cat.src_table -.-> cat.mv_agg" in mermaid
     assert "cat.dst_table -.->" not in mermaid
+
+
+def _write_edge_fidelity_catalog(n: int) -> list[tuple[str, str, str, str]]:
+    """r11-surface fidelity corpus (r11 verdict #5): the constructs the
+    1k-view ladder predates — MV `TO` destinations (bare, ON CLUSTER
+    identifier, ON CLUSTER string-literal), LIVE VIEW heads (plain and
+    WITH REFRESH), and mixed dictionary+MV DDLs where the SELECT both
+    reads a dictGet dictionary and writes through TO. Returns
+    (db, name, ddl, construct_class)."""
+    views = []
+    for i in range(n):
+        name = f"w_{i:04d}"
+        sel = f"SELECT k, v FROM cat.t_{i % 50}"
+        if i % 6 == 0:
+            ddl = (
+                f"CREATE MATERIALIZED VIEW cat.{name} "
+                f"TO cat.sink_{i % 5} AS {sel}"
+            )
+            cls = "mv_to_plain"
+        elif i % 6 == 1:
+            ddl = (
+                f"CREATE MATERIALIZED VIEW cat.{name} ON CLUSTER main "
+                f"TO cat.sink_{i % 5} AS {sel}"
+            )
+            cls = "mv_to_cluster_ident"
+        elif i % 6 == 2:
+            # string-literal cluster name — the r12 advice fix: the
+            # walker must step over the STRING token or the write edge
+            # silently vanishes
+            ddl = (
+                f"CREATE MATERIALIZED VIEW cat.{name} ON CLUSTER 'c1' "
+                f"TO cat.sink_{i % 5} AS {sel}"
+            )
+            cls = "mv_to_cluster_quoted"
+        elif i % 6 == 3:
+            ddl = f"CREATE LIVE VIEW cat.{name} AS {sel}"
+            cls = "live_view"
+        elif i % 6 == 4:
+            ddl = (
+                f"CREATE LIVE VIEW cat.{name} WITH REFRESH 5 AS {sel}"
+            )
+            cls = "live_view_refresh"
+        else:
+            ddl = (
+                f"CREATE MATERIALIZED VIEW cat.{name} "
+                f"TO cat.sink_{i % 5} AS "
+                f"SELECT k, dictGet('cat.d_{i % 3}', 'v', k) AS dv "
+                f"FROM cat.t_{i % 50}"
+            )
+            cls = "mv_dict_mixed"
+        views.append(("cat", name, ddl, cls))
+    return views
+
+
+def test_write_edge_fidelity_corpus_recorded(spark):
+    """r11 verdict #5: extend the lineage-fidelity record past the
+    1k-view ladder to the write-edge surface. Every construct class
+    must ride the exact path (edges_token 0), and the write-edge SET
+    must equal the reference visitor's expectation — its ANTLR walk
+    collects the TO destination identifier exactly once per MV
+    (ch_view_dependencies.py:144-231; DestinationClauseContext,
+    generated_ch_parser/ClickHouseParser.py:5572) and LIVE VIEWs
+    contribute reads only. Appends a write_edge_corpus section to
+    LINEAGE_FIDELITY.json."""
+    import json
+    import os
+    import time as _time
+
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        view_dependencies_with_method,
+    )
+
+    n = 600
+    cat = _write_edge_fidelity_catalog(n)
+    cls_of = {f"cat.{name}": cls for _, name, _, cls in cat}
+    t0 = _time.perf_counter()
+    edges, errors = view_dependencies_with_method(
+        spark,
+        [(db, name, ddl) for db, name, ddl, _ in cat],
+        include_write_edges=True,
+    )
+    rows = edges.collect()
+    elapsed = _time.perf_counter() - t0
+    assert errors.count() == 0
+    methods: dict[str, int] = {}
+    reads: dict[str, set] = {}
+    writes: dict[str, set] = {}
+    breakdown: dict[str, dict] = {}
+    for r in rows:
+        methods[r.method] = methods.get(r.method, 0) + 1
+        (reads if r.kind == "reads" else writes).setdefault(
+            r.view, set()
+        ).add(r.dep)
+        b = breakdown.setdefault(
+            cls_of[r.view],
+            {"views": set(), "reads": 0, "writes": 0, "methods": set()},
+        )
+        b["views"].add(r.view)
+        b["reads" if r.kind == "reads" else "writes"] += 1
+        b["methods"].add(r.method)
+    # reference-visitor expectation, view by view
+    for i in range(n):
+        view = f"cat.w_{i:04d}"
+        cls = cls_of[view]
+        if cls == "mv_dict_mixed":
+            assert reads[view] == {f"cat.t_{i % 50}", f"cat.d_{i % 3}"}, view
+        else:
+            assert reads[view] == {f"cat.t_{i % 50}"}, view
+        if cls.startswith("mv_"):
+            assert writes.get(view) == {f"cat.sink_{i % 5}"}, view
+        else:
+            assert view not in writes, view
+    # exact-path everywhere: the token walk would mark 'token'
+    assert set(methods) == {"exact"}, methods
+    record = {
+        "views": n,
+        "read_edges": sum(len(s) for s in reads.values()),
+        "write_edges": sum(len(s) for s in writes.values()),
+        "edges_token": methods.get("token", 0),
+        "edge_fidelity_ratio": 1.0,
+        "elapsed_sec": round(elapsed, 2),
+        "constructs": {
+            cls: {
+                "views": len(b["views"]),
+                "reads": b["reads"],
+                "writes": b["writes"],
+                "methods": sorted(b["methods"]),
+            }
+            for cls, b in sorted(breakdown.items())
+        },
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "LINEAGE_FIDELITY.json")
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {}
+    doc["write_edge_corpus"] = record
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    assert elapsed < 30, f"write-edge corpus extraction took {elapsed:.1f}s"
