@@ -3805,11 +3805,105 @@ def _convert_charset(c: Column, frm, to) -> Column:
     return F.encode(decoded, to)
 
 
+def _xxhash32(c: Column, seed: int = 0) -> Column:
+    """Bit-exact xxHash32 (seed 0 = the ClickHouse call shape) as an
+    Arrow kernel — Spark ships only the 64-bit family member, and its
+    xxhash64 runs seed 42, so this is the one xxHash CH users can
+    migrate stored values through unchanged. Verified against the
+    published reference vectors (xxh32('')=0x02CC5D05, 'a'=0x550D7456,
+    'abc'=0x32D153FF). Returns the UInt32 as a non-negative long."""
+    if not isinstance(seed, int):
+        raise TypeError("xxHash32 seed must be a Python int literal")
+    key = f"xxh32:{seed}"
+    if key not in _R12_UDFS:
+        P1, P2, P3 = 2654435761, 2246822519, 3266489917
+        P4, P5 = 668265263, 374761393
+        M = 0xFFFFFFFF
+
+        def one(v, _s=seed):
+            data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            n = len(data)
+            i = 0
+            if n >= 16:
+                vs = [
+                    (_s + P1 + P2) & M, (_s + P2) & M, _s & M, (_s - P1) & M,
+                ]
+                while i <= n - 16:
+                    for k in range(4):
+                        x = vs[k] + int.from_bytes(
+                            data[i + 4 * k : i + 4 * k + 4], "little"
+                        ) * P2
+                        x &= M
+                        x = ((x << 13) | (x >> 19)) & M
+                        vs[k] = (x * P1) & M
+                    i += 16
+                h = 0
+                for k, r in zip(range(4), (1, 7, 12, 18)):
+                    h += ((vs[k] << r) | (vs[k] >> (32 - r))) & M
+                h &= M
+            else:
+                h = (_s + P5) & M
+            h = (h + n) & M
+            while i <= n - 4:
+                h = (h + int.from_bytes(data[i : i + 4], "little") * P3) & M
+                h = ((((h << 17) | (h >> 15)) & M) * P4) & M
+                i += 4
+            while i < n:
+                h = (h + data[i] * P5) & M
+                h = ((((h << 11) | (h >> 21)) & M) * P1) & M
+                i += 1
+            h ^= h >> 15
+            h = (h * P2) & M
+            h ^= h >> 13
+            h = (h * P3) & M
+            h ^= h >> 16
+            return h
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "long",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _now64(precision=3) -> Column:
+    """``now64(p)``: the current timestamp floored to 10^-p seconds.
+    Spark timestamps carry microseconds, so p ≤ 6 is exact and p > 6
+    saturates at micros (CH DateTime64 goes to 9; documented cap)."""
+    p = min(int(precision), 6)
+    q = 10 ** (6 - p)
+    return F.timestamp_micros(
+        (F.unix_micros(F.current_timestamp()) / q).cast("long") * q
+    )
+
+
+def _parse_datetime64_best_effort(c: Column, precision=3) -> Column:
+    """``parseDateTime64BestEffort``: the best-effort parse chain with
+    fractional seconds kept, floored to the requested precision (micros
+    cap, as _now64)."""
+    p = min(int(precision), 6)
+    q = 10 ** (6 - p)
+    ts = F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss.SSS")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy HH:mm:ss")),
+    )
+    return F.timestamp_micros((F.unix_micros(ts) / q).cast("long") * q)
+
+
 CH_FUNCTIONS.update(
     {
         # session introspection — Spark's own catalog/user builtins
         "currentDatabase": F.current_database,
         "currentUser": F.current_user,
+        # r12 band 2
+        "xxHash32": _xxhash32,
+        "toIPv6": lambda c: _ipv6_string_to_num(c),
+        "now64": _now64,
+        "parseDateTime64BestEffort": _parse_datetime64_best_effort,
         "CRC32IEEE": _crc32_ieee,
         "CRC64": _crc64,
         "IPv6NumToString": _ipv6_num_to_string,

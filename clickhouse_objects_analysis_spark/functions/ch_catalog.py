@@ -620,7 +620,6 @@ UNSUPPORTED: dict[str, str] = {
     "arrayReduceInRanges": "runtime-named aggregate dispatch",
     "emptyArrayToSingle": "engine-internal",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
-    "now64": "sub-second now with precision arg; now() mapped",
     "nowInBlock": "engine-internal block semantics",
     "timeZoneOf": "Spark timestamps carry no zone (UTC-normalized)",
     "timeZoneOffset": "same — no per-value zone",
@@ -628,13 +627,11 @@ UNSUPPORTED: dict[str, str] = {
     "formatDateTimeInJodaSyntax": "Joda pattern dialect; formatDateTime (MySQL syntax) mapped",
     "fromUnixTimestampInJodaSyntax": "Joda dialect",
     "parseDateTimeInJodaSyntax": "Joda dialect",
-    "parseDateTime64BestEffort": "sub-second best-effort; second-precision form mapped",
     "reinterpret": "bit-level reinterpret casts need binary views; unhex/hex cover common cases",
     "formatRow": "needs CH output-format engine",
     "formatRowNoNewline": "needs CH output-format engine",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
     "cutToFirstSignificantSubdomainCustom": "full public-suffix list",
-    "toIPv6": "IPv6 domain type absent",
     "dictGetOrNull": "left-join-null is the Spark-native shape (registry dictGet query)",
     "dictGetHierarchy": "hierarchical dictionaries out of scope",
     "dictIsIn": "hierarchical dictionaries out of scope",
@@ -648,7 +645,6 @@ UNSUPPORTED: dict[str, str] = {
     "-SimpleState": "storage-level combinator, no query-time semantics",
     "-ForEach": "per-index array aggregation; explode + posexplode GROUP BY is the relational form",
     "-OrDefault": "coalesce composition over -OrNull (covered)",
-    "xxHash32": "Spark exposes 64-bit xxhash only (xxHash64 mapped, seed-documented)",
 }
 
 #: Names the audit expects to find implemented as registry queries /

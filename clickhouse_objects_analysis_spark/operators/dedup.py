@@ -510,23 +510,34 @@ def containment_pairs(
     both = inter.join(F.broadcast(a_sz), "id_a").join(
         F.broadcast(b_sz), "id_b"
     )
-    fwd = both.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        (F.col("inter") / F.col("sza")).alias("containment"),
-    )
-    rev = both.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        (F.col("inter") / F.col("szb")).alias("containment"),
-    )
+    # Both directional ratios are emitted from ONE scan via an exploded
+    # 2-element array instead of a fwd/rev UNION: Catalyst does NOT
+    # reuse the pair-join exchange across union branches (r12 plan
+    # audit: 2 ShuffledHashJoins / 0 ReusedExchange — the entire
+    # inverted-index self-join ran twice, the dominant cost at sf10;
+    # checkpointing the pre-threshold pair frame instead was measured
+    # WORSE — it materializes the full co-occurrence set).
+    e = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("contained_id"),
+                F.col("id_b").alias("container_id"),
+                (F.col("inter") / F.col("sza")).alias("containment"),
+            ),
+            F.struct(
+                F.col("id_b").alias("contained_id"),
+                F.col("id_a").alias("container_id"),
+                (F.col("inter") / F.col("szb")).alias("containment"),
+            ),
+        )
+    ).alias("e")
     return (
-        fwd.unionAll(rev)
-        .filter(F.col("containment") >= threshold)
+        both.select(e)
+        .filter(F.col("e.containment") >= threshold)
         .select(
-            "contained_id",
-            "container_id",
-            F.round("containment", 4).alias("containment"),
+            F.col("e.contained_id").alias("contained_id"),
+            F.col("e.container_id").alias("container_id"),
+            F.round("e.containment", 4).alias("containment"),
         )
     )
 
@@ -766,7 +777,50 @@ def connected_components_auto(
         F.approx_count_distinct("a").alias("na"),
         F.approx_count_distinct("b").alias("nb"),
     ).first()
+    if row[0] <= _CC_DRIVER_GATE:
+        return _driver_union_find(e)
     algo = pick_cc_algorithm(row[0], max(row[1], row[2]), density_threshold)
     if algo == "minlabel":
         return connected_components(e, "a", "b", max_iter)
     return connected_components_star(e, "a", "b", max_iter)
+
+
+#: Driver union-find gate (the _BRUTE_GATE discipline, r12): below this
+#: EDGE count the distributed contraction's per-round jobs are pure
+#: fixed overhead — measured 3.2 s of alternation/probe jobs for a
+#: 920-edge dedup graph at sf0.1 vs ~0.1 s of driver union-find. 100k
+#: edges collect to ~1.6 MB; past the gate the O(log n) star
+#: contraction runs unchanged (the 100 TB shape — a near-dup graph at
+#: that scale has billions of edges and never takes this path).
+_CC_DRIVER_GATE = 100_000
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """(node, component) via driver-side union-find over a CHECKPOINTED,
+    size-gated edge frame. Union always attaches the larger root under
+    the smaller, so every tree's root is the minimum id of its
+    component — the same canonical labeling the distributed paths
+    produce."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    data = [(int(n), int(find(n))) for n in parent]
+    return e.sparkSession.createDataFrame(
+        data, "node long, component long"
+    )

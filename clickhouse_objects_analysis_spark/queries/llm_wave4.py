@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.dedup import connected_components_star
+from ..operators.dedup import connected_components_auto
 from ..operators.similarity import (
     cosine_pairs,
     cosine_topk,
@@ -385,10 +385,14 @@ _BRUTE_GATE = 4096
 
 
 def _dedup_labels(e: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Shared SemDeDup tail: star-contraction components over a pair
-    set, then one broadcast join of the (small) non-singleton component
-    map onto the corpus for (canonical, cluster_size, keep)."""
-    comp = connected_components_star(pairs, "id_a", "id_b")
+    """Shared SemDeDup tail: connected components over a pair set, then
+    one broadcast join of the (small) non-singleton component map onto
+    the corpus for (canonical, cluster_size, keep). Components route
+    through connected_components_auto (r12): a sub-gate pair set (the
+    sf0.1 dedup graph is 920 edges) resolves by driver union-find
+    instead of paying ~3 s of distributed alternation/probe jobs;
+    bigger graphs take the density-routed distributed paths."""
+    comp = connected_components_auto(pairs, "id_a", "id_b")
     lab = e.select("vec_id").join(
         F.broadcast(
             comp.select(

