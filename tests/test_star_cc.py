@@ -64,12 +64,39 @@ def test_minlabel_chain_needs_linear_rounds(spark):
     assert got != {(i, 0) for i in range(n)}
 
 
-def test_auto_routes_chain_to_star(spark, monkeypatch):
-    """The density probe must send a 256-node chain (1 edge per node) to
-    the star algorithm — the adversarial shape where min-label needs
-    O(n) rounds — and still produce the right components."""
+def test_auto_small_graphs_take_driver_union_find(spark, monkeypatch):
+    """r12: at or below _CC_DRIVER_GATE edges the auto wrapper resolves
+    by driver union-find — neither distributed algorithm may run — with
+    the same canonical min-id labels."""
     from clickhouse_objects_analysis_spark.operators import dedup as d
 
+    calls = []
+    monkeypatch.setattr(
+        d, "connected_components_star",
+        lambda *a, **k: calls.append("star"),
+    )
+    monkeypatch.setattr(
+        d, "connected_components",
+        lambda *a, **k: calls.append("minlabel"),
+    )
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _labels(d.connected_components_auto(df))
+    assert calls == []
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_auto_routes_chain_to_star(spark, monkeypatch):
+    """Past the driver gate, the density probe must send a 256-node
+    chain (1 edge per node) to the star algorithm — the adversarial
+    shape where min-label needs O(n) rounds — and still produce the
+    right components. The gate is pinned to 0 so the routing logic is
+    what's under test."""
+    from clickhouse_objects_analysis_spark.operators import dedup as d
+
+    monkeypatch.setattr(d, "_CC_DRIVER_GATE", 0)
     calls = []
     real = d.connected_components_star
     monkeypatch.setattr(
@@ -87,9 +114,10 @@ def test_auto_routes_chain_to_star(spark, monkeypatch):
 
 def test_auto_routes_dense_cliques_to_minlabel(spark, monkeypatch):
     """Clique-like dup clusters (edges >> nodes) take the O(diameter)
-    min-label path."""
+    min-label path (driver gate pinned to 0 — routing under test)."""
     from clickhouse_objects_analysis_spark.operators import dedup as d
 
+    monkeypatch.setattr(d, "_CC_DRIVER_GATE", 0)
     calls = []
     real = d.connected_components
     monkeypatch.setattr(
