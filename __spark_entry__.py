@@ -11,7 +11,7 @@ r10 window closed the entire backlog (CORRECTNESS_r01..r10 union =
 6 names) and the remaining window slots re-verify previously-green
 entries in the historical front order. Full-registry verification every
 round is tools/local_parity.py, which oracle-checks every entry
-regardless of this ordering (LOCAL_PARITY_r11: 449/449 green).
+regardless of this ordering (LOCAL_PARITY_r12: 450/450 green).
 """
 
 from __future__ import annotations

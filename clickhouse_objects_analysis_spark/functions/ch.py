@@ -3769,8 +3769,9 @@ def _byte_size_one(c: Column) -> Column:
     """One argument of ``byteSize``: fixed widths per the CH docs table,
     String = octet length + 9 (8-byte size prefix + terminator). typeof()
     folds to a constant per column, so the CASE costs nothing at run
-    time. Supported over the scalar/string set; arrays/maps raise at
-    analysis (documented subset in ch_catalog FAMILIES)."""
+    time. Supported over the scalar/string set; other types (arrays,
+    maps, structs) fall through the CASE to NULL — the documented
+    subset in ch_catalog FAMILIES."""
     t = F.call_function("typeof", c)
     expr = F.when(
         t == F.lit("string"), F.octet_length(c.cast("string")) + F.lit(9)

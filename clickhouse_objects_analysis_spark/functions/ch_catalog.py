@@ -463,7 +463,7 @@ FAMILIES: dict[str, dict[str, str]] = {
                 "bitSlice returns BINARY (a bit slice is arbitrary "
                 "bytes, which UTF-8 Spark strings cannot carry); "
                 "byteSize covers the fixed-width scalar set + String "
-                "(len+9) — arrays/maps raise at analysis; "
+                "(len+9) — arrays/maps/structs yield NULL; "
                 "convertCharset supports the JVM-portable charsets "
                 "Spark encode/decode accept (US-ASCII, ISO-8859-1, "
                 "UTF-8, UTF-16/BE/LE) vs CH's full ICU set",
