@@ -58,8 +58,10 @@ NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
         # of the original document, so outputs differ only when the
         # input carries whitespace between tokens. Identical on compact
         # documents; DuckDB's json_extract normalizes the same way.
+        # (simpleJSONExtractRaw is NOT in this set: r13 gave it the
+        # true first-occurrence raw-slice scan, bit-compatible modulo
+        # whitespace tolerance between the key quote and the colon.)
         "JSONExtractRaw",
-        "simpleJSONExtractRaw",
         "JSONExtractKeysAndValuesRaw",
         "JSONExtractArrayRaw",
     }
@@ -3451,6 +3453,89 @@ def _json_dumps_compact(node) -> str:
     return _json.dumps(node, separators=(",", ":"), ensure_ascii=False)
 
 
+def _simple_json_raw_scan(v: str, name: str) -> str:
+    """The simpleJSON* scan: find the FIRST occurrence of ``"name"``
+    followed by ``:`` at ANY nesting depth (a raw text search, not a
+    parse — CH's visitParam family, src/Functions/FunctionsVisitParam.h)
+    and return the raw slice of the value, separators included.
+    Not found → '' (the simpleJSON empty-result convention)."""
+    needle = f'"{name}"'
+    start = 0
+    n = len(v)
+    while True:
+        i = v.find(needle, start)
+        if i < 0:
+            return ""
+        j = i + len(needle)
+        while j < n and v[j] in " \t\r\n":
+            j += 1
+        if j < n and v[j] == ":":
+            j += 1
+            break
+        start = i + 1
+    while j < n and v[j] in " \t\r\n":
+        j += 1
+    if j >= n:
+        return ""
+    ch0 = v[j]
+    if ch0 in "{[":
+        close = "}" if ch0 == "{" else "]"
+        depth = 0
+        k = j
+        in_str = False
+        while k < n:
+            c = v[k]
+            if in_str:
+                if c == "\\":
+                    k += 1
+                elif c == '"':
+                    in_str = False
+            elif c == '"':
+                in_str = True
+            elif c in "{[":
+                depth += 1
+            elif c in "]}":
+                depth -= 1
+                if depth == 0 and c == close:
+                    return v[j : k + 1]
+            k += 1
+        return ""
+    if ch0 == '"':
+        k = j + 1
+        while k < n:
+            if v[k] == "\\":
+                k += 2
+                continue
+            if v[k] == '"':
+                return v[j : k + 1]
+            k += 1
+        return ""
+    k = j
+    while k < n and v[k] not in ",}] \t\r\n":
+        k += 1
+    return v[j:k]
+
+
+def _simple_json_extract_raw(c: Column, name) -> Column:
+    """``simpleJSONExtractRaw``: first-occurrence raw text scan for the
+    single key at any depth (NOT the path-navigating JSONExtractRaw —
+    it returns the verbatim slice of the original document and accepts
+    exactly one key)."""
+    if isinstance(name, Column):
+        raise TypeError("simpleJSONExtractRaw key must be a literal")
+    key = ("sjraw", str(name))
+    if key not in _R12_UDFS:
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _k=str(name): s.map(
+                lambda v: None
+                if v is None
+                else _simple_json_raw_scan(v, _k)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](c)
+
+
 def _json_extract_raw(c: Column, *keys) -> Column:
     """``JSONExtractRaw``: the extracted subtree re-serialized in
     compact form. NON_BIT_COMPATIBLE nuance: CH returns the raw slice
@@ -3477,7 +3562,9 @@ def _json_type(c: Column, *keys) -> Column:
     """``JSONType``: CH type-tag of the addressed node ('Object',
     'Array', 'String', 'Int64', 'UInt64', 'Double', 'Bool', 'Null');
     missing path → SQL NULL. Ints that fit Int64 tag as 'Int64' (the
-    simdjson signed-first rule), ≥ 2^63 as 'UInt64'."""
+    simdjson signed-first rule), [2^63, 2^64) as 'UInt64', and integer
+    literals outside any 64-bit range as 'Double' (simdjson falls back
+    to double parsing there)."""
     key = ("jtype", keys)
     if key not in _R12_UDFS:
 
@@ -3490,6 +3577,10 @@ def _json_type(c: Column, *keys) -> Column:
             if isinstance(node, bool):
                 return "Bool"
             if isinstance(node, int):
+                # simdjson's ranges: signed-first, UInt64 for
+                # [2^63, 2^64), Double outside any 64-bit range
+                if node >= 1 << 64 or node < -(1 << 63):
+                    return "Double"
                 return "UInt64" if node >= 1 << 63 else "Int64"
             if isinstance(node, float):
                 return "Double"
@@ -3875,9 +3966,10 @@ def _now64(precision=3) -> Column:
     saturates at micros (CH DateTime64 goes to 9; documented cap)."""
     p = min(int(precision), 6)
     q = 10 ** (6 - p)
-    return F.timestamp_micros(
-        (F.unix_micros(F.current_timestamp()) / q).cast("long") * q
-    )
+    um = F.unix_micros(F.current_timestamp())
+    # exact integer floor (pmod floors for negatives too; float
+    # division would truncate toward zero pre-1970)
+    return F.timestamp_micros(um - F.pmod(um, F.lit(q)))
 
 
 def _parse_datetime64_best_effort(c: Column, precision=3) -> Column:
@@ -3892,7 +3984,8 @@ def _parse_datetime64_best_effort(c: Column, precision=3) -> Column:
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
         F.try_to_timestamp(c, F.lit("dd/MM/yyyy HH:mm:ss")),
     )
-    return F.timestamp_micros((F.unix_micros(ts) / q).cast("long") * q)
+    um = F.unix_micros(ts)
+    return F.timestamp_micros(um - F.pmod(um, F.lit(q)))
 
 
 CH_FUNCTIONS.update(
@@ -3913,7 +4006,7 @@ CH_FUNCTIONS.update(
         "IPv6CIDRToRange": _ipv6_cidr_to_range,
         "JSONExtract": _json_extract_typed,
         "JSONExtractRaw": _json_extract_raw,
-        "simpleJSONExtractRaw": _json_extract_raw,
+        "simpleJSONExtractRaw": _simple_json_extract_raw,
         "JSONType": _json_type,
         "JSONExtractKeysAndValues": _json_extract_kv,
         "JSONExtractKeysAndValuesRaw": _json_extract_kv_raw,

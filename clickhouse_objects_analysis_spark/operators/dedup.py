@@ -25,6 +25,7 @@ import re
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame
 
 from .text import hash64, shingles, tokenize
@@ -820,7 +821,14 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    data = [(int(n), int(find(n))) for n in parent]
-    return e.sparkSession.createDataFrame(
-        data, "node long, component long"
+    data = [(n, find(n)) for n in parent]
+    # preserve the source id type so the sub-gate path matches the
+    # distributed paths on non-integer node ids (r12 advice)
+    node_t = e.schema[0].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_t, True),
+            T.StructField("component", node_t, True),
+        ]
     )
+    return e.sparkSession.createDataFrame(data, out_schema)

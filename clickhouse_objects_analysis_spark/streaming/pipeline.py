@@ -300,8 +300,34 @@ def _run_to_memory(
         record_state_metrics(q, name.rsplit("_", 1)[0])
 
 
-#: (session id, sf_dir) -> destination dirs of a completed fan-out run.
-_MV_FANOUT_CACHE: dict[tuple[int, str], dict[str, str]] = {}
+def _source_sig(sf_dir: str, table: str) -> str:
+    """Content signature of a parquet source: part paths + size +
+    mtime_ns, so a regenerated file under the same path invalidates
+    dependent caches (r12 advice — id(spark) keying served stale
+    fan-out results after an in-place rewrite)."""
+    import glob as _glob
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    items = []
+    for p in parts:
+        try:
+            st = os.stat(p)
+            items.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            items.append(f"{p}:missing")
+    return hashlib.md5("|".join(items).encode()).hexdigest()[:12]
+
+
+#: (source signatures) -> destination dirs of a completed fan-out run.
+#: Keyed on CONTENT (events + customer part lists with size/mtime), not
+#: session identity — the destinations are plain parquet dirs any
+#: session can read, and id(spark) can be reused after GC.
+_MV_FANOUT_CACHE: dict[tuple[str, str, str], dict[str, str]] = {}
 
 
 def shared_mv_fanout(spark: SparkSession, sf_dir: str) -> dict[str, str]:
@@ -324,7 +350,11 @@ def shared_mv_fanout(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     idempotent (exactly-once under foreachBatch's at-least-once
     contract). The static dimension is re-read per batch — the
     slowly-changing-dim semantics of the stream-static join."""
-    key = (id(spark), sf_dir)
+    key = (
+        sf_dir,
+        _source_sig(sf_dir, "events"),
+        _source_sig(sf_dir, "customer"),
+    )
     hit = _MV_FANOUT_CACHE.get(key)
     if hit is not None and all(os.path.isdir(p) for p in hit.values()):
         return hit
