@@ -103,11 +103,16 @@ _R12_ADDITIONS: list[str] = [
     "ch_r12_function_surface",
 ]
 
+# Round-13 additions (never driver-checked): front of the window.
+_R13_ADDITIONS: list[str] = [
+    "ch_r13_function_surface",
+]
+
 
 def _ordered(mapping: dict) -> dict:
     front = (
-        _R12_ADDITIONS + _R11_ADDITIONS + _NEVER_DRIVER_GREEN
-        + _R10_ADDITIONS
+        _R13_ADDITIONS + _R12_ADDITIONS + _R11_ADDITIONS
+        + _NEVER_DRIVER_GREEN + _R10_ADDITIONS
     )
     out = {k: mapping[k] for k in front if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)

@@ -37,7 +37,8 @@ Builder = Callable[..., Column]
 NON_BIT_COMPATIBLE: frozenset[str] = frozenset(
     {
         "cityHash64",  # → xxhash64 (different 64-bit hash family)
-        "sipHash64",  # → xxhash64
+        # (sipHash64 left this set in r13: true SipHash-2-4 kernel,
+        # Guava-validated bit-exact — functions/hash_kernels.py)
         "xxHash64",  # same algorithm, different seed (Spark 42, CH 0)
         "farmHash64",  # → xxhash64
         "uniq",  # → Spark HLL++ (different sketch + bias tables)
@@ -4014,6 +4015,274 @@ CH_FUNCTIONS.update(
         "bitSlice": _bit_slice,
         "byteSize": _byte_size,
         "convertCharset": _convert_charset,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# r13 band: the final mechanically-promotable names — bit-level hash
+# kernels (functions/hash_kernels.py; validation tiers in that module's
+# docstring), no-ops, WGS-84 distance, compensated summation, timezone
+# introspection, toTypeName, and the random generators.
+# ---------------------------------------------------------------------------
+
+def _kernel_hash(name: str, fn, out: str = "long", signed64: bool = False):
+    """Column builder over a bytes-level kernel from hash_kernels.py.
+    String input contributes its UTF-8 bytes (the CH String hash
+    contract); UInt64 outputs render as two's-complement BIGINT when
+    ``signed64`` (the established CRC64 convention)."""
+
+    def build(c: Column) -> Column:
+        key = ("khash", name)
+        if key not in _R12_UDFS:
+
+            def one(v, _f=fn, _s=signed64):
+                h = _f(v.encode("utf-8") if isinstance(v, str) else bytes(v))
+                if _s and h >= 1 << 63:
+                    h -= 1 << 64
+                return h
+
+            _R12_UDFS[key] = F.pandas_udf(
+                lambda s, _g=one: s.map(
+                    lambda v: None if v is None else _g(v)
+                ),
+                out,
+            )
+        return _R12_UDFS[key](c)
+
+    return build
+
+
+def _murmur3_128_bytes(v: bytes) -> bytes:
+    from .hash_kernels import murmur3_x64_128
+
+    h1, h2 = murmur3_x64_128(v)
+    return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+
+
+def _geo_distance(lon1, lat1, lon2, lat2) -> Column:
+    """``geoDistance``: surface distance on the WGS-84 ellipsoid in
+    meters via the Andoyer-Lambert first-order flattening correction —
+    all JVM-side built-ins (no UDF), so it codegens and scales.
+    NON_BIT_COMPATIBLE: CH evaluates a float32 piecewise-polynomial
+    approximation of the same quantity; both are documented
+    approximations of the WGS-84 geodesic (sub-0.5% apart)."""
+    a_m = F.lit(6378137.0)  # WGS-84 semi-major axis
+    flat = F.lit(1.0 / 298.257223563)
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    fm = (p1 + p2) / 2
+    gm = (p1 - p2) / 2
+    lm = (F.radians(lon1) - F.radians(lon2)) / 2
+    s = F.pow(F.sin(gm), 2) * F.pow(F.cos(lm), 2) + F.pow(
+        F.cos(fm), 2
+    ) * F.pow(F.sin(lm), 2)
+    c = F.pow(F.cos(gm), 2) * F.pow(F.cos(lm), 2) + F.pow(
+        F.sin(fm), 2
+    ) * F.pow(F.sin(lm), 2)
+    # try_divide: coincident points give S = W = 0 (ANSI-safe 0/0 →
+    # NULL), antipodal quarter-cases give C = 0; both coalesce to the
+    # uncorrected great-circle term below
+    w = F.atan(F.sqrt(F.try_divide(s, c)))
+    d = 2 * w * a_m
+    r = F.try_divide(F.sqrt(s * c), w)
+    h1 = F.try_divide(3 * r - 1, 2 * c)
+    h2 = F.try_divide(3 * r + 1, 2 * s)
+    corr = d * (
+        1
+        + flat * h1 * F.pow(F.sin(fm), 2) * F.pow(F.cos(gm), 2)
+        - flat * h2 * F.pow(F.cos(fm), 2) * F.pow(F.sin(gm), 2)
+    )
+    return F.coalesce(
+        F.when(F.isnan(corr), F.lit(0.0)).otherwise(corr), d, F.lit(0.0)
+    )
+
+
+def _sum_kahan(c: Column) -> Column:
+    """``sumKahan``: error-compensated float summation. Implemented as
+    exact Shewchuk summation (math.fsum — strictly tighter than Kahan)
+    in an Arrow grouped-agg UDF. Scale note: grouped-agg UDFs skip
+    map-side partial aggregation (every value shuffles to its group),
+    so at 100 TB prefer plain sum() unless the compensation is the
+    point."""
+    key = "sumkahan"
+    if key not in _R12_UDFS:
+        import math
+
+        from pyspark.sql.functions import PandasUDFType
+
+        def fsum_agg(v):
+            return math.fsum(v.dropna())
+
+        _R12_UDFS[key] = F.pandas_udf(
+            fsum_agg, "double", PandasUDFType.GROUPED_AGG
+        )
+    return _R12_UDFS[key](c.cast("double"))
+
+
+def _sum_with_overflow(c: Column) -> Column:
+    """``sumWithOverflow``: sum with Int64 wraparound (CH keeps the
+    input width and lets it wrap). Exact total in decimal(38,0), then
+    one mod-2^64 wrap back into signed range — wrap(sum) == sum of
+    per-add wraps."""
+    # 2^63 exceeds the Java long literal range — go through string casts
+    two63 = F.expr(f"CAST('{1 << 63}' AS DECIMAL(38,0))")
+    two64 = F.expr(f"CAST('{1 << 64}' AS DECIMAL(38,0))")
+    s = F.sum(c.cast("decimal(38,0)"))
+    return (F.pmod(s + two63, two64) - two63).cast("long")
+
+
+def _spark_type_to_ch(t: str) -> str:
+    """Inverse of ``_ch_type_to_spark``: Spark typeof() text → CH type
+    name (the documented scalar/array/map subset; unknown types pass
+    through verbatim)."""
+    t = t.strip()
+    prim = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "bigint": "Int64", "float": "Float32", "double": "Float64",
+        "string": "String", "boolean": "Bool", "date": "Date32",
+        "timestamp": "DateTime64(6)", "timestamp_ntz": "DateTime64(6)",
+        "binary": "String", "void": "Nothing",
+    }
+    if t in prim:
+        return prim[t]
+    if t.startswith("decimal(") and t.endswith(")"):
+        return "Decimal(" + t[8:-1] + ")"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"Array({_spark_type_to_ch(t[6:-1])})"
+    if t.startswith("map<") and t.endswith(">"):
+        inner = t[4:-1]
+        depth = 0
+        for i, ch in enumerate(inner):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return (
+                    f"Map({_spark_type_to_ch(inner[:i])}, "
+                    f"{_spark_type_to_ch(inner[i + 1:])})"
+                )
+    return t
+
+
+def _to_type_name(c: Column) -> Column:
+    """``toTypeName``: CH type name of the expression, derived from
+    Spark's typeof() (constant-folds per column) through the inverse of
+    the r12 CH-type→Spark-schema map."""
+    key = "totypename"
+    if key not in _R12_UDFS:
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s: s.map(
+                lambda v: None if v is None else _spark_type_to_ch(v)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](F.call_function("typeof", c))
+
+
+def _register_r13_band() -> None:
+    from . import hash_kernels as hk
+
+    CH_FUNCTIONS.update(
+        {
+            # no-ops: CH uses these to steer its optimizer/analyzer;
+            # the value contract is the identity (or constant 0)
+            "identity": lambda c: c,
+            "materialize": lambda c: c,
+            "ignore": lambda *cs: F.lit(0),
+            "concatAssumeInjective": lambda *cs: F.concat(*cs),
+            # bit-level hash kernels — validation tier per kernel in
+            # hash_kernels.py's module docstring
+            "murmurHash2_32": _kernel_hash("mm2_32", hk.murmur2_32),
+            "murmurHash2_64": _kernel_hash(
+                "mm2_64", hk.murmur2_64a, signed64=True
+            ),
+            # gcc libstdc++ _Hash_bytes == MurmurHash64A @ seed
+            # 0xc70f6907 (hash_bytes.cc); same kernel, gcc's seed
+            "gccMurmurHash": _kernel_hash(
+                "gccmm",
+                lambda b: hk.murmur2_64a(b, 0xC70F6907),
+                signed64=True,
+            ),
+            # h1 ^ h2 of the x64_128 kernel — FunctionsHashing.h
+            # MurmurHash3Impl64's fold
+            "murmurHash3_64": _kernel_hash(
+                "mm3_64",
+                lambda b, _m=hk.murmur3_x64_128: (
+                    lambda t: t[0] ^ t[1]
+                )(_m(b)),
+                signed64=True,
+            ),
+            "murmurHash3_128": _kernel_hash(
+                "mm3_128", _murmur3_128_bytes, out="binary"
+            ),
+            "metroHash64": _kernel_hash(
+                "metro", hk.metro_hash64, signed64=True
+            ),
+            "farmFingerprint64": _kernel_hash(
+                "farmfp", hk.farm_fingerprint64, signed64=True
+            ),
+            "wyHash64": _kernel_hash(
+                "wyh", hk.wy_hash64, signed64=True
+            ),
+            "xxh3": _kernel_hash("xxh3", hk.xxh3_64, signed64=True),
+            # upgrade: sipHash64 was NBC-mapped to xxhash64 through
+            # r12; now the true SipHash-2-4(k=0,0) kernel,
+            # Guava-validated bit-exact
+            "sipHash64": _kernel_hash(
+                "sip64", hk.sip_hash_2_4, signed64=True
+            ),
+            "geoDistance": _geo_distance,
+            "sumKahan": _sum_kahan,
+            "sumWithOverflow": _sum_with_overflow,
+            # timezone introspection — sessions pin a zone, so these
+            # fold to constants per plan
+            "timeZoneOf": lambda c: F.current_timezone(),
+            "timeZoneOffset": lambda c: (
+                F.unix_seconds(
+                    F.from_utc_timestamp(c, F.current_timezone())
+                )
+                - F.unix_seconds(c)
+            ),
+            "toTypeName": _to_type_name,
+            # random generators (nondeterministic — contract-tested)
+            "rand": lambda: F.floor(F.rand() * F.lit(1 << 32)).cast(
+                "long"
+            ),
+            "rand32": lambda: F.floor(F.rand() * F.lit(1 << 32)).cast(
+                "long"
+            ),
+            # full-entropy 64-bit: xxhash64 over a fresh v4 UUID
+            # (two's-complement rendering of CH's UInt64 contract)
+            "rand64": lambda: F.xxhash64(F.uuid()),
+            "randCanonical": lambda: F.rand(),
+            "generateUUIDv4": lambda: F.uuid(),
+        }
+    )
+
+
+_register_r13_band()
+
+NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
+    {
+        # r13 spec-transcribed kernels: the variant each implements is
+        # pinned (metrohash64_2 constants; XXH3 with the published
+        # kSecret, empty-input canonical value asserted) but no
+        # independent implementation exists in this container to
+        # certify byte parity with the upstream revision CH vendors.
+        # wyHash64 matches the CH docs example
+        # wyHash64('ClickHouse') = 12336419557878201794 and is treated
+        # as bit-exact; sipHash64 was REMOVED from this set in r13
+        # (true SipHash-2-4 kernel, Guava-validated).
+        "metroHash64",
+        "xxh3",
+        # geoDistance: Andoyer-Lambert ellipsoidal approximation vs
+        # CH's float32 piecewise polynomial — same WGS-84 contract,
+        # different approximation error (sub-0.5%)
+        "geoDistance",
+        # sumKahan: exact Shewchuk fsum — at least as accurate as CH's
+        # Kahan compensation, not the same rounding trajectory
+        "sumKahan",
     }
 )
 

@@ -542,15 +542,11 @@ UNSUPPORTED: dict[str, str] = {
     "neighbor": "engine-internal block function; lag/lead over a window is the portable form",
     "runningDifferenceStartingWithFirstValue": "deprecated block-local fn",
     "runningConcurrency": "deprecated block-local fn; intervalLengthSum query covers the use case",
-    "materialize": "constant-folding control, meaningless under Catalyst",
-    "ignore": "side-effect-free placeholder",
     "indexHint": "CH index-internals hint",
     "replicate": "engine-internal",
-    "identity": "optimizer-barrier debug fn",
     "isConstant": "plan introspection",
     "hasColumnInTable": "catalog introspection: spark.catalog.listColumns",
     "visibleWidth": "pretty-format internal",
-    "toTypeName": "type introspection: DataFrame.schema / typeof() differs per engine",
     "sleep": "side-effect / DoS-shaped; deliberately not reproduced",
     "sleepEachRow": "side-effect / DoS-shaped",
     "file": "server-filesystem read; sources/io.py table functions cover file ingestion",
@@ -565,10 +561,6 @@ UNSUPPORTED: dict[str, str] = {
     # --- nondeterministic by design: rebuild policy is seeded
     # determinism (SURVEY §6); Spark rand(seed)/uuid() exist but a
     # value-parity oracle is impossible by construction
-    "rand": "nondeterministic; Spark rand(seed) + deterministic_sample query are the seeded forms",
-    "rand32": "nondeterministic",
-    "rand64": "nondeterministic",
-    "randCanonical": "nondeterministic",
     "randConstant": "nondeterministic",
     "randUniform": "nondeterministic",
     "randNormal": "nondeterministic; Spark randn(seed)",
@@ -577,7 +569,6 @@ UNSUPPORTED: dict[str, str] = {
     "randomString": "nondeterministic",
     "randomPrintableASCII": "nondeterministic",
     "fuzzBits": "nondeterministic fuzzing",
-    "generateUUIDv4": "nondeterministic; Spark uuid() exists but is unoracleable",
     "generateUUIDv7": "nondeterministic",
     "serverUUID": "server-introspection",
     # --- native/library dependencies absent from the environment
@@ -594,16 +585,7 @@ UNSUPPORTED: dict[str, str] = {
     "detectTonality": "model dependency",
     "detectCharset": "model dependency",
     "BLAKE3": "native hash lib not in Spark/JVM stdlib",
-    "xxh3": "not exposed by Spark; xxhash64 is the family member Spark ships",
-    "wyHash64": "not in JVM/Spark",
-    "metroHash64": "not in JVM/Spark",
-    "gccMurmurHash": "compiler-specific variant",
-    "murmurHash2_32": "legacy variant not in Spark (murmurHash3_32 mapped)",
-    "murmurHash2_64": "legacy variant",
-    "murmurHash3_64": "Spark exposes 32-bit murmur3 and 64-bit xxhash only",
-    "murmurHash3_128": "128-bit output exceeds Spark hash builtins",
     "sipHash128": "128-bit output; sipHash64 mapped to xxhash64 (documented non-bit-compatible)",
-    "farmFingerprint64": "fingerprint variant; farmHash64 mapped (non-bit-compatible)",
     "MD4": "obsolete digest, not in Spark",
     "ngramSimHash": "registry implements document-level SimHash (dedup.py simhash64) rather than the scalar",
     "wordShingleSimHash": "registry simhash64 covers shingled simhash at the operator level",
@@ -611,9 +593,7 @@ UNSUPPORTED: dict[str, str] = {
     "wordShingleMinHash": "registry minhash_lsh covers at the operator level",
     # --- bitmap engine type (roaring bitmaps) — no Spark column type
     # --- geo beyond the mapped great-circle/polygon/geohash set
-    "geoDistance": "WGS84-ellipsoid variant; greatCircleDistance mapped",
     # --- misc scalar gaps, each with a concrete reason
-    "concatAssumeInjective": "GROUP BY optimization hint, meaningless under Catalyst",
     "normalizeQuery": "CH query-text normalizer (parser-coupled)",
     "normalizedQueryHash": "CH query-text normalizer",
     "multiFuzzyMatchAny": "Hyperscan fuzzy matching",
@@ -621,8 +601,6 @@ UNSUPPORTED: dict[str, str] = {
     "emptyArrayToSingle": "engine-internal",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
     "nowInBlock": "engine-internal block semantics",
-    "timeZoneOf": "Spark timestamps carry no zone (UTC-normalized)",
-    "timeZoneOffset": "same — no per-value zone",
     "addTupleOfIntervals": "tuple-typed interval batch",
     "formatDateTimeInJodaSyntax": "Joda pattern dialect; formatDateTime (MySQL syntax) mapped",
     "fromUnixTimestampInJodaSyntax": "Joda dialect",
@@ -638,8 +616,6 @@ UNSUPPORTED: dict[str, str] = {
     "evalMLMethod": "applies a trained CH model state; kmeans/regression registry queries are the rebuild's ML path",
     "quantileTDigestWeighted": "weighted t-digest; quantileTDigest mapped to percentile_approx, weighted exact form implemented (quantilesExactWeighted)",
     "quantileBFloat16": "bfloat16 histogram sketch, CH-internal",
-    "sumKahan": "Spark aggregates double-sum in partition order; Kahan compensation not exposed",
-    "sumWithOverflow": "wraparound semantics conflict with Spark ANSI overflow",
     "-Resample": "combinator: bucketed re-aggregation; GROUP BY the bucket expr is the relational form",
     "-MergeState": "sketch-state merge output; -State/-Merge covered within-engine",
     "-SimpleState": "storage-level combinator, no query-time semantics",
