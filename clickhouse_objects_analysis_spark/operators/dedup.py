@@ -427,15 +427,42 @@ def _hashed_pair_intersections(
         "id", F.xxhash64("s").alias("sh")
     )
     if max_df is not None:
-        # The stop list (only mega-df shingles) is tiny — broadcast the
-        # anti-join; posting lists shrink before any pair is formed.
-        stop = (
-            inv.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+        # r13 kernel: the df cap rides a WINDOW COUNT over the join's
+        # own hash(sh) exchange instead of a separate stop-list
+        # groupBy + broadcast anti-join. One shuffle of the index
+        # replaces three (stop groupBy + two self-join exchanges —
+        # the window output is already hash(sh)-partitioned, so both
+        # SHJ sides consume it without re-exchanging), and df >= 2
+        # drops singleton grams (the vast majority of the index)
+        # before the join sees them. Same semantics: df counted over
+        # ALL docs, df > max_df grams dropped (the documented
+        # lower-bound cap).
+        from pyspark.sql import Window as _W
+
+        capped = (
+            inv.withColumn(
+                "df", F.count(F.lit(1)).over(_W.partitionBy("sh"))
+            )
+            .filter((F.col("df") >= 2) & (F.col("df") <= int(max_df)))
+            .drop("df")
         )
-        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
+        # Only ONE join side needs the cap: a pair survives iff its
+        # gram survives on the capped side, and the raw side holds a
+        # superset of every capped gram's rows — so pairs are
+        # identical, and the raw probe side skips the Window+Sort pass
+        # entirely (one in-partition sort of the full index saved).
+        return (
+            capped.alias("a")
+            .join(
+                inv.alias("b").hint("shuffle_hash"),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inv.alias("a")
         .join(
