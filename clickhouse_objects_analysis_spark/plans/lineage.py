@@ -39,6 +39,10 @@ from .chparse import (
     token_table_dependencies,
 )
 
+#: Raw-text trigger for the silent-misparse guard in
+#: parse_table_dependencies_tagged — see the comment there.
+_ARRAY_JOIN_TEXT_RE = re.compile(r"\bARRAY\s+JOIN\b", re.IGNORECASE)
+
 # --------------------------------------------------------------------------
 # Catalog layer (A1-A3)
 # --------------------------------------------------------------------------
@@ -209,8 +213,27 @@ def parse_table_dependencies_tagged(
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
         _scan_plan_json(_json.loads(plan.toJSON()), relations, cte_names)
 
+    # SILENT-misparse guard (r13): `FROM t ARRAY JOIN arr AS e` is
+    # VALID Spark syntax with the wrong meaning — `ARRAY` parses as
+    # t's alias and `JOIN arr` as a relation, so the direct parse
+    # succeeds and reports the exploded COLUMN as a phantom table dep.
+    # Unlike PREWHERE/FINAL/SAMPLE (which fail the direct parse and
+    # fall into the promotion step naturally), this one must be
+    # rewritten BEFORE the first parse. The token-aware rewrite only
+    # reports 'array_join' when the clause exists outside string
+    # literals, so a literal containing the words stays on the
+    # direct path.
+    to_parse = sql_text
+    if _ARRAY_JOIN_TEXT_RE.search(sql_text):
+        try:
+            rewritten, applied = ch_to_spark_sql(sql_text)
+            if "array_join" in applied:
+                to_parse = rewritten
+        except Exception:
+            pass  # unparseable text falls through the normal ladder
+
     try:
-        _parse(sql_text)
+        _parse(to_parse)
     except Exception:
         # Promotion step (r8 verdict #6, extended r10 with dictionary
         # DDL): CH-only SURFACE syntax (PREWHERE, SETTINGS, ENGINE

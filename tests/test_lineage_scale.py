@@ -606,3 +606,162 @@ def test_write_edge_fidelity_corpus_recorded(spark):
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
     assert elapsed < 30, f"write-edge corpus extraction took {elapsed:.1f}s"
+
+
+def _r13_construct_catalog(n: int) -> list[tuple[str, str, str, str]]:
+    """r12 verdict #5 corpus: the DDL classes the 1,600-view record
+    predates — ARRAY JOIN views (bare and LEFT, the silent-misparse
+    construct: Spark PARSES `t ARRAY JOIN arr AS e` successfully with
+    `ARRAY` as t's alias and the exploded COLUMN as a phantom JOIN
+    relation, so the r13 guard must force the rewrite BEFORE the first
+    parse), table-function sources (s3()/url()/numbers() — the
+    reference's A8 exclusion, ch_view_dependencies.py:218-220),
+    UNION-of-SELECTs views, and nested-subquery chains. Returns
+    (db, name, ddl, construct_class)."""
+    views = []
+    for i in range(n):
+        name = f"c_{i:04d}"
+        if i % 6 == 0:
+            ddl = (
+                f"CREATE VIEW cat.{name} AS SELECT id, e "
+                f"FROM cat.t_{i % 50} ARRAY JOIN tags AS e"
+            )
+            cls = "array_join"
+        elif i % 6 == 1:
+            ddl = (
+                f"CREATE VIEW cat.{name} AS SELECT id, x "
+                f"FROM cat.t_{i % 50} LEFT ARRAY JOIN arr AS x "
+                f"WHERE id > 0"
+            )
+            cls = "array_join_left"
+        elif i % 6 == 2:
+            fn = (
+                "s3('https://bucket/data.csv', 'CSVWithNames')"
+                if i % 12 == 2
+                else "url('https://e.com/d.json', 'JSONEachRow', 'id Int64')"
+            )
+            ddl = (
+                f"CREATE VIEW cat.{name} AS SELECT a.id "
+                f"FROM cat.t_{i % 50} a JOIN {fn} b ON a.id = b.id"
+            )
+            cls = "table_function_join"
+        elif i % 6 == 3:
+            ddl = (
+                f"CREATE VIEW cat.{name} AS "
+                f"SELECT number AS id FROM numbers({100 + i})"
+            )
+            cls = "table_function_only"
+        elif i % 6 == 4:
+            ddl = (
+                f"CREATE VIEW cat.{name} AS "
+                f"SELECT id FROM cat.t_{i % 50} "
+                f"UNION ALL SELECT id FROM cat.u_{i % 11} "
+                f"UNION ALL SELECT k AS id FROM cat.dim_{i % 7}"
+            )
+            cls = "union_selects"
+        else:
+            ddl = (
+                f"CREATE VIEW cat.{name} AS SELECT x.id, y.name FROM "
+                f"(SELECT id FROM (SELECT id, k FROM cat.t_{i % 50} "
+                f"WHERE k > 0) WHERE id < 100) x JOIN "
+                f"(SELECT k, name FROM cat.dim_{i % 7}) y ON x.id = y.k"
+            )
+            cls = "nested_subqueries"
+        views.append(("cat", name, ddl, cls))
+    return views
+
+
+def test_r13_construct_fidelity_corpus_recorded(spark):
+    """r12 verdict #5: extend the fidelity record to ARRAY JOIN views,
+    table-function sources, UNION-of-SELECTs, and nested-subquery
+    chains — 600 more views on top of the 1,000-view ladder and the
+    600-view write-edge corpus (total 2,200). Every edge must ride the
+    exact path, table functions must contribute NO dependency edges
+    (A8), and ARRAY JOIN must contribute neither a phantom column-dep
+    nor lose the base table. Appends r13_construct_corpus to
+    LINEAGE_FIDELITY.json."""
+    import json
+    import os
+    import time as _time
+
+    from clickhouse_objects_analysis_spark.plans.lineage import (
+        view_dependencies_with_method,
+    )
+
+    n = 600
+    cat = _r13_construct_catalog(n)
+    cls_of = {f"cat.{name}": cls for _, name, _, cls in cat}
+    t0 = _time.perf_counter()
+    edges, errors = view_dependencies_with_method(
+        spark, [(db, name, ddl) for db, name, ddl, _ in cat]
+    )
+    rows = edges.collect()
+    elapsed = _time.perf_counter() - t0
+    assert errors.count() == 0
+    methods: dict[str, int] = {}
+    deps: dict[str, set] = {}
+    breakdown: dict[str, dict] = {}
+    for r in rows:
+        methods[r.method] = methods.get(r.method, 0) + 1
+        deps.setdefault(r.view, set()).add(r.dep)
+        b = breakdown.setdefault(
+            cls_of[r.view], {"views": set(), "edges": 0, "methods": set()}
+        )
+        b["views"].add(r.view)
+        b["edges"] += 1
+        b["methods"].add(r.method)
+    # reference-visitor expectation, view by view
+    for i in range(n):
+        view = f"cat.c_{i:04d}"
+        cls = cls_of[view]
+        if cls in ("array_join", "array_join_left", "table_function_join"):
+            assert deps.get(view) == {f"cat.t_{i % 50}"}, (view, deps.get(view))
+        elif cls == "table_function_only":
+            # numbers() is a table function, not a relation (A8):
+            # zero dependency edges, zero error rows
+            assert view not in deps, (view, deps.get(view))
+        elif cls == "union_selects":
+            assert deps.get(view) == {
+                f"cat.t_{i % 50}", f"cat.u_{i % 11}", f"cat.dim_{i % 7}"
+            }, view
+        else:
+            assert deps.get(view) == {
+                f"cat.t_{i % 50}", f"cat.dim_{i % 7}"
+            }, view
+    assert set(methods) == {"exact"}, methods
+    record = {
+        "views": n,
+        "edges_exact": methods.get("exact", 0),
+        "edges_token": methods.get("token", 0),
+        "edge_fidelity_ratio": 1.0,
+        "elapsed_sec": round(elapsed, 2),
+        "constructs": {
+            cls: {
+                "views": len(b["views"]),
+                "edges": b["edges"],
+                "methods": sorted(b["methods"]),
+            }
+            for cls, b in sorted(breakdown.items())
+        },
+        "note": (
+            "ARRAY JOIN rides the r13 silent-misparse guard "
+            "(plans/lineage.py parse_table_dependencies_tagged: the "
+            "clause is VALID Spark syntax with the wrong meaning, so "
+            "the mechanical rewrite is forced BEFORE the first parse); "
+            "table-function-only views contribute zero edges by the A8 "
+            "exclusion and are asserted per-view, so they carry no "
+            "breakdown row; cumulative corpus = 1,000 (mixed ladder) + "
+            "600 (write-edge) + 600 (this) = 2,200 views."
+        ),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "LINEAGE_FIDELITY.json")
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {}
+    doc["r13_construct_corpus"] = record
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    assert elapsed < 30, f"r13 construct corpus extraction took {elapsed:.1f}s"
