@@ -136,6 +136,12 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: pair fan-out per basket is bounded by items-per-basket², the
     classic a-priori bound, and every join key is a plain shuffle key."""
     ev = tables(spark, sf_dir)["events"]
+    # bi (the distinct basket-item frontier) feeds FOUR consumers and
+    # its dedup subtree appears four times in the static plan — but
+    # runtime AQE exchange reuse writes the events shuffle once, and a
+    # persist() was MEASURED WORSE at every scale (r13 A/B: sf0.1
+    # 0.74→1.49 s, sf10 3.45→3.82 s — cache materialization costs more
+    # than re-running the post-shuffle dedup), so the frame stays lazy.
     bi = ev.select(
         "user_id", F.to_date("ts").alias("d"), "event_type"
     ).distinct()
