@@ -414,29 +414,39 @@ def char_ngram_jaccard_pairs(
 
 
 def _hashed_pair_intersections(
-    sets: DataFrame, max_df: int | None = None
+    sets: DataFrame,
+    max_df: int | None = None,
+    cap_strategy: str = "stoplist",
 ) -> DataFrame:
     """(id_a, id_b, inter) co-occurrence counts over the xxhash64-keyed
     inverted index — the shared pair-join discipline of the exact
     Jaccard/containment family (r11): 8-byte shuffle keys instead of
-    gram text, optional broadcast stop-list df cap BEFORE any pair is
-    formed, and a pinned ShuffledHashJoin self-join (sort-merge would
-    sort both ~E-sized index sides — measured 53→12 s at the 500k-doc
-    point). One definition so the next pair-join tuning lands once."""
+    gram text, optional df cap BEFORE any pair is formed, and a pinned
+    ShuffledHashJoin self-join (sort-merge would sort both ~E-sized
+    index sides — measured 53→12 s at the 500k-doc point). One
+    definition so the next pair-join tuning lands once.
+
+    ``cap_strategy`` picks how the df cap is applied (identical
+    output, different plan):
+
+    - ``"stoplist"`` (default): groupBy-count the over-cap grams and
+      broadcast an anti-join — three full-index exchanges, but the
+      stop groupBy combines map-side to distinct-gram size and NO
+      in-partition sort of the raw index. The robust choice for
+      high-density indexes (char k-grams: ~10× the word-trigram index;
+      the r13 window variant OOM-killed the sf10 char sweep).
+    - ``"window"``: a window count over the join's own hash(sh)
+      exchange, applied to ONE side only — a pair survives iff its
+      gram survives on the capped side, and the raw build side holds
+      a superset of every capped gram's rows, so emitted pairs are
+      provably identical. One full-index exchange replaces three, at
+      the cost of one in-partition sort of the index. Measured on
+      word trigrams (containment, sf10): 28.4 → 22.0 s. Opt in where
+      the index is trigram-sized and the sort provably fits."""
     inv = sets.select("id", F.explode("shingles").alias("s")).select(
         "id", F.xxhash64("s").alias("sh")
     )
-    if max_df is not None:
-        # r13 kernel: the df cap rides a WINDOW COUNT over the join's
-        # own hash(sh) exchange instead of a separate stop-list
-        # groupBy + broadcast anti-join. One shuffle of the index
-        # replaces three (stop groupBy + two self-join exchanges —
-        # the window output is already hash(sh)-partitioned, so both
-        # SHJ sides consume it without re-exchanging), and df >= 2
-        # drops singleton grams (the vast majority of the index)
-        # before the join sees them. Same semantics: df counted over
-        # ALL docs, df > max_df grams dropped (the documented
-        # lower-bound cap).
+    if max_df is not None and cap_strategy == "window":
         from pyspark.sql import Window as _W
 
         capped = (
@@ -446,11 +456,6 @@ def _hashed_pair_intersections(
             .filter((F.col("df") >= 2) & (F.col("df") <= int(max_df)))
             .drop("df")
         )
-        # Only ONE join side needs the cap: a pair survives iff its
-        # gram survives on the capped side, and the raw side holds a
-        # superset of every capped gram's rows — so pairs are
-        # identical, and the raw probe side skips the Window+Sort pass
-        # entirely (one in-partition sort of the full index saved).
         return (
             capped.alias("a")
             .join(
@@ -463,6 +468,16 @@ def _hashed_pair_intersections(
             )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
+    if max_df is not None:
+        # The stop list (only mega-df shingles) is tiny — broadcast the
+        # anti-join; posting lists shrink before any pair is formed.
+        stop = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_df))
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(stop), "sh", "left_anti")
     return (
         inv.alias("a")
         .join(
@@ -532,7 +547,10 @@ def containment_pairs(
     codegen projections."""
     sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sets.select("id", F.size("shingles").alias("sz"))
-    inter = _hashed_pair_intersections(sets, max_df)
+    # word-trigram index → the single-exchange window cap (r13:
+    # sf10 28.4 → 22.0 s; see _hashed_pair_intersections for why the
+    # denser char-gram indexes stay on the stop-list plan)
+    inter = _hashed_pair_intersections(sets, max_df, cap_strategy="window")
     a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
     b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
     both = inter.join(F.broadcast(a_sz), "id_a").join(
