@@ -106,6 +106,7 @@ _R12_ADDITIONS: list[str] = [
 # Round-13 additions (never driver-checked): front of the window.
 _R13_ADDITIONS: list[str] = [
     "ch_r13_function_surface",
+    "ch_r13_function_surface_2",
 ]
 
 

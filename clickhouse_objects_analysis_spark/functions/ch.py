@@ -4263,6 +4263,435 @@ def _register_r13_band() -> None:
 
 _register_r13_band()
 
+
+# ---------------------------------------------------------------------------
+# r13 band 2: Joda-syntax datetime trio, the AES encrypt/decrypt family
+# (Spark's JVM-side aes_encrypt/aes_decrypt — FIPS-197/SP 800-38A
+# validated in tests), random distributions, MD4, formatRow, and the
+# block/server introspection set.
+# ---------------------------------------------------------------------------
+
+#: process-stable identifiers for the introspection set
+_R13B_START_TS = __import__("time").time()
+_R13B_SERVER_UUID = str(__import__("uuid").uuid4())
+
+
+def _cipher_mode(mode) -> tuple[int, str]:
+    """'aes-128-ecb' → (16, 'ECB'). Literal-only (plan-time dispatch);
+    supported block modes are the Spark-native ECB/CBC/GCM subset of
+    CH's list (documented in ch_catalog FAMILIES)."""
+    if isinstance(mode, Column):
+        raise TypeError("cipher mode must be a string literal")
+    parts = str(mode).lower().split("-")
+    if (
+        len(parts) != 3
+        or parts[0] != "aes"
+        or parts[1] not in ("128", "192", "256")
+        or parts[2] not in ("ecb", "cbc", "gcm")
+    ):
+        raise ValueError(f"unsupported cipher mode {mode!r}")
+    return int(parts[1]) // 8, parts[2].upper()
+
+
+def _encrypt(mode, plain, key, iv=None, aad=None) -> Column:
+    """``encrypt(mode, plaintext, key[, iv[, aad]])``: CH output layout
+    — ECB/CBC emit ciphertext only (PKCS#7 padded), GCM emits
+    ciphertext || 16-byte tag. Spark prefixes the IV on CBC/GCM
+    output, so the prefix is stripped to match; CBC/GCM therefore
+    REQUIRE the explicit-iv call shape (CH's recommended one)."""
+    _klen, smode = _cipher_mode(mode)
+    plain_b = plain.cast("binary") if isinstance(plain, Column) else F.lit(plain)
+    key_b = key.cast("binary") if isinstance(key, Column) else F.lit(key)
+    if smode == "ECB":
+        return F.aes_encrypt(plain_b, key_b, F.lit(smode))
+    if iv is None:
+        raise TypeError(f"{smode} needs an explicit iv (the CH call shape)")
+    iv_b = iv.cast("binary") if isinstance(iv, Column) else F.lit(iv)
+    aad_b = (
+        (aad.cast("binary") if isinstance(aad, Column) else F.lit(aad))
+        if aad is not None
+        else F.lit(b"")
+    )
+    out = F.aes_encrypt(
+        plain_b, key_b, F.lit(smode), F.lit("DEFAULT"), iv_b, aad_b
+    )
+    # Spark prefixes the IV (16 bytes CBC, 12 GCM); CH does not.
+    skip = 12 if smode == "GCM" else 16
+    return F.substring(out, skip + 1, 2147483647)
+
+
+def _decrypt(mode, ct, key, iv=None, aad=None, try_: bool = False) -> Column:
+    """``decrypt``/``tryDecrypt``: rebuild Spark's iv-prefixed layout
+    from the CH one (prepend the explicit iv), then aes_decrypt /
+    try_aes_decrypt. Returns BINARY (CH returns String; Spark strings
+    must be valid UTF-8, so the caller casts when the plaintext is
+    text)."""
+    _klen, smode = _cipher_mode(mode)
+    ct_b = ct.cast("binary") if isinstance(ct, Column) else F.lit(ct)
+    key_b = key.cast("binary") if isinstance(key, Column) else F.lit(key)
+    fn = F.try_aes_decrypt if try_ else F.aes_decrypt
+    if smode == "ECB":
+        return fn(ct_b, key_b, F.lit(smode))
+    if iv is None:
+        raise TypeError(f"{smode} needs an explicit iv (the CH call shape)")
+    iv_b = iv.cast("binary") if isinstance(iv, Column) else F.lit(iv)
+    aad_b = (
+        (aad.cast("binary") if isinstance(aad, Column) else F.lit(aad))
+        if aad is not None
+        else F.lit(b"")
+    )
+    # aes_decrypt reads the IV from the input prefix (no iv arg):
+    # signature (input, key, mode, padding, aad)
+    return fn(
+        F.concat(iv_b, ct_b), key_b, F.lit(smode), F.lit("DEFAULT"), aad_b
+    )
+
+
+def _mysql_fold_key(key, klen: int) -> bytes:
+    """MySQL AES key folding: XOR the key bytes cyclically into a
+    klen-byte buffer (so over-long keys wrap around). Literal-only —
+    the fold happens at plan time."""
+    if isinstance(key, Column):
+        raise TypeError("aes_*_mysql key must be a literal")
+    kb = key.encode("utf-8") if isinstance(key, str) else bytes(key)
+    buf = bytearray(klen)
+    for i, byte in enumerate(kb):
+        buf[i % klen] ^= byte
+    return bytes(buf)
+
+
+def _aes_encrypt_mysql(mode, plain, key, iv=None) -> Column:
+    """``aes_encrypt_mysql``: MySQL-compatible AES — over-long keys
+    fold (XOR-wrap), over-long IVs truncate to the block size."""
+    klen, smode = _cipher_mode(mode)
+    folded = _mysql_fold_key(key, klen)
+    if iv is not None and not isinstance(iv, Column):
+        ivb = iv.encode("utf-8") if isinstance(iv, str) else bytes(iv)
+        iv = ivb[:16]
+    return _encrypt(mode, plain, F.lit(folded), iv)
+
+
+def _aes_decrypt_mysql(mode, ct, key, iv=None) -> Column:
+    klen, smode = _cipher_mode(mode)
+    folded = _mysql_fold_key(key, klen)
+    if iv is not None and not isinstance(iv, Column):
+        ivb = iv.encode("utf-8") if isinstance(iv, str) else bytes(iv)
+        iv = ivb[:16]
+    return _decrypt(mode, ct, F.lit(folded), iv)
+
+
+def _pdudf(key: str, fn, out: str):
+    """Cache an elementwise pandas UDF under ``key``."""
+    if key not in _R12_UDFS:
+        _R12_UDFS[key] = F.pandas_udf(fn, out)
+    return _R12_UDFS[key]
+
+
+def _rand_binomial(n, p) -> Column:
+    """``randBinomial(n, p)``: numpy binomial per Arrow batch (the
+    JVM surface has no binomial sampler; vectorized, not per-row)."""
+    if isinstance(n, Column) or isinstance(p, Column):
+        raise TypeError("randBinomial args must be literals")
+    n_i, p_f = int(n), float(p)
+
+    def gen(s):
+        import numpy as np
+        import pandas as _pd
+
+        return _pd.Series(
+            np.random.binomial(n_i, p_f, len(s)).astype("int64")
+        )
+
+    return _pdudf(f"randbin:{n_i}:{p_f}", gen, "long")(F.lit(0))
+
+
+def _random_string(length) -> Column:
+    """``randomString(n)``: n random bytes (any value) per row."""
+    if isinstance(length, Column):
+        raise TypeError("randomString length must be a literal")
+    ln = int(length)
+
+    def gen(s):
+        import numpy as np
+        import pandas as _pd
+
+        return _pd.Series(
+            [np.random.bytes(ln) for _ in range(len(s))]
+        )
+
+    return _pdudf(f"randstr:{ln}", gen, "binary")(F.lit(0))
+
+
+def _random_printable_ascii(length) -> Column:
+    """``randomPrintableASCII(n)``: n chars uniform in [32, 126]."""
+    if isinstance(length, Column):
+        raise TypeError("randomPrintableASCII length must be a literal")
+    ln = int(length)
+
+    def gen(s):
+        import numpy as np
+        import pandas as _pd
+
+        codes = np.random.randint(32, 127, size=(len(s), ln))
+        return _pd.Series(
+            ["".join(map(chr, row)) for row in codes]
+        )
+
+    return _pdudf(f"randasc:{ln}", gen, "string")(F.lit(0))
+
+
+def _fuzz_bits(c: Column, prob) -> Column:
+    """``fuzzBits(s, p)``: flip each BIT of the input independently
+    with probability p (CH's fuzzing helper). Output is BINARY of the
+    same length."""
+    if isinstance(prob, Column):
+        raise TypeError("fuzzBits probability must be a literal")
+    p_f = float(prob)
+
+    def gen(s, _p=p_f):
+        import numpy as np
+        import pandas as _pd
+
+        def one(v):
+            if v is None:
+                return None
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            if not b:
+                return b""
+            bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+            flip = np.random.random(bits.shape) < _p
+            return np.packbits(bits ^ flip).tobytes()
+
+        return s.map(one)
+
+    return _pdudf(f"fuzz:{p_f}", gen, "binary")(c)
+
+
+def _format_row_cols(cols, fmt: str) -> Column:
+    """Shared CSV/TSV single-row rendering: CH CSV quotes String
+    fields (doubling embedded quotes) and renders NULL as \\N; TSV is
+    unquoted with backslash escapes. typeof() folds per column, so
+    the string-vs-number dispatch costs nothing at run time."""
+    rendered = []
+    for c in cols:
+        t = F.call_function("typeof", c)
+        s = c.cast("string")
+        if fmt == "CSV":
+            quoted = F.concat(
+                F.lit('"'),
+                F.regexp_replace(s, '"', '""'),
+                F.lit('"'),
+            )
+            cell = F.when(t == F.lit("string"), quoted).otherwise(s)
+        else:  # TSV
+            esc = F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(s, r"\\", r"\\\\"),
+                    "\t", r"\\t",
+                ),
+                "\n", r"\\n",
+            )
+            cell = F.when(t == F.lit("string"), esc).otherwise(s)
+        rendered.append(F.coalesce(cell, F.lit(r"\N")))
+    sep = "," if fmt == "CSV" else "\t"
+    out = F.concat_ws(sep, *rendered)
+    return out
+
+
+def _format_row(fmt, *cols) -> Column:
+    if isinstance(fmt, Column):
+        raise TypeError("formatRow format must be a literal")
+    f = str(fmt).upper()
+    if f not in ("CSV", "TSV"):
+        raise ValueError(
+            "formatRow supports the CSV/TSV subset (named formats "
+            "needing column metadata — JSONEachRow etc — are not "
+            "derivable from bare Columns)"
+        )
+    return F.concat(_format_row_cols(cols, f), F.lit("\n"))
+
+
+def _format_row_no_newline(fmt, *cols) -> Column:
+    if isinstance(fmt, Column):
+        raise TypeError("formatRowNoNewline format must be a literal")
+    f = str(fmt).upper()
+    if f not in ("CSV", "TSV"):
+        raise ValueError("formatRowNoNewline supports the CSV/TSV subset")
+    return _format_row_cols(cols, f)
+
+
+def _block_size() -> Column:
+    """``blockSize``: rows in the current block — the Arrow batch is
+    the Spark analogue of the CH block."""
+
+    def gen(s):
+        import pandas as _pd
+
+        return _pd.Series([len(s)] * len(s), dtype="int64")
+
+    return _pdudf("blocksize", gen, "long")(F.lit(0))
+
+
+def _row_number_in_block() -> Column:
+    """``rowNumberInBlock``: 0-based row index within the current
+    Arrow batch (CH: within the current block)."""
+
+    def gen(s):
+        import pandas as _pd
+
+        return _pd.Series(range(len(s)), dtype="int64")
+
+    return _pdudf("rownuminblock", gen, "long")(F.lit(0))
+
+
+def _tid() -> Column:
+    """``tid``: OS thread id of the executing worker (CH: the thread
+    executing the query; here the Python worker thread)."""
+
+    def gen(s):
+        import threading
+
+        import pandas as _pd
+
+        t = threading.get_native_id()
+        return _pd.Series([t] * len(s), dtype="int64")
+
+    return _pdudf("tid", gen, "long")(F.lit(0))
+
+
+def _hostname_udf(key: str, fqdn: bool) -> Column:
+    def gen(s, _f=fqdn):
+        import socket
+
+        import pandas as _pd
+
+        h = socket.getfqdn() if _f else socket.gethostname()
+        return _pd.Series([h] * len(s))
+
+    return _pdudf(key, gen, "string")(F.lit(0))
+
+
+def _detect_charset(c: Column) -> Column:
+    """``detectCharset``: CH routes through configured ICU dictionaries;
+    this maps the same contract onto the decisive heuristic available
+    without models — bytes that decode as UTF-8 → 'UTF-8', else
+    'WINDOWS-1252' (the ISO-8859-1 superset every byte decodes in).
+    NON_BIT_COMPATIBLE."""
+
+    def gen(s):
+        def one(v):
+            if v is None:
+                return None
+            b = v if isinstance(v, (bytes, bytearray)) else str(v).encode(
+                "utf-8", "surrogateescape"
+            )
+            try:
+                b.decode("utf-8")
+                return "UTF-8"
+            except UnicodeDecodeError:
+                return "WINDOWS-1252"
+
+        return s.map(one)
+
+    return _pdudf("detectcharset", gen, "string")(c)
+
+
+def _detect_language(c: Column) -> Column:
+    """``detectLanguage``: CH routes through configured FastText-like
+    models; this maps the same contract onto the repo's stopword-voting
+    heuristic (operators/text.py predict_lang — the lang_id query's
+    kernel). Unrecognized text returns 'und' where CH also degrades.
+    NON_BIT_COMPATIBLE."""
+    from ..operators.text import predict_lang, tokenize
+
+    return predict_lang(tokenize(F.lower(c)))
+
+
+def _register_r13_band2() -> None:
+    from . import hash_kernels as hk
+
+    CH_FUNCTIONS.update(
+        {
+            # Joda-syntax datetime trio: Spark's native pattern language
+            # IS the JDK DateTimeFormatter (Joda-compatible) dialect, so
+            # these are direct built-in mappings (the MySQL-% variants
+            # already translate patterns)
+            "formatDateTimeInJodaSyntax": lambda ts, fmt: F.date_format(
+                ts, fmt
+            ),
+            "fromUnixTimestampInJodaSyntax": lambda x, fmt: F.date_format(
+                F.timestamp_seconds(x), fmt
+            ),
+            "parseDateTimeInJodaSyntax": lambda s, fmt: F.to_timestamp(
+                s, fmt
+            ),
+            # AES family over Spark's JVM-side cipher (ECB/CBC/GCM,
+            # PKCS#7) — FIPS-197 / SP 800-38A vectors in tests
+            "encrypt": _encrypt,
+            "decrypt": _decrypt,
+            "tryDecrypt": lambda mode, ct, key, iv=None, aad=None: _decrypt(
+                mode, ct, key, iv, aad, try_=True
+            ),
+            "aes_encrypt_mysql": _aes_encrypt_mysql,
+            "aes_decrypt_mysql": _aes_decrypt_mysql,
+            # random distributions (JVM randn/rand where the math is
+            # closed-form; numpy Arrow batches for binomial)
+            "randNormal": lambda mean, sd: F.lit(float(mean))
+            + F.randn() * F.lit(float(sd)),
+            "randUniform": lambda a, b: F.lit(float(a))
+            + F.rand() * F.lit(float(b) - float(a)),
+            "randLogNormal": lambda mean, sd: F.exp(
+                F.lit(float(mean)) + F.randn() * F.lit(float(sd))
+            ),
+            "randBinomial": _rand_binomial,
+            "randomString": _random_string,
+            "randomPrintableASCII": _random_printable_ascii,
+            "fuzzBits": _fuzz_bits,
+            # MD4 (RFC 1320 kernel, hash_kernels.py — OpenSSL 3
+            # dropped it from hashlib)
+            "MD4": _kernel_hash("md4", hk.md4, out="binary"),
+            # one-row format rendering (CSV/TSV subset)
+            "formatRow": _format_row,
+            "formatRowNoNewline": _format_row_no_newline,
+            # server/block introspection — the documented Spark
+            # analogues: executor host, Spark engine version, session
+            # process uptime/uuid, partition≈block
+            "hostName": lambda: _hostname_udf("hostname", False),
+            "FQDN": lambda: _hostname_udf("fqdn", True),
+            "version": lambda: F.call_function("version"),
+            "uptime": lambda: (
+                F.unix_seconds(F.current_timestamp())
+                - F.lit(int(_R13B_START_TS))
+            ),
+            "serverUUID": lambda: F.lit(_R13B_SERVER_UUID),
+            # per-plan-build UUID: constant across the query's rows
+            # (CH scopes it to the query execution; each builder call
+            # mints its own, so two calls in one plan differ — noted)
+            "queryID": lambda: F.lit(
+                str(__import__("uuid").uuid4())
+            ),
+            "initialQueryID": lambda: F.lit(
+                str(__import__("uuid").uuid4())
+            ),
+            "tid": _tid,
+            "blockSize": _block_size,
+            "blockNumber": lambda: F.spark_partition_id().cast("long"),
+            "rowNumberInBlock": _row_number_in_block,
+            # unique & increasing-within-partition, NOT dense across
+            # blocks (CH's counter is dense but explicitly
+            # order-unspecified under parallelism) — noted
+            "rowNumberInAllBlocks": lambda: F.monotonically_increasing_id(),
+            # language/charset detection without models: the same
+            # n-gram heuristic the lang_id query ships; CH needs
+            # configured dictionaries for these
+            "detectLanguage": _detect_language,
+            "detectCharset": _detect_charset,
+        }
+    )
+
+
+_register_r13_band2()
+
 NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
     {
         # r13 spec-transcribed kernels: the variant each implements is
@@ -4283,6 +4712,11 @@ NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
         # sumKahan: exact Shewchuk fsum — at least as accurate as CH's
         # Kahan compensation, not the same rounding trajectory
         "sumKahan",
+        # r13 band 2: model-backed detection mapped onto the repo's
+        # built-in heuristics (CH needs configured FastText/ICU
+        # dictionaries; same contract, different classifier)
+        "detectLanguage",
+        "detectCharset",
     }
 )
 

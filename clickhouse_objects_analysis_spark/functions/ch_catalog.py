@@ -510,14 +510,8 @@ BUILTIN: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     # --- server / process introspection: no CH server in the rebuild;
     # Spark-equivalent answers come from SparkContext, not SQL
-    "hostName": "server-introspection; Spark: sc.uiWebUrl host",
-    "FQDN": "server-introspection",
     "getMacro": "server-config introspection",
-    "uptime": "server-introspection",
-    "version": "server-introspection; Spark: spark.version",
     "buildId": "server-introspection",
-    "initialQueryID": "query-log introspection",
-    "queryID": "query-log introspection",
     "shardNum": "cluster-topology; Spark: spark_partition_id() differs semantically",
     "shardCount": "cluster-topology",
     "zookeeperSessionUptime": "ZooKeeper-specific",
@@ -525,7 +519,6 @@ UNSUPPORTED: dict[str, str] = {
     "filesystemAvailable": "server-filesystem introspection",
     "filesystemCapacity": "server-filesystem introspection",
     "filesystemUnreserved": "server-filesystem introspection",
-    "tid": "thread introspection",
     "logTrace": "server-log side effect",
     "addressToLine": "native-binary introspection",
     "addressToLineWithInlines": "native-binary introspection",
@@ -535,10 +528,6 @@ UNSUPPORTED: dict[str, str] = {
     "getSizeOfEnumType": "CH type-system introspection",
     "defaultValueOfArgumentType": "CH type-system introspection",
     "defaultValueOfTypeName": "CH type-system introspection",
-    "blockSize": "engine-internal (CH block model has no Spark analogue)",
-    "blockNumber": "engine-internal",
-    "rowNumberInBlock": "engine-internal; row_number() over a window is the portable form",
-    "rowNumberInAllBlocks": "engine-internal; use row_number()",
     "neighbor": "engine-internal block function; lag/lead over a window is the portable form",
     "runningDifferenceStartingWithFirstValue": "deprecated block-local fn",
     "runningConcurrency": "deprecated block-local fn; intervalLengthSum query covers the use case",
@@ -562,31 +551,15 @@ UNSUPPORTED: dict[str, str] = {
     # determinism (SURVEY §6); Spark rand(seed)/uuid() exist but a
     # value-parity oracle is impossible by construction
     "randConstant": "nondeterministic",
-    "randUniform": "nondeterministic",
-    "randNormal": "nondeterministic; Spark randn(seed)",
-    "randLogNormal": "nondeterministic",
-    "randBinomial": "nondeterministic",
-    "randomString": "nondeterministic",
-    "randomPrintableASCII": "nondeterministic",
-    "fuzzBits": "nondeterministic fuzzing",
     "generateUUIDv7": "nondeterministic",
-    "serverUUID": "server-introspection",
     # --- native/library dependencies absent from the environment
-    "encrypt": "OpenSSL-backed; out of analytics scope",
-    "decrypt": "OpenSSL-backed",
-    "tryDecrypt": "OpenSSL-backed",
-    "aes_encrypt_mysql": "OpenSSL-backed",
-    "aes_decrypt_mysql": "OpenSSL-backed",
     "lemmatize": "NLP lib dependency",
     "synonyms": "NLP extension dictionaries",
-    "detectLanguage": "CLD/FastText model dependency; operators/text.py lang_id is the n-gram heuristic stand-in",
     "detectLanguageMixed": "model dependency",
     "detectProgrammingLanguage": "model dependency",
     "detectTonality": "model dependency",
-    "detectCharset": "model dependency",
     "BLAKE3": "native hash lib not in Spark/JVM stdlib",
     "sipHash128": "128-bit output; sipHash64 mapped to xxhash64 (documented non-bit-compatible)",
-    "MD4": "obsolete digest, not in Spark",
     "ngramSimHash": "registry implements document-level SimHash (dedup.py simhash64) rather than the scalar",
     "wordShingleSimHash": "registry simhash64 covers shingled simhash at the operator level",
     "ngramMinHash": "registry minhash_lsh covers at the operator level",
@@ -602,12 +575,7 @@ UNSUPPORTED: dict[str, str] = {
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
     "nowInBlock": "engine-internal block semantics",
     "addTupleOfIntervals": "tuple-typed interval batch",
-    "formatDateTimeInJodaSyntax": "Joda pattern dialect; formatDateTime (MySQL syntax) mapped",
-    "fromUnixTimestampInJodaSyntax": "Joda dialect",
-    "parseDateTimeInJodaSyntax": "Joda dialect",
     "reinterpret": "bit-level reinterpret casts need binary views; unhex/hex cover common cases",
-    "formatRow": "needs CH output-format engine",
-    "formatRowNoNewline": "needs CH output-format engine",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
     "cutToFirstSignificantSubdomainCustom": "full public-suffix list",
     "dictGetOrNull": "left-join-null is the Spark-native shape (registry dictGet query)",

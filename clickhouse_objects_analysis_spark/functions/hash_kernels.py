@@ -687,3 +687,57 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
             )
         ) & M64
     return _xxh3_avalanche(result)
+
+
+# ---------------------------------------------------------------------------
+# MD4 (RFC 1320) — OpenSSL 3 dropped it from hashlib, so the digest is
+# transcribed from the RFC; validated against the RFC's own test suite
+# (md4('') = 31d6cfe0..., md4('abc') = a448017a...).
+# ---------------------------------------------------------------------------
+
+_MD4_S = ((3, 7, 11, 19), (3, 5, 9, 13), (3, 9, 11, 15))
+_MD4_ORDER = (
+    tuple(range(16)),
+    (0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15),
+    (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15),
+)
+_MD4_C = (0, 0x5A827999, 0x6ED9EBA1)
+
+
+def md4(data: bytes) -> bytes:
+    """RFC 1320 MD4, 16-byte digest (ClickHouse ``MD4`` returns the
+    raw FixedString(16))."""
+    import struct
+
+    def rot(x: int, n: int) -> int:
+        return ((x << n) | (x >> (32 - n))) & M32
+
+    fns = (
+        lambda x, y, z: (x & y) | (~x & z),
+        lambda x, y, z: (x & y) | (x & z) | (y & z),
+        lambda x, y, z: x ^ y ^ z,
+    )
+    msg = data + b"\x80"
+    msg += b"\x00" * ((56 - len(msg) % 64) % 64)
+    msg += (len(data) * 8 & M64).to_bytes(8, "little")
+    A, B, C, D = 0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476
+    for off in range(0, len(msg), 64):
+        X = struct.unpack("<16I", msg[off : off + 64])
+        regs = [A, B, C, D]
+        for rnd in range(3):
+            fn, order, shifts, cc = (
+                fns[rnd], _MD4_ORDER[rnd], _MD4_S[rnd], _MD4_C[rnd],
+            )
+            for idx, k in enumerate(order):
+                t = (
+                    regs[0]
+                    + (fn(regs[1], regs[2], regs[3]) & M32)
+                    + X[k]
+                    + cc
+                ) & M32
+                regs = [regs[3], rot(t, shifts[idx % 4]), regs[1], regs[2]]
+        A = (A + regs[0]) & M32
+        B = (B + regs[1]) & M32
+        C = (C + regs[2]) & M32
+        D = (D + regs[3]) & M32
+    return struct.pack("<4I", A, B, C, D)

@@ -267,3 +267,215 @@ def _rot_elem(k, vals: list[float]):
         F.array(*[F.lit(float(v)) for v in vals]),
         (k % len(vals) + 1).cast("int"),
     )
+
+
+#: o_orderpriority → pinned cipher/digest outputs for the fixed
+#: key/iv below. Provenance: the AES core is validated against the
+#: FIPS-197 and NIST SP 800-38A known-answer vectors in
+#: tests/test_r13_functions_2.py (the cipher runs JVM-side via Spark's
+#: aes_encrypt); these per-priority vectors pin the CH output-layout
+#: adaptation (PKCS#7, CBC/GCM iv-prefix strip, MySQL key fold). MD4
+#: pinned from the RFC 1320 kernel (RFC test suite asserted in tests).
+#: columns: aes-128-ecb, aes-128-cbc(iv), aes-128-gcm(iv12) = ct||tag,
+#: aes_encrypt_mysql(folded 26-byte key), MD4
+_PRI_CIPHER: dict[str, tuple[str, str, str, str, str]] = {
+    "1-URGENT": (
+        "CA6E45ADACA586461B9E1086DE40316D",
+        "6BF0FA1AE4B3E7C0FC2B8DFC97241C0D",
+        "A241F29C215EB9003BC59D8E9B16C97C9E5FA0C2968C5C8D",
+        "D8DF3E6C83C3FA93DFBFD91E192AEC01",
+        "7AFA44EBF6714544C5FE6D0A86056D4B",
+    ),
+    "2-HIGH": (
+        "682D2028B00B42A09E89F42AA55C3550",
+        "E672CA2F88BF6B0ADA5C87A26E334E2A",
+        "A141EF8721531A6BB0634276C19A71D6DBAC747D4C24",
+        "9F15A16FEEEF1E113BA3936DE50E3D62",
+        "6357853FA98A1BE70BD096AABE16F50E",
+    ),
+    "3-MEDIUM": (
+        "1092ADDC7A642CEB06C1C6605D50CE88",
+        "7B76819AC5943A11F1D555022F0E54A6",
+        "A041EA8B2252A219995E435CE894C10D223420F0913F3375",
+        "3B9B04F24A467965971A640D8F244F3D",
+        "28514BAFF70488BFB2FE3B56BD5F9738",
+    ),
+    "4-NOT SPECIFIED": (
+        "DAD7F78679C89EC701002A3101644B5E",
+        "96BB4F6C06017D4799E431C7FDAB27CA",
+        "A741E981323BA4040E9128CC7FE634DC5130DF5F910F0DE1B5B36C132A08B3",
+        "DCEC5561BB97400B910BB075277D70F6",
+        "4BF13E02FCAAA1E45F1B7E6B71CF46A4",
+    ),
+    "5-LOW": (
+        "BCEF73D3239685C4CBE88956208D4E99",
+        "AED59ABEB4B10277BC3C06065F610AC5",
+        "A641EB8131567217812301FCFC632CBA7BB07712A7",
+        "6B273EA2704BA75A9B31396F9F22DD3E",
+        "481CBAE420459E066018A70F360AB61C",
+    ),
+}
+
+_KEY16 = bytes(range(16))
+_IV16 = bytes(range(16))
+
+
+def _cipher_case_sql(idx: int) -> str:
+    arms = "\n".join(
+        f"WHEN '{p}' THEN '{v[idx]}'" for p, v in _PRI_CIPHER.items()
+    )
+    return f"CASE pri\n{arms}\nEND"
+
+
+@query(
+    "ch_r13_function_surface_2",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_orderdate AS d
+        FROM orders WHERE o_orderkey < 60
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           strftime(d, '%Y/%m/%d') AS joda_fmt,
+           strftime(to_timestamp(k * 86400), '%Y-%m-%d %H:%M:%S')
+               AS joda_from_unix,
+           TIMESTAMP '2024-05-01 12:34:56' AS joda_parse,
+           {_cipher_case_sql(0)} AS aes_ecb,
+           {_cipher_case_sql(1)} AS aes_cbc,
+           {_cipher_case_sql(2)} AS aes_gcm,
+           {_cipher_case_sql(3)} AS aes_mysql,
+           {_cipher_case_sql(4)} AS md4_hex,
+           pri AS rt_ecb,
+           pri AS rt_cbc,
+           pri AS rt_gcm,
+           pri AS rt_mysql,
+           TRUE AS tryd_null,
+           '"' || replace(pri, '"', '""') || '",' || CAST(k AS VARCHAR)
+               || ',\\N' || chr(10) AS frow_csv,
+           pri || chr(9) || CAST(k AS VARCHAR) AS frow_tsv,
+           TRUE AS rn_ok, TRUE AS ru_ok, TRUE AS rln_ok, TRUE AS rb_ok,
+           TRUE AS rs_ok, TRUE AS rpa_ok, TRUE AS fuzz_ok,
+           TRUE AS host_ok, TRUE AS fqdn_ok, TRUE AS ver_ok,
+           TRUE AS up_ok, TRUE AS suid_ok, TRUE AS qid_ok,
+           TRUE AS tid_ok, TRUE AS bsz_ok, TRUE AS bno_ok,
+           TRUE AS rnb_ok, TRUE AS rnab_ok,
+           'en' AS lang, 'UTF-8' AS cs_utf8, 'WINDOWS-1252' AS cs_1252
+    FROM src ORDER BY k
+    """,
+)
+def ch_r13_function_surface_2_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r13 band-2 promotions (32 names): Joda-syntax datetime trio
+    (Spark's native pattern dialect), the AES encrypt/decrypt family
+    (JVM cipher, CH output layout — see _PRI_CIPHER provenance),
+    random distributions (contract checks), MD4, formatRow CSV/TSV,
+    the block/server introspection set, and the model-free
+    detectLanguage/detectCharset heuristics (NON_BIT_COMPATIBLE).
+
+    Scale shape: per-row scalar kernels over one pushed-down filtered
+    scan; the AES calls are whole-stage-codegen JVM expressions, the
+    distribution/byte generators are vectorized numpy Arrow batches."""
+    o = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") < 60)
+    k = F.col("o_orderkey").cast("long")
+    pri = F.col("o_orderpriority")
+    d = F.col("o_orderdate").cast("date")
+    uuid_re = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{3,4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    rt = lambda mode, iv=None: ch_expr(  # noqa: E731
+        "decrypt", mode,
+        ch_expr("encrypt", mode, pri, F.lit(_KEY16), *(
+            [F.lit(iv)] if iv is not None else []
+        )),
+        F.lit(_KEY16), *([F.lit(iv)] if iv is not None else []),
+    ).cast("string")
+    rn = ch_expr("randNormal", 10.0, 2.0)
+    rb = ch_expr("randBinomial", 10, 0.5)
+    return o.select(
+        k.alias("k"),
+        ch_expr("formatDateTimeInJodaSyntax", d, "yyyy/MM/dd").alias(
+            "joda_fmt"
+        ),
+        ch_expr(
+            "fromUnixTimestampInJodaSyntax",
+            k * 86400, "yyyy-MM-dd HH:mm:ss",
+        ).alias("joda_from_unix"),
+        ch_expr(
+            "parseDateTimeInJodaSyntax",
+            F.lit("2024-05-01 12:34:56"), "yyyy-MM-dd HH:mm:ss",
+        ).alias("joda_parse"),
+        F.hex(ch_expr("encrypt", "aes-128-ecb", pri, F.lit(_KEY16))).alias(
+            "aes_ecb"
+        ),
+        F.hex(
+            ch_expr("encrypt", "aes-128-cbc", pri, F.lit(_KEY16), F.lit(_IV16))
+        ).alias("aes_cbc"),
+        F.hex(
+            ch_expr(
+                "encrypt", "aes-128-gcm", pri, F.lit(_KEY16),
+                F.lit(_IV16[:12]),
+            )
+        ).alias("aes_gcm"),
+        F.hex(
+            ch_expr(
+                "aes_encrypt_mysql", "aes-128-ecb", pri,
+                "longer_than_16_bytes_key!!",
+            )
+        ).alias("aes_mysql"),
+        F.hex(ch_expr("MD4", pri)).alias("md4_hex"),
+        rt("aes-128-ecb").alias("rt_ecb"),
+        rt("aes-128-cbc", _IV16).alias("rt_cbc"),
+        rt("aes-128-gcm", _IV16[:12]).alias("rt_gcm"),
+        ch_expr(
+            "aes_decrypt_mysql", "aes-128-ecb",
+            ch_expr(
+                "aes_encrypt_mysql", "aes-128-ecb", pri,
+                "longer_than_16_bytes_key!!",
+            ),
+            "longer_than_16_bytes_key!!",
+        ).cast("string").alias("rt_mysql"),
+        ch_expr(
+            "tryDecrypt", "aes-128-gcm", F.lit(b"too-short"),
+            F.lit(_KEY16), F.lit(_IV16[:12]),
+        ).isNull().alias("tryd_null"),
+        ch_expr("formatRow", "CSV", pri, k, F.lit(None).cast("int")).alias(
+            "frow_csv"
+        ),
+        ch_expr("formatRowNoNewline", "TSV", pri, k).alias("frow_tsv"),
+        rn.between(10.0 - 16.0, 10.0 + 16.0).alias("rn_ok"),
+        ch_expr("randUniform", 5.0, 6.0)
+        .between(5.0, 6.0)
+        .alias("ru_ok"),
+        (ch_expr("randLogNormal", 0.0, 1.0) > 0).alias("rln_ok"),
+        rb.between(0, 10).alias("rb_ok"),
+        (F.length(ch_expr("randomString", 8)) == 8).alias("rs_ok"),
+        ch_expr("randomPrintableASCII", 12)
+        .rlike("^[ -~]{12}$")
+        .alias("rpa_ok"),
+        (
+            F.length(ch_expr("fuzzBits", pri, 0.1))
+            == F.octet_length(pri)
+        ).alias("fuzz_ok"),
+        (F.length(ch_expr("hostName")) > 0).alias("host_ok"),
+        (F.length(ch_expr("FQDN")) > 0).alias("fqdn_ok"),
+        (F.length(ch_expr("version")) > 0).alias("ver_ok"),
+        (ch_expr("uptime") >= 0).alias("up_ok"),
+        ch_expr("serverUUID").rlike(uuid_re).alias("suid_ok"),
+        ch_expr("queryID").rlike(uuid_re).alias("qid_ok"),
+        (ch_expr("tid") > 0).alias("tid_ok"),
+        (ch_expr("blockSize") >= 1).alias("bsz_ok"),
+        (ch_expr("blockNumber") >= 0).alias("bno_ok"),
+        (
+            (ch_expr("rowNumberInBlock") >= 0)
+            & (ch_expr("rowNumberInBlock") < ch_expr("blockSize"))
+        ).alias("rnb_ok"),
+        (ch_expr("rowNumberInAllBlocks") >= 0).alias("rnab_ok"),
+        ch_expr(
+            "detectLanguage",
+            F.lit("the quick brown fox and the lazy dog were friends"),
+        ).alias("lang"),
+        ch_expr("detectCharset", F.lit("plain ascii text")).alias(
+            "cs_utf8"
+        ),
+        ch_expr("detectCharset", F.lit(b"caf\xe9 latin-1")).alias(
+            "cs_1252"
+        ),
+    ).orderBy("k")
