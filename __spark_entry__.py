@@ -107,6 +107,7 @@ _R12_ADDITIONS: list[str] = [
 _R13_ADDITIONS: list[str] = [
     "ch_r13_function_surface",
     "ch_r13_function_surface_2",
+    "ch_r13_function_surface_3",
 ]
 
 

@@ -4692,6 +4692,623 @@ def _register_r13_band2() -> None:
 
 _register_r13_band2()
 
+
+# ---------------------------------------------------------------------------
+# r13 band 3: block-local helpers (neighbor / runningConcurrency /
+# nowInBlock — the Arrow batch IS the CH block, footguns included),
+# server/filesystem introspection, query normalization, text
+# fingerprints (ngram/wordShingle MinHash+SimHash), reinterpret,
+# UUIDv7, and the bf16/weighted quantile tails.
+# ---------------------------------------------------------------------------
+
+#: getMacro backing store — CH reads <macros> from server config; set
+#: yours with set_macros({...}). Missing names raise, as CH does.
+_MACROS: dict[str, str] = {}
+
+
+def set_macros(macros: dict) -> None:
+    """Configure the ``getMacro`` substitution map (the CH <macros>
+    server-config analogue)."""
+    _MACROS.clear()
+    _MACROS.update({str(k): str(v) for k, v in macros.items()})
+
+
+def _get_macro(name) -> Column:
+    if isinstance(name, Column):
+        raise TypeError("getMacro name must be a literal")
+    if str(name) not in _MACROS:
+        raise KeyError(
+            f"no macro {name!r} configured (set_macros — the CH "
+            f"<macros> config analogue)"
+        )
+    return F.lit(_MACROS[str(name)])
+
+
+def _get_setting(name) -> Column:
+    """``getSetting``: reads the ACTIVE session's conf key verbatim
+    (CH reads the query-level setting); unknown keys raise, as CH
+    does."""
+    from pyspark.sql import SparkSession
+
+    if isinstance(name, Column):
+        raise TypeError("getSetting name must be a literal")
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("getSetting needs an active SparkSession")
+    try:
+        return F.lit(spark.conf.get(str(name)))
+    except Exception as exc:  # noqa: BLE001 — mirror CH's unknown-setting error
+        raise KeyError(f"unknown setting {name!r}") from exc
+
+
+def _has_column_in_table(db, table, column) -> Column:
+    """``hasColumnInTable(db, table, col)`` over the active session
+    catalog (temp views register with db '')."""
+    from pyspark.sql import SparkSession
+
+    if any(isinstance(a, Column) for a in (db, table, column)):
+        raise TypeError("hasColumnInTable args must be literals")
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("hasColumnInTable needs an active SparkSession")
+    qualified = f"{db}.{table}" if str(db) else str(table)
+    try:
+        cols = {c.name for c in spark.catalog.listColumns(qualified)}
+    except Exception:
+        return F.lit(False)
+    return F.lit(str(column) in cols)
+
+
+#: functions that break constancy even over constant args (CH: rand
+#: columns are per-row; now()/today() fold per query and stay constant)
+_NONCONST_FNS = {
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "spark_partition_id",
+    "input_file_name",
+}
+
+
+def _node_is_constant(node) -> bool:
+    """Recursive plan-time foldability walk over Spark 4's ColumnNode
+    tree (Literal leaves; functions fold iff deterministic over
+    all-constant args)."""
+    name = node.getClass().getSimpleName()
+    if name == "Literal":
+        return True
+    if name in ("UnresolvedFunction", "InvokedFunction"):
+        try:
+            if str(node.functionName()).lower() in _NONCONST_FNS:
+                return False
+            args = node.arguments()
+            return all(
+                _node_is_constant(args.apply(i))
+                for i in range(args.size())
+            )
+        except Exception:  # noqa: BLE001 — unknown shape = not constant
+            return False
+    if name == "Cast":
+        try:
+            return _node_is_constant(node.child())
+        except Exception:  # noqa: BLE001
+            return False
+    return False
+
+
+def _is_constant(c: Column) -> Column:
+    """``isConstant``: 1 iff the expression folds to one value for the
+    whole query — Literal leaves and deterministic functions over
+    constant args (the post-folding answer CH gives); column refs and
+    per-row generators report 0."""
+    try:
+        foldable = _node_is_constant(c._jc.node())  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        foldable = False
+    return F.lit(1 if foldable else 0).cast("tinyint")
+
+
+def _default_value_of_type_name(t) -> Column:
+    """``defaultValueOfTypeName('T')``: the CH zero value of T, typed
+    via the r12 CH-type→Spark-schema map (numerics → 0, String → '',
+    Date/DateTime → epoch, Array → [], Nullable → NULL)."""
+    if isinstance(t, Column):
+        raise TypeError("defaultValueOfTypeName takes a literal type")
+    ch_t = str(t).strip()
+    spark_t = _ch_type_to_spark(ch_t)
+    if ch_t.startswith("Nullable("):
+        return F.lit(None).cast(spark_t)
+    if ch_t.startswith("Array("):
+        return F.array().cast(spark_t)
+    if ch_t in ("String", "FixedString"):
+        return F.lit("")
+    if ch_t.startswith("Date"):
+        return F.lit("1970-01-01").cast(spark_t)
+    return F.lit(0).cast(spark_t)
+
+
+def _visible_width(c: Column) -> Column:
+    """``visibleWidth``: rendered console width — length of the text
+    form, NULL rendering 4 chars wide (CH prints ᴺᵁᴸᴸ)."""
+    return F.coalesce(F.length(c.cast("string")), F.lit(4)).cast("long")
+
+
+def _generate_uuid_v7() -> Column:
+    """``generateUUIDv7``: RFC 9562 layout — 48-bit unix-ms timestamp,
+    version 7, variant 10, 74 random bits (entropy from xxhash64 over
+    fresh v4 UUIDs, all JVM-side)."""
+    ts_hex = F.lpad(
+        F.lower(F.conv(F.unix_millis(F.current_timestamp()).cast("string"),
+                       10, 16)),
+        12, "0",
+    )
+    r = F.lower(F.lpad(F.hex(F.xxhash64(F.uuid())), 16, "0"))
+    r2 = F.lower(F.lpad(F.hex(F.xxhash64(F.uuid())), 16, "0"))
+    variant = F.substring(F.lit("89ab"), (F.abs(F.xxhash64(F.uuid())) % 4 + 1).cast("int"), 1)
+    return F.concat(
+        F.substring(ts_hex, 1, 8), F.lit("-"),
+        F.substring(ts_hex, 9, 4), F.lit("-"),
+        F.lit("7"), F.substring(r, 1, 3), F.lit("-"),
+        variant, F.substring(r, 4, 3), F.lit("-"),
+        F.substring(r2, 1, 12),
+    )
+
+
+def _neighbor(c: Column, offset, default=None) -> Column:
+    """``neighbor(x, offset[, default])``: the value ``offset`` rows
+    ahead (negative = behind) WITHIN THE CURRENT BLOCK — faithfully
+    block-local like CH (the Arrow batch is the block), including the
+    documented order-dependence footgun. Out-of-block rows take
+    ``default`` (literal) or NULL."""
+    if isinstance(offset, Column):
+        raise TypeError("neighbor offset must be a literal int")
+    off = int(offset)
+    if isinstance(default, Column):
+        raise TypeError("neighbor default must be a literal")
+    key = ("neighbor", off, repr(default))
+    if key not in _R12_UDFS:
+
+        def gen(s, _o=off, _d=default):
+            out = s.shift(-_o)
+            if _d is not None:
+                out = out.fillna(_d)
+            return out
+
+        _R12_UDFS[key] = F.pandas_udf(gen, "double")
+    return _R12_UDFS[key](c.cast("double"))
+
+
+def _running_difference_swf(c: Column) -> Column:
+    """``runningDifferenceStartingWithFirstValue``: block-local
+    difference with the block's first row returning its own value
+    (runningDifference returns 0 there)."""
+    key = "rdswf"
+    if key not in _R12_UDFS:
+
+        def gen(s):
+            d = s.diff()
+            if len(s):
+                d.iloc[0] = s.iloc[0]
+            return d
+
+        _R12_UDFS[key] = F.pandas_udf(gen, "double")
+    return _R12_UDFS[key](c.cast("double"))
+
+
+def _running_concurrency(begin: Column, end: Column) -> Column:
+    """``runningConcurrency(begin, end)``: intervals concurrently open
+    at each row's begin, rows processed in block order (CH requires
+    begin-sorted input; same contract here). Heap-based per batch."""
+    # two inputs + in-batch sequential state → SCALAR_ITER over one
+    # struct column
+    if ("runconc", "udf") not in _R12_UDFS:
+        from pyspark.sql.functions import PandasUDFType
+
+        def sgen(it):
+            import heapq
+
+            import pandas as _pd
+
+            # struct input arrives as a pandas DataFrame per batch
+            for pdf in it:
+                heap: list = []
+                out = []
+                for b, e in zip(pdf["b"], pdf["e"]):
+                    heapq.heappush(heap, e)
+                    while heap and heap[0] <= b:
+                        heapq.heappop(heap)
+                    out.append(len(heap))
+                yield _pd.Series(out, dtype="int64")
+
+        _R12_UDFS[("runconc", "udf")] = F.pandas_udf(
+            sgen, "long", PandasUDFType.SCALAR_ITER
+        )
+    return _R12_UDFS[("runconc", "udf")](
+        F.struct(
+            begin.cast("double").alias("b"), end.cast("double").alias("e")
+        )
+    )
+
+
+def _now_in_block() -> Column:
+    """``nowInBlock``: the wall clock evaluated PER BLOCK (now() folds
+    to one value per query; this one moves between Arrow batches)."""
+    key = "nowinblock"
+    if key not in _R12_UDFS:
+
+        def gen(s):
+            import datetime as _dt
+
+            import pandas as _pd
+
+            t = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            return _pd.Series([t] * len(s))
+
+        _R12_UDFS[key] = F.pandas_udf(gen, "timestamp")
+    return _R12_UDFS[key](F.lit(0))
+
+
+_SLEEP_CAP = 3.0  # CH caps sleep() at 3 seconds
+
+
+def _sleep(seconds) -> Column:
+    """``sleep(n)``: sleeps min(n, 3) once per block, returns 0 (the
+    CH throttle/test helper, cap included)."""
+    if isinstance(seconds, Column):
+        raise TypeError("sleep seconds must be a literal")
+    sec = min(float(seconds), _SLEEP_CAP)
+    key = ("sleep", sec)
+    if key not in _R12_UDFS:
+
+        def gen(s, _sec=sec):
+            import time as _time
+
+            import pandas as _pd
+
+            _time.sleep(_sec)
+            return _pd.Series([0] * len(s), dtype="int64")
+
+        _R12_UDFS[key] = F.pandas_udf(gen, "long")
+    return _R12_UDFS[key](F.lit(0))
+
+
+def _sleep_each_row(seconds) -> Column:
+    """``sleepEachRow(n)``: min(n, 3) seconds per ROW (capped like
+    CH; use on tiny frames — it is the documented test helper)."""
+    if isinstance(seconds, Column):
+        raise TypeError("sleepEachRow seconds must be a literal")
+    sec = min(float(seconds), _SLEEP_CAP)
+    key = ("sleepeach", sec)
+    if key not in _R12_UDFS:
+
+        def gen(s, _sec=sec):
+            import time as _time
+
+            import pandas as _pd
+
+            for _ in range(len(s)):
+                _time.sleep(_sec)
+            return _pd.Series([0] * len(s), dtype="int64")
+
+        _R12_UDFS[key] = F.pandas_udf(gen, "long")
+    return _R12_UDFS[key](F.lit(0))
+
+
+def _log_trace(msg) -> Column:
+    """``logTrace('msg')``: emits the message to the executor log once
+    per block, returns 0."""
+    if isinstance(msg, Column):
+        raise TypeError("logTrace message must be a literal")
+    m = str(msg)
+    key = ("logtrace", m)
+    if key not in _R12_UDFS:
+
+        def gen(s, _m=m):
+            import logging
+
+            import pandas as _pd
+
+            logging.getLogger("clickhouse_objects_analysis_spark").info(_m)
+            return _pd.Series([0] * len(s), dtype="int64")
+
+        _R12_UDFS[key] = F.pandas_udf(gen, "long")
+    return _R12_UDFS[key](F.lit(0))
+
+
+def _user_files_dir() -> str:
+    import os as _os
+
+    return _os.environ.get(
+        "SPARK_GRAFT_USER_FILES",
+        _os.path.join(_os.getcwd(), ".scratch", "user_files"),
+    )
+
+
+def _file(path, default=None) -> Column:
+    """``file('name')``: content of a file under the user-files dir
+    (the CH user_files_path sandbox — escaping the base dir is
+    refused, as CH refuses)."""
+    import os as _os
+
+    if isinstance(path, Column):
+        raise TypeError("file path must be a literal")
+    base = _os.path.realpath(_user_files_dir())
+    full = _os.path.realpath(_os.path.join(base, str(path)))
+    if not (full == base or full.startswith(base + _os.sep)):
+        raise ValueError(f"file() path escapes the user-files dir: {path!r}")
+    try:
+        with open(full, "rb") as fh:
+            return F.lit(fh.read().decode("utf-8"))
+    except OSError:
+        if default is not None and not isinstance(default, Column):
+            return F.lit(default)
+        raise
+
+
+def _statvfs_field(field: str) -> Column:
+    import os as _os
+
+    st = _os.statvfs(_os.getcwd())
+    val = {
+        "capacity": st.f_blocks * st.f_frsize,
+        "available": st.f_bavail * st.f_frsize,
+        "unreserved": st.f_bfree * st.f_frsize,
+    }[field]
+    return F.lit(int(val))
+
+
+#: literal-replacement for normalizeQuery: strings, then numbers not
+#: embedded in identifiers, then ?-list collapse (the CH rendering).
+_NQ_STR_RE = re.compile(r"('(?:[^'\\]|\\.)*')")
+_NQ_NUM_RE = re.compile(r"(?<![\w.])-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?(?![\w.])")
+_NQ_LIST_RE = re.compile(r"\?(?:\s*,\s*\?)+")
+
+
+def _normalize_query_text(q: str) -> str:
+    q = _NQ_STR_RE.sub("?", q)
+    q = _NQ_NUM_RE.sub("?", q)
+    q = _NQ_LIST_RE.sub("?..", q)
+    return re.sub(r"\s+", " ", q).strip()
+
+
+def _normalize_query(c: Column) -> Column:
+    """``normalizeQuery``: literals → ?, literal lists → ?.., collapsed
+    whitespace. NON_BIT_COMPATIBLE: CH normalizes off its own AST, so
+    alias handling differs on exotic queries; the placeholder rendering
+    matches."""
+    key = "normquery"
+    if key not in _R12_UDFS:
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s: s.map(
+                lambda v: None if v is None else _normalize_query_text(v)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _reinterpret(c: Column, t) -> Column:
+    """``reinterpret(x, 'T')``: reuse the source VALUE's bytes as T
+    (little-endian, CH's in-memory layout) over the numeric/String
+    subset. Literal target type."""
+    if isinstance(t, Column):
+        raise TypeError("reinterpret target type must be a literal")
+    ch_t = str(t).strip()
+    packs = {
+        "Int8": ("b", 1), "UInt8": ("B", 1), "Int16": ("h", 2),
+        "UInt16": ("H", 2), "Int32": ("i", 4), "UInt32": ("I", 4),
+        "Int64": ("q", 8), "UInt64": ("Q", 8),
+        "Float32": ("f", 4), "Float64": ("d", 8),
+    }
+    if ch_t not in packs and ch_t != "String":
+        raise ValueError(f"reinterpret target {ch_t!r} outside the subset")
+    key = ("reinterp", ch_t)
+    if key not in _R12_UDFS:
+
+        def one(v, _t=ch_t):
+            import struct as _struct
+
+            if isinstance(v, (bytes, bytearray)):
+                b = bytes(v)
+            elif isinstance(v, str):
+                b = v.encode("utf-8")
+            elif isinstance(v, float):
+                b = _struct.pack("<d", v)
+            else:
+                b = int(v).to_bytes(8, "little", signed=int(v) < 0)
+            if _t == "String":
+                return b.rstrip(b"\x00").decode("utf-8", "replace")
+            fmt, width = packs[_t]
+            b = (b + bytes(width))[:width]
+            out = _struct.unpack("<" + fmt, b)[0]
+            if _t == "UInt64" and out >= 1 << 63:
+                out -= 1 << 64  # two's-complement BIGINT rendering
+            return out
+
+        out_type = (
+            "string" if ch_t == "String"
+            else "double" if ch_t.startswith("Float")
+            else "long"
+        )
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            out_type,
+        )
+    return _R12_UDFS[key](c)
+
+
+def _text_fingerprint(kind: str, c: Column, n=3, hashnum=6) -> Column:
+    """Shared ngram/wordShingle MinHash+SimHash fingerprints.
+    NON_BIT_COMPATIBLE: CH hashes grams with its internal CRC-based
+    kernels; ours uses the Guava-validated farm_fingerprint64. Same
+    contract — MinHash returns (combined k-min, combined k-max) as a
+    struct, SimHash a 64-bit bit-vote fingerprint."""
+    if isinstance(n, Column) or isinstance(hashnum, Column):
+        raise TypeError("fingerprint n/hashnum must be literals")
+    n_i, k_i = int(n), int(hashnum)
+    key = ("textfp", kind, n_i, k_i)
+    if key not in _R12_UDFS:
+
+        def grams_of(v: str, _kind=kind, _n=n_i):
+            if _kind.startswith("ngram"):
+                s = v
+                return [s[i : i + _n] for i in range(max(len(s) - _n + 1, 0))] or [s]
+            words = v.split()
+            return [
+                " ".join(words[i : i + _n])
+                for i in range(max(len(words) - _n + 1, 0))
+            ] or [" ".join(words)]
+
+        minhash = kind.endswith("MinHash")
+
+        def one(v, _k=k_i, _min=minhash):
+            from .hash_kernels import farm_fingerprint64 as _fp
+
+            hs = sorted({_fp(g.encode("utf-8")) for g in grams_of(v)})
+            if _min:
+                lo = hs[:_k]
+                hi = hs[-_k:]
+
+                def comb(xs):
+                    h = _fp(b"".join(x.to_bytes(8, "little") for x in xs))
+                    return h - (1 << 64) if h >= 1 << 63 else h
+
+                return {"h1": comb(lo), "h2": comb(hi)}
+            votes = [0] * 64
+            for h in hs:
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            out = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    out |= 1 << b
+            return out - (1 << 64) if out >= 1 << 63 else out
+
+        if minhash:
+            # StructType returns need a DataFrame, not a Series of dicts
+            def gen_struct(s, _f=one):
+                import pandas as _pd
+
+                rows = [
+                    {"h1": None, "h2": None} if v is None else _f(v)
+                    for v in s
+                ]
+                return _pd.DataFrame(rows, columns=["h1", "h2"])
+
+            _R12_UDFS[key] = F.pandas_udf(
+                gen_struct, "h1 bigint, h2 bigint"
+            )
+        else:
+            _R12_UDFS[key] = F.pandas_udf(
+                lambda s, _f=one: s.map(
+                    lambda v: None if v is None else _f(v)
+                ),
+                "bigint",
+            )
+    return _R12_UDFS[key](c)
+
+
+def _quantile_bfloat16(c: Column, level=0.5) -> Column:
+    """``quantileBFloat16``: values truncated to bfloat16 (top 16 bits
+    of the float32 representation), quantile picked from the truncated
+    multiset (inverted-CDF — an element, no interpolation, like CH's
+    bf16 histogram walk). NON_BIT_COMPATIBLE on the exact histogram
+    boundary rule."""
+    if isinstance(level, Column):
+        raise TypeError("quantileBFloat16 level must be a literal")
+    q = float(level)
+    key = ("qbf16", q)
+    if key not in _R12_UDFS:
+        from pyspark.sql.functions import PandasUDFType
+
+        def agg(v, _q=q):
+            import numpy as np
+
+            vals = v.dropna().astype("float32").to_numpy()
+            if not len(vals):
+                return None
+            trunc = (vals.view(np.uint32) & np.uint32(0xFFFF0000)).view(
+                np.float32
+            )
+            return float(
+                np.quantile(trunc, _q, method="inverted_cdf")
+            )
+
+        _R12_UDFS[key] = F.pandas_udf(agg, "double", PandasUDFType.GROUPED_AGG)
+    return _R12_UDFS[key](c.cast("double"))
+
+
+def _register_r13_band3() -> None:
+    import os as _os
+    import platform as _platform
+    import random as _random
+
+    CH_FUNCTIONS.update(
+        {
+            "generateUUIDv7": lambda: _generate_uuid_v7(),
+            "nowInBlock": lambda *a: _now_in_block(),
+            # one random UInt32 per plan build — constant across the
+            # query's rows, CH's exact contract
+            "randConstant": lambda: F.lit(
+                _random.getrandbits(32)
+            ).cast("long"),
+            # non-distributed context: CH returns 1/1 outside a
+            # Distributed table; partition parallelism is Spark's
+            # plane (blockNumber)
+            "shardNum": lambda: F.lit(1),
+            "shardCount": lambda: F.lit(1),
+            "getOSKernelVersion": lambda: F.lit(
+                f"{_platform.system()} {_platform.release()}"
+            ),
+            "getMacro": _get_macro,
+            "getSetting": _get_setting,
+            "hasColumnInTable": _has_column_in_table,
+            "isConstant": _is_constant,
+            "defaultValueOfTypeName": _default_value_of_type_name,
+            "visibleWidth": _visible_width,
+            "indexHint": lambda *cs: F.lit(1).cast("tinyint"),
+            "replicate": lambda x, arr: F.transform(arr, lambda _: x),
+            "neighbor": _neighbor,
+            "runningDifferenceStartingWithFirstValue": (
+                _running_difference_swf
+            ),
+            "runningConcurrency": _running_concurrency,
+            "sleep": _sleep,
+            "sleepEachRow": _sleep_each_row,
+            "logTrace": _log_trace,
+            "file": _file,
+            "filesystemAvailable": lambda: _statvfs_field("available"),
+            "filesystemCapacity": lambda: _statvfs_field("capacity"),
+            "filesystemUnreserved": lambda: _statvfs_field("unreserved"),
+            "normalizeQuery": _normalize_query,
+            "normalizedQueryHash": lambda c: F.xxhash64(
+                _normalize_query(c)
+            ),
+            # exact weighted quantile where CH sketches — strictly
+            # tighter, NBC
+            "quantileTDigestWeighted": lambda c, w, q=0.5: F.percentile(
+                c, float(q) if not isinstance(q, Column) else q, w
+            ),
+            "quantileBFloat16": _quantile_bfloat16,
+            "ngramMinHash": lambda c, n=3, k=6: _text_fingerprint(
+                "ngramMinHash", c, n, k
+            ),
+            "wordShingleMinHash": lambda c, n=3, k=6: _text_fingerprint(
+                "wordShingleMinHash", c, n, k
+            ),
+            "ngramSimHash": lambda c, n=3: _text_fingerprint(
+                "ngramSimHash", c, n
+            ),
+            "wordShingleSimHash": lambda c, n=3: _text_fingerprint(
+                "wordShingleSimHash", c, n
+            ),
+            "reinterpret": _reinterpret,
+        }
+    )
+
+
+_register_r13_band3()
+
 NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
     {
         # r13 spec-transcribed kernels: the variant each implements is
@@ -4717,6 +5334,15 @@ NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
         # dictionaries; same contract, different classifier)
         "detectLanguage",
         "detectCharset",
+        # r13 band 3: same contract, different internal hash/sketch
+        "normalizeQuery",       # CH normalizes off its own AST
+        "normalizedQueryHash",  # xxhash64 of the normalized text
+        "ngramMinHash",         # farm_fingerprint64 gram hashes
+        "wordShingleMinHash",
+        "ngramSimHash",
+        "wordShingleSimHash",
+        "quantileTDigestWeighted",  # exact weighted vs t-digest sketch
+        "quantileBFloat16",     # inverted-CDF pick vs CH histogram walk
     }
 )
 

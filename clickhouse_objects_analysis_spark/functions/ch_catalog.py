@@ -510,35 +510,14 @@ BUILTIN: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     # --- server / process introspection: no CH server in the rebuild;
     # Spark-equivalent answers come from SparkContext, not SQL
-    "getMacro": "server-config introspection",
     "buildId": "server-introspection",
-    "shardNum": "cluster-topology; Spark: spark_partition_id() differs semantically",
-    "shardCount": "cluster-topology",
     "zookeeperSessionUptime": "ZooKeeper-specific",
-    "getOSKernelVersion": "server-introspection",
-    "filesystemAvailable": "server-filesystem introspection",
-    "filesystemCapacity": "server-filesystem introspection",
-    "filesystemUnreserved": "server-filesystem introspection",
-    "logTrace": "server-log side effect",
     "addressToLine": "native-binary introspection",
     "addressToLineWithInlines": "native-binary introspection",
     "addressToSymbol": "native-binary introspection",
     "demangle": "native-binary introspection",
-    "getSetting": "CH-settings introspection; per-query SETTINGS are handled by functions/settings.py",
     "getSizeOfEnumType": "CH type-system introspection",
     "defaultValueOfArgumentType": "CH type-system introspection",
-    "defaultValueOfTypeName": "CH type-system introspection",
-    "neighbor": "engine-internal block function; lag/lead over a window is the portable form",
-    "runningDifferenceStartingWithFirstValue": "deprecated block-local fn",
-    "runningConcurrency": "deprecated block-local fn; intervalLengthSum query covers the use case",
-    "indexHint": "CH index-internals hint",
-    "replicate": "engine-internal",
-    "isConstant": "plan introspection",
-    "hasColumnInTable": "catalog introspection: spark.catalog.listColumns",
-    "visibleWidth": "pretty-format internal",
-    "sleep": "side-effect / DoS-shaped; deliberately not reproduced",
-    "sleepEachRow": "side-effect / DoS-shaped",
-    "file": "server-filesystem read; sources/io.py table functions cover file ingestion",
     "generateRandomStructure": "schema fuzzing utility",
     "structureToCapnProtoSchema": "format-schema codegen, out of scope",
     "structureToProtobufSchema": "format-schema codegen, out of scope",
@@ -550,8 +529,6 @@ UNSUPPORTED: dict[str, str] = {
     # --- nondeterministic by design: rebuild policy is seeded
     # determinism (SURVEY §6); Spark rand(seed)/uuid() exist but a
     # value-parity oracle is impossible by construction
-    "randConstant": "nondeterministic",
-    "generateUUIDv7": "nondeterministic",
     # --- native/library dependencies absent from the environment
     "lemmatize": "NLP lib dependency",
     "synonyms": "NLP extension dictionaries",
@@ -560,30 +537,20 @@ UNSUPPORTED: dict[str, str] = {
     "detectTonality": "model dependency",
     "BLAKE3": "native hash lib not in Spark/JVM stdlib",
     "sipHash128": "128-bit output; sipHash64 mapped to xxhash64 (documented non-bit-compatible)",
-    "ngramSimHash": "registry implements document-level SimHash (dedup.py simhash64) rather than the scalar",
-    "wordShingleSimHash": "registry simhash64 covers shingled simhash at the operator level",
-    "ngramMinHash": "registry minhash_lsh covers at the operator level",
-    "wordShingleMinHash": "registry minhash_lsh covers at the operator level",
     # --- bitmap engine type (roaring bitmaps) — no Spark column type
     # --- geo beyond the mapped great-circle/polygon/geohash set
     # --- misc scalar gaps, each with a concrete reason
-    "normalizeQuery": "CH query-text normalizer (parser-coupled)",
-    "normalizedQueryHash": "CH query-text normalizer",
     "multiFuzzyMatchAny": "Hyperscan fuzzy matching",
     "arrayReduceInRanges": "runtime-named aggregate dispatch",
     "emptyArrayToSingle": "engine-internal",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
-    "nowInBlock": "engine-internal block semantics",
     "addTupleOfIntervals": "tuple-typed interval batch",
-    "reinterpret": "bit-level reinterpret casts need binary views; unhex/hex cover common cases",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
     "cutToFirstSignificantSubdomainCustom": "full public-suffix list",
     "dictGetOrNull": "left-join-null is the Spark-native shape (registry dictGet query)",
     "dictGetHierarchy": "hierarchical dictionaries out of scope",
     "dictIsIn": "hierarchical dictionaries out of scope",
     "evalMLMethod": "applies a trained CH model state; kmeans/regression registry queries are the rebuild's ML path",
-    "quantileTDigestWeighted": "weighted t-digest; quantileTDigest mapped to percentile_approx, weighted exact form implemented (quantilesExactWeighted)",
-    "quantileBFloat16": "bfloat16 histogram sketch, CH-internal",
     "-Resample": "combinator: bucketed re-aggregation; GROUP BY the bucket expr is the relational form",
     "-MergeState": "sketch-state merge output; -State/-Merge covered within-engine",
     "-SimpleState": "storage-level combinator, no query-time semantics",

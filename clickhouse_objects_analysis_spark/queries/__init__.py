@@ -107,5 +107,6 @@ from . import r11_wave1  # noqa: E402,F401
 from . import r11_wave2  # noqa: E402,F401
 from . import r12_wave1  # noqa: E402,F401
 from . import r13_wave1  # noqa: E402,F401
+from . import r13_wave2  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE"]
