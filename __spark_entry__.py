@@ -108,6 +108,8 @@ _R13_ADDITIONS: list[str] = [
     "ch_r13_function_surface",
     "ch_r13_function_surface_2",
     "ch_r13_function_surface_3",
+    "ch_r13_function_surface_4",
+    "dict_hierarchy_walk",
 ]
 
 

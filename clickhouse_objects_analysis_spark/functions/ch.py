@@ -5309,6 +5309,333 @@ def _register_r13_band3() -> None:
 
 _register_r13_band3()
 
+
+# ---------------------------------------------------------------------------
+# r13 band 4: arrayReduceInRanges, SQL re-rendering (formatQuery via
+# the chparse token stream), schema-text generators, heuristic
+# detect* tail, fuzzy multi-match, buildId, aggThrow.
+# ---------------------------------------------------------------------------
+
+def _array_reduce_in_ranges(agg_name, ranges: Column, arr: Column) -> Column:
+    """``arrayReduceInRanges('agg', ranges, arr)``: the named aggregate
+    over each (start, length) slice — ranges is array<struct<start,
+    length>> (CH's Array(Tuple(Int, Int))); 1-based starts like
+    arraySlice. Reuses arrayReduce's literal-name dispatch."""
+    name = _literal_sep(agg_name)
+
+    def one_slice(t):
+        return _array_reduce(
+            name,
+            F.slice(arr, t.getField("start"), t.getField("length")),
+        )
+
+    return F.transform(ranges, one_slice)
+
+
+def _format_query_tokens(sql: str, single_line: bool) -> str:
+    from ..plans.chparse import _render, tokenize
+
+    toks = tokenize(sql)
+    if single_line:
+        return _render(toks)
+    out = _render(toks)
+    breaks = (
+        "FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+        "LIMIT", "SETTINGS", "UNION",
+    )
+    for kw in breaks:
+        out = re.sub(rf"(?<!\n) (?={kw} )", "\n", out)
+    return out
+
+
+def _format_query(c: Column, single_line: bool = False) -> Column:
+    """``formatQuery`` / ``formatQuerySingleLine``: canonical
+    re-rendering off the token stream (comments dropped, one space per
+    separator; multi-line form breaks before top-level clause
+    keywords). NON_BIT_COMPATIBLE: CH renders from its own AST with
+    its own indentation rules — the single-line CONTENT matches, byte
+    layout does not."""
+    key = ("fmtq", single_line)
+    if key not in _R12_UDFS:
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _sl=single_line: s.map(
+                lambda v: None
+                if v is None
+                else _format_query_tokens(v, _sl)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](c)
+
+
+_CH_TO_CAPNP = {
+    "Int8": "Int8", "Int16": "Int16", "Int32": "Int32", "Int64": "Int64",
+    "UInt8": "UInt8", "UInt16": "UInt16", "UInt32": "UInt32",
+    "UInt64": "UInt64", "Float32": "Float32", "Float64": "Float64",
+    "String": "Text", "Bool": "Bool", "Date": "UInt16",
+    "DateTime": "UInt32",
+}
+_CH_TO_PROTO = {
+    "Int8": "int32", "Int16": "int32", "Int32": "int32",
+    "Int64": "int64", "UInt8": "uint32", "UInt16": "uint32",
+    "UInt32": "uint32", "UInt64": "uint64", "Float32": "float",
+    "Float64": "double", "String": "bytes", "Bool": "bool",
+    "Date": "uint32", "DateTime": "uint32",
+}
+
+
+def _split_structure(structure: str) -> list[tuple[str, str]]:
+    """'a Int64, b String' → [(a, Int64), ...] with paren-aware commas."""
+    fields, depth, cur = [], 0, []
+    for ch in structure:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append("".join(cur))
+    out = []
+    for f in fields:
+        parts = f.strip().split(None, 1)
+        if len(parts) == 2:
+            out.append((parts[0], parts[1].strip()))
+    return out
+
+
+def _structure_to_schema(structure, kind: str) -> Column:
+    """``structureToCapnProtoSchema`` / ``structureToProtobufSchema``:
+    'name Type, ...' → the target IDL text over the scalar map above
+    (unmapped types raise, as CH does for unsupported types)."""
+    if isinstance(structure, Column):
+        raise TypeError("structure must be a string literal")
+    fields = _split_structure(str(structure))
+    if kind == "capnp":
+        lines = ["struct Message", "{"]
+        for i, (name, t) in enumerate(fields):
+            if t not in _CH_TO_CAPNP:
+                raise ValueError(f"no Cap'n Proto mapping for {t!r}")
+            lines.append(f"    {name} @{i} : {_CH_TO_CAPNP[t]};")
+        lines.append("}")
+    else:
+        lines = ['syntax = "proto3";', "", "message Message", "{"]
+        for i, (name, t) in enumerate(fields):
+            if t not in _CH_TO_PROTO:
+                raise ValueError(f"no Protobuf mapping for {t!r}")
+            lines.append(f"    {_CH_TO_PROTO[t]} {name} = {i + 1};")
+        lines.append("}")
+    return F.lit("\n".join(lines))
+
+
+_RAND_STRUCT_TYPES = [
+    "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
+    "UInt64", "Float32", "Float64", "String", "Date", "DateTime", "Bool",
+]
+
+
+def _generate_random_structure(n=None, seed=None) -> Column:
+    """``generateRandomStructure([n[, seed]])``: 'c1 Type, c2 Type…'.
+    Seeded calls are deterministic for THIS generator (CH's internal
+    generator draws a different sequence — same contract, noted)."""
+    import random as _random
+
+    if isinstance(n, Column) or isinstance(seed, Column):
+        raise TypeError("generateRandomStructure args must be literals")
+    rng = _random.Random(seed) if seed is not None else _random.Random()
+    count = int(n) if n is not None else rng.randint(1, 10)
+    cols = ", ".join(
+        f"c{i + 1} {rng.choice(_RAND_STRUCT_TYPES)}" for i in range(count)
+    )
+    return F.lit(cols)
+
+
+#: tiny keyword-vote tables for the heuristic detect* tail (CH routes
+#: these through configured dictionaries/models — same contract, NBC)
+_PROG_LANG_KW = {
+    "Python": ["def ", "import ", "elif ", "lambda ", "None"],
+    "C++": ["#include", "std::", "template<", "nullptr", "->"],
+    "Rust": ["fn ", "let mut", "impl ", "pub fn", "::<"],
+    "Go": ["func ", "package ", ":=", "go func", "chan "],
+    "JavaScript": ["function ", "const ", "=>", "console.log", "var "],
+    "Java": ["public static", "void ", "new ", "extends ", "System.out"],
+    "SQL": ["SELECT ", "FROM ", "WHERE ", "GROUP BY", "INSERT INTO"],
+}
+
+_TONALITY_VALENCE = {
+    "good": 1, "great": 2, "excellent": 3, "love": 3, "loved": 3,
+    "like": 1, "happy": 2, "wonderful": 3, "best": 2, "amazing": 3,
+    "fantastic": 3, "nice": 1, "awesome": 3, "perfect": 3, "enjoy": 2,
+    "pleasant": 1, "superb": 3, "delight": 2, "win": 1, "positive": 1,
+    "bad": -1, "terrible": -3, "awful": -3, "hate": -3, "hated": -3,
+    "dislike": -1, "sad": -2, "horrible": -3, "worst": -2, "poor": -1,
+    "disappointing": -2, "negative": -1, "fail": -2, "failure": -2,
+    "broken": -1, "ugly": -2, "angry": -2, "wrong": -1, "lose": -1,
+    "annoying": -2,
+}
+
+
+def _detect_programming_language(c: Column) -> Column:
+    key = "detectproglang"
+    if key not in _R12_UDFS:
+
+        def one(v):
+            scores = {
+                lang: sum(v.count(kw) for kw in kws)
+                for lang, kws in _PROG_LANG_KW.items()
+            }
+            best = max(scores, key=lambda g: (scores[g], g))
+            return best if scores[best] > 0 else "Undefined"
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "string",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _detect_tonality(c: Column) -> Column:
+    key = "detecttonality"
+    if key not in _R12_UDFS:
+
+        def one(v):
+            words = re.findall(r"[a-z']+", v.lower())
+            hits = [_TONALITY_VALENCE[w] for w in words
+                    if w in _TONALITY_VALENCE]
+            return float(sum(hits) / len(hits)) if hits else 0.0
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "float",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _detect_language_mixed(c: Column) -> Column:
+    """``detectLanguageMixed``: Map(lang → share) over the stopword
+    votes of the built-in heuristic (languages with zero votes are
+    omitted, as CH omits undetected languages)."""
+    from ..operators.text import lang_scores, tokenize as _tok
+
+    words = _tok(F.lower(c))
+    scores = lang_scores(words)
+    langs = list(scores)
+    total = None
+    for lang in langs:
+        total = scores[lang] if total is None else total + scores[lang]
+    m = F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array(
+            *[
+                (scores[lang] / F.nullif(total.cast("double"), F.lit(0)))
+                for lang in langs
+            ]
+        ),
+    )
+    return F.map_filter(m, lambda _, v: v.isNotNull() & (v > 0))
+
+
+def _edit_within(pattern: str, hay: str, k: int) -> bool:
+    """Approximate SUBSTRING match: min edit distance of pattern
+    against any substring of hay ≤ k (first DP row free — the standard
+    semi-global alignment)."""
+    m = len(pattern)
+    prev = [0] * (len(hay) + 1)
+    cur = [0] * (len(hay) + 1)
+    for i in range(1, m + 1):
+        cur[0] = i
+        pc = pattern[i - 1]
+        for j in range(1, len(hay) + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (pc != hay[j - 1]),
+            )
+        prev, cur = cur, prev
+    return min(prev) <= k
+
+
+def _multi_fuzzy_match_any(c: Column, distance, patterns) -> Column:
+    """``multiFuzzyMatchAny(hay, k, [patterns])``: 1 if any pattern
+    matches a substring within edit distance k. CH runs hyperscan;
+    this is the exact semi-global DP (slow path — the contract, not
+    the SIMD engine). Literal patterns/distance."""
+    if isinstance(distance, Column) or isinstance(patterns, Column):
+        raise TypeError("multiFuzzyMatchAny distance/patterns must be literals")
+    k = int(distance)
+    pats = tuple(str(p) for p in patterns)
+    key = ("mfma", k, pats)
+    if key not in _R12_UDFS:
+
+        def one(v, _k=k, _p=pats):
+            return 1 if any(_edit_within(p, v, _k) for p in _p) else 0
+
+        _R12_UDFS[key] = F.pandas_udf(
+            lambda s, _f=one: s.map(
+                lambda v: None if v is None else _f(v)
+            ),
+            "tinyint",
+        )
+    return _R12_UDFS[key](c)
+
+
+def _agg_throw(c: Column, prob=1.0) -> Column:
+    """``aggThrow(p)``: the CH fault-injection test aggregate — raises
+    with probability p at aggregation time, else returns NULL."""
+    if isinstance(prob, Column):
+        raise TypeError("aggThrow probability must be a literal")
+    p_f = float(prob)
+    key = ("aggthrow", p_f)
+    if key not in _R12_UDFS:
+        from pyspark.sql.functions import PandasUDFType
+
+        def agg(v, _p=p_f):
+            import random as _random
+
+            if _random.random() < _p:
+                raise RuntimeError("Aggregate function aggThrow has thrown")
+            return None
+
+        _R12_UDFS[key] = F.pandas_udf(agg, "double", PandasUDFType.GROUPED_AGG)
+    return _R12_UDFS[key](c.cast("double"))
+
+
+def _register_r13_band4() -> None:
+    CH_FUNCTIONS.update(
+        {
+            "arrayReduceInRanges": _array_reduce_in_ranges,
+            "formatQuery": lambda c: _format_query(c, False),
+            "formatQuerySingleLine": lambda c: _format_query(c, True),
+            "structureToCapnProtoSchema": lambda s: _structure_to_schema(
+                s, "capnp"
+            ),
+            "structureToProtobufSchema": lambda s: _structure_to_schema(
+                s, "proto"
+            ),
+            "generateRandomStructure": _generate_random_structure,
+            "detectProgrammingLanguage": _detect_programming_language,
+            "detectTonality": _detect_tonality,
+            "detectLanguageMixed": _detect_language_mixed,
+            "multiFuzzyMatchAny": _multi_fuzzy_match_any,
+            "aggThrow": _agg_throw,
+            # engine build identifier: the git-revision component of
+            # Spark's version() (CH returns its ELF build-id hex)
+            "buildId": lambda: F.element_at(
+                F.split(F.call_function("version"), " "), 2
+            ),
+        }
+    )
+
+
+_register_r13_band4()
+
 NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
     {
         # r13 spec-transcribed kernels: the variant each implements is
@@ -5343,6 +5670,15 @@ NON_BIT_COMPATIBLE = NON_BIT_COMPATIBLE | frozenset(
         "wordShingleSimHash",
         "quantileTDigestWeighted",  # exact weighted vs t-digest sketch
         "quantileBFloat16",     # inverted-CDF pick vs CH histogram walk
+        # r13 band 4: heuristic/contract surfaces over different engines
+        "formatQuery",          # token re-render vs CH's AST printer
+        "formatQuerySingleLine",
+        "generateRandomStructure",  # different seeded generator sequence
+        "detectProgrammingLanguage",  # keyword votes vs CH's dictionary
+        "detectTonality",       # built-in valence list vs CH dictionary
+        "detectLanguageMixed",  # stopword shares vs CH models
+        "multiFuzzyMatchAny",   # exact semi-global DP vs hyperscan
+        "buildId",              # Spark git revision vs CH ELF build-id
     }
 )
 

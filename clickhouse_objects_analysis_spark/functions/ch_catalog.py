@@ -510,7 +510,6 @@ BUILTIN: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     # --- server / process introspection: no CH server in the rebuild;
     # Spark-equivalent answers come from SparkContext, not SQL
-    "buildId": "server-introspection",
     "zookeeperSessionUptime": "ZooKeeper-specific",
     "addressToLine": "native-binary introspection",
     "addressToLineWithInlines": "native-binary introspection",
@@ -518,38 +517,24 @@ UNSUPPORTED: dict[str, str] = {
     "demangle": "native-binary introspection",
     "getSizeOfEnumType": "CH type-system introspection",
     "defaultValueOfArgumentType": "CH type-system introspection",
-    "generateRandomStructure": "schema fuzzing utility",
-    "structureToCapnProtoSchema": "format-schema codegen, out of scope",
-    "structureToProtobufSchema": "format-schema codegen, out of scope",
-    "formatQuery": "CH-parser pretty-printer; Spark has no CH grammar",
-    "formatQuerySingleLine": "CH-parser pretty-printer",
     "variantElement": "Variant type not in Spark's type system",
     "flameGraph": "profiler-output aggregate",
-    "aggThrow": "test-only crash aggregate",
     # --- nondeterministic by design: rebuild policy is seeded
     # determinism (SURVEY §6); Spark rand(seed)/uuid() exist but a
     # value-parity oracle is impossible by construction
     # --- native/library dependencies absent from the environment
     "lemmatize": "NLP lib dependency",
     "synonyms": "NLP extension dictionaries",
-    "detectLanguageMixed": "model dependency",
-    "detectProgrammingLanguage": "model dependency",
-    "detectTonality": "model dependency",
     "BLAKE3": "native hash lib not in Spark/JVM stdlib",
     "sipHash128": "128-bit output; sipHash64 mapped to xxhash64 (documented non-bit-compatible)",
     # --- bitmap engine type (roaring bitmaps) — no Spark column type
     # --- geo beyond the mapped great-circle/polygon/geohash set
     # --- misc scalar gaps, each with a concrete reason
-    "multiFuzzyMatchAny": "Hyperscan fuzzy matching",
-    "arrayReduceInRanges": "runtime-named aggregate dispatch",
     "emptyArrayToSingle": "engine-internal",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
     "addTupleOfIntervals": "tuple-typed interval batch",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
     "cutToFirstSignificantSubdomainCustom": "full public-suffix list",
-    "dictGetOrNull": "left-join-null is the Spark-native shape (registry dictGet query)",
-    "dictGetHierarchy": "hierarchical dictionaries out of scope",
-    "dictIsIn": "hierarchical dictionaries out of scope",
     "evalMLMethod": "applies a trained CH model state; kmeans/regression registry queries are the rebuild's ML path",
     "-Resample": "combinator: bucketed re-aggregation; GROUP BY the bucket expr is the relational form",
     "-MergeState": "sketch-state merge output; -State/-Merge covered within-engine",

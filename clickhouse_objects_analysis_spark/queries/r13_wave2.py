@@ -264,3 +264,253 @@ def ch_r13_function_surface_3_q(
         )
         .orderBy("k")
     )
+
+
+@query(
+    "ch_r13_function_surface_4",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri
+        FROM orders WHERE o_orderkey < 60
+    ),
+    agg AS (SELECT CAST(NULL AS DOUBLE) AS athrow FROM (SELECT 1))
+    SELECT CAST(k AS BIGINT) AS k,
+           [2.0 * k + 1, 3.0 * k + 6] AS arr_ranges,
+           'SELECT 1 , 2 FROM t' AS fq_line,
+           'SELECT 1 , 2' || chr(10) || 'FROM t' || chr(10)
+               || 'WHERE x = ?' AS fq_multi,
+           'struct Message' || chr(10) || '{' || chr(10)
+               || '    id @0 : UInt64;' || chr(10)
+               || '    name @1 : Text;' || chr(10) || '}' AS capnp,
+           'c1 String, c2 Int16, c3 Int8' AS grs,
+           CASE k % 3 WHEN 0 THEN 'Python' WHEN 1 THEN 'Go'
+                      ELSE 'SQL' END AS dpl,
+           CAST(2.5 AS FLOAT) AS dt_pos,
+           CAST(-3.0 AS FLOAT) AS dt_neg,
+           CAST(0.0 AS FLOAT) AS dt_zero,
+           'en=0.75,es=0.25' AS dlm,
+           CAST(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END
+                AS TINYINT) AS mfma_exact,
+           CAST(CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+                AS TINYINT) AS mfma_fuzzy,
+           agg.athrow AS athrow,
+           TRUE AS bid_ok
+    FROM src, agg ORDER BY k
+    """,
+)
+def ch_r13_function_surface_4_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r13 band-4 promotions: arrayReduceInRanges (live slice-sum
+    oracle), formatQuery/-SingleLine (token re-render — NBC vs CH's
+    AST printer, content pinned), structureToCapnProtoSchema (IDL
+    text), generateRandomStructure (seeded determinism for THIS
+    generator), detectProgrammingLanguage/Tonality/LanguageMixed
+    (keyword/valence/stopword heuristics, NBC), multiFuzzyMatchAny
+    (exact semi-global edit-distance DP), aggThrow(p=0), buildId."""
+    o = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") < 60)
+    k = F.col("o_orderkey").cast("long")
+    pri = F.col("o_orderpriority")
+    kd = k.cast("double")
+    ranges = F.array(
+        F.struct(F.lit(1).alias("start"), F.lit(2).alias("length")),
+        F.struct(F.lit(2).alias("start"), F.lit(3).alias("length")),
+    )
+    arr = F.array(kd, kd + 1, kd + 2, kd + 3)
+    code = F.element_at(
+        F.array(
+            F.lit("def foo():\n    import os"),
+            F.lit("package main\nfunc main() { ch := make(chan int) }"),
+            F.lit("SELECT a FROM t WHERE b GROUP BY a"),
+        ),
+        (k % 3 + 1).cast("int"),
+    )
+    dlm = ch_expr(
+        "detectLanguageMixed", F.lit("the dog and the cat el perro")
+    )
+    dlm_txt = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_keys(dlm)),
+            lambda key: F.concat(
+                key, F.lit("="), F.element_at(dlm, key).cast("string")
+            ),
+        ),
+    )
+    agg = o.agg(ch_expr("aggThrow", F.lit(1.0), 0.0).alias("athrow"))
+    return (
+        o.crossJoin(F.broadcast(agg))
+        .select(
+            k.alias("k"),
+            ch_expr("arrayReduceInRanges", "sum", ranges, arr).alias(
+                "arr_ranges"
+            ),
+            ch_expr(
+                "formatQuerySingleLine",
+                F.lit("SELECT  1 ,\n   2 -- trailing comment\nFROM t"),
+            ).alias("fq_line"),
+            ch_expr(
+                "formatQuery", F.lit("SELECT 1, 2 FROM t WHERE x = ?")
+            ).alias("fq_multi"),
+            ch_expr(
+                "structureToCapnProtoSchema", "id UInt64, name String"
+            ).alias("capnp"),
+            ch_expr("generateRandomStructure", 3, 42).alias("grs"),
+            ch_expr("detectProgrammingLanguage", code).alias("dpl"),
+            ch_expr(
+                "detectTonality",
+                F.lit("the movie was great and wonderful"),
+            ).alias("dt_pos"),
+            ch_expr(
+                "detectTonality", F.lit("awful terrible hate")
+            ).alias("dt_neg"),
+            ch_expr(
+                "detectTonality", F.lit("the chair is on the floor")
+            ).alias("dt_zero"),
+            dlm_txt.alias("dlm"),
+            ch_expr("multiFuzzyMatchAny", pri, 0, ["1-URGENT"]).alias(
+                "mfma_exact"
+            ),
+            # 'URGENT' sits inside 1-URGENT exactly; '2-HIG.' needs one
+            # edit against 2-HIGH's substring
+            ch_expr(
+                "multiFuzzyMatchAny", pri, 1, ["URGENT", "2-HIGX"]
+            ).alias("mfma_fuzzy"),
+            F.col("athrow"),
+            (F.length(ch_expr("buildId")) > 0).alias("bid_ok"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "dict_hierarchy_walk",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+        SELECT n_nationkey AS id, 25 + n_regionkey AS parent,
+               n_name AS name
+        FROM nation
+        UNION ALL
+        SELECT 25 + r_regionkey AS id, NULL AS parent, r_name AS name
+        FROM region
+    ),
+    walk(start_id, id, parent, depth) AS (
+        SELECT id, id, parent, 0 FROM nodes
+        UNION ALL
+        SELECT w.start_id, n.id, n.parent, w.depth + 1
+        FROM walk w JOIN nodes n ON n.id = w.parent
+    ),
+    chains AS (
+        SELECT start_id,
+               list(id ORDER BY depth) AS chain
+        FROM walk GROUP BY start_id
+    )
+    SELECT CAST(n.n_nationkey AS BIGINT) AS nation_id,
+           CAST((SELECT chain FROM chains
+                 WHERE start_id = n.n_nationkey) AS BIGINT[]) AS hierarchy,
+           TRUE AS is_in_region,
+           FALSE AS is_in_wrong,
+           n.n_name AS name_hit,
+           CAST(NULL AS VARCHAR) AS name_miss
+    FROM nation n ORDER BY nation_id
+    """,
+)
+def dict_hierarchy_walk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dictGetHierarchy`` / ``dictIsIn`` / ``dictGetOrNull`` — the
+    hierarchical-dictionary family (reference grammar: dictionary DDL
+    ClickHouseParser.py:1361, dictGet* as plain function idents).
+    The dictionary is a parent-keyed dim (nations → synthetic region
+    nodes at id 25+regionkey): dictGetHierarchy(key) is the iterative
+    parent walk (each level ONE broadcast hash join against the tiny
+    dict — bounded by hierarchy depth, never row count, the 100 TB
+    shape for dimension hierarchies), dictIsIn(child, ancestor) is
+    membership in that chain, dictGetOrNull a broadcast left join
+    (miss → NULL)."""
+    t = tables(spark, sf_dir)
+    n, r = t["nation"], t["region"]
+    nodes = (
+        n.select(
+            F.col("n_nationkey").cast("long").alias("id"),
+            (F.col("n_regionkey") + 25).cast("long").alias("parent"),
+            F.col("n_name").alias("name"),
+        )
+        .unionByName(
+            r.select(
+                (F.col("r_regionkey") + 25).cast("long").alias("id"),
+                F.lit(None).cast("long").alias("parent"),
+                F.col("r_name").alias("name"),
+            )
+        )
+    )
+    # dictGetHierarchy: iterative broadcast parent walk, chain carried
+    # as an array column; terminates when every frontier parent is NULL
+    walk = nodes.select(
+        F.col("id").alias("start_id"),
+        F.array(F.col("id")).alias("chain"),
+        F.col("parent").alias("frontier"),
+    )
+    for _ in range(10):  # depth bound; this hierarchy is depth 2
+        if walk.filter(F.col("frontier").isNotNull()).isEmpty():
+            break
+        step = walk.join(
+            F.broadcast(
+                nodes.select(
+                    F.col("id").alias("frontier"),
+                    F.col("parent").alias("next_parent"),
+                )
+            ),
+            "frontier",
+            "left",
+        ).select(
+            "start_id",
+            F.when(
+                F.col("frontier").isNotNull(),
+                F.concat(F.col("chain"), F.array(F.col("frontier"))),
+            )
+            .otherwise(F.col("chain"))
+            .alias("chain"),
+            F.col("next_parent").alias("frontier"),
+        )
+        walk = step.localCheckpoint(eager=False)
+    hier = walk.select("start_id", "chain")
+    region_of = n.select(
+        F.col("n_nationkey").cast("long").alias("start_id"),
+        (F.col("n_regionkey") + 25).cast("long").alias("region_node"),
+    )
+    # dictGetOrNull: broadcast left lookup; the +100 probe misses
+    probe = n.select(
+        F.col("n_nationkey").cast("long").alias("start_id"),
+        F.col("n_nationkey").cast("long").alias("hit_key"),
+        (F.col("n_nationkey") + 100).cast("long").alias("miss_key"),
+    )
+    name_dim = nodes.select(F.col("id"), F.col("name"))
+    out = (
+        hier.join(F.broadcast(region_of), "start_id")
+        .join(F.broadcast(probe), "start_id")
+        .join(
+            F.broadcast(name_dim.withColumnRenamed("id", "hit_key")),
+            "hit_key",
+            "left",
+        )
+        .withColumnRenamed("name", "name_hit")
+        .join(
+            F.broadcast(
+                name_dim.withColumnRenamed("id", "miss_key")
+                .withColumnRenamed("name", "name_miss")
+            ),
+            "miss_key",
+            "left",
+        )
+    )
+    return out.select(
+        F.col("start_id").alias("nation_id"),
+        F.col("chain").alias("hierarchy"),
+        F.array_contains(F.col("chain"), F.col("region_node")).alias(
+            "is_in_region"
+        ),
+        F.array_contains(F.col("chain"), F.col("region_node") + 999).alias(
+            "is_in_wrong"
+        ),
+        F.col("name_hit"),
+        F.col("name_miss"),
+    ).orderBy("nation_id")

@@ -166,3 +166,44 @@ def test_replicate_and_visible_width(spark):
     )
     assert row["r"] == [7, 7, 7]
     assert (row["vn"], row["vs"], row["vi"]) == (4, 5, 5)
+
+
+def test_band4_surfaces(spark):
+    row = (
+        spark.range(1)
+        .select(
+            ch_expr(
+                "arrayReduceInRanges", "max",
+                F.array(F.struct(F.lit(1).alias("start"),
+                                 F.lit(3).alias("length"))),
+                F.array(F.lit(5.0), F.lit(9.0), F.lit(2.0), F.lit(99.0)),
+            ).alias("arr"),
+            ch_expr(
+                "formatQuerySingleLine",
+                F.lit("SELECT  a ,\n  b /* c */ FROM t"),
+            ).alias("fq"),
+            ch_expr(
+                "structureToProtobufSchema", "id UInt64, name String"
+            ).alias("proto"),
+            ch_expr("detectProgrammingLanguage",
+                    F.lit("fn main() { let mut x = 1; }")).alias("dpl"),
+            ch_expr("multiFuzzyMatchAny", F.lit("hello wrold"), 2,
+                    ["world"]).alias("mf2"),
+            ch_expr("multiFuzzyMatchAny", F.lit("hello wrold"), 1,
+                    ["world"]).alias("mf1"),
+        )
+        .first()
+    )
+    assert row["arr"] == [9.0]
+    assert row["fq"] == "SELECT a , b FROM t"
+    assert "uint64 id = 1;" in row["proto"]
+    assert row["dpl"] == "Rust"
+    assert (row["mf2"], row["mf1"]) == (1, 0)  # transposition = 2 edits
+
+
+def test_band4_errors_and_nbc(spark):
+    with pytest.raises(ValueError):
+        ch_expr("structureToCapnProtoSchema", "x UnsupportedType")
+    for name in ("formatQuery", "detectTonality", "multiFuzzyMatchAny",
+                 "buildId", "detectLanguageMixed"):
+        assert name in NON_BIT_COMPATIBLE, name
