@@ -109,7 +109,7 @@ def _fp_case_sql(idx: int) -> str:
            CAST(4 AS BIGINT) AS vw_null,
            CAST(LENGTH(pri) AS BIGINT) AS vw_pri,
            CAST(1 AS TINYINT) AS ih,
-           [CAST(k AS BIGINT), CAST(k AS BIGINT)] AS rep,
+           CAST(k AS VARCHAR) || ',' || CAST(k AS VARCHAR) AS rep,
            COALESCE(LEAD(CAST(k AS DOUBLE)) OVER (ORDER BY k), -1.0)
                AS nb_next,
            COALESCE(CAST(k AS DOUBLE)
@@ -225,9 +225,13 @@ def ch_r13_function_surface_3_q(
             ),
             ch_expr("visibleWidth", pri).alias("vw_pri"),
             ch_expr("indexHint", k, pri).alias("ih"),
-            ch_expr("replicate", k, F.array(F.lit(1), F.lit(2))).alias(
-                "rep"
-            ),
+            F.array_join(
+                F.transform(
+                    ch_expr("replicate", k, F.array(F.lit(1), F.lit(2))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("rep"),
             ch_expr("neighbor", k, 1, -1.0).alias("nb_next"),
             ch_expr(
                 "runningDifferenceStartingWithFirstValue", k
@@ -275,7 +279,8 @@ def ch_r13_function_surface_3_q(
     ),
     agg AS (SELECT CAST(NULL AS DOUBLE) AS athrow FROM (SELECT 1))
     SELECT CAST(k AS BIGINT) AS k,
-           [2.0 * k + 1, 3.0 * k + 6] AS arr_ranges,
+           CAST(2 * k + 1 AS VARCHAR) || ','
+               || CAST(3 * k + 6 AS VARCHAR) AS arr_ranges,
            'SELECT 1 , 2 FROM t' AS fq_line,
            'SELECT 1 , 2' || chr(10) || 'FROM t' || chr(10)
                || 'WHERE x = ?' AS fq_multi,
@@ -342,9 +347,13 @@ def ch_r13_function_surface_4_q(
         o.crossJoin(F.broadcast(agg))
         .select(
             k.alias("k"),
-            ch_expr("arrayReduceInRanges", "sum", ranges, arr).alias(
-                "arr_ranges"
-            ),
+            F.array_join(
+                F.transform(
+                    ch_expr("arrayReduceInRanges", "sum", ranges, arr),
+                    lambda x: x.cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("arr_ranges"),
             ch_expr(
                 "formatQuerySingleLine",
                 F.lit("SELECT  1 ,\n   2 -- trailing comment\nFROM t"),
@@ -406,8 +415,8 @@ def ch_r13_function_surface_4_q(
         FROM walk GROUP BY start_id
     )
     SELECT CAST(n.n_nationkey AS BIGINT) AS nation_id,
-           CAST((SELECT chain FROM chains
-                 WHERE start_id = n.n_nationkey) AS BIGINT[]) AS hierarchy,
+           array_to_string((SELECT chain FROM chains
+                 WHERE start_id = n.n_nationkey), ',') AS hierarchy,
            TRUE AS is_in_region,
            FALSE AS is_in_wrong,
            n.n_name AS name_hit,
@@ -504,7 +513,9 @@ def dict_hierarchy_walk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("start_id").alias("nation_id"),
-        F.col("chain").alias("hierarchy"),
+        F.array_join(
+            F.transform(F.col("chain"), lambda x: x.cast("string")), ","
+        ).alias("hierarchy"),
         F.array_contains(F.col("chain"), F.col("region_node")).alias(
             "is_in_region"
         ),
