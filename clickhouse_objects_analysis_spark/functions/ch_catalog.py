@@ -526,11 +526,11 @@ UNSUPPORTED: dict[str, str] = {
     "lemmatize": "NLP lib dependency",
     "synonyms": "NLP extension dictionaries",
     "BLAKE3": "native hash lib not in Spark/JVM stdlib",
-    "sipHash128": "128-bit output; sipHash64 mapped to xxhash64 (documented non-bit-compatible)",
+    "sipHash128": "CH's LEGACY non-standard 128-bit fold (pre-sipHash128Reference); no independent implementation exists in-container to certify the fold, and a wrong guess poisons stored-value migration -- sipHash64 itself is the r13 Guava-validated bit-exact SipHash-2-4 kernel",
     # --- bitmap engine type (roaring bitmaps) — no Spark column type
     # --- geo beyond the mapped great-circle/polygon/geohash set
     # --- misc scalar gaps, each with a concrete reason
-    "emptyArrayToSingle": "engine-internal",
+    "emptyArrayToSingle": "needs the element-type ZERO value ([0]/['']) for an empty input; a Column builder cannot synthesize a typed zero without plan-time schema access (when/otherwise branches must share one type)",
     "tupleToNameValuePairs": "reflection over struct fields; to_json covers serialization",
     "addTupleOfIntervals": "tuple-typed interval batch",
     "firstSignificantSubdomainCustom": "needs the full public-suffix list (the non-Custom fixed-set variant is mapped)",
