@@ -53,3 +53,38 @@ def test_ppr_star_graph_integer_trace(spark):
         ).collect()
     }
     assert got == {1: 872499999, 2: 42500000, 3: 42500000, 4: 42500000}
+
+
+def test_driver_gate_matches_distributed_paths(spark, monkeypatch):
+    """r13 driver-kernel gate (PPR/LPA): forcing the distributed loop
+    (gate=-1) must produce EXACTLY the rows the driver replay produces
+    on the same graph — the recurrences are deterministic integer
+    arithmetic, so equality is bitwise, not approximate."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (7, 8)],
+        ["a", "b"],
+    )
+    seed = (F.col("n") % 3 == 1)
+
+    def ppr_rows():
+        return sorted(
+            (r["n"], r["deg"], r["rank_nano"])
+            for r in G.personalized_pagerank(
+                edges, "a", "b", seed, rounds=3
+            ).collect()
+        )
+
+    def lpa_rows():
+        return sorted(
+            (r["n"], r["lbl"])
+            for r in G.label_propagation(edges, "a", "b", rounds=3).collect()
+        )
+
+    via_driver_ppr, via_driver_lpa = ppr_rows(), lpa_rows()
+    monkeypatch.setattr(G, "_GRAPH_DRIVER_GATE", -1)
+    assert ppr_rows() == via_driver_ppr
+    assert lpa_rows() == via_driver_lpa
