@@ -148,7 +148,12 @@ def k_core(
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # sub-gate graphs: driver peel (see _GRAPH_DRIVER_GATE — the
+    # fixpoint is deterministic, identical survivors/degrees)
+    if canon.count() <= _GRAPH_DRIVER_GATE:
+        return _driver_k_core(canon, k)
     adj = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
@@ -213,6 +218,32 @@ def k_core(
 #: recurrence replays on the driver instead — same outputs
 #: bit-for-bit, measured ~4-5x at sf0.1. 100k edges collect to ~2 MB.
 _GRAPH_DRIVER_GATE = 100_000
+
+
+def _driver_k_core(canon: DataFrame, k: int) -> DataFrame:
+    """Driver peel of the k-core fixpoint over a collected sub-gate
+    edge list (heap-free repeated filtering — the graph is small by
+    the gate). Returns the same (node, deg-inside-core) rows the
+    distributed peel computes."""
+    rows = canon.collect()
+    adj: dict[int, set[int]] = {}
+    for r in rows:
+        u, v = r["u"], r["v"]
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        doomed = [n for n, neigh in adj.items() if len(neigh) < k]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return canon.sparkSession.createDataFrame(
+        sorted((n, len(neigh)) for n, neigh in adj.items())
+        or [(None, None)],
+        "n long, deg long",
+    ).filter(F.col("n").isNotNull())
 
 
 def _driver_ppr(canon: DataFrame, seed_pred, rounds: int) -> DataFrame:

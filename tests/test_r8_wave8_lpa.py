@@ -88,3 +88,27 @@ def test_driver_gate_matches_distributed_paths(spark, monkeypatch):
     monkeypatch.setattr(G, "_GRAPH_DRIVER_GATE", -1)
     assert ppr_rows() == via_driver_ppr
     assert lpa_rows() == via_driver_lpa
+
+
+def test_k_core_driver_gate_matches_distributed(spark, monkeypatch):
+    """r13: k_core's driver peel must equal the distributed frontier
+    peel on the same graph (deterministic fixpoint, bitwise rows)."""
+    from clickhouse_objects_analysis_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+         (1, 4), (7, 8)],
+        ["a", "b"],
+    )
+
+    def rows():
+        return sorted(
+            (r["n"], r["deg"])
+            for r in G.k_core(edges, "a", "b", 2).collect()
+        )
+
+    via_driver = rows()
+    monkeypatch.setattr(G, "_GRAPH_DRIVER_GATE", -1)
+    assert rows() == via_driver
+    # the 2-core drops the pendant 7-8 component entirely
+    assert {n for n, _ in via_driver} == {1, 2, 3, 4, 5, 6}
