@@ -148,18 +148,22 @@ def k_core(
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # sub-gate graphs: driver peel (see _GRAPH_DRIVER_GATE — the
-    # fixpoint is deterministic, identical survivors/degrees)
-    if canon.count() <= _GRAPH_DRIVER_GATE:
-        return _driver_k_core(canon, k)
     adj = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
         .localCheckpoint(eager=True)
     )
     n_nodes = adj.select("n").distinct().count()
+    # sub-gate graphs: driver peel (see _GRAPH_DRIVER_NODES — the
+    # fixpoint is deterministic, identical survivors/degrees); rides
+    # the node count this loop computes anyway, adj.count() only runs
+    # once the node arm passes (cheap scan of checkpointed blocks)
+    if (
+        n_nodes <= _GRAPH_DRIVER_NODES
+        and adj.count() <= 2 * _GRAPH_DRIVER_GATE
+    ):
+        return _driver_k_core(adj.collect(), k, edges.sparkSession)
     big = n_nodes > _BROADCAST_NODES_GATE
     if big:
         adj = adj.repartition(F.col("m")).persist()
@@ -219,18 +223,23 @@ def k_core(
 #: bit-for-bit, measured ~4-5x at sf0.1. 100k edges collect to ~2 MB.
 _GRAPH_DRIVER_GATE = 100_000
 
+#: Node-count arm of the driver gate: checked FIRST because every
+#: iterative loop already computes the node count for its broadcast
+#: strategy — the gate adds ZERO jobs on the big path (an explicit
+#: edge probe, even an early-terminating limit-count over the raw
+#: input, was measured tipping the second sf10 PPR sweep iteration
+#: over the heap edge).
+_GRAPH_DRIVER_NODES = 50_000
 
-def _driver_k_core(canon: DataFrame, k: int) -> DataFrame:
-    """Driver peel of the k-core fixpoint over a collected sub-gate
-    edge list (heap-free repeated filtering — the graph is small by
+
+def _driver_k_core(adj_rows, k: int, spark) -> DataFrame:
+    """Driver peel of the k-core fixpoint over the collected DOUBLED
+    adjacency (heap-free repeated filtering — the graph is small by
     the gate). Returns the same (node, deg-inside-core) rows the
     distributed peel computes."""
-    rows = canon.collect()
     adj: dict[int, set[int]] = {}
-    for r in rows:
-        u, v = r["u"], r["v"]
-        adj.setdefault(u, set()).add(v)
-        adj.setdefault(v, set()).add(u)
+    for r in adj_rows:
+        adj.setdefault(r["n"], set()).add(r["m"])
     changed = True
     while changed:
         doomed = [n for n, neigh in adj.items() if len(neigh) < k]
@@ -239,29 +248,21 @@ def _driver_k_core(canon: DataFrame, k: int) -> DataFrame:
             for m in adj[n]:
                 adj[m].discard(n)
             del adj[n]
-    return canon.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         sorted((n, len(neigh)) for n, neigh in adj.items())
         or [(None, None)],
         "n long, deg long",
     ).filter(F.col("n").isNotNull())
 
 
-def _driver_ppr(canon: DataFrame, seed_pred, rounds: int) -> DataFrame:
+def _driver_ppr(adj_rows, seedset, rounds: int, spark) -> DataFrame:
     """Driver replay of personalized_pagerank's integer-nano
-    recurrence over a collected sub-gate edge list. Seeds still
-    evaluate through the caller's Column predicate — one tiny
-    DataFrame filter over the node list."""
-    rows = canon.collect()
+    recurrence over the collected DOUBLED adjacency; the seed set is
+    evaluated by the caller through its Column predicate on the
+    already-materialized node table."""
     adj: dict[int, list[int]] = {}
-    for r in rows:
-        u, v = r["u"], r["v"]
-        adj.setdefault(u, []).append(v)
-        adj.setdefault(v, []).append(u)
-    spark = canon.sparkSession
-    nodes_df = spark.createDataFrame(
-        [(n,) for n in sorted(adj)], "n long"
-    )
-    seedset = {r["n"] for r in nodes_df.filter(seed_pred).collect()}
+    for r in adj_rows:
+        adj.setdefault(r["n"], []).append(r["m"])
     base_nano = 1_000_000_000 // max(len(seedset), 1)
     rank = {n: (base_nano if n in seedset else 0) for n in adj}
     for _ in range(rounds):
@@ -285,17 +286,14 @@ def _driver_ppr(canon: DataFrame, seed_pred, rounds: int) -> DataFrame:
     )
 
 
-def _driver_lpa(canon: DataFrame, rounds: int) -> DataFrame:
+def _driver_lpa(adj_rows, rounds: int, spark) -> DataFrame:
     """Driver replay of label_propagation's synchronous
     most-frequent-neighbor-label recurrence (ties to the smallest
-    label) over a collected sub-gate edge list — identical outputs to
-    the distributed rounds by construction."""
-    rows = canon.collect()
+    label) over the collected DOUBLED adjacency — identical outputs
+    to the distributed rounds by construction."""
     adj: dict[int, list[int]] = {}
-    for r in rows:
-        u, v = r["u"], r["v"]
-        adj.setdefault(u, []).append(v)
-        adj.setdefault(v, []).append(u)
+    for r in adj_rows:
+        adj.setdefault(r["n"], []).append(r["m"])
     lbl = {n: n for n in adj}
     for _ in range(rounds):
         new = {}
@@ -305,7 +303,7 @@ def _driver_lpa(canon: DataFrame, rounds: int) -> DataFrame:
                 votes[lbl[m]] = votes.get(lbl[m], 0) + 1
             new[n] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
         lbl = new
-    return canon.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         sorted(lbl.items()), "n long, lbl long"
     )
 
@@ -338,25 +336,37 @@ def personalized_pagerank(
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # Sub-gate graphs route to the driver kernel (the
-    # connected_components_auto discipline): the integer-nano
-    # arithmetic is EXACT, so the python replay lands on the same
-    # nanos bit-for-bit, and `rounds` eager per-round checkpoints of
-    # pure scheduling overhead disappear (sf0.1: 3.0 s → 0.7 s
-    # measured; the distributed loop below is unchanged as the scale
-    # path).
-    if canon.count() <= _GRAPH_DRIVER_GATE:
-        return _driver_ppr(canon, seed_pred, rounds)
+    # persist(), not localCheckpoint(): the doubled adjacency is the
+    # big heap item at sf10 (120M rows next to the loop's persisted
+    # adj_deg put the 16g heap on the OOM edge — the r13 sweep caught
+    # it flapping). A cache is evictable-with-recompute AND explicitly
+    # unpersistable the moment adj_deg materializes.
     adj = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = deg.select("n", "deg").localCheckpoint(eager=True)
     n_nodes = nodes.count()  # also gates the big-graph loop strategy
+    # Sub-gate graphs route to the driver kernel (the
+    # connected_components_auto discipline): the integer-nano
+    # arithmetic is EXACT, so the python replay lands on the same
+    # nanos bit-for-bit, and `rounds` eager per-round checkpoints of
+    # pure scheduling overhead disappear. Gate rides the node count
+    # already computed for the broadcast strategy — zero extra jobs
+    # on the big path.
+    if (
+        n_nodes <= _GRAPH_DRIVER_NODES
+        and adj.count() <= 2 * _GRAPH_DRIVER_GATE
+    ):
+        seedset = {
+            r["n"] for r in nodes.filter(seed_pred).collect()
+        }
+        return _driver_ppr(
+            adj.collect(), seedset, rounds, edges.sparkSession
+        )
     big = n_nodes > _BROADCAST_NODES_GATE
     # Degree folded into the adjacency ONCE (removes a per-round E⋈V
     # join). Loop strategy gates on node count (r8 verdict #5):
@@ -374,6 +384,8 @@ def personalized_pagerank(
     #   eagerly, the returned plan reads the final checkpoint only).
     if big:
         adj_deg = adj.join(nodes, "n").repartition(F.col("n")).persist()
+        adj_deg.count()  # materialize, then drop the raw cache — the
+        adj.unpersist(blocking=False)  # loop reads adj_deg only
     else:
         # lazy on purpose: a map-side broadcast join per round over the
         # checkpointed 2-col adjacency is cheaper than materializing a
@@ -416,6 +428,9 @@ def personalized_pagerank(
     if big:
         out = out.localCheckpoint(eager=True)
         adj_deg.unpersist(blocking=False)
+    else:
+        adj.unpersist(blocking=False)  # rounds ran eagerly via the
+        # per-round rank checkpoints; `out` reads nodes+ranks only
     return out
 
 
@@ -443,17 +458,14 @@ def label_propagation(
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # sub-gate graphs: driver replay of the same synchronous rounds
-    # (see _GRAPH_DRIVER_GATE; identical labels by construction)
-    if canon.count() <= _GRAPH_DRIVER_GATE:
-        return _driver_lpa(canon, rounds)
-    adj = (
+    # persist(), not localCheckpoint() — the PPR heap note above
+    adj_base = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    adj = adj_base
     labels = (
         adj.select("n")
         .distinct()
@@ -469,9 +481,19 @@ def label_propagation(
     # so each round's ShuffledHashJoin re-exchanges only the label
     # table. Measured at sf10: 182.6 s → 64.6 s. Unpersisted on exit;
     # rounds run eagerly, the returned plan reads the final checkpoint.
-    big = labels.count() > _BROADCAST_NODES_GATE
+    n_nodes = labels.count()
+    # sub-gate graphs: driver replay of the same synchronous rounds
+    # (identical labels by construction); rides the existing count
+    if (
+        n_nodes <= _GRAPH_DRIVER_NODES
+        and adj.count() <= 2 * _GRAPH_DRIVER_GATE
+    ):
+        return _driver_lpa(adj.collect(), rounds, edges.sparkSession)
+    big = n_nodes > _BROADCAST_NODES_GATE
     if big:
         adj = adj.repartition(F.col("m")).persist()
+        adj.count()  # materialize, then free the raw cache
+        adj_base.unpersist(blocking=False)
     for _ in range(rounds):
         rhs = labels.select(F.col("n").alias("m"), "lbl")
         votes = (
@@ -492,6 +514,7 @@ def label_propagation(
         labels = top.select(
             "n", (-F.col("t.nl")).alias("lbl")
         ).localCheckpoint(eager=True)  # node-sized per-round state
-    if big:
-        adj.unpersist(blocking=False)
+    adj.unpersist(blocking=False)
+    if not big:
+        adj_base.unpersist(blocking=False)
     return labels

@@ -85,7 +85,7 @@ def test_driver_gate_matches_distributed_paths(spark, monkeypatch):
         )
 
     via_driver_ppr, via_driver_lpa = ppr_rows(), lpa_rows()
-    monkeypatch.setattr(G, "_GRAPH_DRIVER_GATE", -1)
+    monkeypatch.setattr(G, "_GRAPH_DRIVER_NODES", -1)
     assert ppr_rows() == via_driver_ppr
     assert lpa_rows() == via_driver_lpa
 
@@ -108,7 +108,7 @@ def test_k_core_driver_gate_matches_distributed(spark, monkeypatch):
         )
 
     via_driver = rows()
-    monkeypatch.setattr(G, "_GRAPH_DRIVER_GATE", -1)
+    monkeypatch.setattr(G, "_GRAPH_DRIVER_NODES", -1)
     assert rows() == via_driver
     # the 2-core drops the pendant 7-8 component entirely
     assert {n for n, _ in via_driver} == {1, 2, 3, 4, 5, 6}
