@@ -149,6 +149,11 @@ def k_core(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # localCheckpoint, NOT persist: the peel loop re-reads the
+    # adjacency EVERY round, and checkpointed row blocks read faster
+    # than the columnar cache (persist() was A/B-measured 1.6x slower
+    # at sf1 AND sf10 in r13); k_core never exhibited PPR's
+    # double-residency OOM because its loop input IS adj.
     adj = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
@@ -459,13 +464,13 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # persist(), not localCheckpoint() — the PPR heap note above
-    adj_base = (
+    # localCheckpoint, NOT persist — the k_core note: LPA's loop also
+    # re-reads the adjacency every round
+    adj = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    adj = adj_base
     labels = (
         adj.select("n")
         .distinct()
@@ -492,8 +497,6 @@ def label_propagation(
     big = n_nodes > _BROADCAST_NODES_GATE
     if big:
         adj = adj.repartition(F.col("m")).persist()
-        adj.count()  # materialize, then free the raw cache
-        adj_base.unpersist(blocking=False)
     for _ in range(rounds):
         rhs = labels.select(F.col("n").alias("m"), "lbl")
         votes = (
@@ -514,7 +517,6 @@ def label_propagation(
         labels = top.select(
             "n", (-F.col("t.nl")).alias("lbl")
         ).localCheckpoint(eager=True)  # node-sized per-round state
-    adj.unpersist(blocking=False)
-    if not big:
-        adj_base.unpersist(blocking=False)
+    if big:
+        adj.unpersist(blocking=False)
     return labels
