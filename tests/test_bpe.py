@@ -62,3 +62,27 @@ def test_bpe_train_early_stop_on_exhausted_vocab(spark):
     # single token and training stops early.
     out = bpe_train(spark, docs, "text", merges=10).collect()
     assert len(out) == 2
+
+
+def test_bpe_driver_gate_matches_distributed(spark, monkeypatch):
+    """r13: the driver BPE replay must reproduce the distributed merge
+    trajectory exactly (same integers, same tie-breaks, same greedy
+    fold) — forced by dropping the gate."""
+    from clickhouse_objects_analysis_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [("low lower lowest low low newest newer new",),
+         ("wide wider widest new newest lower low",)],
+        ["text"],
+    )
+
+    def rows():
+        return [
+            tuple(r)
+            for r in B.bpe_train(spark, docs, "text", merges=6).collect()
+        ]
+
+    via_driver = rows()
+    monkeypatch.setattr(B, "_BPE_DRIVER_GATE", -1)
+    assert rows() == via_driver
+    assert len(via_driver) == 6
