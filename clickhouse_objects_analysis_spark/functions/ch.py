@@ -4380,10 +4380,19 @@ def _aes_decrypt_mysql(mode, ct, key, iv=None) -> Column:
     return _decrypt(mode, ct, F.lit(folded), iv)
 
 
-def _pdudf(key: str, fn, out: str):
-    """Cache an elementwise pandas UDF under ``key``."""
+def _pdudf(key: str, fn, out: str, nondeterministic: bool = False):
+    """Cache an elementwise pandas UDF under ``key``.
+
+    ``nondeterministic`` flags the random family (randBinomial,
+    randomString, fuzzBits, …) the way Spark flags rand()/uuid():
+    without it Catalyst treats the UDF as deterministic and may
+    common-subexpression-eliminate two calls into one draw, or
+    re-execute with different results on retry/recompute."""
     if key not in _R12_UDFS:
-        _R12_UDFS[key] = F.pandas_udf(fn, out)
+        udf = F.pandas_udf(fn, out)
+        if nondeterministic:
+            udf = udf.asNondeterministic()
+        _R12_UDFS[key] = udf
     return _R12_UDFS[key]
 
 
@@ -4402,7 +4411,7 @@ def _rand_binomial(n, p) -> Column:
             np.random.binomial(n_i, p_f, len(s)).astype("int64")
         )
 
-    return _pdudf(f"randbin:{n_i}:{p_f}", gen, "long")(F.lit(0))
+    return _pdudf(f"randbin:{n_i}:{p_f}", gen, "long", nondeterministic=True)(F.lit(0))
 
 
 def _random_string(length) -> Column:
@@ -4419,7 +4428,7 @@ def _random_string(length) -> Column:
             [np.random.bytes(ln) for _ in range(len(s))]
         )
 
-    return _pdudf(f"randstr:{ln}", gen, "binary")(F.lit(0))
+    return _pdudf(f"randstr:{ln}", gen, "binary", nondeterministic=True)(F.lit(0))
 
 
 def _random_printable_ascii(length) -> Column:
@@ -4437,7 +4446,7 @@ def _random_printable_ascii(length) -> Column:
             ["".join(map(chr, row)) for row in codes]
         )
 
-    return _pdudf(f"randasc:{ln}", gen, "string")(F.lit(0))
+    return _pdudf(f"randasc:{ln}", gen, "string", nondeterministic=True)(F.lit(0))
 
 
 def _fuzz_bits(c: Column, prob) -> Column:
@@ -4464,7 +4473,7 @@ def _fuzz_bits(c: Column, prob) -> Column:
 
         return s.map(one)
 
-    return _pdudf(f"fuzz:{p_f}", gen, "binary")(c)
+    return _pdudf(f"fuzz:{p_f}", gen, "binary", nondeterministic=True)(c)
 
 
 def _format_row_cols(cols, fmt: str) -> Column:
@@ -4852,18 +4861,25 @@ def _generate_uuid_v7() -> Column:
     )
 
 
-def _neighbor(c: Column, offset, default=None) -> Column:
+def _neighbor(c: Column, offset, default=None, dtype: str = "double") -> Column:
     """``neighbor(x, offset[, default])``: the value ``offset`` rows
     ahead (negative = behind) WITHIN THE CURRENT BLOCK — faithfully
     block-local like CH (the Arrow batch is the block), including the
     documented order-dependence footgun. Out-of-block rows take
-    ``default`` (literal) or NULL."""
+    ``default`` (literal) or NULL.
+
+    ``dtype`` dispatches the UDF's type: CH's neighbor preserves the
+    argument type, but a Column's type is not introspectable at
+    expression-build time, so callers with non-double inputs
+    (string/date/decimal) must pass their type explicitly — the
+    default double cast would otherwise silently NULL or round them.
+    pandas ``shift`` itself is dtype-agnostic."""
     if isinstance(offset, Column):
         raise TypeError("neighbor offset must be a literal int")
     off = int(offset)
     if isinstance(default, Column):
         raise TypeError("neighbor default must be a literal")
-    key = ("neighbor", off, repr(default))
+    key = ("neighbor", off, repr(default), dtype)
     if key not in _R12_UDFS:
 
         def gen(s, _o=off, _d=default):
@@ -4872,8 +4888,9 @@ def _neighbor(c: Column, offset, default=None) -> Column:
                 out = out.fillna(_d)
             return out
 
-        _R12_UDFS[key] = F.pandas_udf(gen, "double")
-    return _R12_UDFS[key](c.cast("double"))
+        _R12_UDFS[key] = F.pandas_udf(gen, dtype)
+    arg = c.cast("double") if dtype == "double" else c.cast(dtype)
+    return _R12_UDFS[key](arg)
 
 
 def _running_difference_swf(c: Column) -> Column:
@@ -4942,7 +4959,9 @@ def _now_in_block() -> Column:
             t = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             return _pd.Series([t] * len(s))
 
-        _R12_UDFS[key] = F.pandas_udf(gen, "timestamp")
+        # wall-clock per block: nondeterministic by definition (stops
+        # Catalyst CSE-folding two calls into one reading)
+        _R12_UDFS[key] = F.pandas_udf(gen, "timestamp").asNondeterministic()
     return _R12_UDFS[key](F.lit(0))
 
 
@@ -5603,7 +5622,10 @@ def _agg_throw(c: Column, prob=1.0) -> Column:
                 raise RuntimeError("Aggregate function aggThrow has thrown")
             return None
 
-        _R12_UDFS[key] = F.pandas_udf(agg, "double", PandasUDFType.GROUPED_AGG)
+        # random fault injection: nondeterministic like rand()
+        _R12_UDFS[key] = F.pandas_udf(
+            agg, "double", PandasUDFType.GROUPED_AGG
+        ).asNondeterministic()
     return _R12_UDFS[key](c.cast("double"))
 
 

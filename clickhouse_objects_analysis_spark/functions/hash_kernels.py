@@ -20,14 +20,20 @@ Validation tiers (tests/test_r13_hash_kernels.py):
   (and the gcc-seed variant) — short, unambiguous published kernels;
   ``murmur2_64a`` doubles as gcc libstdc++ ``_Hash_bytes`` (identical
   chunk/tail/final algebra, seed 0xc70f6907).
+- **Docs-vector-validated (treated bit-exact):** ``wy_hash64``
+  (wyhash final v3) — matches the ClickHouse documentation example
+  wyHash64('ClickHouse') = 12336419557878201794, on the strength of
+  which ch.py's NON_BIT_COMPATIBLE set excludes wyHash64; a single
+  vector is weaker evidence than the Guava property tests above, so
+  the tier is named separately.
 - **Spec-transcribed (NON_BIT_COMPATIBLE):** ``metro_hash64``
-  (metrohash64_2 constants), ``wy_hash64`` (wyhash final v3),
-  ``xxh3_64`` (XXH3 with the published 192-byte kSecret) — no
-  independent implementation exists in this container, so byte-level
-  parity with the exact upstream revision ClickHouse vendors is
-  unverified; the variant each transcribes is pinned here and in the
-  NON_BIT_COMPATIBLE notes.  xxh3_64's empty-input canonical value
-  0x2D06800538D394C2 is asserted (validates kSecret[56:72]).
+  (metrohash64_2 constants), ``xxh3_64`` (XXH3 with the published
+  192-byte kSecret) — no independent implementation exists in this
+  container, so byte-level parity with the exact upstream revision
+  ClickHouse vendors is unverified; the variant each transcribes is
+  pinned here and in the NON_BIT_COMPATIBLE notes.  xxh3_64's
+  empty-input canonical value 0x2D06800538D394C2 is asserted
+  (validates kSecret[56:72]).
 """
 
 from __future__ import annotations
@@ -437,7 +443,7 @@ def metro_hash64(data: bytes, seed: int = 0) -> int:
 
 # ---------------------------------------------------------------------------
 # wyhash 64-bit (Wang Yi, final version 3 — the revision vendored when
-# ClickHouse added wyHash64; spec-transcribed, see module docstring)
+# ClickHouse added wyHash64; docs-vector-validated, see module docstring)
 # ---------------------------------------------------------------------------
 
 _WYP = (

@@ -168,7 +168,7 @@ def k_core(
         n_nodes <= _GRAPH_DRIVER_NODES
         and adj.count() <= 2 * _GRAPH_DRIVER_GATE
     ):
-        return _driver_k_core(adj.collect(), k, edges.sparkSession)
+        return _driver_k_core(adj.collect(), k, max_iter, edges.sparkSession)
     big = n_nodes > _BROADCAST_NODES_GATE
     if big:
         adj = adj.repartition(F.col("m")).persist()
@@ -237,24 +237,30 @@ _GRAPH_DRIVER_GATE = 100_000
 _GRAPH_DRIVER_NODES = 50_000
 
 
-def _driver_k_core(adj_rows, k: int, spark) -> DataFrame:
+def _driver_k_core(adj_rows, k: int, max_iter: int, spark) -> DataFrame:
     """Driver peel of the k-core fixpoint over the collected DOUBLED
     adjacency (heap-free repeated filtering — the graph is small by
-    the gate). Returns the same (node, deg-inside-core) rows the
-    distributed peel computes."""
+    the gate). Bounded by the SAME ``max_iter`` as the distributed
+    peel, with the same sub-k-straggler drop on exhaustion, so both
+    paths return identical rows even on a graph whose peel needs more
+    than ``max_iter`` rounds (e.g. a long chain at k=2)."""
     adj: dict[int, set[int]] = {}
     for r in adj_rows:
         adj.setdefault(r["n"], set()).add(r["m"])
-    changed = True
-    while changed:
+    for _ in range(max_iter):
         doomed = [n for n, neigh in adj.items() if len(neigh) < k]
-        changed = bool(doomed)
+        if not doomed:
+            break
         for n in doomed:
             for m in adj[n]:
                 adj[m].discard(n)
             del adj[n]
     return spark.createDataFrame(
-        sorted((n, len(neigh)) for n, neigh in adj.items())
+        sorted(
+            (n, len(neigh))
+            for n, neigh in adj.items()
+            if len(neigh) >= k
+        )
         or [(None, None)],
         "n long, deg long",
     ).filter(F.col("n").isNotNull())
@@ -369,8 +375,11 @@ def personalized_pagerank(
         seedset = {
             r["n"] for r in nodes.filter(seed_pred).collect()
         }
+        adj_rows = adj.collect()
+        adj.unpersist(blocking=False)  # the cache promise above holds
+        # on the driver path too — nothing reads adj after collect()
         return _driver_ppr(
-            adj.collect(), seedset, rounds, edges.sparkSession
+            adj_rows, seedset, rounds, edges.sparkSession
         )
     big = n_nodes > _BROADCAST_NODES_GATE
     # Degree folded into the adjacency ONCE (removes a per-round E⋈V
@@ -392,8 +401,14 @@ def personalized_pagerank(
         adj_deg.count()  # materialize, then drop the raw cache — the
         adj.unpersist(blocking=False)  # loop reads adj_deg only
     else:
+        # Small-arm storage stays the persist cache (r14 A/B: a
+        # cache → localCheckpoint conversion before the loop — chasing
+        # the r13 matrix's 3.7 s direct-checkpoint arm — measured
+        # same-session alternating old 6.1-6.9 s vs new 6.1-7.0 s at
+        # sf0.1: the conversion copy costs what the per-round
+        # checkpoint reads save, so the simpler shape ships).
         # lazy on purpose: a map-side broadcast join per round over the
-        # checkpointed 2-col adjacency is cheaper than materializing a
+        # cached 2-col adjacency is cheaper than materializing a
         # second, 3-col E-sized checkpoint (measured +8 s at sf1).
         # `nodes`, not `deg`: the checkpointed table broadcasts as-is,
         # while deg would re-run the E-sized degree agg every round.
@@ -425,7 +440,15 @@ def personalized_pagerank(
                     " div 100"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)  # node-sized per-round state
+            # node-sized per-round state. Big arm: EAGER — each round
+            # must finish before adj_deg is unpersisted below, and at
+            # sf10 an unmaterialized round chain would re-read the
+            # E-sized cache under heap pressure. Small arm: LAZY — the
+            # rounds collapse into ONE materializing job at the final
+            # checkpoint (r14 same-session A/B: 5.46-5.77 s vs
+            # 5.98-6.50 s eager at sf0.1, ~9% — `rounds` fewer job
+            # dispatches, same per-round plans).
+            .localCheckpoint(eager=big)
         )
     out = nodes.join(ranks, "n").select(
         "n", "deg", F.col("r").alias("rank_nano")
@@ -434,8 +457,11 @@ def personalized_pagerank(
         out = out.localCheckpoint(eager=True)
         adj_deg.unpersist(blocking=False)
     else:
-        adj.unpersist(blocking=False)  # rounds ran eagerly via the
-        # per-round rank checkpoints; `out` reads nodes+ranks only
+        # materialize the lazy round chain in one job, THEN free the
+        # adjacency cache — unpersisting first would force every round
+        # to recompute the canon+union pipeline from scratch
+        out = out.localCheckpoint(eager=True)
+        adj.unpersist(blocking=False)
     return out
 
 
@@ -514,9 +540,15 @@ def label_propagation(
                 F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
             ).alias("t")
         )
+        # node-sized per-round state. Big arm: EAGER — rounds must
+        # materialize before the persisted adjacency is freed below.
+        # Small arm: LAZY — adj is a checkpoint (nothing to unpersist),
+        # so the rounds collapse into the caller's single materializing
+        # action (the r14 PPR lazy-rounds A/B, same ~`rounds`-job
+        # dispatch saving).
         labels = top.select(
             "n", (-F.col("t.nl")).alias("lbl")
-        ).localCheckpoint(eager=True)  # node-sized per-round state
+        ).localCheckpoint(eager=big)
     if big:
         adj.unpersist(blocking=False)
     return labels

@@ -11,7 +11,7 @@ whole operator is joins + windows + aggregates — no Python in the loop.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from .registry import query, tables
 
@@ -29,64 +29,74 @@ def scrub_boilerplate_spans(
     """Remove every token covered by an ``ngram``-token span that occurs
     in >= ``min_df`` distinct documents, and reassemble the text.
     Returns (id_col, scrubbed_text, n_removed). See
-    boilerplate_span_scrub_q for the scale analysis."""
+    boilerplate_span_scrub_q for the scale analysis.
+
+    r14 rewrite (OPTIMIZATION_r14.md): grams are built ARRAY-SIDE from
+    the token array (no posexplode + per-doc lead() window sort), and
+    the per-token anti-join + positional collect_list reassembly are
+    replaced by array ops on the doc row — each doc's frequent-span hit
+    positions come back as ONE small array (the only doc-keyed shuffle,
+    hit-sized not token-sized), coverage expansion and the keep-filter
+    run as higher-order functions map-side. Plan: the token stream
+    never shuffles at all; exchanges drop from 6 (window sort, span df,
+    covered distinct, anti-join both sides, rebuild) to 2 (span df, hit
+    positions) plus the caller's output sort (A/B best-of-4 at sf0.1:
+    2.52 → 0.86 s)."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    sh = tok.select(
+    base = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # full-gram start positions 0 .. size(ws)-ngram; shorter docs have
+    # no full gram (sequence() would generate a DESCENDING range there,
+    # hence the guard)
+    empty = F.array().cast("array<struct<pos:int,s:string>>")
+    grams = base.select(
         "doc_id",
-        "pos",
-        F.concat_ws(
-            " ",
-            "w",
-            *[F.lead("w", i).over(wd) for i in range(1, ngram)],
-        ).alias("s"),
-        F.lead("w", ngram - 1).over(wd).isNotNull().alias("is_full"),
-    )
-    occurrences = sh.filter("is_full")
+        F.explode(
+            F.when(
+                F.size("ws") >= ngram,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - ngram),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.get(F.col("ws"), i + j)
+                                for j in range(ngram)
+                            ],
+                        ).alias("s"),
+                    ),
+                ),
+            ).otherwise(empty)
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.s")
     frequent = (
-        occurrences.groupBy("s")
+        grams.groupBy("s")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_df)
         .select("s")
     )
-    covered = (
-        occurrences.join(frequent, "s")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (ngram - 1))
-            ).alias("cpos"),
+    # AQE broadcasts `frequent` at any sane min_df; at 100 TB an
+    # over-threshold span set degrades to a shuffle join, never OOM
+    hit_pos = (
+        grams.join(frequent, "s")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("hits"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform("hits", lambda p: F.sequence(p, p + (ngram - 1)))
         )
-        .distinct()
     )
-    kept = tok.join(
-        covered,
-        (tok["doc_id"] == covered["doc_id"])
-        & (tok["pos"] == covered["cpos"]),
-        "left_anti",
+    joined = base.join(hit_pos, "doc_id", "left").withColumn(
+        "cov", F.coalesce(covered, F.array().cast("array<int>"))
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "w"))),
-                lambda st: st["w"],
-            ),
-            " ",
-        ).alias("scrubbed"),
-        F.count(F.lit(1)).alias("n_kept"),
+    kept = F.filter(
+        "ws", lambda x, i: ~F.array_contains(F.col("cov"), i)
     )
-    orig = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_orig")
-    )
-    return orig.join(rebuilt, "doc_id", "left").select(
+    return joined.select(
         F.col("doc_id").alias(id_col),
-        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
-        (F.col("n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+        F.concat_ws(" ", kept).alias("scrubbed_text"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 
@@ -137,20 +147,18 @@ def scrub_boilerplate_spans(
     """,
 )
 def boilerplate_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document boilerplate span removal: tokenize with positions,
-    form 5-token shingles via lead() windows, find shingles occurring in
-    >= 3 distinct docs, expand their occurrences to covered position
-    ranges, anti-join tokens against covered positions, reassemble in
-    position order.
+    """Cross-document boilerplate span removal: form 5-token spans from
+    each doc's token array, find spans occurring in >= 3 distinct docs,
+    pull each doc's hit positions back as one array, and scrub/reassemble
+    map-side with higher-order array functions (scrub_boilerplate_spans —
+    the r14 array-side shape; the oracle keeps the window/anti-join
+    formulation, which is the equivalence proof).
 
-    Scale shape: the shingle df-count is one map-side-combined aggregate
-    on the shingle hash; occurrence expansion is sequence+explode (5 rows
-    per hit); the anti-join shuffles (doc_id, pos) pairs — narrow ints,
-    not text. At 100 TB the frequent-shingle set is the only candidate
-    broadcast, and it is df-capped by construction (same guard as
-    ngram_jaccard's max_df). Reassembly is the nested_type_roundtrip
-    pattern: partial collect_list before the shuffle, array ops JVM-side.
-    """
+    Scale shape: the span df-count is one map-side-combined aggregate;
+    the only doc-keyed shuffle carries hit POSITIONS (ints, hit-sized);
+    the token stream itself never shuffles. At 100 TB the frequent-span
+    set is the only candidate broadcast and AQE may degrade that join to
+    a shuffle, never an OOM."""
     d = tables(spark, sf_dir)["documents"]
     return scrub_boilerplate_spans(
         d, "doc_id", "text", ngram=_NGRAM, min_df=_MIN_DF

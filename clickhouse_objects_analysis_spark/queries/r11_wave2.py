@@ -17,7 +17,7 @@ signature so DuckDB replays the EXACT same minima, not a lookalike.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import shingle_sets
 from .registry import q6, query, tables
@@ -113,11 +113,24 @@ def gopher_repetition_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. Top-gram ties break (count DESC, gram ASC) so both engines
     pick the same winner; fractions normalize by raw character length.
 
-    Scale shape: posexplode + three lead() windows per doc (one
-    partition sort shared by all three gram widths), two top-1 window
-    aggs and one duplicated-mass agg — everything map-side-combinable
-    after the per-doc sort; no joins beyond doc-keyed reassembly. Docs
-    under 5 words are excluded (no full 5-gram exists)."""
+    Scale shape (r14 rewrite, OPTIMIZATION_r14.md): grams are built
+    ARRAY-SIDE from the token array (transform over an index sequence —
+    no posexplode, no per-doc lead() window sort), and because the
+    stream is hash-partitioned by doc_id, BOTH aggregations — the
+    (doc, width, gram) count and the per-doc top-1/duplicated-mass
+    fold — satisfy their clustering requirement on that single
+    exchange: one shuffle carries the tokenized text, everything after
+    runs exchange-free in-partition. The top-1 (count DESC, gram ASC)
+    pick is a min(struct(-cnt, gram)) aggregate (the LPA max-struct
+    discipline) instead of a row_number window, and n_chars rides the
+    grouping keys so no join back is needed. The old shape paid a
+    posexplode + 3-width lead() window sort, two row_number windows,
+    and three doc-keyed joins over the same data (r14 A/B best-of-4
+    at sf0.1: 2.18 → 1.25 s, and 4.49 → 2.15 s under heavier host
+    load; plan 53 → 15 operators, exchanges 8 → 2 with the only
+    remaining sorts the output order and the SortAggregate's bounded
+    in-partition grouping sort). Docs under 5 words are excluded (no
+    full 5-gram exists)."""
     d = (
         tables(spark, sf_dir)["documents"]
         .select(
@@ -133,94 +146,76 @@ def gopher_repetition_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ws"),
         )
         .filter(F.size("ws") >= 5)
+        # the ONE exchange: parallelizes the single-row-group test scan
+        # AND establishes the doc_id clustering both aggregates below
+        # reuse (hash on a subset of the grouping keys satisfies
+        # ClusteredDistribution — no further exchange is inserted)
         .repartition(32, "doc_id")
     )
-    tok = d.select(
-        "doc_id",
-        "n_chars",
-        F.posexplode("ws").alias("pos", "w"),
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    g = tok.select(
-        "doc_id",
-        "n_chars",
-        F.concat_ws(
-            " ", "w", F.lead("w", 1).over(wd)
-        ).alias("g2"),
-        F.lead("w", 1).over(wd).isNotNull().alias("f2"),
-        F.concat_ws(
-            " ", "w", F.lead("w", 1).over(wd), F.lead("w", 2).over(wd)
-        ).alias("g3"),
-        F.lead("w", 2).over(wd).isNotNull().alias("f3"),
-        F.concat_ws(
-            " ",
-            "w",
-            F.lead("w", 1).over(wd),
-            F.lead("w", 2).over(wd),
-            F.lead("w", 3).over(wd),
-            F.lead("w", 4).over(wd),
-        ).alias("g5"),
-        F.lead("w", 4).over(wd).isNotNull().alias("f5"),
-    ).localCheckpoint(eager=False)
 
-    def top_frac(gcol: str, fcol: str):
-        cnts = (
-            g.filter(F.col(fcol))
-            .groupBy("doc_id", gcol)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w1 = Window.partitionBy("doc_id").orderBy(
-            F.desc("cnt"), F.col(gcol)
-        )
-        return (
-            cnts.withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") == 1)
-            .select(
-                "doc_id",
-                (F.col("cnt") * F.length(gcol)).alias("top_chars"),
-            )
+    def grams(width: int):
+        # positions 0 .. size(ws)-width, gram = ws[i..i+width-1]
+        return F.transform(
+            F.sequence(F.lit(0), F.size("ws") - width),
+            lambda i: F.struct(
+                F.lit(width).alias("width"),
+                F.concat_ws(
+                    " ", *[F.get(F.col("ws"), i + j) for j in range(width)]
+                ).alias("gram"),
+            ),
         )
 
-    top2 = top_frac("g2", "f2")
-    top3 = top_frac("g3", "f3")
-    dup5 = (
-        g.filter("f5")
-        .groupBy("doc_id", "g5")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("cnt") >= 2, F.col("cnt") * F.length("g5")
-                    )
-                ),
-                F.lit(0),
-            ).alias("dup_chars")
-        )
+    g = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.concat(grams(2), grams(3), grams(5))
+        ).alias("e"),
+    ).select("doc_id", "n_chars", "e.width", "e.gram")
+    counted = g.groupBy("doc_id", "n_chars", "width", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    base = d.select("doc_id", "n_chars")
-    f2c = F.col("top_chars_2").cast("double") / F.col("n_chars")
-    f3c = F.col("top_chars_3").cast("double") / F.col("n_chars")
-    f5c = F.col("dup_chars").cast("double") / F.col("n_chars")
-    return (
-        base.join(top2.withColumnRenamed("top_chars", "top_chars_2"), "doc_id")
-        .join(top3.withColumnRenamed("top_chars", "top_chars_3"), "doc_id")
-        .join(dup5, "doc_id")
-        .select(
-            "doc_id",
-            q6(f2c).alias("top2_frac"),
-            q6(f3c).alias("top3_frac"),
-            q6(f5c).alias("dup5_frac"),
+    # top-1 as min(struct(-cnt, gram)): smallest -cnt = largest count,
+    # then lexicographically smallest gram — the exact row_number
+    # (count DESC, gram ASC) tie-break, with no window sort
+    def top_struct(width: int):
+        return F.min(
             F.when(
-                (f2c <= _T2) & (f3c <= _T3) & (f5c <= _TD5), 1
+                F.col("width") == width,
+                F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g")),
             )
-            .otherwise(0)
-            .cast("int")
-            .alias("keep"),
         )
-        .orderBy("doc_id")
+
+    stats = counted.groupBy("doc_id", "n_chars").agg(
+        top_struct(2).alias("t2"),
+        top_struct(3).alias("t3"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("width") == 5) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.length("gram"),
+                )
+            ),
+            F.lit(0),
+        ).alias("dup_chars"),
     )
+    f2c = (
+        (-F.col("t2.nc")) * F.length("t2.g")
+    ).cast("double") / F.col("n_chars")
+    f3c = (
+        (-F.col("t3.nc")) * F.length("t3.g")
+    ).cast("double") / F.col("n_chars")
+    f5c = F.col("dup_chars").cast("double") / F.col("n_chars")
+    return stats.select(
+        "doc_id",
+        q6(f2c).alias("top2_frac"),
+        q6(f3c).alias("top3_frac"),
+        q6(f5c).alias("dup5_frac"),
+        F.when((f2c <= _T2) & (f3c <= _T3) & (f5c <= _TD5), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

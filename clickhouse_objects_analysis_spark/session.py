@@ -57,6 +57,18 @@ def get_spark(app_name: str = "clickhouse-objects-analysis-spark") -> SparkSessi
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Scale-dependent settings stay parameterized (driver contract):
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays arbitrary session
+    # confs without code changes — how a production deployment sets
+    # cluster-sized shuffle partitions, codec choices, or memory knobs,
+    # and how the r14 config A/Bs were run (OPTIMIZATION_r14.md). Local
+    # defaults above are unchanged when the variable is unset, keeping
+    # the driver's bench comparable.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
