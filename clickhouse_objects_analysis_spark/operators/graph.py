@@ -445,9 +445,15 @@ def personalized_pagerank(
             # sf10 an unmaterialized round chain would re-read the
             # E-sized cache under heap pressure. Small arm: LAZY — the
             # rounds collapse into ONE materializing job at the final
-            # checkpoint (r14 same-session A/B: 5.46-5.77 s vs
-            # 5.98-6.50 s eager at sf0.1, ~9% — `rounds` fewer job
-            # dispatches, same per-round plans).
+            # checkpoint, `rounds` fewer job dispatches (r14
+            # same-session A/B ×3 sessions: lazy mins 5.16/5.46/5.01 s
+            # vs eager 5.40/5.98/4.81 s at sf0.1 — two wins, one wash;
+            # kept for the dispatch saving, which grows with `rounds`).
+            # NOTE: safe here because every per-round join explicitly
+            # broadcasts its node-sized side (adj_deg folds
+            # F.broadcast(nodes)); LPA's unhinted join planned WORSE
+            # against a lazy chain and stays eager — see
+            # label_propagation.
             .localCheckpoint(eager=big)
         )
     out = nodes.join(ranks, "n").select(
@@ -540,15 +546,17 @@ def label_propagation(
                 F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
             ).alias("t")
         )
-        # node-sized per-round state. Big arm: EAGER — rounds must
-        # materialize before the persisted adjacency is freed below.
-        # Small arm: LAZY — adj is a checkpoint (nothing to unpersist),
-        # so the rounds collapse into the caller's single materializing
-        # action (the r14 PPR lazy-rounds A/B, same ~`rounds`-job
-        # dispatch saving).
+        # node-sized per-round state — EAGER in BOTH arms. The r14
+        # lazy-rounds variant that pays off for PPR was A/B-measured
+        # same-session for LPA and is consistently SLOWER here (eager
+        # 5.3-6.8 s vs lazy 6.2-10.8 s at sf0.1): this loop's join has
+        # no explicit broadcast side, and with an unmaterialized lazy
+        # label chain the planner can't see the node-sized rhs, so each
+        # round plans against unknown stats instead of a materialized
+        # table AQE immediately broadcasts.
         labels = top.select(
             "n", (-F.col("t.nl")).alias("lbl")
-        ).localCheckpoint(eager=big)
+        ).localCheckpoint(eager=True)
     if big:
         adj.unpersist(blocking=False)
     return labels

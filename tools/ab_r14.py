@@ -344,12 +344,80 @@ def ppr_lazy(spark, sf_dir):
     )
 
 
+def lpa_eager(spark, sf_dir):
+    """OLD (r13) LPA small arm: EAGER per-round label checkpoints —
+    driving the same communities query front."""
+    li = (
+        tables(spark, sf_dir)["lineitem"]
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    ea, eb = li.alias("a"), li.alias("b")
+    edges = (
+        ea.join(eb, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+    )
+    rounds = 3
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    canon = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select("n")
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    labels.count()
+    for _ in range(rounds):
+        rhs = labels.select(F.col("n").alias("m"), "lbl")
+        votes = (
+            adj.join(rhs, "m")
+            .groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = votes.groupBy("n").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias(
+                "t"
+            )
+        )
+        labels = top.select(
+            "n", (-F.col("t.nl")).alias("lbl")
+        ).localCheckpoint(eager=True)
+    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        comm.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("lbl").cast("long").alias("sum_labels"),
+        )
+        .select(
+            F.col("size").cast("long").alias("size"),
+            "n_communities",
+            "sum_labels",
+        )
+        .orderBy("size")
+    )
+
+
 PAIRS = {
     "gopher": (gopher_old, "gopher_repetition_rules"),
     "boiler": (boiler_old, "boilerplate_span_scrub"),
     "ppr": (ppr_old, "personalized_pagerank_copurchase"),
     # old slot = CANDIDATE lazy variant, new slot = shipped package code
     "pprlazy": (ppr_lazy, "personalized_pagerank_copurchase"),
+    "lpalazy": (lpa_eager, "label_propagation_communities"),
 }
 
 
