@@ -149,8 +149,16 @@ def gopher_repetition_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the ONE exchange: parallelizes the single-row-group test scan
         # AND establishes the doc_id clustering both aggregates below
         # reuse (hash on a subset of the grouping keys satisfies
-        # ClusteredDistribution — no further exchange is inserted)
-        .repartition(32, "doc_id")
+        # ClusteredDistribution — no further exchange is inserted).
+        # Partition count = the session's core count, NOT the old
+        # literal 32 (this exchange is now load-bearing and must scale
+        # with the cluster) and NOT count-less repartition(col) — that
+        # form is AQE-coalescible BY BYTES, and A/B showed AQE folding
+        # this small-but-CPU-dense gram stage onto too few cores
+        # (1.86 → 2.66 s); an explicit count is respected.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
     )
 
     def grams(width: int):

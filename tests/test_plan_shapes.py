@@ -332,6 +332,32 @@ class TestWave4Plans:
         assert "HashAggregate" in plan
         assert "Python" not in plan and "mapInPandas" not in plan
 
+    def test_gopher_repetition_two_exchanges_no_window(self, spark, sf_dir):
+        # r14 rewrite: array-side grams, both aggregations ride the one
+        # doc_id exchange; the only other exchange is the output sort.
+        # A Window or a Join reappearing means the rewrite regressed to
+        # the posexplode + lead()/row_number + join-back shape.
+        plan = plan_of(
+            QUERIES["gopher_repetition_rules"](spark, sf_dir), "simple"
+        )
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 2, plan
+
+    def test_boilerplate_scrub_token_stream_never_shuffles(
+        self, spark, sf_dir
+    ):
+        # r14 rewrite: grams array-side, scrub/reassembly map-side; the
+        # doc-keyed shuffle carries hit POSITIONS (the collect_list
+        # agg), never the token stream, and no per-doc window sort or
+        # token anti-join exists.
+        plan = plan_of(
+            QUERIES["boilerplate_span_scrub"](spark, sf_dir), "simple"
+        )
+        assert "Window" not in plan
+        assert "LeftAnti" not in plan
+        assert "collect_list" in plan
+
     def test_unigram_broadcasts_vocab(self, spark, sf_dir):
         plan = plan_of(
             QUERIES["unigram_logprob_quality"](spark, sf_dir), "simple"
