@@ -307,19 +307,41 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same inverted-index pattern as ngram_jaccard_pairs lifted from
     documents to sources."""
     d = widen_scan(tables(spark, sf_dir)["documents"])
-    g = (
-        d.select(
-            "source",
-            F.explode(shingles(tokenize(F.col("text")), 3)).alias("g"),
-        )
-        .distinct()
+    g = d.select(
+        "source",
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("g"),
     )
-    sz = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = g.select(F.col("source").alias("src_a"), "g")
-    b = g.select(F.col("source").alias("src_b"), "g")
+    # ONE gram-keyed shuffle (r14, guide §2.4): collect each gram's
+    # source SET (collect_set partial-aggregates map-side, so per-map
+    # rows carry at most |sources| entries), then both the per-source
+    # distinct-gram sizes and every pairwise intersection fall out of
+    # the ≤|sources|-sized array with map-side transforms + tiny aggs.
+    # The old shape paid a (source, g) distinct exchange PLUS a
+    # gram-keyed self-join (a second full gram shuffle and a per-gram
+    # fanout); lazy localCheckpoint shares the gram agg between the two
+    # consumers instead of recomputing it (the dedup-front discipline).
+    grp = (
+        g.groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    sz = (
+        grp.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pair_combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     px = (
-        a.join(b, "g")
-        .filter(F.col("src_a") < F.col("src_b"))
+        grp.select(F.explode(pair_combos).alias("p"))
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )

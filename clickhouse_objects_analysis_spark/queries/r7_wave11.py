@@ -325,30 +325,48 @@ def bloom_semijoin_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = bloom.select(F.col("word").alias("w1"), F.col("bits").alias("bits1"))
     b2 = bloom.select(F.col("word").alias("w2"), F.col("bits").alias("bits2"))
-    passed = (
+    # ONE pass over lineitem computes BOTH counts (r14, guide §2.4): the
+    # bloom lookups become LEFT broadcast joins (a probe word absent from
+    # the 2048-row filter table means its bit is unset — the old INNER
+    # join dropped the row, the flag form scores it false), and the truth
+    # semi-join becomes a LEFT join flag against the distinct urgent-key
+    # frame (distinct ⇒ no fanout). The old shape scanned lineitem twice
+    # (bloom-probe pass + exact semi-join pass) and ran three separate
+    # count jobs; this runs one scan, three broadcast joins, one agg.
+    flags = (
         probe.join(
-            F.broadcast(b1), (F.col("p1") / 32).cast("long") == F.col("w1")
+            F.broadcast(b1),
+            (F.col("p1") / 32).cast("long") == F.col("w1"),
+            "left",
         )
-        .join(F.broadcast(b2), (F.col("p2") / 32).cast("long") == F.col("w2"))
-        .filter(
-            (F.col("bits1").bitwiseAND(bit_of(F.col("p1"))) != 0)
-            & (F.col("bits2").bitwiseAND(bit_of(F.col("p2"))) != 0)
+        .join(
+            F.broadcast(b2),
+            (F.col("p2") / 32).cast("long") == F.col("w2"),
+            "left",
         )
-        .select("l_orderkey")
-    )
-    truth = li.join(
-        keys, li["l_orderkey"] == keys["k"], "left_semi"
-    ).select("l_orderkey")
-    n_keys = keys.agg(F.count("*").cast("long").alias("n_keys"))
-    n_pass = passed.agg(F.count("*").cast("long").alias("n_bloom_pass"))
-    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
-    return (
-        n_keys.crossJoin(n_pass)
-        .crossJoin(n_true)
+        .join(
+            F.broadcast(keys),
+            F.col("l_orderkey") == F.col("k"),
+            "left",
+        )
         .select(
-            "n_keys",
-            "n_bloom_pass",
-            "n_true",
-            (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+            (
+                F.col("bits1").isNotNull()
+                & (F.col("bits1").bitwiseAND(bit_of(F.col("p1"))) != 0)
+                & F.col("bits2").isNotNull()
+                & (F.col("bits2").bitwiseAND(bit_of(F.col("p2"))) != 0)
+            ).alias("bloom_pass"),
+            F.col("k").isNotNull().alias("is_true"),
         )
+    )
+    counts = flags.agg(
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("is_true").cast("long")).cast("long").alias("n_true"),
+    )
+    n_keys = keys.agg(F.count("*").cast("long").alias("n_keys"))
+    return n_keys.crossJoin(counts).select(
+        "n_keys",
+        "n_bloom_pass",
+        "n_true",
+        (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
     )
