@@ -31,6 +31,48 @@ _KEY = lambda deg, node: deg * F.lit(1_000_000_000_000) + node  # noqa: E731
 #: round (measured sf10: LPA 182.6→64.6 s, PPR 92.5→54.8 s).
 _BROADCAST_NODES_GATE = 600_000
 
+#: Input-bytes gate for PPR's adjacency storage (r14, VERDICT #2): below
+#: this many bytes of scanned parquet the doubled adjacency materializes
+#: as a DIRECT eager localCheckpoint — the fastest arm of the r13 A/B
+#: matrix (3.7 s vs the 5.5 s persist at sf0.1: per-round reads hit
+#: materialized row blocks instead of deserializing the columnar cache)
+#: — and above it as the evictable persist() that survives sf10 (the
+#: checkpoint arm OOM-flapped there: checkpointed blocks are pinned
+#: until GC, next to the big-arm's persisted adj_deg). The gate reads
+#: the SCAN FILE SIZES from the plan (zero jobs, known before any count
+#: exists — the reason the r14 cache->checkpoint conversion A/B gained
+#: nothing is that a count-based gate can only fire after the cache is
+#: already built). 256 MiB sits a decade under the observed flap point
+#: (sf10 ≈ 1.1 GiB of lineitem) and a decade over sf0.1 (10.8 MiB);
+#: unknown input sizes (in-memory test frames, non-file sources) route
+#: to the persist arm — the OOM-proof default.
+_PPR_SMALL_INPUT_BYTES = 256 << 20
+
+
+def _scan_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the file scans feeding ``df``'s plan, or
+    None when any input is not a resolvable local file (then callers
+    must assume BIG). A logical-plan walk — no Spark job."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    return total
+
 
 def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
@@ -348,15 +390,26 @@ def personalized_pagerank(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # persist(), not localCheckpoint(): the doubled adjacency is the
-    # big heap item at sf10 (120M rows next to the loop's persisted
-    # adj_deg put the 16g heap on the OOM edge — the r13 sweep caught
-    # it flapping). A cache is evictable-with-recompute AND explicitly
-    # unpersistable the moment adj_deg materializes.
+    # Storage routed on the SCAN INPUT SIZE (zero extra jobs — see
+    # _PPR_SMALL_INPUT_BYTES): small inputs take a direct eager
+    # localCheckpoint (the fastest r13-matrix arm — per-round reads hit
+    # row blocks, no columnar-cache deserialization); big or unknown
+    # inputs keep the evictable persist() — the doubled adjacency is
+    # the big heap item at sf10 (120M rows pinned next to the loop's
+    # persisted adj_deg put the 16g heap on the OOM edge — the r13
+    # sweep caught the checkpoint arm flapping there). A cache is
+    # evictable-with-recompute AND explicitly unpersistable the moment
+    # adj_deg materializes; a checkpoint is neither, which is exactly
+    # why it must never carry a big graph.
+    in_bytes = _scan_input_bytes(edges)
+    small_input = in_bytes is not None and in_bytes <= _PPR_SMALL_INPUT_BYTES
+    adj_plan = canon.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
     adj = (
-        canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
-        .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
-        .persist()
+        adj_plan.localCheckpoint(eager=True)
+        if small_input
+        else adj_plan.persist()
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = deg.select("n", "deg").localCheckpoint(eager=True)
@@ -376,8 +429,10 @@ def personalized_pagerank(
             r["n"] for r in nodes.filter(seed_pred).collect()
         }
         adj_rows = adj.collect()
-        adj.unpersist(blocking=False)  # the cache promise above holds
-        # on the driver path too — nothing reads adj after collect()
+        if not small_input:
+            adj.unpersist(blocking=False)  # the cache promise above
+            # holds on the driver path too — nothing reads adj after
+            # collect() (checkpoint arm: blocks free on GC)
         return _driver_ppr(
             adj_rows, seedset, rounds, edges.sparkSession
         )
@@ -399,14 +454,17 @@ def personalized_pagerank(
     if big:
         adj_deg = adj.join(nodes, "n").repartition(F.col("n")).persist()
         adj_deg.count()  # materialize, then drop the raw cache — the
-        adj.unpersist(blocking=False)  # loop reads adj_deg only
+        if not small_input:  # loop reads adj_deg only
+            adj.unpersist(blocking=False)
     else:
-        # Small-arm storage stays the persist cache (r14 A/B: a
-        # cache → localCheckpoint conversion before the loop — chasing
-        # the r13 matrix's 3.7 s direct-checkpoint arm — measured
-        # same-session alternating old 6.1-6.9 s vs new 6.1-7.0 s at
+        # Small-arm adjacency storage is whatever the input-bytes gate
+        # picked above: DIRECT checkpoint under the gate (the 3.7 s
+        # r13-matrix arm — note a cache→checkpoint CONVERSION here was
+        # A/B-measured a wash, old 6.1-6.9 s vs new 6.1-7.0 s at
         # sf0.1: the conversion copy costs what the per-round
-        # checkpoint reads save, so the simpler shape ships).
+        # checkpoint reads save; only deciding BEFORE the cache is
+        # built, i.e. from scan bytes, recovers the fast arm), persist
+        # above it or when input sizes are unknowable.
         # lazy on purpose: a map-side broadcast join per round over the
         # cached 2-col adjacency is cheaper than materializing a
         # second, 3-col E-sized checkpoint (measured +8 s at sf1).
@@ -467,7 +525,8 @@ def personalized_pagerank(
         # adjacency cache — unpersisting first would force every round
         # to recompute the canon+union pipeline from scratch
         out = out.localCheckpoint(eager=True)
-        adj.unpersist(blocking=False)
+        if not small_input:
+            adj.unpersist(blocking=False)
     return out
 
 

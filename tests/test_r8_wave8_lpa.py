@@ -90,6 +90,56 @@ def test_driver_gate_matches_distributed_paths(spark, monkeypatch):
     assert lpa_rows() == via_driver_lpa
 
 
+def test_ppr_storage_arms_bitwise_equal(spark, monkeypatch):
+    """r14 input-bytes storage routing: the checkpoint arm (small scan
+    inputs) and the persist arm (big/unknown inputs) are pure storage
+    choices for the same dataflow — on the forced DISTRIBUTED path they
+    must produce bitwise-identical rows."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (7, 8)],
+        ["a", "b"],
+    )
+    seed = (F.col("n") % 3 == 1)
+    monkeypatch.setattr(G, "_GRAPH_DRIVER_NODES", -1)  # force distributed
+
+    def rows():
+        return sorted(
+            (r["n"], r["deg"], r["rank_nano"])
+            for r in G.personalized_pagerank(
+                edges, "a", "b", seed, rounds=3
+            ).collect()
+        )
+
+    # in-memory frame -> inputFiles() empty -> persist arm
+    assert G._scan_input_bytes(edges) is None
+    via_persist = rows()
+    monkeypatch.setattr(G, "_scan_input_bytes", lambda df: 1)
+    assert rows() == via_persist
+
+
+def test_scan_input_bytes_reads_parquet_scans(spark, tmp_path):
+    """_scan_input_bytes totals the on-disk size of the file scans under
+    a derived plan (joins/filters included) without running a job."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_objects_analysis_spark.operators import graph as G
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    derived = df.filter(F.col("k") > 1).join(
+        df.select(F.col("id").alias("id2")), F.col("id") == F.col("id2")
+    )
+    got = G._scan_input_bytes(derived)
+    assert got is not None and got > 0
+
+
 def test_k_core_driver_gate_matches_distributed(spark, monkeypatch):
     """r13: k_core's driver peel must equal the distributed frontier
     peel on the same graph (deterministic fixpoint, bitwise rows)."""
