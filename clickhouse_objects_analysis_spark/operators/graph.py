@@ -590,8 +590,17 @@ def label_propagation(
         adj = adj.repartition(F.col("m")).persist()
     for _ in range(rounds):
         rhs = labels.select(F.col("n").alias("m"), "lbl")
+        # Small arm: EXPLICIT broadcast — the gate already guarantees
+        # the label table fits (≤600k nodes ≈ 10 MB, the same bound
+        # PPR's broadcast(nodes) rides), so the plan no longer depends
+        # on AQE seeing materialized stats. That certainty is what
+        # makes the lazy per-round checkpoints below safe here (the
+        # r14 lesson recorded at the checkpoint: lazy round-chaining is
+        # only safe when every per-round join's small side is
+        # explicitly hinted).
+        rhs = rhs.hint("shuffle_hash") if big else F.broadcast(rhs)
         votes = (
-            adj.join(rhs.hint("shuffle_hash") if big else rhs, "m")
+            adj.join(rhs, "m")
             .groupBy("n", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -605,17 +614,21 @@ def label_propagation(
                 F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
             ).alias("t")
         )
-        # node-sized per-round state — EAGER in BOTH arms. The r14
-        # lazy-rounds variant that pays off for PPR was A/B-measured
-        # same-session for LPA and is consistently SLOWER here (eager
-        # 5.3-6.8 s vs lazy 6.2-10.8 s at sf0.1): this loop's join has
-        # no explicit broadcast side, and with an unmaterialized lazy
-        # label chain the planner can't see the node-sized rhs, so each
-        # round plans against unknown stats instead of a materialized
-        # table AQE immediately broadcasts.
+        # node-sized per-round state. Big arm: EAGER (rounds must
+        # finish before adj is unpersisted; sf10 heap discipline).
+        # Small arm: LAZY — safe ONLY because rhs above is explicitly
+        # broadcast. The r14 batch-2 A/B measured lazy rounds WITHOUT
+        # the hint consistently slower (eager 5.3-6.8 s vs lazy
+        # 6.2-10.8 s at sf0.1: the planner saw an unmaterialized label
+        # chain with unknown stats); WITH the hint, lazy+broadcast won
+        # two continuation-2 sessions (old mins 3.89/3.74 s vs new
+        # 3.70/3.58 s) — the PPR lesson transplanted.
         labels = top.select(
             "n", (-F.col("t.nl")).alias("lbl")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=big)
     if big:
         adj.unpersist(blocking=False)
+    else:
+        # materialize the lazy round chain before returning
+        labels = labels.localCheckpoint(eager=True)
     return labels
