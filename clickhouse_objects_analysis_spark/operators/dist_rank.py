@@ -189,6 +189,99 @@ def dist_ntile(
     return b.select(*out, bucket.alias(out_col))
 
 
+def weighted_quantile_boundary_cw(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    thresholds: Sequence[tuple[int, int]],
+    bucket_width: int,
+    weight_col: str = "__w",
+) -> DataFrame:
+    """Exact cumulative weights for the rows that can decide weighted
+    quantile thresholds — WITHOUT a fact-sized shuffle (r15,
+    guide §8 "decide with small rows"; VERDICT r14 #6).
+
+    ``rows`` carries raw ``(group_col, value_col, weight_col)`` rows
+    (integral weights). Each threshold ``(a, b)`` selects the boundary
+    where ``a·cw(v) >= b·tw`` first holds (cw = cumulative weight
+    through value v including ties, tw = group total).  Any
+    ``min/max(CASE WHEN a·cw {>=,<=} b·tw ...)`` selector evaluated
+    over the returned frame equals the same selector over the full
+    cumsum, because the returned frame contains every value of each
+    threshold's CROSSING bucket and of the nonzero bucket immediately
+    before it:
+
+    - ``min{v : a·cw >= b·tw}`` lies in the crossing bucket (values in
+      earlier buckets have cw <= cumb(prev) < b·tw/a); later rows only
+      add larger v to the min.
+    - ``max{v : a·cw <= b·tw}`` (and its cw) is either in the crossing
+      bucket or is the LAST value of the previous nonzero bucket — both
+      included with exact cw; earlier rows only add smaller v.
+
+    Plan shape: one coarse bucket histogram (groupBy(group, bucket) —
+    map-side combined, bucket count is DOMAIN-bounded, not data-bounded)
+    → integer prefix sums over that tiny table (one small window) →
+    broadcast the boundary-bucket set back onto a second scan of the
+    fact (map-side inner join drops ~everything before any shuffle) →
+    exact in-bucket cumsum over the tiny candidate histogram.  Zero
+    fact-sized exchanges; the price is a second columnar scan of the
+    three input columns, which at 100 TB is parallel I/O instead of a
+    network-crossing shuffle (the shipped dist_cumsum shape paid TWO
+    near-fact-sized exchanges because prices are near-unique).  All
+    comparisons are int64 — no float crosses a selection boundary.
+
+    Returns a tiny DataFrame ``(group_col, value_col, cw, tw)``.
+    """
+    g, y = group_col, value_col
+    b = rows.withColumn(
+        "__b", F.floor(F.col(y) / F.lit(bucket_width)).cast("long")
+    )
+    bs = b.groupBy(g, "__b").agg(F.sum(weight_col).alias("bw"))
+    wo = Window.partitionBy(g).orderBy("__b")
+    bs2 = bs.select(
+        g,
+        "__b",
+        "bw",
+        F.sum("bw")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumb"),
+        F.sum("bw").over(Window.partitionBy(g)).alias("tw"),
+    ).withColumn("cumb_next", F.lead("cumb").over(wo))
+    # The tiny prefix-summed bucket table feeds TWO broadcast branches
+    # (boundary set + group totals); a lazy localCheckpoint shares one
+    # histogram scan between them instead of re-scanning the fact per
+    # branch (the dist_cumsum pinning discipline).
+    bs2 = bs2.localCheckpoint(eager=False)
+    keep = F.lit(False)
+    for a_k, b_k in thresholds:
+        crossing = (a_k * F.col("cumb") >= b_k * F.col("tw")) & (
+            a_k * (F.col("cumb") - F.col("bw")) < b_k * F.col("tw")
+        )
+        before = (
+            (a_k * F.col("cumb") < b_k * F.col("tw"))
+            & F.col("cumb_next").isNotNull()
+            & (a_k * F.col("cumb_next") >= b_k * F.col("tw"))
+        )
+        keep = keep | crossing | before
+    bounds = bs2.filter(keep).select(
+        g, "__b", (F.col("cumb") - F.col("bw")).alias("__off")
+    )
+    tws = bs2.groupBy(g).agg(F.max("tw").alias("tw"))
+    cand = b.join(F.broadcast(bounds), [g, "__b"])
+    ch = cand.groupBy(g, "__b", "__off", y).agg(
+        F.sum(weight_col).alias("__cw0")
+    )
+    wy = (
+        Window.partitionBy(g, "__b")
+        .orderBy(y)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ch.select(
+        g, y, (F.col("__off") + F.sum("__cw0").over(wy)).alias("cw")
+    )
+    return out.join(F.broadcast(tws), g)
+
+
 def histogram_r2(
     df: DataFrame,
     value_col: str,

@@ -608,25 +608,32 @@ def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties in the sort key can't change the answer because the selected
     value is the MIN price in the crossing block.
 
-    Scale shape (r5): the cumulative weights come from the two-pass
-    partition-histogram cumsum (operators/dist_rank.py) over the
-    distinct-price weight histogram — the previous per-group window sort
-    put a third of the table in one task (sf1 exponent 0.985, the worst
-    measured); now no task sorts more than its range slice. The answer
-    is unchanged: the crossing happens at the same minimal price whether
-    cumulated per row or per distinct value, because the distinct-value
-    cumsum at price p includes every tied row."""
+    Scale shape (r5): the per-group window sort this replaced put a
+    third of the table in one task (sf1 exponent 0.985, the worst
+    measured). r15 (OPTIMIZATION_r15.md): the full dist_cumsum paid two
+    near-fact-sized exchanges because prices are near-unique; the
+    median selector only needs the crossing-bucket values, so the
+    cumulative weights now come from the two-level boundary histogram
+    (weighted_quantile_boundary_cw — zero fact-sized exchanges, one
+    extra columnar scan; equivalence argument in the operator
+    docstring). $64 buckets over the scale-free TPC-H price domain give
+    ~1.6k buckets per group at any SF. The answer is unchanged: the
+    crossing happens at the same minimal price whether cumulated per
+    row or per distinct value, because the cumsum at price p includes
+    every tied row."""
     li = tables(spark, sf_dir)["lineitem"]
-    from ..operators.dist_rank import dist_cumsum
+    from ..operators.dist_rank import weighted_quantile_boundary_cw
 
-    h = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    rows = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("__w"),
     )
-    h = dist_cumsum(h, "l_extendedprice", ["w"], keys=["l_returnflag"])
-    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("total"))
+    c = weighted_quantile_boundary_cw(
+        rows, "l_returnflag", "l_extendedprice", [(2, 1)], 64
+    )
     return (
-        h.join(F.broadcast(tot), "l_returnflag")
-        .filter(2 * F.col("cum_w") >= F.col("total"))
+        c.filter(2 * F.col("cw") >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median"))
         .orderBy("l_returnflag")

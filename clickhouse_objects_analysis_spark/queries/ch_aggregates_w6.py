@@ -1022,17 +1022,27 @@ def quantiles_exact_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional mins, and the q·total comparisons stay integral
     (4·cw ≥ k·tw), so no float crosses the selection boundary.
     Per-distinct-value cumulation picks the same boundary values: the
-    cumsum at y includes every tied row's weight."""
+    cumsum at y includes every tied row's weight.
+
+    r15 (OPTIMIZATION_r15.md): the full dist_cumsum paid two
+    near-fact-sized exchanges because prices are near-unique; the three
+    threshold selectors only need the crossing-bucket values, so the
+    cumsum now comes from the two-level boundary histogram
+    (weighted_quantile_boundary_cw — zero fact-sized exchanges, one
+    extra columnar scan). The conditional aggregates below are
+    unchanged; equivalence argument in the operator docstring. Bucket
+    width 4096 cents over the scale-free TPC-H price domain
+    (~90k..10.5M cents) gives ~2.5k buckets per group at any SF."""
+    from ..operators.dist_rank import weighted_quantile_boundary_cw
+
     li = tables(spark, sf_dir)["lineitem"]
-    h = li.select(
+    rows = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
-        F.col("l_quantity").cast("long").alias("w"),
-    ).groupBy("l_returnflag", "y").agg(F.sum("w").alias("w"))
-    h = dist_cumsum(h, "y", ["w"], keys=["l_returnflag"])
-    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
-    c = h.join(F.broadcast(tot), "l_returnflag").select(
-        "l_returnflag", "y", F.col("cum_w").alias("cw"), "tw"
+        F.col("l_quantity").cast("long").alias("__w"),
+    )
+    c = weighted_quantile_boundary_cw(
+        rows, "l_returnflag", "y", [(4, 1), (2, 1), (4, 3)], 4096
     )
     return (
         c.groupBy("l_returnflag")

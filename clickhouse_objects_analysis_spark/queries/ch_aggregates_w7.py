@@ -912,27 +912,34 @@ def quantile_interpolated_weighted_q(
     crossing value.  Built on the SAME distributed histogram cumsum as
     weighted_median (operators/dist_rank.py) — the interpolation is two
     conditional aggregates over the cumsum, integer comparisons only
-    until the final midpoint division."""
-    from ..operators.dist_rank import dist_cumsum
+    until the final midpoint division.
+
+    r15 (OPTIMIZATION_r15.md): cumulative weights come from the
+    two-level boundary histogram (weighted_quantile_boundary_cw — zero
+    fact-sized exchanges, one extra columnar scan) instead of the full
+    dist_cumsum; the y_lo/y_hi/cw_lo selectors are unchanged and the
+    pruned frame provably contains their arg-extremes (operator
+    docstring)."""
+    from ..operators.dist_rank import weighted_quantile_boundary_cw
 
     li = tables(spark, sf_dir)["lineitem"]
-    h = li.select(
+    rows = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
-        F.col("l_quantity").cast("long").alias("w"),
-    ).groupBy("l_returnflag", "y").agg(F.sum("w").alias("w"))
-    h = dist_cumsum(h, "y", ["w"], keys=["l_returnflag"])
-    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
-    c = h.join(F.broadcast(tot), "l_returnflag")
+        F.col("l_quantity").cast("long").alias("__w"),
+    )
+    c = weighted_quantile_boundary_cw(
+        rows, "l_returnflag", "y", [(2, 1)], 4096
+    )
     lo = c.groupBy("l_returnflag").agg(
         F.max(
-            F.when(2 * F.col("cum_w") <= F.col("tw"), F.col("y"))
+            F.when(2 * F.col("cw") <= F.col("tw"), F.col("y"))
         ).alias("y_lo"),
         F.min(
-            F.when(2 * F.col("cum_w") >= F.col("tw"), F.col("y"))
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("y"))
         ).alias("y_hi"),
         F.max(
-            F.when(2 * F.col("cum_w") <= F.col("tw"), F.col("cum_w"))
+            F.when(2 * F.col("cw") <= F.col("tw"), F.col("cw"))
         ).alias("cw_lo"),
         F.max("tw").alias("tw"),
     )

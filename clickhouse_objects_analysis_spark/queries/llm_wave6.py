@@ -37,48 +37,55 @@ def scrub_boilerplate_spans(
     replaced by array ops on the doc row — each doc's frequent-span hit
     positions come back as ONE small array (the only doc-keyed shuffle,
     hit-sized not token-sized), coverage expansion and the keep-filter
-    run as higher-order functions map-side. Plan: the token stream
-    never shuffles at all; exchanges drop from 6 (window sort, span df,
-    covered distinct, anti-join both sides, rebuild) to 2 (span df, hit
-    positions) plus the caller's output sort (A/B best-of-4 at sf0.1:
-    2.52 → 0.86 s)."""
+    run as higher-order functions map-side.
+
+    r15 rewrite (OPTIMIZATION_r15.md, VERDICT r14 #1): every gram is
+    keyed by ``xxhash64(gram)`` — the jaccard-kernel 8-byte-key
+    discipline. Per-doc DISTINCT hashes come from ``array_distinct``
+    on the doc row, so the span-df aggregate is a plain map-side-
+    combined count over longs (the r14 shape shuffled the 5-token
+    STRING + doc_id through count_distinct's two-phase distinct — the
+    driver-confirmed sf0.1 regression, 1.83→2.50 s). The gram string
+    never leaves the map side. Identical output as long as no two
+    distinct grams collide in 64 bits (oracle-verified at the tested
+    SFs; ~n²/2⁶⁵ for n distinct grams).
+
+    The hit explode MUST be ``posexplode_outer``: with the plain inner
+    generator, Catalyst's InferFiltersFromGenerate inserts a
+    size(...)>0 filter that re-evaluates the interpreted gram-hash
+    transform twice with ``split(text)`` re-inlined PER ELEMENT
+    (measured 30×: 11 s vs 0.4 s at sf0.1); the outer form is exempt
+    from that rule and the null row of a short doc is dropped by the
+    inner join on h."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     base = d.select("doc_id", F.split("text", " ").alias("ws"))
     # full-gram start positions 0 .. size(ws)-ngram; shorter docs have
     # no full gram (sequence() would generate a DESCENDING range there,
     # hence the guard)
-    empty = F.array().cast("array<struct<pos:int,s:string>>")
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("ws") >= ngram,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - ngram),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(
-                            " ",
-                            *[
-                                F.get(F.col("ws"), i + j)
-                                for j in range(ngram)
-                            ],
-                        ).alias("s"),
-                    ),
-                ),
-            ).otherwise(empty)
-        ).alias("g"),
-    ).select("doc_id", "g.pos", "g.s")
+    gh = F.when(
+        F.size("ws") >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - ngram),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.get(F.col("ws"), i + j) for j in range(ngram)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hb = base.select("doc_id", gh.alias("gh"))
     frequent = (
-        grams.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        hb.select(F.explode(F.array_distinct("gh")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
-        .select("s")
+        .select("h")
     )
     # AQE broadcasts `frequent` at any sane min_df; at 100 TB an
     # over-threshold span set degrades to a shuffle join, never OOM
     hit_pos = (
-        grams.join(frequent, "s")
+        hb.select("doc_id", F.posexplode_outer("gh").alias("pos", "h"))
+        .join(frequent, "h")
         .groupBy("doc_id")
         .agg(F.collect_list("pos").alias("hits"))
     )

@@ -57,33 +57,37 @@ def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly how the distributed implementations of that paper
     shard the problem).
 
-    md5 (not xxhash64) keys the windows so the DuckDB twin computes
-    identical groups; the production note for 100 TB is an 8-byte
-    xxhash64 instead (4× narrower shuffle), plus the standard
-    document-frequency cap on pathological boilerplate hashes (the
-    ngram_jaccard df-cap pattern). Plan: one map-side explode
-    (len−W+1 rows/doc), one hash aggregation to the duplicate set, one
-    shuffle join back, one doc-level aggregation — the gram-pipeline
-    shape that measured ~linear (0.897) in the sf10 sweep."""
+    r15 (OPTIMIZATION_r15.md): windows are keyed by ``xxhash64`` (the
+    8-byte production key the r9 docstring promised — 4× narrower than
+    the md5 hex this shipped with; grouping is identical unless two
+    distinct windows collide in 64 bits, oracle-verified at the tested
+    SFs), built ARRAY-SIDE per doc so the duplicate-set aggregate runs
+    over per-doc DISTINCT hashes (``array_distinct`` on the doc row)
+    as a plain map-side-combined count instead of count_distinct's
+    two-phase (hash, doc_id) distinct shuffle. The per-window explode
+    is ``explode_outer`` — the inner form triggers Catalyst's
+    InferFiltersFromGenerate, which re-evaluates the interpreted
+    window-hash transform in an inferred size()>0 filter (measured 30×
+    on the gram kernel; every doc here has ≥1 window so outer adds no
+    rows). Plan: duplicate-set agg + doc agg shuffle 8-byte keys; the
+    window stream crosses the dup join (AQE broadcast at this SF,
+    shuffle at 100 TB, never OOM)."""
     d = widen_scan(tables(spark, sf_dir)["documents"]).filter(
         F.length("text") >= _WIN
     )
-    w = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - _WIN + 1)
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        F.md5(F.substring(F.col("text"), F.col("i"), _WIN)).alias("h"),
+    wh = F.transform(
+        F.sequence(F.lit(1), F.length("text") - _WIN + 1),
+        lambda i: F.xxhash64(F.substring(F.col("text"), i, _WIN)),
     )
+    hb = d.select("doc_id", wh.alias("wh"))
     dup = (
-        w.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        hb.select(F.explode(F.array_distinct("wh")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= 2)
         .select("h", F.lit(1).alias("is_dup"))
     )
+    w = hb.select("doc_id", F.explode_outer("wh").alias("h"))
     per = (
         w.join(dup, "h", "left")
         .groupBy("doc_id")

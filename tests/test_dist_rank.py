@@ -232,3 +232,110 @@ def test_dist_cumsum_correct_with_exchange_reuse_off(spark):
     assert got["cum_cnt"].astype("int64").tolist() == exp["cum_cnt"].astype(
         "int64"
     ).tolist()
+
+
+# --- weighted_quantile_boundary_cw (r15 two-level boundary histogram) --
+
+
+@st.composite
+def weighted_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=80))
+    keys = draw(
+        st.lists(st.sampled_from(["a", "b"]), min_size=n, max_size=n)
+    )
+    # duplicates allowed (raw rows, not a histogram); values may be
+    # negative (floor-division bucketing must stay monotone there)
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-40, max_value=40), min_size=n, max_size=n
+        )
+    )
+    wts = draw(
+        st.lists(st.integers(min_value=1, max_value=7), min_size=n, max_size=n)
+    )
+    return pd.DataFrame({"k": keys, "v": vals, "__w": wts})
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pdf=weighted_rows(),
+    width=st.sampled_from([1, 3, 16]),
+    thresholds=st.sampled_from(
+        [[(2, 1)], [(4, 1), (2, 1), (4, 3)], [(10, 1), (10, 9)]]
+    ),
+)
+def test_boundary_cw_selectors_match_full_cumsum(
+    spark, pdf, width, thresholds
+):
+    """Every min{v: a·cw >= b·tw} / max{v: a·cw <= b·tw} selector (and
+    the cw at the max) over the PRUNED frame must equal the same
+    selector over the full per-distinct-value cumsum — the equivalence
+    the three weighted-quantile queries rely on."""
+    from clickhouse_objects_analysis_spark.operators.dist_rank import (
+        weighted_quantile_boundary_cw,
+    )
+
+    df = spark.createDataFrame(pdf)
+    got = weighted_quantile_boundary_cw(
+        df, "k", "v", thresholds, width
+    ).toPandas()
+    # full cumsum reference in pandas
+    h = (
+        pdf.groupby(["k", "v"], as_index=False)["__w"]
+        .sum()
+        .sort_values(["k", "v"])
+    )
+    h["cw"] = h.groupby("k")["__w"].cumsum()
+    tw = h.groupby("k")["__w"].sum().rename("tw")
+    h = h.merge(tw, on="k")
+    # pruned rows must carry the EXACT cw/tw of the full cumsum
+    merged = got.merge(
+        h, on=["k", "v"], suffixes=("", "_ref"), how="left"
+    )
+    assert merged["cw_ref"].notna().all()
+    assert (merged["cw"] == merged["cw_ref"]).all()
+    assert (merged["tw"] == merged["tw_ref"]).all()
+    for a, b in thresholds:
+        for k, grp in h.groupby("k"):
+            sub = got[got["k"] == k]
+            lo = grp[a * grp["cw"] >= b * grp["tw"]]
+            lo_sub = sub[a * sub["cw"] >= b * sub["tw"]]
+            assert lo_sub["v"].min() == lo["v"].min()
+            hi = grp[a * grp["cw"] <= b * grp["tw"]]
+            hi_sub = sub[a * sub["cw"] <= b * sub["tw"]]
+            if len(hi):
+                assert len(hi_sub) and hi_sub["v"].max() == hi["v"].max()
+                assert hi_sub["cw"].max() == hi["cw"].max()
+            else:
+                assert not len(hi_sub)
+
+
+def test_boundary_cw_exact_bucket_edge_hit(spark):
+    """Threshold landing exactly on a bucket boundary: the previous
+    nonzero bucket must be included so max{v: 2cw <= tw} survives."""
+    from clickhouse_objects_analysis_spark.operators.dist_rank import (
+        weighted_quantile_boundary_cw,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "v": [0, 1, 10, 11],  # buckets (width 8): 0, 0, 1, 1
+            "__w": [1, 1, 1, 1],  # tw=4; 2cw==tw exactly at v=1
+        }
+    )
+    got = (
+        weighted_quantile_boundary_cw(
+            spark.createDataFrame(pdf), "k", "v", [(2, 1)], 8
+        )
+        .toPandas()
+        .sort_values("v")
+    )
+    sat = got[2 * got["cw"] <= got["tw"]]
+    assert sat["v"].max() == 1 and int(sat["cw"].max()) == 2
+    cross = got[2 * got["cw"] >= got["tw"]]
+    assert cross["v"].min() == 1

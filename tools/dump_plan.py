@@ -33,7 +33,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("PLANS_DIR", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plan")
