@@ -100,13 +100,32 @@ def any_join(
     how: str = "left",
 ) -> DataFrame:
     """ANY JOIN: dedupe the right side to its first row per key (by
-    ``order``), then join normally — each left row gets at most one match."""
-    w = Window.partitionBy(*on).orderBy(*order)
-    deduped = (
-        right.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ``order``), then join normally — each left row gets at most one match.
+
+    r15 (OPTIMIZATION_r15.md, the gopher min-struct recipe): when every
+    ``order`` entry is a plain column NAME (ascending by convention),
+    the dedup is ``min(struct(order…, payload…))`` — identical row to
+    the row_number window when (on, order) is tie-free (ties were
+    arbitrary under the window too), and the aggregate partial-combines
+    map-side instead of sorting the whole right side per key. Column
+    expressions (e.g. ``desc()``) keep the window path."""
+    if all(isinstance(o, str) for o in order):
+        payload = [c for c in right.columns if c not in on]
+        rest = [c for c in payload if c not in order]
+        deduped = (
+            right.groupBy(*on)
+            .agg(F.min(F.struct(*order, *rest)).alias("__f"))
+            .select(
+                *on, *[F.col(f"__f.{c}").alias(c) for c in payload]
+            )
+        )
+    else:
+        w = Window.partitionBy(*on).orderBy(*order)
+        deduped = (
+            right.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return left.join(deduped, on=list(on), how=how)
 
 

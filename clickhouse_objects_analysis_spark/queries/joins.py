@@ -259,7 +259,7 @@ def any_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"],
         orders,
         on=["c_custkey"],
-        order=[F.col("first_orderdate"), F.col("first_orderkey")],
+        order=["first_orderdate", "first_orderkey"],
         how="left",
     )
     return res.select("c_custkey", "first_orderkey", "first_orderdate").orderBy(

@@ -219,21 +219,25 @@ def first_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id tie-break) gets the credit; a user converts if any later
     'purchase' follows. Reported per first-touch channel: users,
     conversions, conversion rate — the marketing-analytics staple next
-    to the windowFunnel family. One rank window finds first touches;
-    the conversion probe is a semi-join-shaped EXISTS against later
-    purchases; the rate is one integer-ratio division quantized with
-    the floor form."""
+    to the windowFunnel family. The conversion probe is a
+    semi-join-shaped EXISTS against later purchases; the rate is one
+    integer-ratio division quantized with the floor form.
+
+    r15 (OPTIMIZATION_r15.md, the gopher min-struct recipe): the
+    first-touch pick is ``min(struct(ts, event_id, event_type))`` per
+    user instead of a row_number window — identical row because
+    struct ordering is lexicographic and (ts, event_id) is the old
+    window's (unique) sort key; the aggregate partial-combines
+    map-side, so the shuffle carries one row per (map, user) instead
+    of the whole event stream through a partition sort."""
     ev = tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ft = (
-        ev.select(
-            "user_id", "event_type", "ts", F.row_number().over(w).alias("rk")
-        )
-        .filter(F.col("rk") == 1)
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("f"))
         .select(
             "user_id",
-            F.col("event_type").alias("first_touch"),
-            F.col("ts").alias("t0"),
+            F.col("f.event_type").alias("first_touch"),
+            F.col("f.ts").alias("t0"),
         )
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(

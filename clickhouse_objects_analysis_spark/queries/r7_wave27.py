@@ -81,15 +81,24 @@ def ab_test_power_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles are shared literals, and the whole formula is ONE fixed
     expression ceil'd to an integer — both engines execute identical
     double ops. The cohort/conversion plumbing is two aggregates and a
-    broadcast-sized LEFT join."""
+    broadcast-sized LEFT join.
+
+    r15 (OPTIMIZATION_r15.md, the gopher min-struct recipe): the
+    first-event pick is ``min(struct(ts, event_id, event_type))`` per
+    user — identical row to the old row_number window because
+    (ts, event_id) is unique; the cohort filter applies after the pick
+    exactly as rk == 1 did, and the aggregate partial-combines
+    map-side instead of sorting the event stream per user."""
     ev = tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ft = (
-        ev.select(
-            "user_id", "event_type", "ts", F.row_number().over(w).alias("rk")
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("f"))
+        .filter(F.col("f.event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.col("f.event_type").alias("arm"),
+            F.col("f.ts").alias("t0"),
         )
-        .filter((F.col("rk") == 1) & F.col("event_type").isin("view", "click"))
-        .select("user_id", F.col("event_type").alias("arm"), F.col("ts").alias("t0"))
     )
     conv = (
         ft.join(

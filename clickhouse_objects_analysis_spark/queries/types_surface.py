@@ -323,13 +323,25 @@ def final_replacing_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
         F.lit(2).alias("ver"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ver").desc())
+    # r15 (OPTIMIZATION_r15.md, the gopher min-struct recipe): latest
+    # version per key via max(struct(ver, payload)) — identical row to
+    # the old row_number window because ver is unique per key (1 vs 2);
+    # the aggregate partial-combines map-side, which IS the promised
+    # merge-on-read behavior (superseded versions drop before the
+    # shuffle instead of riding a per-key sort).
     final = (
         v1.unionByName(v2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.struct("ver", "o_orderstatus", "o_totalprice")
+            ).alias("f")
+        )
+        .select(
+            "o_orderkey",
+            F.col("f.o_orderstatus").alias("o_orderstatus"),
+            F.col("f.o_totalprice").alias("o_totalprice"),
+        )
     )
     return (
         final.groupBy("o_orderstatus")

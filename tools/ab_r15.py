@@ -225,12 +225,184 @@ def qiw_old(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+# --- OLD batch-2: row_number top-1 windows (the gopher min-struct hunt)
+
+
+def ft_old(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        ev.select(
+            "user_id", "event_type", "ts", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_touch"),
+            F.col("ts").alias("t0"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pt")
+    )
+    conv = (
+        ft.join(
+            purchases,
+            (F.col("user_id") == F.col("pu")) & (F.col("pt") > F.col("t0")),
+        )
+        .select("user_id", "first_touch")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    rate = F.col("n_converted").cast("double") / F.col("n_users")
+    return (
+        ft.join(conv, ["user_id", "first_touch"], "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.count("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "first_touch",
+            "n_users",
+            "n_converted",
+            (F.floor(rate * 10000 + F.lit(0.5)) / 10000).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("first_touch")
+    )
+
+
+def abp_old(spark, sf_dir):
+    from clickhouse_objects_analysis_spark.queries.r7_wave27 import (
+        _Z_A,
+        _Z_B,
+    )
+
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        ev.select(
+            "user_id", "event_type", "ts", F.row_number().over(w).alias("rk")
+        )
+        .filter(
+            (F.col("rk") == 1) & F.col("event_type").isin("view", "click")
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("arm"),
+            F.col("ts").alias("t0"),
+        )
+    )
+    conv = (
+        ft.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("cu"), F.col("ts").alias("ct")
+            ),
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ct") > F.col("t0"))
+            & (
+                F.unix_micros("ct") - F.unix_micros("t0")
+                <= 259200000000
+            ),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("cv", F.lit(1))
+    )
+    arms = (
+        ft.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("cv").cast("long").alias("n_conv"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "view", F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "view", F.col("n_conv"))).alias("c1"),
+        F.max(F.when(F.col("arm") == "click", F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "click", F.col("n_conv"))).alias("c2"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    z = F.lit(_Z_A) + F.lit(_Z_B)
+    return wide.select(
+        F.col("n1").cast("long").alias("n_view"),
+        F.col("c1").cast("long").alias("conv_view"),
+        F.col("n2").cast("long").alias("n_click"),
+        F.col("c2").cast("long").alias("conv_click"),
+        (F.floor(p1 * 10000 + F.lit(0.5)) / 10000).alias("p_view"),
+        (F.floor(p2 * 10000 + F.lit(0.5)) / 10000).alias("p_click"),
+        F.ceil(
+            z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p1 - p2) * (p1 - p2))
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+    )
+
+
+def frr_old(spark, sf_dir):
+    o = tables(spark, sf_dir)["orders"]
+    v1 = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("ver")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("ver"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ver").desc())
+    final = (
+        v1.unionByName(v2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def anyjoin_old(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("first_orderdate"), F.col("first_orderkey")
+    )
+    deduped = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    res = t["customer"].join(deduped, on=["c_custkey"], how="left")
+    return res.select(
+        "c_custkey", "first_orderkey", "first_orderdate"
+    ).orderBy("c_custkey")
+
+
 OLD = {
     "boilerplate": ("boilerplate_span_scrub", boilerplate_old),
     "substr": ("substring_dup_spans", substr_old),
     "qew": ("quantiles_exact_weighted", qew_old),
     "wm": ("weighted_median", wm_old),
     "qiw": ("quantile_interpolated_weighted", qiw_old),
+    "ft": ("first_touch_attribution", ft_old),
+    "abp": ("ab_test_power_analysis", abp_old),
+    "frr": ("final_replacing_read", frr_old),
+    "anyjoin": ("any_join", anyjoin_old),
 }
 
 
