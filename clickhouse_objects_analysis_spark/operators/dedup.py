@@ -390,7 +390,9 @@ def ngram_jaccard_pairs(
     # attach joins) and the inverted index both read it — without this
     # the Arrow shingle pass recomputes up to 3x.
     sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
-    return jaccard_pairs_from_sets(sets, threshold, max_df)
+    return jaccard_pairs_from_sets(
+        sets, threshold, max_df, num_partitions=_pair_join_partitions(df)
+    )
 
 
 def char_ngram_jaccard_pairs(
@@ -410,13 +412,49 @@ def char_ngram_jaccard_pairs(
     sets = char_shingle_sets(df, id_col, text_col, k).localCheckpoint(
         eager=False
     )
-    return jaccard_pairs_from_sets(sets, threshold, max_df)
+    return jaccard_pairs_from_sets(
+        sets, threshold, max_df, num_partitions=_pair_join_partitions(df)
+    )
+
+
+#: Per-partition budget for the pinned-ShuffledHashJoin build maps of
+#: the pair-join family. 32 MiB keeps each LongHashedRelation build an
+#: order of magnitude under the per-task execution-memory share on any
+#: sane executor sizing.
+_PAIR_BUILD_BYTES = 32 << 20
+
+
+def _pair_join_partitions(src_df: DataFrame) -> int | None:
+    """Scale-adaptive partition count for the pinned-SHJ pair joins
+    (r15; the graph.py ``_scan_input_bytes`` discipline — zero Spark
+    jobs). The hashed inverted index builds ~36 bytes of hash-map per
+    COMPRESSED text-scan byte (sf10-measured: 59 MB documents.parquet →
+    52M winnowing index rows ≈ 2.1 GB of build maps), so with
+    ``spark.sql.shuffle.partitions`` pinned to the core count the sf30
+    sweep DIED in ``ShuffledHashJoinExec.buildHashedRelation`` ("Can't
+    acquire 134217728 bytes"): 32 scale-blind partitions × >128 MB
+    builds. Returns a count that bounds each build near
+    ``_PAIR_BUILD_BYTES``, floored at defaultParallelism — at sf0.1/sf1
+    the floor binds, so LOCAL PLANS ARE UNCHANGED (callers skip the
+    explicit repartition entirely when the floor binds). None when the
+    input bytes are unknowable (non-file source); the session default
+    then stands and cluster deployments own the conf."""
+    import math
+
+    from .graph import _scan_input_bytes
+
+    b = _scan_input_bytes(src_df)
+    if b is None:
+        return None
+    par = src_df.sparkSession.sparkContext.defaultParallelism
+    return max(par, math.ceil(b * 36 / _PAIR_BUILD_BYTES))
 
 
 def _hashed_pair_intersections(
     sets: DataFrame,
     max_df: int | None = None,
     cap_strategy: str = "stoplist",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, inter) co-occurrence counts over the xxhash64-keyed
     inverted index — the shared pair-join discipline of the exact
@@ -446,6 +484,13 @@ def _hashed_pair_intersections(
     inv = sets.select("id", F.explode("shingles").alias("s")).select(
         "id", F.xxhash64("s").alias("sh")
     )
+    # Scale-adaptive pair-join partitioning (see _pair_join_partitions):
+    # only when the derived count EXCEEDS the session default — at
+    # sf0.1/sf1 the floor binds and this branch is skipped, so the
+    # local plan (and the driver bench) is byte-identical to r14's.
+    par = sets.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is not None and num_partitions > par:
+        inv = inv.repartition(num_partitions, "sh")
     if max_df is not None and cap_strategy == "window":
         from pyspark.sql import Window as _W
 
@@ -490,7 +535,10 @@ def _hashed_pair_intersections(
 
 
 def jaccard_pairs_from_sets(
-    sets: DataFrame, threshold: float, max_df: int | None = None
+    sets: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Shared Jaccard tail over a (id, shingles) frame (caller
     checkpoints it): inverted-index pair co-occurrence, optional df cap,
@@ -505,13 +553,23 @@ def jaccard_pairs_from_sets(
     (~n²·2⁻⁶⁴ ≈ 4e-5 expected colliding pairs at 26M index rows — the
     same accepted-risk class as the xxhash64 MinHash signatures)."""
     sizes = sets.select("id", F.size("shingles").alias("sz"))
-    inter = _hashed_pair_intersections(sets, max_df)
+    inter = _hashed_pair_intersections(
+        sets, max_df, num_partitions=num_partitions
+    )
     a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
     b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
     jacc = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    # The size attaches are NOT explicitly broadcast (r15): the doc-size
+    # table grows with the corpus, and the forced broadcast built a
+    # >128 MB LongHashedRelation at sf30 and DIED ("Can't acquire ...
+    # to build hash relation") while 32 pair-join tasks held execution
+    # memory. AQE converts these to broadcast at runtime whenever the
+    # measured size fits (sf0.1: ~80 KB -> BroadcastHashJoin, plan
+    # unchanged) and keeps a shuffle join when it doesn't — degrade,
+    # never die.
     return (
-        inter.join(F.broadcast(a_sz), "id_a")
-        .join(F.broadcast(b_sz), "id_b")
+        inter.join(a_sz, "id_a")
+        .join(b_sz, "id_b")
         .withColumn("jacc", jacc)
         .filter(F.col("jacc") >= threshold)
         .select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
@@ -550,12 +608,17 @@ def containment_pairs(
     # word-trigram index → the single-exchange window cap (r13:
     # sf10 28.4 → 22.0 s; see _hashed_pair_intersections for why the
     # denser char-gram indexes stay on the stop-list plan)
-    inter = _hashed_pair_intersections(sets, max_df, cap_strategy="window")
+    inter = _hashed_pair_intersections(
+        sets,
+        max_df,
+        cap_strategy="window",
+        num_partitions=_pair_join_partitions(df),
+    )
     a_sz = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
     b_sz = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
-    both = inter.join(F.broadcast(a_sz), "id_a").join(
-        F.broadcast(b_sz), "id_b"
-    )
+    # No explicit broadcast — the sf30 sweep killed the forced form
+    # (see jaccard_pairs_from_sets); AQE broadcasts when it fits.
+    both = inter.join(a_sz, "id_a").join(b_sz, "id_b")
     # Both directional ratios are emitted from ONE scan via an exploded
     # 2-element array instead of a fwd/rev UNION: Catalyst does NOT
     # reuse the pair-join exchange across union branches (r12 plan

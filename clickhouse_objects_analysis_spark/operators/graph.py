@@ -566,11 +566,31 @@ def label_propagation(
         .distinct()
     )
     # localCheckpoint, NOT persist — the k_core note: LPA's loop also
-    # re-reads the adjacency every round
+    # re-reads the adjacency every round.
+    # r15: the checkpoint's STORAGE LEVEL is routed on scan input bytes
+    # (the PPR storage-gate discipline, zero jobs): the default level
+    # stores DESERIALIZED Java rows (MemoryStore.putIteratorAsValues),
+    # and at sf30 unrolling the doubled adjacency that way OOM'd the
+    # 16g heap outright (stack: putIteratorAsValues → SizeEstimator →
+    # heap) in a fresh JVM with nothing else running. Big or unknowable
+    # inputs take PySpark's MEMORY_AND_DISK (the SERIALIZED level —
+    # the deserialized default is MEMORY_AND_DISK_DESER): serialized
+    # blocks unroll incrementally and evict to disk instead of dying;
+    # small (local bench) inputs keep the fast deserialized default,
+    # so sf0.1/sf1 behavior is unchanged.
+    from pyspark import StorageLevel
+
+    in_bytes = _scan_input_bytes(edges)
+    big_input = in_bytes is None or in_bytes > _PPR_SMALL_INPUT_BYTES
     adj = (
         canon.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("m")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(
+            eager=True,
+            storageLevel=(
+                StorageLevel.MEMORY_AND_DISK if big_input else None
+            ),
+        )
     )
     labels = (
         adj.select("n")

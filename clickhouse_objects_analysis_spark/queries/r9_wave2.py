@@ -194,6 +194,18 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     idx = fps.join(F.broadcast(stop), "fp", "left_anti")
+    # Scale-adaptive pair-join partitioning (r15 — the sf30 sweep died
+    # in this join's 32-partition hash-table builds; see
+    # operators.dedup._pair_join_partitions). The floor binds below
+    # ~sf3, so local plans are unchanged.
+    from ..operators.dedup import _pair_join_partitions
+
+    n_part = _pair_join_partitions(d)
+    if (
+        n_part is not None
+        and n_part > spark.sparkContext.defaultParallelism
+    ):
+        idx = idx.repartition(n_part, "fp")
     pairs = (
         idx.alias("a")
         .join(
@@ -212,9 +224,13 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    # Size attaches NOT explicitly broadcast (r15): the doc-size table
+    # grows with the corpus and the forced form built a >128 MB hash
+    # relation at sf30 in the sibling jaccard/containment kernel and
+    # died; AQE broadcasts at runtime whenever the measured size fits.
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", "shared", "n_fp_a", "n_fp_b")
         .orderBy(F.desc("shared"), "id_a", "id_b")
         .limit(50)
