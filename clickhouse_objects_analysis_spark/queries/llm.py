@@ -133,8 +133,14 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs via the inverted shingle index
     (only docs sharing a shingle are paired — never a cross join)."""
     d = widen_scan(tables(spark, sf_dir)["documents"])
-    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
+    # Lazy checkpoint before the global sort (r15): the range
+    # exchange's boundary-sampling job re-executes the pair-join map
+    # stage otherwise — measured 110-123 -> 81-93 s at sf30 on the
+    # containment sibling, a wash at sf0.1.
+    return (
+        ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+        .localCheckpoint(eager=False)
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -57,9 +57,14 @@ def char_ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL, so a candidate missed by the cap logic cannot
     hash-match."""
     d = tables(spark, sf_dir)["documents"]
-    return char_ngram_jaccard_pairs(
-        d, "doc_id", "text", k=5, threshold=0.5, max_df=200
-    ).orderBy("id_a", "id_b")
+    # Lazy checkpoint before the global sort — see ngram_jaccard_pairs
+    return (
+        char_ngram_jaccard_pairs(
+            d, "doc_id", "text", k=5, threshold=0.5, max_df=200
+        )
+        .localCheckpoint(eager=False)
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(

@@ -271,6 +271,14 @@ def containment_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment is unchanged there and a documented lower bound past
     the cap — the ngram_jaccard max_df semantics."""
     d = tables(spark, sf_dir)["documents"]
-    return containment_pairs(
-        d, "doc_id", "text", k=3, threshold=0.6, max_df=64
-    ).orderBy("contained_id", "container_id")
+    # Lazy checkpoint before the global sort (r15): the range
+    # exchange's boundary-sampling job re-executed the pair-join map
+    # stage — A/B at sf30: shipped 110.1/123.3 s vs checkpointed
+    # 81.4/92.5 s (~1.3x); wash at sf0.1 (1.67 vs 1.70 min-of-5).
+    return (
+        containment_pairs(
+            d, "doc_id", "text", k=3, threshold=0.6, max_df=64
+        )
+        .localCheckpoint(eager=False)
+        .orderBy("contained_id", "container_id")
+    )
